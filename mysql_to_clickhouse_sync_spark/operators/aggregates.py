@@ -1,0 +1,295 @@
+"""Aggregation operators.
+
+Reference-derived (P0):
+  * bounds: ``SELECT IFNULL(MIN(_rowid),0), IFNULL(MAX(_rowid),0)`` per table
+    (mysql_to_clickhouse_sync.py:163); ``(0,0)`` doubles as the "no PK"
+    sentinel (pagination.py:202-211); ``min==max AND min!=0`` is the
+    single-row fast path (pagination.py:119).
+  * chunk plan: ``range(min, max, batch)`` assigns key k to chunk
+    floor((k-min)/batch) (mysql_to_clickhouse_sync.py:109-112).
+  * insert batch stats: 1000-row VALUES batches (S:236, :76) — the checkable
+    arithmetic is ceil(n/batch) batches and the last-batch remainder.
+
+Extensions (P1/P2, absent in the reference — SURVEY.md §2.3):
+  * q_distinct_count — exact distinct aggregation.
+  * q_topk_value — group-aggregate top-k with a total order.
+  * q_agg_rollup — hierarchical ROLLUP over the star-schema join.
+  * q_set_ops — UNION / EXCEPT ALL.
+
+Scale notes: bounds and chunk-plan are single-pass partial aggregations
+(map-side combine; no wide shuffle beyond the tiny per-group state). The
+rollup joins broadcast every dimension side (region/nation/customer are dims)
+so only `orders` streams; AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+CHUNK_BATCH = 1000  # reference --batch_size default (S:236)
+
+
+def bounds_with_default(df: DataFrame, key: str, label: str) -> DataFrame:
+    """IFNULL(MIN,0)/IFNULL(MAX,0) bounds + single-row flag (S:163, P:119)."""
+    return df.agg(
+        F.lit(label).alias("table_name"),
+        F.coalesce(F.min(key), F.lit(0)).cast("bigint").alias("min_id"),
+        F.coalesce(F.max(key), F.lit(0)).cast("bigint").alias("max_id"),
+    ).withColumn(
+        "single_row",
+        (F.col("min_id") == F.col("max_id")) & (F.col("min_id") != F.lit(0)),
+    )
+
+
+_BOUNDS_ORACLE_ONE = """
+    SELECT '{label}' AS table_name,
+           CAST(coalesce(min({key}), 0) AS BIGINT) AS min_id,
+           CAST(coalesce(max({key}), 0) AS BIGINT) AS max_id,
+           (coalesce(min({key}), 0) = coalesce(max({key}), 0)
+            AND coalesce(min({key}), 0) <> 0) AS single_row
+    FROM {src}
+"""
+
+
+@declare(
+    "q_bounds",
+    oracle=" UNION ALL ".join(
+        [
+            _BOUNDS_ORACLE_ONE.format(label="orders", key="o_orderkey", src="orders"),
+            _BOUNDS_ORACLE_ONE.format(label="events", key="event_id", src="events"),
+            _BOUNDS_ORACLE_ONE.format(
+                label="orders_empty",
+                key="o_orderkey",
+                src="(SELECT * FROM orders WHERE o_orderkey < 0)",
+            ),
+        ]
+    ),
+    tier="P0",
+)
+def q_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table key bounds incl. the empty-table (0,0) sentinel path."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    return (
+        bounds_with_default(orders, "o_orderkey", "orders")
+        .unionAll(bounds_with_default(events, "event_id", "events"))
+        .unionAll(
+            bounds_with_default(
+                orders.filter(F.col("o_orderkey") < 0), "o_orderkey", "orders_empty"
+            )
+        )
+    )
+
+
+@declare(
+    "q_chunk_plan",
+    oracle=f"""
+    SELECT CAST(floor((l_orderkey - (SELECT min(l_orderkey) FROM lineitem))
+                      / {CHUNK_BATCH}) AS BIGINT) AS chunk_id,
+           count(*) AS n_rows,
+           min(l_orderkey) AS chunk_min,
+           max(l_orderkey) AS chunk_max
+    FROM lineitem
+    GROUP BY chunk_id
+    """,
+    tier="P0",
+)
+def q_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's chunk planner (S:109-112) as a declarative plan: every
+    key lands in chunk floor((k-min)/batch); per-chunk stats replace the
+    gap-blind ``max-min+1`` row estimate (S:102) with real counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mn = li.agg(F.min("l_orderkey").alias("_mn"))
+    return (
+        li.join(F.broadcast(mn))  # 1-row bounds, broadcast like the planner's stats
+        .withColumn(
+            "chunk_id",
+            F.floor((F.col("l_orderkey") - F.col("_mn")) / F.lit(CHUNK_BATCH)),
+        )
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_orderkey").alias("chunk_min"),
+            F.max("l_orderkey").alias("chunk_max"),
+        )
+    )
+
+
+@declare(
+    "q_insert_batch_stats",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(ceil(count(*) / {CHUNK_BATCH}.0) AS BIGINT) AS n_batches,
+           count(*) - (CAST(ceil(count(*) / {CHUNK_BATCH}.0) AS BIGINT) - 1)
+               * {CHUNK_BATCH} AS last_batch_rows
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tier="P0",
+)
+def q_insert_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched-insert arithmetic (S:76, S:236): how many 1000-row VALUES
+    batches each group produces, and the remainder batch size. The empty-batch
+    guard (S:98) is implicit — groups only exist with n_rows > 0."""
+    orders = load_table(spark, sf_dir, "orders")
+    grouped = orders.groupBy("o_orderstatus").agg(F.count("*").alias("n_rows"))
+    n_batches = F.ceil(F.col("n_rows") / F.lit(float(CHUNK_BATCH)))
+    return grouped.select(
+        "o_orderstatus",
+        "n_rows",
+        n_batches.alias("n_batches"),
+        (F.col("n_rows") - (n_batches - F.lit(1)) * F.lit(CHUNK_BATCH)).alias(
+            "last_batch_rows"
+        ),
+    )
+
+
+@declare(
+    "q_distinct_count",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tier="P1",
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (extension; SURVEY.md §2.3). Expands to a
+    two-stage partial/final plan under Catalyst; for 100 TB cardinality
+    estimation use approx_count_distinct (not declared — not hash-matchable
+    by construction)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def decimal_sum(col: str, alias: str) -> Column:
+    """Exact, partition-order-independent sum of a double column: cast to
+    decimal first (decimal addition is associative; float addition is not),
+    so Spark and DuckDB agree bit-for-bit regardless of parallelism."""
+    return (
+        F.sum(F.col(col).cast("decimal(18,6)")).cast("decimal(18,2)").alias(alias)
+    )
+
+
+DECIMAL_SUM_SQL = "CAST(sum(CAST({col} AS DECIMAL(18,6))) AS DECIMAL(18,2))"
+
+
+@declare(
+    "q_topk_value",
+    oracle=f"""
+    SELECT user_id,
+           {DECIMAL_SUM_SQL.format(col='value')} AS sum_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY sum_value DESC, user_id ASC
+    LIMIT 10
+    """,
+    tier="P1",
+)
+def q_topk_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by total value — group-agg + total-order limit (unique
+    tiebreak on user_id for hash stability). Catalyst executes the limit as
+    per-partition top-k + single-partition merge (TakeOrderedAndProject), so
+    no global sort materializes at scale."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(decimal_sum("value", "sum_value"))
+        .orderBy(F.col("sum_value").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+_ROLLUP_JOIN_SQL = """
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+"""
+
+
+@declare(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           count(*) AS n_orders,
+           {DECIMAL_SUM_SQL.format(col='o_totalprice')} AS revenue
+    {_ROLLUP_JOIN_SQL}
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tier="P2",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical revenue rollup region -> nation -> grand total over the
+    star join (extension; SURVEY.md §2.3). Dimensions are broadcast so the
+    only shuffle is the rollup's own aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            decimal_sum("o_totalprice", "revenue"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@declare(
+    "q_set_ops",
+    oracle="""
+    SELECT 'union_distinct' AS kind, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'except_all' AS kind, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+    tier="P2",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (extension; SURVEY.md §2.7): distinct union and bag
+    difference of customer vs supplier nation keys, tagged into one result."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    union_d = (
+        cust.union(supp).distinct().select(F.lit("union_distinct").alias("kind"), "nationkey")
+    )
+    except_a = cust.exceptAll(supp).select(
+        F.lit("except_all").alias("kind"), "nationkey"
+    )
+    return union_d.unionAll(except_a)

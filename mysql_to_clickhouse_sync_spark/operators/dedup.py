@@ -1,0 +1,499 @@
+"""Deduplication operators — the north-star endpoint of the reference's
+pipeline plus the LLM-training-data dedup family.
+
+The reference targets ClickHouse, where CDC upserts resolve via
+ReplacingMergeTree: "latest row per key" (the snapshot + binlog checkpoint at
+mysql_to_clickhouse_sync.py:175-181 exists precisely to feed that merge).
+q_dedup_latest IS that semantic as a window. The rest are the standard
+training-data dedup ladder:
+
+  * q_exact_dedup     — content-hash groupBy (md5), keep min(doc_id)
+  * q_doc_fingerprint — normalized-content fingerprint (rolling-hash analog)
+  * q_minhash_dedup   — MinHash + LSH banding: word-shingles -> 8 minhashes ->
+                        4 bands -> bucket self-join -> candidate pairs with
+                        estimated Jaccard. All md5-derived, so the DuckDB
+                        oracle reproduces it exactly.
+  * q_ngram_jaccard   — exact n-gram Jaccard on a bounded subset (the
+                        ground-truth for the MinHash estimate)
+  * q_simhash_dedup   — 32-bit SimHash + Hamming-distance pairs
+
+Scale notes: exact dedup and fingerprint are single-shuffle groupBys on a
+fixed-width hash — the canonical 100 TB pattern. MinHash-LSH is the scale
+path for near-dup: cost is O(docs x shingles) for signatures (embarrassingly
+parallel, no shuffle) + one shuffle on (band, bucket); candidate pairs are a
+tiny fraction of the n^2 pair space. q_ngram_jaccard is deliberately bounded
+(doc_id < N) because exact all-pairs Jaccard does NOT scale — it exists as
+the oracle-checkable ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_to_clickhouse_sync_spark.catalog import EVENTS_US_CTE, load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+NUM_HASHES = 8
+NUM_BANDS = 4  # 2 rows per band
+SHINGLE_WORDS = 3
+JACCARD_SUBSET = 200  # doc_id bound for the exact ground-truth query
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 4
+
+
+@declare(
+    "q_dedup_latest",
+    oracle=f"""
+    {EVENTS_US_CTE}
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events_us
+    )
+    WHERE rn = 1
+    """,
+    tier="P1",
+)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user — ReplacingMergeTree / CDC-upsert semantics
+    (the merge the reference's binlog checkpoint exists to enable)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+@declare(
+    "q_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tier="P1",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep the smallest doc_id.
+    One shuffle on a 32-byte key regardless of document size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("text_hash")
+    ).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# --- shared text-normalization / hashing expressions ------------------------
+
+def _norm_text(col: Column) -> Column:
+    """Lowercase, strip non-alphanumerics (keep spaces) — the canonical form
+    shared by fingerprint / minhash / simhash."""
+    return F.regexp_replace(F.lower(col), "[^a-z0-9 ]", "")
+
+
+_NORM_SQL = "regexp_replace(lower({col}), '[^a-z0-9 ]', '', 'g')"
+
+
+def md5_hash64(col: Column, seed: str = "") -> Column:
+    """Deterministic 60-bit integer hash via md5 — reproducible in any engine
+    with md5 + hex parsing (DuckDB: CAST('0x'||substr(md5(..),1,15) AS BIGINT))."""
+    salted = F.concat(col, F.lit(seed)) if seed else col
+    return F.conv(F.substring(F.md5(salted.cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _md5_hash64_sql(expr: str, seed: str = "") -> str:
+    salted = f"{expr} || '{seed}'" if seed else expr
+    return f"CAST(concat('0x', substr(md5({salted}), 1, 15)) AS BIGINT)"
+
+
+@declare(
+    "q_doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM_SQL.format(col='text')}) AS fingerprint
+    FROM documents
+    """,
+    tier="P1",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content fingerprint over normalized text (whitespace/
+    punctuation/case-insensitive) — catches trivially-reformatted copies that
+    exact md5 misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(_norm_text(F.col("text")).cast("binary")).alias("fingerprint"),
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def word_shingles(col: Column) -> Column:
+    """Distinct 3-word shingles of the normalized text. try_element_at + the
+    null-skipping concat_ws keep <3-word docs well-defined (single shingle)."""
+    tokens = F.split(_norm_text(col), r"\s+")
+    n = F.greatest(F.size(tokens) - F.lit(SHINGLE_WORDS - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at(tokens, i),
+                F.try_element_at(tokens, i + 1),
+                F.try_element_at(tokens, i + 2),
+            ),
+        )
+    )
+
+
+_SHINGLES_SQL = f"""
+    list_distinct(list_transform(
+        range(1, greatest(len(tokens) - {SHINGLE_WORDS - 1}, 1) + 1),
+        i -> concat_ws(' ', tokens[i], tokens[i + 1], tokens[i + 2])
+    ))
+"""
+
+
+# Affine universal-hash family over a Mersenne prime: h_j(x) = (A_j*x + B_j)
+# mod P, with x = md5-hash(shingle) mod P computed ONCE. One md5 per shingle
+# total (not per hash fn) — the standard MinHash construction, and ~8x less
+# hashing than seeded-md5-per-function. All arithmetic stays under 2^62, so
+# no overflow in either engine's bigint.
+MINHASH_P = 2147483647  # 2^31 - 1
+MINHASH_A = (2654435761, 2246822519, 3266489917, 668265263,
+             374761393, 2097192837, 1181783497, 1609587929)
+MINHASH_B = (1013904223, 1664525, 69069, 362437,
+             1103515245, 12345, 214013, 2531011)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """MinHash signature as a single HOF expression (kept for API use on
+    small arrays; the LSH pipeline uses the faster explode+groupBy path)."""
+    base = lambda s: md5_hash64(s) % MINHASH_P  # noqa: E731
+
+    def min_hash(j: int) -> Column:
+        a, b = MINHASH_A[j], MINHASH_B[j]
+        return F.array_min(
+            F.transform(shingles, lambda s: (base(s) * a + b) % MINHASH_P)
+        )
+
+    return F.array(*[min_hash(j) for j in range(num_hashes)])
+
+
+def minhash_signatures_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """(doc_id, sig array<bigint>) via explode + groupBy-min: each shingle is
+    md5-hashed once, the affine family derives the j-th hash arithmetically,
+    and the mins aggregate with map-side combine. This is the scale path —
+    cost is one shuffle on doc_id with 8 bigints of state per doc."""
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col))).alias("s"),
+    ).withColumn("h", md5_hash64(F.col("s")) % MINHASH_P)
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P).alias(
+                f"mh{j}"
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"mh{j}" for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Full MinHash-LSH near-duplicate candidates: signature -> band buckets
+    -> bucket self-join -> distinct pairs with the signature-agreement
+    Jaccard estimate. Returns (doc_a, doc_b, est_jaccard)."""
+    rows_per_band = num_hashes // num_bands
+    # The signature table feeds three plan branches (banding + both sides of
+    # the agreement join) — cache it so the md5 pass runs once.
+    sigs = minhash_signatures_table(docs, id_col, text_col, num_hashes).cache()
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                *[
+                    F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast(
+                        "string"
+                    )
+                    for r in range(rows_per_band)
+                ],
+            ).cast("binary")
+        )
+        for b in range(num_bands)
+    ]
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bucket")
+    )
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agreement = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agreement.cast("double") / F.lit(float(num_hashes))).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+def _minhash_oracle() -> str:
+    rows_per_band = NUM_HASHES // NUM_BANDS
+    base = f"({_md5_hash64_sql('s')} % {MINHASH_P})"
+    mh_exprs = ",\n               ".join(
+        f"list_min(list_transform(sh, s -> ({base} * {MINHASH_A[j]}"
+        f" + {MINHASH_B[j]}) % {MINHASH_P})) AS mh{j}"
+        for j in range(NUM_HASHES)
+    )
+    band_exprs = ",\n        ".join(
+        "md5(concat_ws('_', "
+        + ", ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + f")) AS band{b}"
+        for b in range(NUM_BANDS)
+    )
+    band_union = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS bucket FROM banded"
+        for b in range(NUM_BANDS)
+    )
+    sig_list = "[" + ", ".join(f"mh{j}" for j in range(NUM_HASHES)) + "]"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex({_NORM_SQL.format(col='text')}, '\\s+') AS tokens
+        FROM documents
+    ), shingled AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS sh FROM toks
+    ), sig AS (
+        SELECT doc_id, {mh_exprs}
+        FROM shingled
+    ), banded AS (
+        SELECT doc_id, {sig_list} AS siglist, {band_exprs}
+        FROM sig
+    ), bands AS (
+        {band_union}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(list_sum(list_transform(list_zip(sa.siglist, sb.siglist),
+                    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+               / {NUM_HASHES} AS est_jaccard
+    FROM cand
+    JOIN banded sa ON sa.doc_id = doc_a
+    JOIN banded sb ON sb.doc_id = doc_b
+    """
+
+
+@declare("q_minhash_dedup", oracle=_minhash_oracle(), tier="P1")
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs)
+
+
+@declare(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split_regex({_NORM_SQL.format(col='text')}, '\\s+') AS tokens
+        FROM documents WHERE doc_id < {JACCARD_SUBSET}
+    ), shingled AS (
+        SELECT doc_id, lang, {_SHINGLES_SQL} AS sh FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               AS jaccard
+    FROM shingled a JOIN shingled b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+    """,
+    tier="P1",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard over a bounded subset (same lang,
+    doc_id < 200) — ground truth for the MinHash estimate. |A∪B| computed as
+    |A|+|B|-|A∩B| so both engines evaluate the identical expression."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < JACCARD_SUBSET
+    )
+    sh = docs.select(
+        "doc_id", "lang", word_shingles(F.col("text")).alias("sh")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def simhash_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, simhash) via explode + groupBy: one md5 per token, 32
+    bit-sums as map-side-combined aggregates — the scale path (the simhash()
+    column expression below re-walks the token array per bit)."""
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *extra_cols,
+        F.explode(F.split(_norm_text(F.col(text_col)), r"\s+")).alias("t"),
+    ).withColumn("h", md5_hash64(F.col("t")))
+    bit_sums = exploded.groupBy("doc_id", *extra_cols).agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"s{b}"
+            )
+            for b in range(bits)
+        ]
+    )
+    fingerprint = F.lit(0).cast("bigint")
+    for b in range(bits):
+        fingerprint = fingerprint + F.when(
+            F.col(f"s{b}") > 0, F.lit(2**b).cast("bigint")
+        ).otherwise(F.lit(0))
+    return bit_sums.select("doc_id", *extra_cols, fingerprint.alias("simhash"))
+
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over word tokens: per bit, sum +1/-1 contributions from each
+    token's md5-derived hash; the sign becomes the fingerprint bit."""
+    tokens = F.split(_norm_text(col), r"\s+")
+    hashes = F.transform(tokens, lambda t: md5_hash64(t))
+
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    bit_sums = [bit_sum(b) for b in range(bits)]
+    out = F.lit(0).cast("bigint")
+    for b, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+def _simhash_oracle() -> str:
+    h = _md5_hash64_sql("t")
+    bit_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(tokens, t -> (({h} >> {b}) & 1) * 2 - 1)) > 0"
+        f" THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split_regex({_NORM_SQL.format(col='text')}, '\\s+') AS tokens
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, lang, {bit_terms} AS simhash
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@declare("q_simhash_dedup", oracle=_simhash_oracle(), tier="P1")
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= 4 (same lang). At scale,
+    band the fingerprint (split into 4 byte-chunks, join on any equal chunk)
+    instead of the all-pairs join used here for oracle parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = simhash_table(docs, extra_cols=("lang",)).cache()
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("simhash").alias("sim_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )

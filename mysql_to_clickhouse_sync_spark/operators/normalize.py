@@ -1,0 +1,74 @@
+"""Type-normalization — the reference's value serializer as column expressions.
+
+The reference turns every Python value into a SQL literal for its string-built
+INSERT (mysql_to_clickhouse_sync.py:58-76):
+  * str: escape ``'`` -> ``''`` and quote (S:62-64)
+  * datetime/date: ``str(value)`` -> 'YYYY-MM-DD HH:MM:SS' (S:65-66)
+  * None: literal NULL (S:67-68)
+  * numerics: bare str; decimals keep trailing zeros via the session setting
+    ``output_format_decimal_trailing_zeros=1`` (S:69-74, S:77-83)
+
+The engine writes typed rows (no string-built SQL — the reference's approach
+is injection-prone, S:44/S:76), but the *semantics* are preserved as
+expressions so downstream systems see identical literal forms. All of this is
+whole-stage-codegen'd scalar work: zero shuffle, scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+
+def quote_escape(col: Column) -> Column:
+    """S:63 — double embedded single quotes."""
+    return F.replace(col, F.lit("'"), F.lit("''"))
+
+
+def datetime_literal(col: Column) -> Column:
+    """S:65-66 — canonical 'YYYY-MM-DD HH:MM:SS' form."""
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+def decimal_literal(col: Column, precision: int = 18, scale: int = 2) -> Column:
+    """S:71-83 — fixed scale with trailing zeros preserved."""
+    return col.cast(f"decimal({precision},{scale})").cast("string")
+
+
+def string_literal(col: Column) -> Column:
+    """Full literal form: quoted+escaped, or bare NULL (S:62-68)."""
+    return F.coalesce(
+        F.concat(F.lit("'"), quote_escape(col), F.lit("'")), F.lit("NULL")
+    )
+
+
+@declare(
+    "q_type_normalize",
+    oracle="""
+    SELECT o_orderkey,
+           replace(o_orderpriority, '''', '''''') AS priority_escaped,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate_str,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS totalprice_str,
+           coalesce('''' || replace(nullif(o_orderstatus, 'F'), '''', '''''') || '''',
+                    'NULL') AS status_literal
+    FROM orders
+    """,
+    tier="P0",
+)
+def q_type_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serializer semantics over orders: quote-escape, datetime format,
+    decimal-scale preservation, and NULL passthrough (nullif simulates the
+    None branch — fixtures have no NULLs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        quote_escape(F.col("o_orderpriority")).alias("priority_escaped"),
+        datetime_literal(F.col("o_orderdate")).alias("orderdate_str"),
+        decimal_literal(F.col("o_totalprice")).alias("totalprice_str"),
+        string_literal(F.nullif(F.col("o_orderstatus"), F.lit("F"))).alias(
+            "status_literal"
+        ),
+    )

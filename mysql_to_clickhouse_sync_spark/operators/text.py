@@ -1,0 +1,171 @@
+"""Text-analysis operators for the training-data pipeline (north-star
+extensions; the reference has no scalar functions beyond its serializer,
+SURVEY.md §2.8).
+
+  * q_text_stats     — per-language corpus stats (count / avg chars / bytes)
+  * q_token_count    — whitespace tokenization counts
+  * q_lang_id        — stopword-heuristic language identification, reported
+                       as a (labeled lang x predicted lang) confusion matrix
+  * q_quality_score  — per-document quality signals: token count, punctuation
+                       ratio, alpha ratio, stopword ratio, and a keep flag
+
+All are single-pass scalar expressions + one groupBy — whole-stage codegen,
+no Python in the hot path, linear scale-out. The same expressions run in
+DuckDB (regexp_replace uses the 'g' flag there; Spark's is global already).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+# Tiny per-language stopword markers for the n-gram/stopword heuristic.
+_LANG_MARKERS = [
+    ("en", r"\b(the|and|of|to)\b"),
+    ("de", r"\b(der|die|das|und)\b"),
+    ("es", r"\b(el|la|los|que)\b"),
+    ("fr", r"\b(le|les|des|est)\b"),
+    ("zh", r"[一-鿿]"),
+]
+
+_EN_STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+
+
+@declare(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           sum(length(text)) AS total_text_len
+    FROM documents
+    GROUP BY lang
+    """,
+    tier="P1",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language. Integer sums are exact; the average is
+    one double division of identical operands on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("bigint")
+
+
+_TOKEN_COUNT_SQL = """
+    CAST(CASE WHEN length(trim({col})) = 0 THEN 0
+         ELSE len(string_split_regex(trim({col}), '\\s+')) END AS BIGINT)
+"""
+
+
+@declare(
+    "q_token_count",
+    oracle=f"""
+    SELECT lang,
+           sum({_TOKEN_COUNT_SQL.format(col='text')}) AS total_tokens,
+           CAST(sum({_TOKEN_COUNT_SQL.format(col='text')}) AS DOUBLE)
+               / count(*) AS avg_tokens,
+           max({_TOKEN_COUNT_SQL.format(col='text')}) AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    tier="P1",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = token_count(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.sum(toks).alias("total_tokens"),
+        (F.sum(toks).cast("double") / F.count("*")).alias("avg_tokens"),
+        F.max(toks).alias("max_tokens"),
+    )
+
+
+def predict_lang(col: Column) -> Column:
+    """First-match stopword/script heuristic language ID."""
+    expr = F.lit("unknown")
+    for lang, pattern in reversed(_LANG_MARKERS):
+        expr = F.when(col.rlike(pattern), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def _predict_lang_sql(col: str) -> str:
+    whens = "\n        ".join(
+        f"WHEN regexp_matches({col}, '{pat}') THEN '{lang}'"
+        for lang, pat in _LANG_MARKERS
+    )
+    return f"CASE {whens} ELSE 'unknown' END"
+
+
+@declare(
+    "q_lang_id",
+    oracle=f"""
+    SELECT lang, {_predict_lang_sql('text')} AS pred_lang, count(*) AS n_docs
+    FROM documents
+    GROUP BY lang, pred_lang
+    """,
+    tier="P1",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang vs stopword-heuristic
+    prediction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        "lang", predict_lang(F.col("text")).alias("pred_lang")
+    ).agg(F.count("*").alias("n_docs"))
+
+
+@declare(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           {_TOKEN_COUNT_SQL.format(col='text')} AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                AS DOUBLE) / nullif(length(text), 0) AS punct_ratio,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / nullif(length(text), 0) AS alpha_ratio,
+           CAST(len(regexp_extract_all(lower(text), '{_EN_STOPWORDS}')) AS DOUBLE)
+               / nullif({_TOKEN_COUNT_SQL.format(col='text')}, 0) AS stopword_ratio,
+           (n_chars BETWEEN 50 AND 100000
+            AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                / nullif(length(text), 0) > 0.5) AS keep
+    FROM documents
+    """,
+    tier="P1",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: the standard length / punctuation /
+    alpha / stopword filters of a pretraining-data pipeline, plus a keep
+    flag. Ratios are single double divisions of identical integer operands
+    (nullif guards ANSI division-by-zero)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    tlen = F.nullif(F.length(text), F.lit(0))
+    punct_n = F.length(text) - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
+    alpha_n = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    alpha_ratio = alpha_n.cast("double") / tlen
+    stop_n = F.size(F.regexp_extract_all(F.lower(text), F.lit(_EN_STOPWORDS), 0))
+    toks = token_count(text)
+    return docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        (punct_n.cast("double") / tlen).alias("punct_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        (stop_n.cast("double") / F.nullif(toks, F.lit(0))).alias("stopword_ratio"),
+        (F.col("n_chars").between(50, 100000) & (alpha_ratio > 0.5)).alias("keep"),
+    )

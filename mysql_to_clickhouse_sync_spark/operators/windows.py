@@ -1,0 +1,134 @@
+"""Window / time-bucket operators (extensions; SURVEY.md §2.5, §2.9).
+
+The reference has no windows, but its north star — CDC into ClickHouse — is
+window-shaped: ReplacingMergeTree semantics ARE "latest row per key"
+(q_dedup_latest lives in operators/dedup.py). Declared here:
+
+  * q_tumbling_count — events per 1-hour tumbling bucket per type; the batch
+    analog of a Structured Streaming ``window(ts, '1 hour')`` aggregation
+    (streaming twin in streaming/declared.py).
+  * q_sliding_avg — running average over the preceding 3 rows.
+  * q_session_window — 30-min-gap sessionization via lag + cumulative sum;
+    the batch analog of ``session_window(ts, '30 minutes')``.
+
+Hash stability: window sums of doubles go through decimal (associative) and
+every window order includes the unique event_id tiebreak.
+
+Scale notes: all three partition by a grouping key (event_type / user_id), so
+state is bounded per key and the shuffle is a single hash-exchange on that
+key. Tumbling buckets aggregate with map-side combine before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_to_clickhouse_sync_spark.catalog import EVENTS_US_CTE, load_table
+from mysql_to_clickhouse_sync_spark.operators.aggregates import (
+    DECIMAL_SUM_SQL,
+    decimal_sum,
+)
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+@declare(
+    "q_tumbling_count",
+    oracle=f"""
+    {EVENTS_US_CTE}
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {DECIMAL_SUM_SQL.format(col='value')} AS sum_value
+    FROM events_us
+    GROUP BY window_start, event_type
+    """,
+    tier="P1",
+)
+def q_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        decimal_sum("value", "sum_value"),
+    )
+
+
+@declare(
+    "q_sliding_avg",
+    oracle=f"""
+    {EVENTS_US_CTE}
+    SELECT event_id, event_type, ts,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               / count(*) OVER w AS run_avg
+    FROM events_us
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    tier="P2",
+)
+def q_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running 4-row average per event_type. The sum runs in decimal (exact,
+    associative), then one double division — bitwise-identical across engines.
+    No round(): Spark rounds HALF_UP on the decimal repr while DuckDB rounds
+    the binary double, so rounding is what would DIVERGE, not converge."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    sum_w = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    cnt_w = F.count("*").over(w)
+    return events.select(
+        "event_id",
+        "event_type",
+        "ts",
+        (sum_w.cast("double") / cnt_w).alias("run_avg"),
+    )
+
+
+@declare(
+    "q_session_window",
+    oracle=f"""
+    {EVENTS_US_CTE}
+    , gaps AS (
+        SELECT user_id, event_id,
+               CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events_us
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(sum(is_new) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM gaps
+    GROUP BY user_id
+    """,
+    tier="P2",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag(ts) marks session
+    starts, summed per user. Batch analog of session_window(ts, '30 minutes')
+    — the streaming twin lives in streaming/declared.py."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    is_new = F.when(
+        F.lag(ms).over(w).isNull() | (ms - F.lag(ms).over(w) > SESSION_GAP_MS),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        events.select("user_id", "event_id", is_new.alias("is_new"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
