@@ -1,0 +1,55 @@
+"""Benchmark harness: times every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line the driver records as BENCH_r{N}.json.
+
+Each query's full plan is forced with the noop sink (executes everything,
+ships nothing to the driver) — measuring engine time, not collect() transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mysql_to_clickhouse_sync_spark.registry import REGISTRY, queries
+from mysql_to_clickhouse_sync_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    qs = queries()
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        if REGISTRY[name].tier == "P3":
+            # Streaming queries already executed eagerly; just force the
+            # returned (checkpointed) result.
+            df.count()
+        else:
+            df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_declared_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

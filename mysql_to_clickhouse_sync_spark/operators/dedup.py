@@ -193,20 +193,51 @@ def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
     return F.array(*[min_hash(j) for j in range(num_hashes)])
 
 
+def shingle_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, s) shingle rows built relationally: posexplode tokens, then
+    window lead() assembles 3-word shingles. Every expression evaluates once
+    per row — the array-lambda formulation (word_shingles) gets its
+    tokenization inlined into each element access by CollapseProject, costing
+    ~3 regex passes per shingle. Duplicates are kept (harmless for min-
+    aggregation; dedupe downstream if set semantics are needed)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(_norm_text(F.col(text_col)), r"\s+")).alias(
+            "pos", "t"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    n = F.count("*").over(Window.partitionBy("doc_id"))
+    assembled = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("t"), F.lead("t", 1).over(w), F.lead("t", 2).over(w)
+        ).alias("s"),
+        F.col("pos"),
+        n.alias("n"),
+    )
+    # Positions 0..n-3 give full shingles; docs with <3 tokens keep their
+    # single partial shingle at pos 0 (same semantics as word_shingles).
+    return assembled.filter(
+        F.col("pos") <= F.greatest(F.col("n") - SHINGLE_WORDS, F.lit(0))
+    ).select("doc_id", "s")
+
+
 def minhash_signatures_table(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = NUM_HASHES,
 ) -> DataFrame:
-    """(doc_id, sig array<bigint>) via explode + groupBy-min: each shingle is
-    md5-hashed once, the affine family derives the j-th hash arithmetically,
-    and the mins aggregate with map-side combine. This is the scale path —
-    cost is one shuffle on doc_id with 8 bigints of state per doc."""
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col))).alias("s"),
-    ).withColumn("h", md5_hash64(F.col("s")) % MINHASH_P)
+    """(doc_id, sig array<bigint>) via shingle rows + groupBy-min: each
+    shingle is md5-hashed once, the affine family derives the j-th hash
+    arithmetically, and the mins aggregate with map-side combine. This is the
+    scale path — one shuffle on doc_id with 8 bigints of state per doc."""
+    exploded = shingle_rows(docs, id_col, text_col).withColumn(
+        "h", md5_hash64(F.col("s")) % MINHASH_P
+    )
     mins = exploded.groupBy("doc_id").agg(
         *[
             F.min((F.col("h") * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P).alias(

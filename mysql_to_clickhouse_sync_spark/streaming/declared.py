@@ -1,1 +1,168 @@
-"""TODO"""
+"""Declared streaming queries (P3 — rows-only checks, no SQL oracle; the
+driver's DuckDB comparison cannot express Structured Streaming semantics).
+
+Both run a REAL Structured Streaming job against a file-based changelog
+derived deterministically from the events fixture (the test stand-in for a
+Debezium/Kafka binlog feed — SURVEY.md §4.3), drive it to completion
+synchronously, and return the final result as a batch DataFrame.
+
+  * s_cdc_apply — snapshot-then-stream: events before SPLIT_TS form the
+    snapshot (the reference's bulk copy); later events replay as a changelog
+    stream whose micro-batches merge via foreachBatch + apply_changelog.
+    'error' events act as deletes. This is the reference's whole north-star
+    pipeline end to end.
+  * s_watermark_late — tumbling-window counts under a 1-hour watermark fed
+    file-by-file (two deterministic micro-batches), append mode: only windows
+    the watermark has closed are emitted.
+
+Determinism: micro-batch boundaries are forced by writing file N, calling
+processAllAvailable(), then writing file N+1 — no reliance on file-listing
+order.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+from mysql_to_clickhouse_sync_spark.streaming.cdc import (
+    DELETE,
+    OP_COL,
+    UPSERT,
+    apply_changelog,
+)
+
+SPLIT_TS = "2024-01-20 00:00:00"
+N_STREAM_FILES = 3
+
+
+def _changelog_from_events(events: DataFrame) -> DataFrame:
+    """Deterministic changelog: post-split events in replay order; 'error'
+    events become deletes of that user's row, everything else upserts."""
+    return events.filter(F.col("ts") >= F.lit(SPLIT_TS)).withColumn(
+        OP_COL,
+        F.when(F.col("event_type") == "error", F.lit(DELETE)).otherwise(
+            F.lit(UPSERT)
+        ),
+    )
+
+
+@declare("s_cdc_apply", oracle=None, tier="P3")
+def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot + binlog-replay merge as a real Structured Streaming job."""
+    events = load_table(spark, sf_dir, "events")
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    snapshot_src = events.filter(F.col("ts") < F.lit(SPLIT_TS)).select(cols)
+    # The snapshot state: latest row per user at the split point (what the
+    # reference's bulk copy would have landed in ClickHouse).
+    from mysql_to_clickhouse_sync_spark.streaming.cdc import latest_per_key
+
+    state = latest_per_key(
+        snapshot_src, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    changelog = _changelog_from_events(events).select(*cols, OP_COL)
+
+    workdir = tempfile.mkdtemp(prefix="cdc_apply_")
+    in_dir = f"{workdir}/changelog"
+    ckpt = f"{workdir}/ckpt"
+    schema = changelog.schema
+
+    # Split the changelog into N deterministic slices (by event_id mod N,
+    # replayed in order) — each slice becomes one micro-batch.
+    slices = [
+        changelog.filter(F.col("event_id") % N_STREAM_FILES == i)
+        for i in range(N_STREAM_FILES)
+    ]
+
+    merged_state = {"df": state}
+
+    def merge_batch(batch_df: DataFrame, _epoch: int) -> None:
+        merged_state["df"] = apply_changelog(
+            merged_state["df"],
+            batch_df,
+            keys=["user_id"],
+            version_cols=["ts", "event_id"],
+        ).localCheckpoint(eager=True)  # cut lineage between micro-batches
+
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+    )
+    query = None
+    try:
+        for i, sl in enumerate(slices):
+            sl.coalesce(1).write.mode("append").parquet(in_dir)
+            if query is None:
+                query = stream.start()
+            query.processAllAvailable()
+        return merged_state["df"]
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@declare("s_watermark_late", oracle=None, tier="P3")
+def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts in append mode: two deterministic
+    micro-batches; output contains only windows closed by the final
+    watermark (late/open windows withheld — the semantics under test)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    early = events.filter(F.col("ts") < F.lit(SPLIT_TS))
+    late = events.filter(F.col("ts") >= F.lit(SPLIT_TS))
+
+    workdir = tempfile.mkdtemp(prefix="watermark_")
+    in_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    schema = events.select("event_id", "ts", "event_type", "value").schema
+
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    sink = f"sink_{abs(hash(workdir)) % 10**9}"
+    query = None
+    try:
+        early.coalesce(1).write.mode("append").parquet(in_dir)
+        query = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(in_dir)
+        query.processAllAvailable()
+        # Materialize the emitted (closed) windows before tearing down.
+        out = spark.table(sink).localCheckpoint(eager=True)
+        return out
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -1,0 +1,133 @@
+"""The reference's end-to-end job, runnable: snapshot -> chunk-planned
+extract -> normalize -> batched load + resume checkpoint.
+
+Reference pipeline (mysql_to_clickhouse_sync.py main(), :123-222):
+  1. consistent snapshot + binlog position to metadata.txt (:152-183)
+  2. SHOW TABLES + regex include/exclude (:155-159)
+  3. per-table IFNULL MIN/MAX bounds (:163)
+  4. chunked extract, type-normalize, 1000-row batched INSERTs (:93-116)
+
+Spark-first shape: the "snapshot" is the source catalog (parquet fixtures
+locally; the chunk-partitioned JDBC source in sources/jdbc.py against a real
+MySQL); the extract is a declarative per-table plan whose partitioning IS the
+chunk plan; the sink is parquet locally (ClickHouse JDBC in production —
+swap `write.parquet` for `write.format('jdbc')` options); the checkpoint is
+a JSON manifest recording per-table bounds + row counts — the analog of
+metadata.txt's binlog position, from which the streaming CDC phase
+(streaming/cdc.py) resumes.
+
+Error policy deliberately diverges from the reference: it logs-and-continues,
+returning [] on failed reads (S:48-50 — silent data loss). Here a failed
+table fails the job; Spark's task retry handles transient faults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_sync_spark.catalog import ROWID, TABLES, load_table
+from mysql_to_clickhouse_sync_spark.sources.jdbc import filter_tables
+
+DEFAULT_BATCH_SIZE = 1000  # reference --batch_size default (S:236)
+MAX_OUTPUT_PARTITIONS = 64
+
+
+def table_bounds(df: DataFrame, rowid: str) -> tuple[int, int, int]:
+    """(min, max, count) with the reference's IFNULL-0 empty-table sentinel."""
+    row = df.agg(
+        F.coalesce(F.min(rowid), F.lit(0)).alias("mn"),
+        F.coalesce(F.max(rowid), F.lit(0)).alias("mx"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return int(row.mn), int(row.mx), int(row.n)
+
+
+def sync_table(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    name: str,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> dict:
+    """Extract one table chunk-parallel and load it to the sink, returning
+    its manifest entry (the resume-point metadata)."""
+    rowid = ROWID[name]
+    df = load_table(spark, sf_dir, name)
+    mn, mx, n = table_bounds(df, rowid)
+
+    # Chunk plan -> physical partitioning: ceil(n/batch) ranges on the key,
+    # capped so a 100 TB table yields a sane task count (each partition then
+    # covers a wider stride — same plan, coarser granularity).
+    n_chunks = max(1, min(MAX_OUTPUT_PARTITIONS, math.ceil(max(n, 1) / batch_size)))
+    out_path = os.path.join(out_dir, name)
+    if n > 0:
+        extracted = df.repartitionByRange(n_chunks, F.col(rowid))
+    else:
+        extracted = df
+    extracted.write.mode("overwrite").parquet(out_path)
+    return {
+        "table": name,
+        "rowid": rowid,
+        "min_id": mn,
+        "max_id": mx,
+        "rows": n,
+        "chunks": n_chunks,
+        "path": out_path,
+    }
+
+
+def snapshot_sync(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    include: str | None = None,
+    exclude: str | None = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> dict:
+    """Full-database sync: discover + filter tables, extract each, write the
+    resume manifest (metadata.txt analog)."""
+    names = filter_tables(list(TABLES), include, exclude)
+    entries = [
+        sync_table(spark, sf_dir, out_dir, name, batch_size) for name in names
+    ]
+    manifest = {
+        # The reference stores the binlog position captured under the
+        # snapshot lock (S:175-181); the fixture analog is the per-table max
+        # key at extract time — the point the CDC stream resumes from.
+        "source": sf_dir,
+        "completed_unix": int(time.time()),
+        "batch_size": batch_size,
+        "tables": entries,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest
+
+
+def main() -> None:
+    from mysql_to_clickhouse_sync_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--include", default=None, help="table-name include regex")
+    ap.add_argument("--exclude", default=None, help="table-name exclude regex")
+    ap.add_argument("--batch-size", type=int, default=DEFAULT_BATCH_SIZE)
+    args = ap.parse_args()
+    spark = get_spark("snapshot_sync")
+    manifest = snapshot_sync(
+        spark, args.source, args.out, args.include, args.exclude, args.batch_size
+    )
+    print(json.dumps({t["table"]: t["rows"] for t in manifest["tables"]}))
+
+
+if __name__ == "__main__":
+    main()

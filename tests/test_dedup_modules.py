@@ -1,0 +1,65 @@
+"""Module-level dedup tests with planted duplicates — the fixtures carry no
+guaranteed near-dups, so these construct them: exact copies, reformatted
+copies, and one-word edits must be caught by the right rung of the ladder."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_sync_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    simhash_table,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")  # one-word edit
+REFORMATTED = "  The QUICK brown fox, jumps over the lazy dog while the cat "\
+    "watches from the warm windowsill and the birds sing in the garden outside!"
+UNRELATED = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines"
+)
+
+
+def _docs(spark):
+    rows = [(0, BASE), (1, NEAR), (2, REFORMATTED), (3, UNRELATED)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    docs = _docs(spark)
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    # Exact-after-normalization copy: all bands collide, agreement 1.0.
+    assert pairs.get((0, 2)) == 1.0
+    # One-word edit: must at least surface as a candidate with high estimate.
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5
+    # Unrelated doc: no pair with doc 3.
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_close_for_near_dups(spark):
+    docs = _docs(spark)
+    sh = {r.doc_id: r.simhash for r in simhash_table(docs).collect()}
+    assert sh[0] == sh[2]  # normalization-identical
+    ham_near = bin(sh[0] ^ sh[1]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 8
+
+
+def test_word_shingles_small_docs(spark):
+    df = spark.createDataFrame(
+        [("one",), ("one two",), ("one two three four",), ("",)], ["text"]
+    )
+    out = [r.sh for r in df.select(word_shingles(F.col("text")).alias("sh")).collect()]
+    assert out[0] == ["one"]
+    assert out[1] == ["one two"]
+    assert out[2] == ["one two three", "two three four"]
+    assert out[3] == [""]  # degenerate but well-defined

@@ -1,0 +1,65 @@
+"""End-to-end smoke of the sync pipeline (the reference's actual job) and
+the JDBC source's plan-shape helpers."""
+
+from __future__ import annotations
+
+import json
+
+from mysql_to_clickhouse_sync_spark.sources.jdbc import (
+    filter_tables,
+    jdbc_bounds_query,
+    jdbc_read_options,
+)
+from mysql_to_clickhouse_sync_spark.sync import snapshot_sync
+from tests.conftest import SF_DIR
+
+
+def test_snapshot_sync_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "sync_out")
+    manifest = snapshot_sync(
+        spark, SF_DIR, out, include="^(region|nation|orders)$"
+    )
+    tables = {t["table"]: t for t in manifest["tables"]}
+    assert set(tables) == {"region", "nation", "orders"}
+    assert tables["orders"]["rows"] == 1500
+    assert tables["orders"]["min_id"] == 0 or tables["orders"]["min_id"] > 0
+    # Round-trip: written parquet re-reads with identical counts.
+    for name, entry in tables.items():
+        assert spark.read.parquet(entry["path"]).count() == entry["rows"]
+    with open(f"{out}/manifest.json") as fh:
+        assert json.load(fh)["batch_size"] == 1000
+
+
+def test_filter_tables_matches_reference_semantics():
+    # Reference: keep iff not exclude.search(n) and (no include or
+    # include.search(n)) — unanchored (S:158-159).
+    names = ["orders", "orders_archive", "lineitem", "tmp_orders"]
+    assert filter_tables(names, include="orders") == [
+        "orders",
+        "orders_archive",
+        "tmp_orders",
+    ]
+    assert filter_tables(names, include="orders", exclude="tmp") == [
+        "orders",
+        "orders_archive",
+    ]
+    assert filter_tables(names) == names
+    assert filter_tables(names, exclude=".") == []
+
+
+def test_jdbc_option_shape():
+    q = jdbc_bounds_query("t1", "id")
+    assert "COALESCE(MIN(id), 0)" in q and "COALESCE(MAX(id), 0)" in q
+    opts = jdbc_read_options(
+        "jdbc:mysql://h/db", "t1", "id", 0, 10_000_000, fetchsize=1000
+    )
+    # Partition count capped — a huge key range must not become millions of
+    # queries (reference's 1000-row chunks don't transfer to JDBC partitioning).
+    assert int(opts["numPartitions"]) <= 256
+    assert opts["lowerBound"] == "0" and opts["upperBound"] == "10000001"
+    assert opts["fetchsize"] == "1000"
+
+
+def test_jdbc_tiny_table_single_partition():
+    opts = jdbc_read_options("jdbc:mysql://h/db", "t", "id", 5, 5)
+    assert opts["numPartitions"] == "1"
