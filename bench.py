@@ -24,6 +24,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
+    # Absorb one-off session costs (JVM init, first parquet footer read,
+    # first shuffle) so per-query numbers measure the queries, not startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     qs = queries()
     timings: dict[str, float] = {}
     for name in sorted(qs):

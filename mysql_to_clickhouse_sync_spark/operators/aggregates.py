@@ -261,6 +261,69 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_median",
+    oracle="""
+    SELECT event_type,
+           median(value) AS median_value,
+           quantile_cont(value, 0.9) AS p90_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tier="P2",
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles per group (extension): Spark percentile == DuckDB
+    quantile_cont — both sort and linearly interpolate, bitwise-identical on
+    identical doubles (verified empirically before declaring). At 100 TB use
+    approx_percentile instead — exact percentile holds the group's values;
+    declared here because only the exact form is oracle-matchable."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median_value"),
+        F.expr("percentile(value, 0.9)").alias("p90_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def _pivot_oracle() -> str:
+    cols = []
+    for t in _PIVOT_TYPES:
+        cols.append(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}")
+        cols.append(
+            f"CAST(sum(CAST(value AS DECIMAL(18,6)))"
+            f" FILTER (WHERE event_type = '{t}') AS DECIMAL(18,2)) AS sum_{t}"
+        )
+    return (
+        "SELECT user_id, " + ", ".join(cols) + " FROM events GROUP BY user_id"
+    )
+
+
+@declare("q_pivot", oracle=_pivot_oracle(), tier="P2")
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events wide: one column pair (count, decimal sum) per event
+    type, per user. Expressed as conditional aggregation — identical
+    semantics to df.groupBy().pivot() but with a statically-known column set
+    (pivot's value-discovery pass is a full extra scan at 100 TB)."""
+    events = load_table(spark, sf_dir, "events")
+    aggs = []
+    for t in _PIVOT_TYPES:
+        cond = F.col("event_type") == t
+        aggs.append(F.count(F.when(cond, 1)).alias(f"n_{t}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("value").cast("decimal(18,6)")))
+            .cast("decimal(18,2)")
+            .alias(f"sum_{t}")
+        )
+    return events.groupBy("user_id").agg(*aggs)
+
+
+@declare(
     "q_set_ops",
     oracle="""
     SELECT 'union_distinct' AS kind, nationkey FROM (

@@ -1,0 +1,197 @@
+"""Multimodal (image/audio/video) column handling for the training-data
+pipeline — north-star extension.
+
+Media travels as an opaque `binary` column plus typed metadata; all
+byte-level work happens in Arrow-batched pandas iterators (mapInPandas) so
+nothing row-at-a-time crosses the JVM/Python boundary. The actual codecs
+(PIL/ffmpeg/librosa) are NOT in this container, so the decode kernels are
+STUBBED: `decode_media` raises NotImplementedError unless `fake=True`, in
+which case a clearly-marked deterministic fake derives metadata from the
+bytes. The Spark-side plumbing — schema, batch iteration, partitioning,
+UDF signatures — is real and tested; swapping the fake for a real codec
+changes one inner function.
+
+The fixtures carry no binary table, so `media_table` synthesizes one
+deterministically from `documents` (text bytes as payload, media_type cycled
+from doc_id) — which also lets q_multimodal_meta be a full oracle-checked
+declared query (byte length + md5 + type dispatch are engine-portable).
+
+Scale notes: mapInPandas streams Arrow record batches — peak memory is one
+batch, not one partition; decode output schemas are declared up front so the
+plan stays columnar; per-media-type processing partitions by media_type
+first so a batch holds one codec's work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+
+def media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic media table from documents: payload = UTF-8
+    text bytes, media_type cycled by doc_id (the binary-column plumbing is
+    what's under test — the payload only needs to be opaque bytes)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.col("doc_id") % len(MEDIA_TYPES) + 1).cast("int"),
+        ).alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+
+def _fake_decode_one(media_type: str, payload: bytes | None):
+    """DETERMINISTIC FAKE decode — stands in for PIL/ffmpeg/librosa, which
+    are not installed in this container. Derives plausible metadata purely
+    from byte content so tests are reproducible."""
+    if payload is None:
+        return (None, None, None, None)
+    n = len(payload)
+    if media_type == "image":
+        return (n, (n % 640) + 1, (n % 480) + 1, None)
+    if media_type == "video":
+        return (n, (n % 1280) + 1, (n % 720) + 1, (n % 120) + 1)
+    return (n, None, None, (n % 16000) + 1)  # audio: frames = samples
+
+
+def decode_media(media: DataFrame, *, fake: bool = False) -> DataFrame:
+    """Decode a media table to typed metadata via mapInPandas.
+
+    With fake=False this raises NotImplementedError from the workers — the
+    real codecs are not available here; the distributed plumbing is identical
+    either way.
+    """
+
+    def decode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media codecs (PIL/ffmpeg) are not installed in "
+                    "this environment; pass fake=True for the deterministic "
+                    "stub decoder"
+                )
+            decoded = [
+                _fake_decode_one(t, p)
+                for t, p in zip(batch["media_type"], batch["payload"])
+            ]
+            out = pd.DataFrame(
+                decoded, columns=["n_bytes", "width", "height", "n_frames"]
+            )
+            out.insert(0, "media_type", batch["media_type"].values)
+            out.insert(0, "media_id", batch["media_id"].values)
+            yield out
+
+    # Partition by media type first so each Arrow batch is one codec's work.
+    return media.repartition("media_type").mapInPandas(
+        decode_batches, schema=DECODED_SCHEMA
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 10, *, fake: bool = False) -> DataFrame:
+    """Sample every n-th 'frame' of video payloads (fake frames = fixed-size
+    byte slices). Output: (media_id, frame_idx, frame binary)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame", BinaryType(), True),
+        ]
+    )
+
+    def sample_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real video decoding is not installed; pass fake=True"
+                )
+            rows = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                if payload is None:
+                    continue
+                frame_size = 64  # fake: fixed-size byte slices as frames
+                frames = [
+                    payload[i : i + frame_size]
+                    for i in range(0, len(payload), frame_size)
+                ]
+                for idx in range(0, len(frames), every_n):
+                    rows.append((mid, idx, frames[idx]))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .repartition("media_id")
+        .mapInPandas(sample_batches, schema=out_schema)
+    )
+
+
+@declare(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    tier="P1",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata pass: payload size + content hash + type
+    dispatch — the (oracle-checkable) JVM-side half of the multimodal path;
+    the decode half is the mapInPandas kernel above."""
+    media = media_table(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "media_type",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )

@@ -51,6 +51,7 @@ def _load_all_modules() -> None:
         filters,
         joins,
         json_ops,
+        multimodal,
         normalize,
         scans,
         similarity,

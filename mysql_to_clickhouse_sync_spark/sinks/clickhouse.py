@@ -1,0 +1,111 @@
+"""ClickHouse sink — the reference's load side, typed instead of string-built.
+
+The reference builds one multi-row ``INSERT INTO t (cols) VALUES (...)``
+string per 1000-row batch by interpolating Python values as SQL literals
+(mysql_to_clickhouse_sync.py:52-91) — injection-prone (S:44/S:76) and lossy.
+This sink keeps the *semantics* (batching, decimal scale via
+``output_format_decimal_trailing_zeros=1`` S:77-83, NULL passthrough,
+log-free fail-fast) but writes typed rows through the ClickHouse JDBC driver
+or, in batch-of-batches form, through ``foreachBatch`` for streaming —
+exactly the Spark recipe the reference's architecture maps to (SURVEY.md
+§4.3 item 1).
+
+No ClickHouse server or JDBC jar exists in the test environment, so
+everything network-bound is build-only (options dicts + writer closures,
+unit-tested for shape); `write_batch_parquet` is the locally-testable sink
+with identical batching arithmetic.
+
+Scale notes: jdbc batchsize controls rows per INSERT (the reference's
+batch_size); numPartitions bounds concurrent connections (the reference's
+max_workers); per-partition inserts run in parallel across executors — the
+two thread pools of the reference (S:108, S:192) collapse into Spark's
+scheduler.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+DEFAULT_BATCH_SIZE = 1000  # reference --batch_size (S:236)
+DEFAULT_MAX_CONNECTIONS = 10  # reference --max_workers (S:237)
+
+
+def clickhouse_jdbc_options(
+    url: str,
+    table: str,
+    *,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    max_connections: int = DEFAULT_MAX_CONNECTIONS,
+    user: str | None = None,
+    password: str | None = None,
+) -> dict[str, Any]:
+    """JDBC writer options with the reference's tuning mapped onto Spark:
+    batch_size -> batchsize (rows per INSERT), max_workers -> numPartitions
+    (concurrent inserting connections). The decimal-trailing-zeros session
+    setting (S:77-83) rides along in the connection params."""
+    opts: dict[str, Any] = {
+        "url": url,
+        "dbtable": table,
+        "driver": "com.clickhouse.jdbc.ClickHouseDriver",
+        "batchsize": str(batch_size),
+        "numPartitions": str(max_connections),
+        "isolationLevel": "NONE",  # ClickHouse has no transactions
+        # S:77-83 — preserve decimal scale on output.
+        "custom_http_params": "output_format_decimal_trailing_zeros=1",
+    }
+    if user:
+        opts["user"] = user
+    if password:
+        opts["password"] = password
+    return opts
+
+
+def write_to_clickhouse(df: DataFrame, url: str, table: str, **kw: Any) -> None:
+    """Batch write. Fail-fast by design: the reference logs-and-continues on
+    insert errors (S:87-89, silent data loss); here a failed partition fails
+    the job and Spark retries the task."""
+    opts = clickhouse_jdbc_options(url, table, **kw)
+    (
+        df.coalesce(int(opts["numPartitions"]))
+        .write.format("jdbc")
+        .options(**opts)
+        .mode("append")
+        .save()
+    )
+
+
+def foreach_batch_writer(
+    url: str, table: str, **kw: Any
+) -> Callable[[DataFrame, int], None]:
+    """Streaming sink: writeStream.foreachBatch(foreach_batch_writer(...)).
+    Empty micro-batches are skipped (the reference's empty-batch guard,
+    S:98/S:115)."""
+
+    def write(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_to_clickhouse(batch_df, url, table, **kw)
+
+    return write
+
+
+def batch_plan(n_rows: int, batch_size: int = DEFAULT_BATCH_SIZE) -> dict[str, int]:
+    """The reference's insert batching arithmetic (checkable form — the same
+    numbers q_insert_batch_stats verifies against DuckDB)."""
+    if n_rows <= 0:
+        return {"n_rows": 0, "n_batches": 0, "last_batch_rows": 0}
+    n_batches = math.ceil(n_rows / batch_size)
+    return {
+        "n_rows": n_rows,
+        "n_batches": n_batches,
+        "last_batch_rows": n_rows - (n_batches - 1) * batch_size,
+    }
+
+
+def write_batch_parquet(df: DataFrame, path: str, n_chunks: int) -> None:
+    """The locally-testable sink twin: same partition/batch layout, parquet
+    target (what sync.py uses against the fixtures)."""
+    df.coalesce(max(1, n_chunks)).write.mode("overwrite").parquet(path)

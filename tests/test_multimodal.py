@@ -1,0 +1,104 @@
+"""Multimodal plumbing tests: schema, mapInPandas batch shape, the stub
+boundary (NotImplementedError without fake=True), and frame sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+    DECODED_SCHEMA,
+    decode_media,
+    frame_sample,
+    media_table,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return media_table(load_table(spark, SF_DIR, "documents")).cache()
+
+
+def test_media_table_schema_and_types(media):
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "media_type",
+        "payload",
+    ]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    types = {r.media_type for r in media.select("media_type").distinct().collect()}
+    assert types == {"image", "audio", "video"}
+
+
+def test_decode_without_codecs_raises(media):
+    with pytest.raises(Exception) as exc_info:
+        decode_media(media).count()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_fake_decode_is_deterministic_and_typed(media):
+    out = decode_media(media, fake=True)
+    assert out.schema == DECODED_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == media.count()
+    # Byte counts match the payload; type-dispatch fills the right fields.
+    sizes = {r.media_id: r for r in media.select(
+        "media_id", "media_type", F.octet_length("payload").alias("n")).collect()}
+    for mid, r in rows.items():
+        assert r.n_bytes == sizes[mid].n
+        if r.media_type == "image":
+            assert r.width is not None and r.n_frames is None
+        elif r.media_type == "video":
+            assert r.width is not None and r.n_frames is not None
+        else:
+            assert r.width is None and r.n_frames is not None
+    # Determinism: second run identical.
+    again = {r.media_id: r for r in decode_media(media, fake=True).collect()}
+    assert rows == again
+
+
+def test_frame_sample_only_video_and_stride(media):
+    frames = frame_sample(media, every_n=5, fake=True)
+    rows = frames.collect()
+    video_ids = {
+        r.media_id
+        for r in media.filter(F.col("media_type") == "video").collect()
+    }
+    assert {r.media_id for r in rows} <= video_ids
+    assert all(r.frame_idx % 5 == 0 for r in rows)
+    assert all(r.frame is not None and len(r.frame) > 0 for r in rows)
+
+
+def test_batch_plan_arithmetic():
+    from mysql_to_clickhouse_sync_spark.sinks.clickhouse import batch_plan
+
+    assert batch_plan(0) == {"n_rows": 0, "n_batches": 0, "last_batch_rows": 0}
+    assert batch_plan(1) == {"n_rows": 1, "n_batches": 1, "last_batch_rows": 1}
+    assert batch_plan(1000) == {
+        "n_rows": 1000,
+        "n_batches": 1,
+        "last_batch_rows": 1000,
+    }
+    assert batch_plan(1001) == {
+        "n_rows": 1001,
+        "n_batches": 2,
+        "last_batch_rows": 1,
+    }
+
+
+def test_clickhouse_options_shape():
+    from mysql_to_clickhouse_sync_spark.sinks.clickhouse import (
+        clickhouse_jdbc_options,
+    )
+
+    opts = clickhouse_jdbc_options(
+        "jdbc:clickhouse://h:8123/db", "t", batch_size=500, max_connections=4
+    )
+    assert opts["batchsize"] == "500"
+    assert opts["numPartitions"] == "4"
+    assert "output_format_decimal_trailing_zeros=1" in opts["custom_http_params"]
+    assert opts["isolationLevel"] == "NONE"
