@@ -125,6 +125,9 @@ def decode_media(media: DataFrame, *, fake: bool = False) -> DataFrame:
             out.insert(0, "media_id", batch["media_id"].values)
             yield out
 
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
     # Partition by media type first so each Arrow batch is one codec's work.
     return media.repartition("media_type").mapInPandas(
         decode_batches, schema=DECODED_SCHEMA
@@ -165,6 +168,9 @@ def frame_sample(media: DataFrame, every_n: int = 10, *, fake: bool = False) -> 
                     rows.append((mid, idx, frames[idx]))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
     return (
         media.filter(F.col("media_type") == "video")
         .repartition("media_id")
