@@ -324,6 +324,97 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_string_agg",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           string_agg(c_name, ',' ORDER BY c_name) AS customers,
+           count(*) AS n_customers
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+    tier="P2",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (extension): customers per nation as a
+    sorted CSV — collect_list + array_sort + concat_ws ≡ DuckDB's ordered
+    string_agg. Deterministic because the order inside the aggregate is
+    total (c_name values are unique)."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias(
+                "customers"
+            ),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+HIST_BIN_WIDTH = 25
+
+
+@declare(
+    "q_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+           count(*) AS n,
+           min(value) AS bin_min,
+           max(value) AS bin_max
+    FROM events
+    GROUP BY event_type, bin
+    """,
+    tier="P2",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event type (extension): pure groupBy on the
+    bin id — one shuffle keyed by (type, bin), the scalable histogram shape
+    (width_bucket-style binning without a per-query min/max pass)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type",
+        F.floor(F.col("value") / HIST_BIN_WIDTH).alias("bin"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("bin_min"),
+        F.max("value").alias("bin_max"),
+    )
+
+
+@declare(
+    "q_cube",
+    oracle="""
+    SELECT coalesce(lang, 'ALL') AS lang_name,
+           coalesce(source, 'ALL') AS source_name,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+    tier="P2",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source) — all 4 grouping combinations in one pass
+    (extension; completes the rollup/cube family of SURVEY.md §2.3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang_name"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source_name"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@declare(
     "q_set_ops",
     oracle="""
     SELECT 'union_distinct' AS kind, nationkey FROM (

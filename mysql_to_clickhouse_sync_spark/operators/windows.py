@@ -94,6 +94,57 @@ def q_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_session_native",
+    oracle=f"""
+    {EVENTS_US_CTE}
+    , marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events_us
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           {DECIMAL_SUM_SQL.format(col='value')} AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tier="P2",
+)
+def q_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (gap-merged sessions as a
+    first-class grouping key — also the streaming sessionization primitive,
+    see streaming/declared.py). The oracle reconstructs identical sessions
+    via the lag/cumsum technique: session_end = last event + gap."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), "30 minutes"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            decimal_sum("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@declare(
     "q_session_window",
     oracle=f"""
     {EVENTS_US_CTE}

@@ -58,7 +58,12 @@ def _load_all_modules() -> None:
         text,
         windows,
     )
-    from mysql_to_clickhouse_sync_spark.streaming import declared as _streaming  # noqa: F401
+    from mysql_to_clickhouse_sync_spark.streaming import (  # noqa: F401
+        declared as _streaming,
+    )
+    from mysql_to_clickhouse_sync_spark.streaming import (  # noqa: F401
+        stateful as _stateful,
+    )
 
 
 def queries() -> dict[str, QueryFn]:

@@ -50,16 +50,25 @@ def apply_changelog(
 ) -> DataFrame:
     """Merge a changelog batch into the current state.
 
-    state: current rows (no op column — all live).
-    changelog: rows with an `op` column ('upsert'/'delete') and the same
-    payload schema; version_cols (e.g. [ts, event_id]) decide recency.
-    Returns the new state: latest version per key, deletes filtered out.
+    state: rows with an `op` column — live rows carry 'upsert', deleted keys
+    persist as 'delete' TOMBSTONES. Tombstones must stay in state: dropping
+    them eagerly lets an out-of-order older upsert (arriving in a later
+    batch) resurrect a deleted key. Filter through `live_rows` only when
+    reading the state out.
+
+    changelog: same payload schema + `op`; version_cols (e.g. [ts, seq])
+    decide recency. Returns the new state (with op), latest version per key.
     """
-    tagged_state = state.withColumn(OP_COL, F.lit(UPSERT)).select(
-        *changelog.columns
-    )
-    merged = tagged_state.unionByName(changelog)
+    merged = state.select(*changelog.columns).unionByName(changelog)
     order = [F.col(c).desc() for c in version_cols]
-    return latest_per_key(merged, keys, order).filter(
-        F.col(OP_COL) != DELETE
-    ).drop(OP_COL)
+    return latest_per_key(merged, keys, order)
+
+
+def as_state(snapshot: DataFrame) -> DataFrame:
+    """Lift a plain snapshot (all rows live) into changelog-state form."""
+    return snapshot.withColumn(OP_COL, F.lit(UPSERT))
+
+
+def live_rows(state: DataFrame) -> DataFrame:
+    """The user-visible face of the state: tombstones filtered out."""
+    return state.filter(F.col(OP_COL) != DELETE).drop(OP_COL)

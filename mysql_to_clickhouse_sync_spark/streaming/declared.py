@@ -35,6 +35,8 @@ from mysql_to_clickhouse_sync_spark.streaming.cdc import (
     OP_COL,
     UPSERT,
     apply_changelog,
+    as_state,
+    live_rows,
 )
 
 SPLIT_TS = "2024-01-20 00:00:00"
@@ -62,8 +64,12 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference's bulk copy would have landed in ClickHouse).
     from mysql_to_clickhouse_sync_spark.streaming.cdc import latest_per_key
 
-    state = latest_per_key(
-        snapshot_src, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    state = as_state(
+        latest_per_key(
+            snapshot_src,
+            ["user_id"],
+            [F.col("ts").desc(), F.col("event_id").desc()],
+        )
     )
     changelog = _changelog_from_events(events).select(*cols, OP_COL)
 
@@ -106,7 +112,134 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             if query is None:
                 query = stream.start()
             query.processAllAvailable()
-        return merged_state["df"]
+        return live_rows(merged_state["df"])
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_TUMBLING_STREAM_ORACLE = """
+    WITH events_us AS (
+        SELECT event_id, make_timestamp(epoch_us(ts)) AS ts,
+               user_id, event_type, value, props
+        FROM events
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS sum_value
+    FROM events_us
+    GROUP BY window_start, event_type
+"""
+
+
+@declare("s_tumbling_stream", oracle=_TUMBLING_STREAM_ORACLE, tier="P3")
+def s_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of q_tumbling_count, with the same full oracle:
+    events replayed as a 2-micro-batch file stream, windowed aggregation in
+    complete mode — the final state must equal the batch aggregation exactly
+    (decimal sums make the accumulation order irrelevant)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    early = events.filter(F.col("ts") < F.lit(SPLIT_TS))
+    late = events.filter(F.col("ts") >= F.lit(SPLIT_TS))
+
+    workdir = tempfile.mkdtemp(prefix="tumbling_stream_")
+    in_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    schema = events.schema
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"tumbling_{abs(hash(workdir)) % 10**9}"
+    query = None
+    try:
+        early.coalesce(1).write.mode("append").parquet(in_dir)
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(in_dir)
+        query.processAllAvailable()
+        return spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@declare("s_session_stream", oracle=None, tier="P3")
+def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: native session_window + watermark in append
+    mode (the streaming face of q_session_native). Only sessions closed by
+    the final watermark are emitted — inherently weaker than the batch twin,
+    hence rows-only."""
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    early = events.filter(F.col("ts") < F.lit(SPLIT_TS))
+    late = events.filter(F.col("ts") >= F.lit(SPLIT_TS))
+
+    workdir = tempfile.mkdtemp(prefix="session_stream_")
+    in_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    agg = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    sink = f"sessions_{abs(hash(workdir)) % 10**9}"
+    query = None
+    try:
+        early.coalesce(1).write.mode("append").parquet(in_dir)
+        query = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(in_dir)
+        query.processAllAvailable()
+        return spark.table(sink).localCheckpoint(eager=True)
     finally:
         if query is not None:
             query.stop()

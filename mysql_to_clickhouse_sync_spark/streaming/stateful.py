@@ -1,0 +1,150 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The reference has no stateful processing at all; this provides the extension
+point a CDC pipeline needs for logic that windowed aggregation can't express
+— here a per-user running profile (event count, value sum, last-seen ts)
+maintained across micro-batches with explicit state.
+
+The handler is engine-grade: state is a single compact tuple per key,
+updates are Arrow-batched, and the same function serves batch backfill
+(applyInPandas over the whole history) and streaming (applyInPandasWithState
+per micro-batch). Output after draining a bounded replay equals the batch
+groupBy — asserted in tests and exposed as declared query s_stateful_profile
+(rows-only: GroupState isn't SQL-expressible)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+PROFILE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("sum_value_cents", LongType(), False),
+        StructField("last_ts", TimestampType(), True),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType(), False),
+        StructField("sum_value_cents", LongType(), False),
+        StructField("last_ts_us", LongType(), True),
+    ]
+)
+
+
+def update_profile(
+    key: tuple[Any, ...],
+    batches: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Merge a user's micro-batch rows into their running profile. Values
+    accumulate as integer cents so results are exact and replay-order-
+    independent."""
+    import pandas as pd
+
+    n, cents, last_us = state.get if state.exists else (0, 0, None)
+    for batch in batches:
+        n += len(batch)
+        # round() on the scaled double matches decimal(18,2) casting of the
+        # 2-decimal fixture values; integer accumulation keeps it exact.
+        cents += int(batch["value"].mul(100).round().sum())
+        ts_us = (batch["ts"].astype("int64") // 1000).max()
+        last_us = ts_us if last_us is None else max(last_us, ts_us)
+    state.update((n, cents, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value_cents": [cents],
+            "last_ts": [pd.Timestamp(last_us, unit="us") if last_us is not None else None],
+        }
+    )
+
+
+def streaming_profiles(stream: DataFrame) -> DataFrame:
+    """Wire the stateful handler onto a streaming DataFrame of events."""
+    ensure_package_shipped(stream.sparkSession)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update_profile,
+        outputStructType=PROFILE_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@declare("s_stateful_profile", oracle=None, tier="P3")
+def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running profile maintained by applyInPandasWithState across
+    two deterministic micro-batches; returns each user's FINAL profile (the
+    last update emitted per user)."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    early = events.filter(F.col("ts") < F.lit("2024-01-20 00:00:00"))
+    late = events.filter(F.col("ts") >= F.lit("2024-01-20 00:00:00"))
+
+    workdir = tempfile.mkdtemp(prefix="stateful_")
+    in_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out = streaming_profiles(stream)
+    sink = f"profiles_{abs(hash(workdir)) % 10**9}"
+    query = None
+    try:
+        early.coalesce(1).write.mode("append").parquet(in_dir)
+        query = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(in_dir)
+        query.processAllAvailable()
+        # The memory sink accumulates one row per (user, update); keep the
+        # final state per user = the row with the max n_events.
+        from pyspark.sql.window import Window
+
+        all_updates = spark.table(sink)
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        final = (
+            all_updates.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+        return final
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -1,6 +1,8 @@
 """CDC-apply golden tests (SURVEY.md §5.2): insert/update/delete replay onto
 a base snapshot must yield latest-per-key minus deletes, independent of the
-order batches arrive in (version-based merge)."""
+order batches arrive in. Deletes persist in state as tombstones — dropping
+them eagerly would let an out-of-order older upsert resurrect a deleted key
+(a real bug caught by the streaming equivalence test)."""
 
 from __future__ import annotations
 
@@ -10,7 +12,9 @@ from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_sync_spark.streaming.cdc import (
     apply_changelog,
+    as_state,
     latest_per_key,
+    live_rows,
 )
 
 
@@ -20,12 +24,15 @@ def _ts(minute: int) -> datetime.datetime:
 
 SCHEMA = "user_id bigint, event_id bigint, ts timestamp, value double"
 LOG_SCHEMA = SCHEMA + ", op string"
+KEYS, VER = ["user_id"], ["ts", "event_id"]
 
 
 def test_apply_insert_update_delete(spark):
-    state = spark.createDataFrame(
-        [(1, 10, _ts(0), 1.0), (2, 20, _ts(0), 2.0), (3, 30, _ts(0), 3.0)],
-        SCHEMA,
+    state = as_state(
+        spark.createDataFrame(
+            [(1, 10, _ts(0), 1.0), (2, 20, _ts(0), 2.0), (3, 30, _ts(0), 3.0)],
+            SCHEMA,
+        )
     )
     changelog = spark.createDataFrame(
         [
@@ -35,13 +42,13 @@ def test_apply_insert_update_delete(spark):
         ],
         LOG_SCHEMA,
     )
-    out = apply_changelog(state, changelog, ["user_id"], ["ts", "event_id"])
+    out = live_rows(apply_changelog(state, changelog, KEYS, VER))
     rows = {r.user_id: (r.event_id, r.value) for r in out.collect()}
     assert rows == {1: (11, 1.5), 3: (30, 3.0), 4: (40, 4.0)}
 
 
 def test_delete_then_reinsert_and_stale_update(spark):
-    state = spark.createDataFrame([(1, 10, _ts(0), 1.0)], SCHEMA)
+    state = as_state(spark.createDataFrame([(1, 10, _ts(0), 1.0)], SCHEMA))
     batch1 = spark.createDataFrame(
         [(1, 11, _ts(5), 0.0, "delete")], LOG_SCHEMA
     )
@@ -52,25 +59,42 @@ def test_delete_then_reinsert_and_stale_update(spark):
         ],
         LOG_SCHEMA,
     )
-    s1 = apply_changelog(state, batch1, ["user_id"], ["ts", "event_id"])
-    assert s1.count() == 0
-    s2 = apply_changelog(s1, batch2, ["user_id"], ["ts", "event_id"])
-    rows = s2.collect()
+    s1 = apply_changelog(state, batch1, KEYS, VER)
+    assert live_rows(s1).count() == 0
+    s2 = apply_changelog(s1, batch2, KEYS, VER)
+    rows = live_rows(s2).collect()
     assert len(rows) == 1 and rows[0].event_id == 12
+
+
+def test_tombstone_survives_out_of_order_upsert(spark):
+    """THE tombstone case: a delete arrives, then an OLDER upsert arrives in
+    a later batch. The key must stay deleted."""
+    state = as_state(spark.createDataFrame([(1, 10, _ts(0), 1.0)], SCHEMA))
+    delete_batch = spark.createDataFrame(
+        [(1, 20, _ts(8), 0.0, "delete")], LOG_SCHEMA
+    )
+    stale_upsert_batch = spark.createDataFrame(
+        [(1, 15, _ts(4), 5.0, "upsert")], LOG_SCHEMA
+    )
+    s = apply_changelog(state, delete_batch, KEYS, VER)
+    s = apply_changelog(s, stale_upsert_batch, KEYS, VER)
+    assert live_rows(s).count() == 0
 
 
 def test_out_of_order_batches_converge(spark):
     """Applying batches in either order yields the same final state —
     the property that lets s_cdc_apply slice its changelog arbitrarily."""
-    state = spark.createDataFrame([(1, 10, _ts(0), 1.0)], SCHEMA)
+    state = as_state(spark.createDataFrame([(1, 10, _ts(0), 1.0)], SCHEMA))
     b1 = spark.createDataFrame([(1, 12, _ts(9), 9.0, "upsert")], LOG_SCHEMA)
     b2 = spark.createDataFrame([(1, 11, _ts(5), 5.0, "upsert")], LOG_SCHEMA)
-    keys, ver = ["user_id"], ["ts", "event_id"]
-    fwd = apply_changelog(apply_changelog(state, b1, keys, ver), b2, keys, ver)
-    rev = apply_changelog(apply_changelog(state, b2, keys, ver), b1, keys, ver)
-    assert fwd.collect() == rev.collect() == [
-        rev.sparkSession.createDataFrame([(1, 12, _ts(9), 9.0)], SCHEMA).collect()[0]
-    ]
+    fwd = live_rows(
+        apply_changelog(apply_changelog(state, b1, KEYS, VER), b2, KEYS, VER)
+    )
+    rev = live_rows(
+        apply_changelog(apply_changelog(state, b2, KEYS, VER), b1, KEYS, VER)
+    )
+    assert fwd.collect() == rev.collect()
+    assert fwd.collect()[0].event_id == 12
 
 
 def test_latest_per_key_tiebreak(spark):

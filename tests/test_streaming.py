@@ -1,0 +1,76 @@
+"""Streaming declared-query tests: the streaming paths must agree with their
+batch twins (the strongest check available where no SQL oracle exists)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.registry import queries
+from mysql_to_clickhouse_sync_spark.streaming.cdc import latest_per_key
+from tests.conftest import SF_DIR
+
+
+def test_cdc_apply_equals_batch_semantics(spark):
+    """Streaming CDC replay == batch 'latest per user minus trailing
+    deletes' over the same data."""
+    out = queries()["s_cdc_apply"](spark, SF_DIR)
+    events = load_table(spark, SF_DIR, "events")
+    expected = (
+        latest_per_key(
+            events.select("user_id", "event_id", "ts", "event_type", "value"),
+            ["user_id"],
+            [F.col("ts").desc(), F.col("event_id").desc()],
+        )
+        # Only POST-split 'error' events act as deletes (pre-split ones are
+        # plain snapshot rows): a user disappears iff their overall-latest
+        # event is a changelog delete.
+        .filter(
+            ~(
+                (F.col("event_type") == "error")
+                & (F.col("ts") >= F.lit("2024-01-20 00:00:00"))
+            )
+        )
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
+
+
+def test_tumbling_stream_equals_batch(spark):
+    stream_out = queries()["s_tumbling_stream"](spark, SF_DIR)
+    batch = queries()["q_tumbling_count"](spark, SF_DIR)
+    got = {tuple(map(str, r)) for r in stream_out.collect()}
+    want = {tuple(map(str, r)) for r in batch.collect()}
+    assert got == want
+
+
+def test_stateful_profile_equals_batch_groupby(spark):
+    out = queries()["s_stateful_profile"](spark, SF_DIR)
+    events = load_table(spark, SF_DIR, "events")
+    expected = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.round(F.col("value") * 100).cast("bigint")
+        ).alias("sum_value_cents"),
+        F.max("ts").alias("last_ts"),
+    )
+    got = {tuple(map(str, r)) for r in out.collect()}
+    want = {tuple(map(str, r)) for r in expected.collect()}
+    assert got == want
+
+
+def test_session_stream_sessions_are_closed_subset(spark):
+    """Append-mode sessions must be a subset of the batch session set."""
+    stream_sessions = queries()["s_session_stream"](spark, SF_DIR)
+    batch_sessions = queries()["q_session_native"](spark, SF_DIR)
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in stream_sessions.collect()
+    }
+    want = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in batch_sessions.collect()
+    }
+    assert got <= want
+    assert len(got) > 0
