@@ -11,13 +11,16 @@ north-star extensions (CDC streaming, dedup, similarity search, text analysis)
 
 Layout:
   session.py    SparkSession factory with scale-appropriate defaults
-  catalog.py    fixture table loader (parquet) + declared schemas
+  catalog.py    fixture table loader (parquet) + nanos-timestamp handling
   registry.py   the declared-query registry (queries() / oracle_sql() surface)
-  operators/    one module per operator family (SURVEY.md §2)
-  sources/      chunk-planned JDBC source mirroring the reference's extract
-  functions/    reusable column expressions (normalization, hashing, text)
+  shipping.py   package distribution to Python UDF workers (addPyFile)
+  operators/    one module per operator family (SURVEY.md §2); reusable
+                column expressions (hashing, shingling, cosine, normalize)
+                live beside the operators that own them
+  sources/      chunk-partitioned JDBC source mirroring the reference extract
+  sinks/        ClickHouse JDBC writer + parquet twin
   plans/        pure-python chunk planner (reference S:109-112 semantics)
-  streaming/    Structured Streaming CDC apply + watermark handling
+  streaming/    CDC changelog merge, declared streams, stateful operator
   sync.py       the reference's end-to-end job: snapshot -> extract -> load
 """
 
