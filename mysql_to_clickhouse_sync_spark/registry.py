@@ -57,6 +57,7 @@ def _load_all_modules() -> None:
         scans,
         similarity,
         text,
+        versioning,
         windows,
     )
     from mysql_to_clickhouse_sync_spark.streaming import (  # noqa: F401

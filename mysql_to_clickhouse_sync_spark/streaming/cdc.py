@@ -47,6 +47,7 @@ def apply_changelog(
     changelog: DataFrame,
     keys: list[str],
     version_cols: list[str],
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """Merge a changelog batch into the current state.
 
@@ -58,8 +59,15 @@ def apply_changelog(
 
     changelog: same payload schema + `op`; version_cols (e.g. [ts, seq])
     decide recency. Returns the new state (with op), latest version per key.
+
+    allow_schema_evolution: accept a changelog whose schema gained or lost
+    columns relative to the state — missing columns null-fill on either side
+    (the upstream-ALTER-TABLE case a long-running CDC pipeline must absorb).
     """
-    merged = state.select(*changelog.columns).unionByName(changelog)
+    if allow_schema_evolution:
+        merged = state.unionByName(changelog, allowMissingColumns=True)
+    else:
+        merged = state.select(*changelog.columns).unionByName(changelog)
     order = [F.col(c).desc() for c in version_cols]
     return latest_per_key(merged, keys, order)
 

@@ -112,6 +112,58 @@ def snapshot_sync(
     return manifest
 
 
+def incremental_sync(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> dict:
+    """Resume from the manifest: extract only rows whose key is beyond each
+    table's recorded max_id (the append-only half of CDC — the reference's
+    binlog replay covers updates/deletes; see streaming/cdc.py for those).
+
+    Reads out_dir/manifest.json, appends the delta per table, and rewrites
+    the manifest with advanced bounds. Tables without new rows are skipped
+    entirely (the predicate prunes at the scan, so a no-op sync reads only
+    footers + the bounds aggregate).
+    """
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    with open(manifest_path) as fh:
+        manifest = json.load(fh)
+
+    new_entries = []
+    for entry in manifest["tables"]:
+        name, rowid, last_max = entry["table"], entry["rowid"], entry["max_id"]
+        df = load_table(spark, sf_dir, name)
+        delta = df.filter(F.col(rowid) > last_max)
+        mn, mx, n = table_bounds(delta, rowid)
+        if n > 0:
+            n_chunks = max(
+                1, min(MAX_OUTPUT_PARTITIONS, math.ceil(n / batch_size))
+            )
+            delta.repartitionByRange(n_chunks, F.col(rowid)).write.mode(
+                "append"
+            ).parquet(entry["path"])
+            entry = {
+                **entry,
+                "max_id": mx,
+                "rows": entry["rows"] + n,
+                "last_delta_rows": n,
+            }
+        else:
+            entry = {**entry, "last_delta_rows": 0}
+        new_entries.append(entry)
+
+    manifest = {
+        **manifest,
+        "completed_unix": int(time.time()),
+        "tables": new_entries,
+    }
+    with open(manifest_path, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest
+
+
 def main() -> None:
     from mysql_to_clickhouse_sync_spark.session import get_spark
 
