@@ -324,6 +324,37 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_part_stats",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_parts,
+           count(DISTINCT p_type) AS n_types,
+           CAST(min(p_retailprice) AS DECIMAL(18,2)) AS min_price,
+           CAST(max(p_retailprice) AS DECIMAL(18,2)) AS max_price,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,6))) AS DECIMAL(18,2))
+               AS total_price,
+           max(p_size) AS max_size
+    FROM part
+    GROUP BY p_brand
+    """,
+    tier="P2",
+)
+def q_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand part statistics — covers the part table (decimal-scale
+    price handling the reference preserves via its trailing-zeros setting,
+    mysql_to_clickhouse_sync.py:77-83) plus a distinct-count."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.count_distinct("p_type").alias("n_types"),
+        F.min("p_retailprice").cast("decimal(18,2)").alias("min_price"),
+        F.max("p_retailprice").cast("decimal(18,2)").alias("max_price"),
+        decimal_sum("p_retailprice", "total_price"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+@declare(
     "q_string_agg",
     oracle="""
     SELECT n_nationkey, n_name,
