@@ -163,6 +163,38 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_cosine(emb).filter(F.col("cosine") >= NEARDUP_THRESHOLD)
 
 
+def cosine_pandas_pairs(pairs: DataFrame) -> DataFrame:
+    """Alternative physical strategy for pair scoring: Arrow-batched pandas
+    UDF computing cosine via numpy over a (emb_a, emb_b, norm_a, norm_b)
+    pair table. Same semantics as the fold-based `dot` (float64 ops in a
+    different association order, so results can differ in the last ulp —
+    fine for ranking, NOT for oracle hashing; declared queries use the fold).
+
+    Exists as the measured fallback SURVEY.md §4.3(4) calls for: on very
+    wide vectors numpy's vectorized dot beats the Catalyst fold; on 64-dim
+    the JVM fold wins (no Python round-trip). tests/test_similarity_udf.py
+    asserts agreement to 1e-9 and keeps both paths honest."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(emb_a, emb_b, norm_a, norm_b):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        a = np.stack(emb_a.to_numpy()).astype("float64")
+        b = np.stack(emb_b.to_numpy()).astype("float64")
+        dots = np.einsum("ij,ij->i", a, b)
+        return pd.Series(dots / (norm_a.to_numpy() * norm_b.to_numpy()))
+
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(pairs.sparkSession)
+    return pairs.withColumn(
+        "cosine",
+        _cos(F.col("emb_a"), F.col("emb_b"), F.col("norm_a"), F.col("norm_b")),
+    )
+
+
 def lsh_bucket(vec: Column, bits: int = LSH_BITS) -> Column:
     """Sign-random-projection bucket: bit i = sign(v[i]) over the first
     `bits` dims (axis-aligned projections — deterministic, engine-portable)."""
