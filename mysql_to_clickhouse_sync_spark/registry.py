@@ -48,6 +48,7 @@ def _load_all_modules() -> None:
     from mysql_to_clickhouse_sync_spark.operators import (  # noqa: F401
         aggregates,
         asof,
+        clustering,
         curation,
         dedup,
         filters,

@@ -1,0 +1,78 @@
+"""Connected-components tests: transitive chains, isolated nodes, multiple
+clusters, and the minhash-edge integration."""
+
+from __future__ import annotations
+
+from mysql_to_clickhouse_sync_spark.operators.clustering import (
+    connected_components,
+)
+
+
+def _cc(spark, n_nodes, edge_list):
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id bigint")
+    edges = spark.createDataFrame(
+        edge_list or [(0, 0)], "src bigint, dst bigint"
+    )
+    if not edge_list:
+        edges = edges.filter("src < 0")
+    return {
+        r.id: r.component for r in connected_components(nodes, edges).collect()
+    }
+
+
+def test_transitive_chain_collapses(spark):
+    # 0-1, 1-2, 2-3: 0 and 3 share no edge but must share a cluster.
+    comp = _cc(spark, 5, [(0, 1), (1, 2), (2, 3)])
+    assert comp[0] == comp[1] == comp[2] == comp[3] == 0
+    assert comp[4] == 4  # isolated
+
+
+def test_multiple_components_and_direction_independence(spark):
+    # Edges given in arbitrary orientation; two separate clusters.
+    comp = _cc(spark, 6, [(1, 0), (2, 1), (5, 4)])
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[4] == comp[5] == 4
+    assert comp[3] == 3
+
+
+def test_no_edges_all_singletons(spark):
+    comp = _cc(spark, 4, [])
+    assert comp == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_long_path_converges_within_cap(spark):
+    # A path of 15 nodes needs ~log rounds with min-propagation through
+    # neighbors; must converge inside MAX_ITERATIONS.
+    comp = _cc(spark, 15, [(i, i + 1) for i in range(14)])
+    assert set(comp.values()) == {0}
+
+
+def test_minhash_cluster_integration(spark):
+    """Planted A~B~C chain through one-word edits: B bridges A and C, so all
+    three land in one cluster even if A~C alone wouldn't pair."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing outside in the garden"
+    )
+    mid = base.replace("warm", "cold")
+    far = mid.replace("quick", "slow")
+    other = "entirely unrelated text about columnar execution engines and shuffles"
+    docs = spark.createDataFrame(
+        [(0, base), (1, mid), (2, far), (3, other)], "doc_id bigint, text string"
+    )
+    from mysql_to_clickhouse_sync_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.5)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    comp = {
+        r.id: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[3] == 3
