@@ -1,0 +1,263 @@
+"""TPC-H analytics suite (extensions — the reference copies tables without
+analytics, mysql_to_clickhouse_sync.py:192-199; these queries demonstrate the
+relational completeness a ClickHouse-side user would run on the synced data,
+SURVEY.md §2.3/§2.4/§2.6). Q1 lives in skew.py; this module adds Q3, Q5, Q6,
+Q10 and Q18, adapted to the fixture schemas (no shippriority / commitdate /
+address columns — nearest existing columns substituted).
+
+Money arithmetic follows the q_tpch_q1 pattern: cast operands to
+decimal(18,6), rescale every product back to (18,6) (exact — inputs carry
+<= 4 decimal digits), sum in decimal so the result is associative and thus
+partition-order independent; output at scale 6 to avoid HALF_UP-vs-even
+rounding ties on a final rescale.
+
+Scale notes (100 TB): customer/nation/region/supplier are dimensions —
+broadcast, so the orders->lineitem fact spine shuffles only for its own
+aggregations. Q18's having-clause aggregation shuffles lineitem once on
+l_orderkey with map-side partial sums; the subsequent join to orders reuses
+that key. Every LIMIT is a TakeOrderedAndProject (per-partition top-k +
+single merge), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+
+def _revenue() -> Column:
+    """l_extendedprice * (1 - l_discount) in exact decimal, rescaled to
+    (18,6) before any sum (identical precision in Spark and DuckDB)."""
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    return (price * (F.lit(1) - disc)).cast("decimal(18,6)")
+
+
+_REVENUE_SQL = """CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                 AS DECIMAL(18,6))) AS DECIMAL(18,6))"""
+
+
+@declare(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_REVENUE_SQL} AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tier="P2",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 highest-revenue orders not yet
+    shipped at the cutoff, for one market segment. o_orderpriority stands in
+    for the fixture's missing o_shippriority. Customer is broadcast; both
+    date predicates push to the parquet scans."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("decimal(18,6)").alias("revenue"))
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+        )
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@declare(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT n_name, {_REVENUE_SQL} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tier="P2",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue where customer and supplier
+    share a nation within one region/year. supplier/nation/region/customer
+    all broadcast — the lineitem spine never shuffles for any join; the only
+    exchange is the final 5-group aggregation."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("decimal(18,6)").alias("revenue"))
+    )
+
+
+@declare(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                         * CAST(l_discount AS DECIMAL(18,6))
+                         AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tier="P2",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-aggregate.
+    All three predicates push to the parquet scan (row-group pruning on
+    shipdate); no shuffle at all — the 1-row result is a partial/final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((price * disc).cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@declare(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name, {_REVENUE_SQL} AS revenue, c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tier="P2",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by lost revenue
+    on returned items in one quarter. Customer and nation broadcast; the
+    quarter predicate prunes the orders scan before the lineitem join."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue()).cast("decimal(18,6)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+Q18_QTY_THRESHOLD = 250  # ~p98 of per-order quantity in the fixtures
+
+
+@declare(
+    "q_tpch_q18",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,2))
+               AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > {Q18_QTY_THRESHOLD}
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    tier="P2",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, with their customers. The HAVING subquery is a
+    left-semi join against the aggregated lineitem keys; lineitem shuffles
+    once on l_orderkey (map-side partial sums) and that single aggregation
+    feeds both the filter and the final per-order quantities."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("decimal(18,2)")
+        .alias("sum_qty")
+    )
+    big = per_order.filter(F.col("sum_qty") > Q18_QTY_THRESHOLD)
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+    )

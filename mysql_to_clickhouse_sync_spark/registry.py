@@ -60,6 +60,7 @@ def _load_all_modules() -> None:
         similarity,
         skew,
         text,
+        tpch,
         versioning,
         windows,
     )
