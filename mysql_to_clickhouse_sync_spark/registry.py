@@ -47,6 +47,7 @@ def _load_all_modules() -> None:
     # Import for side effect: each operator module registers its queries.
     from mysql_to_clickhouse_sync_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         asof,
         clustering,
         curation,
