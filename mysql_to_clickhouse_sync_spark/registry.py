@@ -53,6 +53,7 @@ def _load_all_modules() -> None:
         curation,
         dedup,
         filters,
+        ivf,
         joins,
         json_ops,
         multimodal,
