@@ -70,6 +70,9 @@ def _load_all_modules() -> None:
         declared as _streaming,
     )
     from mysql_to_clickhouse_sync_spark.streaming import (  # noqa: F401
+        joins as _streaming_joins,
+    )
+    from mysql_to_clickhouse_sync_spark.streaming import (  # noqa: F401
         stateful as _stateful,
     )
 
