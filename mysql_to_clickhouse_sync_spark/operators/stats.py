@@ -1,0 +1,156 @@
+"""Statistical aggregates + collection functions + correlated subqueries
+(extensions — SURVEY.md §2.3/§2.8; the reference has no aggregation at all,
+mysql_to_clickhouse_sync.py:97-116 just counts batch lengths).
+
+Portability design:
+
+  * Built-in stddev/var accumulate doubles in partition order — results
+    drift between engines AND between runs (Spark merges partial moments in
+    nondeterministic order). q_stats_moments instead computes exact decimal
+    power sums (n, Σx, Σx² — associative, order-free), then applies the
+    closed-form formula to the exact scalars; the one double division/sqrt
+    at the end is bitwise-identical on both engines because the operands
+    are identical AND their raw decimal integers stay below 2^53 (above
+    that, DuckDB's int128→double→/10^scale cast double-rounds).
+  * q_array_battery normalizes every collected array deterministically
+    (sorted distinct) before comparison — collect_set order is undefined.
+  * q_correlated_subquery phrases "above nation average" as
+    c_acctbal * n_count > n_sum in exact decimal — no division, no float.
+
+Scale notes: power sums are plain map-side-combined aggregations (one
+shuffle by group, constant state per group). The correlated subquery
+decorrelates to a broadcast join against the 25-row per-nation aggregate —
+Catalyst does the same rewrite for the SQL form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+
+@declare(
+    "q_stats_moments",
+    oracle="""
+    WITH sums AS (
+        SELECT c_nationkey,
+               count(*) AS n,
+               sum(CAST(c_acctbal AS DECIMAL(18,6))) AS sx,
+               sum(CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                        * CAST(c_acctbal AS DECIMAL(12,2))
+                        AS DECIMAL(18,4))) AS sxx
+        FROM customer
+        GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n,
+           CAST(sx AS DECIMAL(18,2)) AS sum_bal,
+           CAST(CAST(sx AS DOUBLE) / n AS DOUBLE) AS mean_bal,
+           CAST(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                      * CAST(sx AS DOUBLE) / n) / (n - 1)) AS DOUBLE)
+               AS stddev_bal
+    FROM sums
+    WHERE n > 1
+    """,
+    tier="P2",
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation mean + sample stddev of customer balance via exact decimal
+    power sums (order-free), with the float math applied only to the final
+    exact scalars — the engine-portable (and run-deterministic) alternative
+    to the built-in stddev_samp, whose partial-moment merge order varies."""
+    customer = load_table(spark, sf_dir, "customer")
+    x = F.col("c_acctbal").cast("decimal(18,6)")
+    # Squares at scale 4 (balances carry 2 decimal digits, so the (12,2)
+    # cast is tie-free and the square exact): keeps the summed raw integer
+    # below 2^53, where BOTH engines' decimal->double casts are correctly
+    # rounded — DuckDB double-rounds wider decimals (int128 -> double ->
+    # /10^scale), which costs 1 ulp and splits the hash.
+    x2 = F.col("c_acctbal").cast("decimal(12,2)")
+    sums = customer.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum((x2 * x2).cast("decimal(18,4)")).alias("sxx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return sums.filter(n > 1).select(
+        "c_nationkey",
+        "n",
+        F.col("sx").cast("decimal(18,2)").alias("sum_bal"),
+        (sx / n).cast("double").alias("mean_bal"),
+        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))).cast("double").alias(
+            "stddev_bal"
+        ),
+    )
+
+
+@declare(
+    "q_array_battery",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types_seen,
+           len(list(DISTINCT event_type))       AS n_types,
+           list_contains(list(DISTINCT event_type), 'purchase')
+               AS has_purchase,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+               AS types_csv
+    FROM events
+    GROUP BY user_id
+    """,
+    tier="P2",
+)
+def q_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-function roster: per-user distinct event types as a
+    deterministically-sorted array, plus size / membership / join-to-string
+    over it. collect_set order is undefined — sort_array pins it (the
+    hash-stability rule for any collected array)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types_seen"))
+        .select(
+            "user_id",
+            "types_seen",
+            F.size("types_seen").cast("long").alias("n_types"),
+            F.array_contains("types_seen", "purchase").alias("has_purchase"),
+            F.array_join("types_seen", ",").alias("types_csv"),
+        )
+    )
+
+
+@declare(
+    "q_correlated_subquery",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM customer o
+    WHERE CAST(c_acctbal AS DECIMAL(18,6))
+          * (SELECT count(*) FROM customer i
+             WHERE i.c_nationkey = o.c_nationkey)
+          > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) FROM customer i
+             WHERE i.c_nationkey = o.c_nationkey)
+    """,
+    tier="P2",
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-nation-average balance — the canonical
+    correlated scalar subquery, decorrelated to a broadcast join against
+    the per-nation aggregate (exactly Catalyst's own rewrite). The
+    comparison is bal*count > sum in exact decimal: division-free, so no
+    float rounding can split the engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,6)")
+    per_nation = customer.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cnt"), F.sum(bal).alias("n_sum")
+    )
+    return (
+        customer.join(
+            F.broadcast(per_nation.withColumnRenamed("c_nationkey", "pn_key")),
+            F.col("c_nationkey") == F.col("pn_key"),
+        )
+        .filter(bal * F.col("n_cnt") > F.col("n_sum"))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    )

@@ -61,6 +61,7 @@ def _load_all_modules() -> None:
         scans,
         similarity,
         skew,
+        stats,
         text,
         tpch,
         versioning,
