@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mysql_to_clickhouse_sync_spark.catalog import load_table
 from mysql_to_clickhouse_sync_spark.registry import declare
@@ -168,4 +169,83 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_ratio.alias("alpha_ratio"),
         (stop_n.cast("double") / F.nullif(toks, F.lit(0))).alias("stopword_ratio"),
         (F.col("n_chars").between(50, 100000) & (alpha_ratio > 0.5)).alias("keep"),
+    )
+
+
+TFIDF_DOC_BOUND = 200  # doc_id bound for the reported query set
+TFIDF_TOPK = 3
+TFIDF_MIN_LEN = 3
+
+
+@declare(
+    "q_tfidf",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+'))
+                   AS token
+        FROM documents
+    ), clean AS (
+        SELECT doc_id, token FROM tokens
+        WHERE length(token) >= {TFIDF_MIN_LEN}
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM clean GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM clean GROUP BY token
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n
+        WHERE tf.doc_id < {TFIDF_DOC_BOUND}
+    )
+    SELECT doc_id, token, tf, df, score FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score DESC, token ASC) AS rn
+        FROM scored
+    ) WHERE rn <= {TFIDF_TOPK}
+    """,
+    tier="P1",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 most-characteristic tokens per
+    document. The idf is kept as the exact rational tf*N/df (one double
+    multiply + divide of identical integer operands on both engines) —
+    log-free, because libm's and the JVM's ln() differ in the last ulp and
+    monotone transforms don't change the ranking anyway.
+
+    Scale notes: tf is a map-side-combined (doc_id, token) count off the
+    token explode; df aggregates the same pairs by token. The df join
+    shuffles on token — at 100 TB vocabulary, broadcast only a pruned df
+    (stopword/min-df filtered), or bucket both sides by token. N arrives
+    via a 1-row broadcast cross join (the chunk-plan pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"),
+    ).filter(F.length("token") >= TFIDF_MIN_LEN)
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < TFIDF_DOC_BOUND)
+        .join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("doc_id", "token", "tf", "df", "score")
     )

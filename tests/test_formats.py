@@ -1,0 +1,82 @@
+"""Source/sink format coverage: the engine must round-trip its tables
+through CSV, JSON-lines and ORC without value drift (the reference moves
+rows as SQL text, mysql_to_clickhouse_sync.py:56-66 — these are the
+Spark-native equivalents a user would swap in).
+
+Doubles survive CSV/JSON because Spark writes the shortest round-trip
+representation; timestamps are written/parsed as microsecond ISO strings.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from tests.conftest import SF_DIR
+
+
+def _roundtrip(spark, df, fmt: str, **read_opts):
+    workdir = tempfile.mkdtemp(prefix=f"fmt_{fmt}_")
+    try:
+        path = f"{workdir}/data"
+        writer = df.write.mode("overwrite")
+        reader = spark.read.schema(df.schema)
+        if fmt in ("csv", "json"):
+            # default text-format timestamp precision is ms; force µs
+            opts = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+            if fmt == "csv":
+                opts["header"] = "true"
+            writer = writer.options(**opts)
+            reader = reader.options(**opts)
+        writer.format(fmt).save(path)
+        back = reader.format(fmt).load(path)
+        return back.collect()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _as_multiset(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_orders_roundtrip(spark, fmt):
+    orders = load_table(spark, SF_DIR, "orders")
+    assert _as_multiset(_roundtrip(spark, orders, fmt)) == _as_multiset(
+        orders.collect()
+    )
+
+
+@pytest.mark.parametrize("fmt", ["json", "orc"])
+def test_events_roundtrip_microsecond_timestamps(spark, fmt):
+    # events carries µs-precision timestamps (floored from nanos) — the
+    # formats must not truncate them. CSV is covered by orders above;
+    # events' props map column is not CSV-representable, so skip csv here.
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    assert _as_multiset(_roundtrip(spark, events, fmt)) == _as_multiset(
+        events.collect()
+    )
+
+
+def test_lineitem_orc_predicate_pushdown(spark):
+    """ORC reads must accept pushed filters like parquet does (scan-level
+    row-group pruning at scale)."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    workdir = tempfile.mkdtemp(prefix="fmt_orc_pd_")
+    try:
+        path = f"{workdir}/li"
+        li.write.mode("overwrite").format("orc").save(path)
+        back = spark.read.format("orc").load(path).filter(
+            F.col("l_orderkey") < 100
+        )
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "l_orderkey" in plan
+        assert back.count() == li.filter(F.col("l_orderkey") < 100).count()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
