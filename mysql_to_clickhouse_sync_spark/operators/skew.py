@@ -138,3 +138,55 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+JOIN_SALTS = 4
+
+
+@declare(
+    "q_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                         * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                         AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tier="P2",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant big-big join: lineitem's join key is salted with a
+    DETERMINISTIC salt (l_linenumber % N — result-invisible, unlike rand()),
+    and orders is exploded N ways so every (key, salt) pair finds its match.
+    A hot orderkey's rows now land on N reducers instead of one. The oracle
+    is the UNSALTED join: salting must be invisible in the result.
+
+    At 100 TB: use this when BOTH sides are too big to broadcast and one key
+    is hot (AQE's skew split handles sort-merge stragglers, but salting also
+    de-skews the downstream aggregation). The N-way explode multiplies only
+    the smaller side's shuffle volume."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.col("l_linenumber") % JOIN_SALTS
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALTS - 1))))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    revenue = (price * (F.lit(1) - disc)).cast("decimal(18,6)")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey) & (li.salt == orders.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(revenue).cast("decimal(18,6)").alias("revenue"),
+        )
+    )

@@ -60,6 +60,7 @@ def _load_all_modules() -> None:
         normalize,
         reshape,
         scans,
+        sketches,
         similarity,
         skew,
         stats,
