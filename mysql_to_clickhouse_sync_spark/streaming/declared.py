@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_sync_spark.catalog import load_table
 from mysql_to_clickhouse_sync_spark.registry import declare
+from mysql_to_clickhouse_sync_spark.streaming.tuning import tuned
 from mysql_to_clickhouse_sync_spark.streaming.cdc import (
     DELETE,
     OP_COL,
@@ -55,6 +56,7 @@ def _changelog_from_events(events: DataFrame) -> DataFrame:
 
 
 @declare("s_cdc_apply", oracle=None, tier="P3")
+@tuned
 def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot + binlog-replay merge as a real Structured Streaming job."""
     events = load_table(spark, sf_dir, "events")
@@ -135,6 +137,7 @@ _TUMBLING_STREAM_ORACLE = """
 
 
 @declare("s_tumbling_stream", oracle=_TUMBLING_STREAM_ORACLE, tier="P3")
+@tuned
 def s_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING twin of q_tumbling_count, with the same full oracle:
     events replayed as a 2-micro-batch file stream, windowed aggregation in
@@ -193,6 +196,7 @@ def s_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare("s_session_stream", oracle=None, tier="P3")
+@tuned
 def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization: native session_window + watermark in append
     mode (the streaming face of q_session_native). Only sessions closed by
@@ -247,6 +251,7 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare("s_watermark_late", oracle=None, tier="P3")
+@tuned
 def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window counts in append mode: two deterministic
     micro-batches; output contains only windows closed by the final

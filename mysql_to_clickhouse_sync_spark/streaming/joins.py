@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_sync_spark.catalog import EVENTS_US_CTE, load_table
 from mysql_to_clickhouse_sync_spark.registry import declare
+from mysql_to_clickhouse_sync_spark.streaming.tuning import tuned
 
 SPLIT_TS = "2024-01-20 00:00:00"  # same micro-batch split as declared.py
 _WATERMARK = "40 days"  # > fixture span: nothing evicted -> oracle-exact
@@ -49,6 +50,7 @@ _WATERMARK = "40 days"  # > fixture span: nothing evicted -> oracle-exact
     """,
     tier="P3",
 )
+@tuned
 def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: each micro-batch of the events stream is
     joined against the broadcast customer dimension, then aggregated per
@@ -122,6 +124,7 @@ def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tier="P3",
 )
+@tuned
 def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases attributed to any click by the
     same user within the preceding hour. Watermarks on both sides let the

@@ -32,6 +32,7 @@ from pyspark.sql.types import (
 
 from mysql_to_clickhouse_sync_spark.catalog import load_table
 from mysql_to_clickhouse_sync_spark.registry import declare
+from mysql_to_clickhouse_sync_spark.streaming.tuning import tuned
 from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
 if TYPE_CHECKING:
@@ -97,6 +98,7 @@ def streaming_profiles(stream: DataFrame) -> DataFrame:
 
 
 @declare("s_stateful_profile", oracle=None, tier="P3")
+@tuned
 def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running profile maintained by applyInPandasWithState across
     two deterministic micro-batches; returns each user's FINAL profile (the
