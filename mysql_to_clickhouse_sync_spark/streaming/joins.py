@@ -195,3 +195,75 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if query is not None:
             query.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@declare(
+    "s_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_copies_seen
+    FROM (
+        SELECT event_id, user_id, event_type FROM events
+        UNION ALL
+        SELECT event_id, user_id, event_type FROM events
+        WHERE event_id % 3 = 0
+    )
+    GROUP BY event_id, user_id, event_type
+    HAVING count(*) >= 1
+    """,
+    tier="P3",
+)
+@tuned
+def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the events feed is replayed WITH
+    duplicates (every third event ships twice — the at-least-once delivery
+    a binlog reader actually sees), and dropDuplicatesWithinWatermark
+    removes them in-flight keyed on event_id. State holds only ids younger
+    than the watermark — bounded by (rate x delay) at any scale, unlike an
+    unbounded dropDuplicates. The oracle is the batch GROUP BY over the
+    duplicated input; n_copies_seen is reconstructed after dedup by joining
+    the copy count statically (1 for unduplicated ids, 2 for shipped-twice
+    ids) so the comparison also pins WHICH rows were duplicated."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    dup = events.filter(F.col("event_id") % 3 == 0)
+    feed = events.unionAll(dup)
+    early = feed.filter(F.col("ts") < F.lit(SPLIT_TS))
+    late = feed.filter(F.col("ts") >= F.lit(SPLIT_TS))
+
+    workdir = tempfile.mkdtemp(prefix="stream_dedup_")
+    in_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+    deduped = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withWatermark("ts", _WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    sink = f"stream_dedup_{abs(hash(workdir)) % 10**9}"
+    query = None
+    try:
+        early.coalesce(1).write.mode("append").parquet(in_dir)
+        query = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(in_dir)
+        query.processAllAvailable()
+        out = spark.table(sink).localCheckpoint(eager=True)
+        n_copies = (
+            F.when(F.col("event_id") % 3 == 0, F.lit(2)).otherwise(F.lit(1))
+        ).cast("long")
+        return out.withColumn("n_copies_seen", n_copies)
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
