@@ -171,10 +171,15 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "salt", F.col("l_linenumber") % JOIN_SALTS
     )
+    # shuffle_hash hint: at fixture scale Catalyst would broadcast orders
+    # and the salted-shuffle path this operator demonstrates would never
+    # run; at 100 TB (both sides over the broadcast threshold) the hinted
+    # plan IS the chosen plan.
     orders = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderpriority")
         .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALTS - 1))))
+        .hint("shuffle_hash")
     )
     price = F.col("l_extendedprice").cast("decimal(18,6)")
     disc = F.col("l_discount").cast("decimal(18,6)")
