@@ -1,0 +1,170 @@
+"""Time-series operators — calendar-spine resampling with forward fill, and
+full-outer-join null semantics (extensions; SURVEY.md §2.5/§2.4. The
+reference moves raw rows only — these are the shapes its ClickHouse users
+run downstream on event streams).
+
+q_resample is the hypertable/ASOF-rollup pattern: a dense hourly spine per
+key (sequence + explode — generated JVM-side, no driver loop), left-joined
+with the per-hour aggregate, then gaps forward-filled with
+last_value(ignore nulls) over an ordered window. One shuffle on user_id
+serves both the join and the fill window.
+
+Scale notes: the spine is |keys| x |buckets| rows of three columns — at
+100 TB you generate it per key-partition (it broadcasts or co-partitions
+with the fact side, never materializing globally). Forward fill is a
+single window pass; state per key is one value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_to_clickhouse_sync_spark.catalog import EVENTS_US_CTE, load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+RESAMPLE_USERS = 30  # user_id bound for the declared spine
+RESAMPLE_START = "2024-01-01 00:00:00"
+RESAMPLE_END = "2024-01-07 23:00:00"  # inclusive hourly spine, 168 buckets
+
+
+@declare(
+    "q_resample",
+    oracle=f"""
+    {EVENTS_US_CTE},
+    keys AS (
+        SELECT DISTINCT user_id FROM events_us
+        WHERE user_id < {RESAMPLE_USERS}
+    ), spine AS (
+        SELECT k.user_id, s.h AS hour_start
+        FROM keys k
+        CROSS JOIN (
+            SELECT unnest(generate_series(
+                TIMESTAMP '{RESAMPLE_START}',
+                TIMESTAMP '{RESAMPLE_END}',
+                INTERVAL 1 HOUR)) AS h
+        ) s
+    ), hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_start,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,2))
+                   AS sum_value
+        FROM events_us
+        WHERE user_id < {RESAMPLE_USERS}
+          AND ts >= TIMESTAMP '{RESAMPLE_START}'
+          AND ts < TIMESTAMP '{RESAMPLE_END}' + INTERVAL 1 HOUR
+        GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT s.user_id, s.hour_start,
+           coalesce(h.n_events, 0) AS n_events,
+           h.sum_value AS sum_value_raw,
+           last_value(h.sum_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_value_ffill
+    FROM spine s
+    LEFT JOIN hourly h USING (user_id, hour_start)
+    """,
+    tier="P2",
+)
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of the first week per user with a dense spine: empty
+    hours appear with n_events=0 and carry the last observed sum forward
+    (NULL until a first observation — exactly what last_value(ignore nulls)
+    yields on both engines)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < RESAMPLE_USERS)
+        & (F.col("ts") >= F.lit(RESAMPLE_START))
+        & (F.col("ts") < F.to_timestamp(F.lit(RESAMPLE_END)) + F.expr("INTERVAL 1 HOUR"))
+    )
+    keys = events.select("user_id").distinct()
+    spine = keys.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit(RESAMPLE_START)),
+                F.to_timestamp(F.lit(RESAMPLE_END)),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_start"),
+    )
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,2)")
+        .alias("sum_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour_start"], "left")
+        .select(
+            "user_id",
+            "hour_start",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.col("sum_value").alias("sum_value_raw"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ffill"),
+        )
+    )
+
+
+OUTER_CUST_BOUND = 1000  # customers kept on the dim side to force unmatched orders
+
+
+@declare(
+    "q_outer_join",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,2))
+                   AS total_spend
+        FROM orders GROUP BY o_custkey
+    ), dims AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey < {OUTER_CUST_BOUND}
+    )
+    SELECT coalesce(c_custkey, o_custkey) AS custkey,
+           c_mktsegment,
+           coalesce(n_orders, 0) AS n_orders,
+           total_spend,
+           (c_custkey IS NULL) AS dim_missing,
+           (o_custkey IS NULL) AS fact_missing
+    FROM dims FULL OUTER JOIN per_cust ON c_custkey = o_custkey
+    """,
+    tier="P2",
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join null semantics: the dim side is truncated so both
+    unmatched-fact rows (customers >= bound with orders) and unmatched-dim
+    rows (customers without any order) survive, with coalesced keys and
+    explicit missing-side flags."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(18,2)")
+            .alias("total_spend"),
+        )
+    )
+    dims = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < OUTER_CUST_BOUND)
+        .select("c_custkey", "c_mktsegment")
+    )
+    joined = dims.join(per_cust, dims.c_custkey == per_cust.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        "c_mktsegment",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        "total_spend",
+        F.col("c_custkey").isNull().alias("dim_missing"),
+        F.col("o_custkey").isNull().alias("fact_missing"),
+    )

@@ -65,6 +65,7 @@ def _load_all_modules() -> None:
         skew,
         stats,
         text,
+        timeseries,
         tpch,
         versioning,
         windows,
