@@ -67,6 +67,7 @@ def _load_all_modules() -> None:
         text,
         timeseries,
         tpch,
+        udtf_ops,
         versioning,
         windows,
     )
