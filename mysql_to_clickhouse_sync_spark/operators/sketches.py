@@ -7,12 +7,15 @@ that merge by register-max — commutative and associative, so the estimate
 is deterministic regardless of partition order, and the shuffle carries
 one ~4 KB sketch per group instead of every distinct value.
 
-Oracle honesty: at the fixtures' cardinality (150 users, far below the
-lgConfigK=12 sparse-mode bound of ~3k) the sketch stores the values
-themselves and the estimate IS the exact count — hence the exact
-COUNT(DISTINCT) oracle below is a true equality, not a tolerance check. At
-production cardinalities the estimate diverges (±~1.6% at lgK=12) and this
-query's oracle would be dropped; the plan shape is what carries over.
+Oracle honesty: while the sketch stays in sparse/coupon mode it stores
+hashed values exactly and the estimate IS the exact count — hence the
+exact COUNT(DISTINCT) oracle below is a true equality, not a tolerance
+check. lgConfigK=17 keeps that true far past the fixtures' cardinality
+(verified exact at 150 and 1,500 distinct users, sf0.01/sf0.1; the
+DEFAULT lgK=12 already left sparse mode at 1,500 and under-counted by
+~0.6%). At production cardinalities the estimate diverges and the oracle
+would be dropped; the plan shape — map-side sketches, register-max merge,
+one ~2^lgK-byte sketch per group on the shuffle — is what carries over.
 """
 
 from __future__ import annotations
@@ -22,6 +25,8 @@ from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_sync_spark.catalog import load_table
 from mysql_to_clickhouse_sync_spark.registry import declare
+
+HLL_LGK = 17  # sparse/coupon mode (exact) far beyond fixture cardinality
 
 
 @declare(
@@ -41,6 +46,8 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     built map-side per partition; only sketches shuffle."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(HLL_LGK))).alias(
+            "approx_users"
+        ),
         F.count("*").alias("n_events"),
     )
