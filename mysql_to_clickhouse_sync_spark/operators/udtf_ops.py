@@ -1,4 +1,4 @@
-"""Python UDTF surface (SURVEY.md §2.10 — the reference's only "UDF" is its
+"""Python UDTF/UDAF + argmax/mode aggregate surface (SURVEY.md §2.10 — the reference's only "UDF" is its
 per-value literal formatter, mysql_to_clickhouse_sync.py:56-74; Spark's
 user-function ladder is scalar UDF -> pandas UDF -> mapInPandas -> UDTF,
 and the other rungs are covered by similarity.py / multimodal.py /
@@ -19,8 +19,10 @@ entirely JVM-side, which is what production should use.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.functions import udtf
 
 from mysql_to_clickhouse_sync_spark.catalog import load_table
@@ -80,4 +82,104 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_words
         FROM udtf_docs_in d, LATERAL chunk_words(d.text) c
         """
+    )
+
+
+@declare(
+    "q_argmax",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, event_id) AS last_event_type,
+           arg_min(event_type, event_id) AS first_event_type,
+           max(event_id) AS last_event_id
+    FROM events
+    GROUP BY user_id
+    """,
+    tier="P2",
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by aggregate surface (DuckDB arg_max/arg_min): first and
+    last event type per user keyed on the globally-unique event_id —
+    tie-free by construction, so the single-pass aggregate is deterministic
+    without a window (one map-side-combined shuffle; q_dedup_latest is the
+    window-based equivalent when the whole row is needed)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+@declare(
+    "q_mode",
+    oracle="""
+    SELECT user_id, event_type AS mode_event, n
+    FROM (
+        SELECT user_id, event_type, count(*) AS n,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY count(*) DESC, event_type ASC) AS rn
+        FROM events
+        GROUP BY user_id, event_type
+    )
+    WHERE rn = 1
+    """,
+    tier="P2",
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent event type per user with a deterministic tiebreak
+    (built-in mode() breaks ties arbitrarily in both engines — the
+    count + row_number composition pins them lexicographically; count
+    map-side-combines, the window adds one shuffle on user_id)."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "n")
+    )
+
+
+@declare(
+    "q_udaf_pandas",
+    oracle="""
+    SELECT lang,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+    tier="P2",
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF rung: a GROUPED_AGG pandas UDF (Arrow-batched) summing
+    int64 — exact and order-free, so it carries a plain SUM oracle. Partial
+    aggregation does NOT apply to pandas UDAFs (each group's values ship to
+    one Python worker): at 100 TB use them only for aggregates Spark lacks,
+    after a map-side-combinable pre-reduction when possible."""
+    from pyspark.sql.functions import pandas_udf
+
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    @pandas_udf("long")
+    def int_total(v: pd.Series) -> int:
+        return int(v.sum())
+
+    docs = load_table(spark, sf_dir, "documents")
+    # A GROUPED_AGG pandas UDF cannot mix with JVM aggregates in one agg();
+    # n_docs rides along as a second pandas aggregate.
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(v.size)
+
+    return docs.groupBy("lang").agg(
+        int_total("n_chars").alias("total_chars"),
+        n_rows("n_chars").alias("n_docs"),
     )
