@@ -261,3 +261,136 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
         )
     )
+
+
+@declare(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    tier="P2",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): orders in one quarter with at
+    least one lineitem shipped after the order date (l_commitdate is absent
+    from the fixtures; o_orderdate stands in). The EXISTS is a left-semi
+    join — lineitem carries only (l_orderkey, l_shipdate) to the probe and
+    short-circuits per key."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        orders.join(
+            lineitem,
+            (orders.o_orderkey == lineitem.l_orderkey)
+            & (lineitem.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@declare(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, yr, {_REVENUE_SQL} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS yr,
+               l_extendedprice, l_discount
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+            OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+          AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                             AND TIMESTAMP '1998-12-31 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+    tier="P2",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    nations (the fixture's NATION_9/NATION_10 stand in for FRANCE/GERMANY) by year. Nation joined twice under different roles (supplier
+    side / customer side) — both broadcast; the symmetric pair filter is a
+    single OR predicate evaluated after the dims attach."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") <= F.lit("1998-12-31 00:00:00"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10")
+    ) | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("yr", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(F.sum(_revenue()).cast("decimal(18,6)").alias("revenue"))
+    )
+
+
+@declare(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tier="P2",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of per-customer order
+    counts, zero-order customers included via the left outer join (the
+    filtered condition lives IN the join, not a WHERE — moving it would
+    drop the zeros). Two aggregations: per-customer (shuffle on custkey),
+    then the tiny histogram."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
