@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the scale properties PLANS.md documents
+are asserted here so a refactor can't silently trade a broadcast for a
+sort-merge or lose a pushed filter. Plan SHAPE is scale-invariant — these
+asserts hold at 100 TB even though they run at sf0.001."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from mysql_to_clickhouse_sync_spark.registry import queries
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        queries()[name](spark, SF_DIR).explain("formatted")
+    return buf.getvalue()
+
+
+def test_star_joins_broadcast_not_shuffle(spark):
+    # Dimension joins must be broadcast: the fact spine never shuffles
+    # for a join in these plans.
+    for name in ("q_join_enrich", "q_tpch_q3", "q_tpch_q5", "q_tpch_q7"):
+        p = _plan(spark, name)
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, f"{name}: dim join fell back to SMJ"
+
+
+def test_date_filters_reach_parquet_scan(spark):
+    p = _plan(spark, "q_tpch_q6")
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+    # no shuffle at all: scan -> partial agg -> single-partition final agg
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    for name in ("q_tpch_q3", "q_tpch_q10", "q_tpch_q18", "q_topk_value"):
+        assert "TakeOrderedAndProject" in _plan(spark, name), name
+
+
+def test_salted_join_runs_shuffle_hash_path(spark):
+    p = _plan(spark, "q_salted_join")
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
+
+
+def test_semi_join_for_exists(spark):
+    assert "LeftSemi" in _plan(spark, "q_tpch_q4")
+
+
+def test_unpivot_generates_no_exchange(spark):
+    p = _plan(spark, "q_unpivot")
+    assert "Exchange" not in p
+    # column pruning: the scan must not read the string columns
+    assert "l_returnflag" not in p
+
+
+def test_ivf_broadcasts_centroids(spark):
+    p = _plan(spark, "q_ann_ivf")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
