@@ -162,3 +162,135 @@ def q_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_decoded"
         ),
     )
+
+
+HOF_BOUND = 50
+
+
+@declare(
+    "q_hof_battery",
+    oracle=f"""
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)
+               AS scaled,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           list_reduce(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (a, b) -> a + b) AS sum_sq,
+           len(list_filter(embedding, x -> x > 3.0)) > 0 AS any_big
+    FROM embeddings
+    WHERE vec_id < {HOF_BOUND}
+    """,
+    tier="P2",
+)
+def q_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function roster: transform / filter / aggregate /
+    exists over the embedding column, all JVM-side lambdas (SURVEY.md §2.8;
+    the dedup + similarity operators build on exactly these primitives).
+    One-argument lambdas only — a 2-arg PySpark HOF lambda means
+    (element, index). The fold in sum_sq is the same sequential left fold
+    as similarity.dot, bitwise-equal to DuckDB's list_reduce."""
+    from mysql_to_clickhouse_sync_spark.catalog import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings").filter(F.col("vec_id") < HOF_BOUND)
+    x2 = lambda x: x.cast("double") * F.lit(2.0)  # noqa: E731
+    sq = lambda x: x.cast("double") * x.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", x2).alias("scaled"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.aggregate(
+            F.transform("embedding", sq), F.lit(0.0), lambda a, b: a + b
+        ).alias("sum_sq"),
+        (F.size(F.filter("embedding", lambda x: x > 3.0)) > 0).alias("any_big"),
+    )
+
+
+HH_NUM, HH_DEN = 6, 5  # heavy hitter: frequency > 1.2x the mean (exact ratio)
+
+
+@declare(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    ), totals AS (
+        SELECT count(*) AS n_keys, sum(n_events) AS total FROM counts
+    )
+    SELECT user_id, n_events,
+           CAST(n_events AS DOUBLE) / total AS share
+    FROM counts CROSS JOIN totals
+    WHERE n_events * n_keys * {HH_DEN} > {HH_NUM} * total
+    """,
+    tier="P2",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis: keys whose frequency exceeds 1.2x the mean — the
+    detection pass that decides WHEN to reach for q_salted_agg /
+    q_salted_join. The comparison n*k*5 > 6*total is pure integer
+    arithmetic (no division, no float); share is a single double division
+    of identical exact operands. Counts map-side combine; totals are a
+    1-row broadcast."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    totals = counts.agg(
+        F.count("*").alias("n_keys"), F.sum("n_events").alias("total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("n_events") * F.col("n_keys") * HH_DEN > HH_NUM * F.col("total")
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("total")).alias("share"),
+        )
+    )
+
+
+@declare(
+    "q_percentile_disc",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT))
+                    THEN value END) AS p50_disc,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+                    THEN value END) AS p95_disc
+    FROM ranked
+    GROUP BY event_type
+    """,
+    tier="P2",
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (type-1) percentiles — an ACTUAL data value, not an
+    interpolation (q_median covers the continuous variant). Implemented
+    relationally on both engines (rank = ceil(p*n), event_id tiebreak)
+    because built-in percentile_disc tie rules differ across engines. One
+    shuffle on event_type; the window and the aggregation share it."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+
+    def pick(p: float, alias: str):
+        target = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")).cast("long"))
+        return F.max(
+            F.when(F.col("rn") == target, F.col("value"))
+        ).alias(alias)
+
+    return ranked.groupBy("event_type").agg(
+        pick(0.50, "p50_disc"), pick(0.95, "p95_disc")
+    )
