@@ -394,3 +394,108 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@declare(
+    "q_tpch_q14",
+    oracle=f"""
+    WITH j AS (
+        SELECT p_type, l_extendedprice, l_discount
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    )
+    SELECT
+        CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                      AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+             AS DECIMAL(18,6)) AS promo_revenue,
+        {_REVENUE_SQL} AS total_revenue,
+        100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                      AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+                 AS DECIMAL(18,6)) AS DOUBLE)
+              / CAST({_REVENUE_SQL} AS DOUBLE) AS promo_pct
+    FROM j
+    """,
+    tier="P2",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of one month's revenue from promo
+    parts. Both sums are exact decimals whose raw integers stay below 2^53,
+    so the final double division (the only float op) sees identical
+    operands in both engines; part is broadcast, the month filter prunes
+    the lineitem scan."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00"))
+    )
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).cast("decimal(18,6)").alias("promo_revenue"),
+            F.sum(rev).cast("decimal(18,6)").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.lit(100.0)
+            * F.col("promo_revenue").cast("double")
+            / F.col("total_revenue").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+@declare(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT {_REVENUE_SQL} AS revenue, count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 35
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    tier="P2",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): OR-of-ANDs predicate spanning both
+    join sides (container/shipmode legs are absent from the fixtures; the
+    brand/size/quantity legs carry the shape). Catalyst pushes the common
+    residue of the disjunction below the join where derivable; part stays
+    broadcast so the disjunction evaluates streaming-side."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    leg = lambda b, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s_lo, s_hi)
+        & (qty >= q_lo)
+        & (qty <= q_hi)
+    )
+    cond = (
+        leg("Brand#1", 1, 15, 1, 21)
+        | leg("Brand#3", 10, 35, 10, 30)
+        | leg("Brand#5", 20, 50, 20, 40)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_revenue()).cast("decimal(18,6)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
