@@ -39,6 +39,25 @@ def _current_generation(path: str) -> str | None:
     return os.path.join(path, gen) if gen else None
 
 
+def _publish_generation(path: str, write_fn) -> str:
+    """Write-audit-publish: write the next generation via write_fn(gen_path),
+    atomically flip the pointer, retire the old generation. Returns the new
+    generation path."""
+    old_gen = _current_generation(path)
+    gen_name = (
+        f"gen-{0 if old_gen is None else int(os.path.basename(old_gen).split('-')[1]) + 1:06d}"
+    )
+    gen_path = os.path.join(path, gen_name)
+    write_fn(gen_path)
+    tmp_ptr = os.path.join(path, _POINTER + ".tmp")
+    with open(tmp_ptr, "w") as fh:
+        fh.write(gen_name)
+    os.replace(tmp_ptr, os.path.join(path, _POINTER))  # atomic publish
+    if old_gen is not None:
+        shutil.rmtree(old_gen, ignore_errors=True)  # retire old generation
+    return gen_path
+
+
 def _read_raw(spark: SparkSession, path: str) -> DataFrame | None:
     """The stored state INCLUDING tombstone rows (op column), or None."""
     gen = _current_generation(path)
@@ -74,15 +93,7 @@ def merge_into_parquet(
     new_state = apply_changelog(state, changelog, keys, version_cols)
     # Persist WITH tombstones (op column) so later out-of-order upserts
     # cannot revive deleted keys across merges; readers get live_rows.
-    old_gen = _current_generation(path)
-    gen_name = f"gen-{0 if old_gen is None else int(os.path.basename(old_gen).split('-')[1]) + 1:06d}"
-    gen_path = os.path.join(path, gen_name)
-    new_state.write.mode("overwrite").parquet(gen_path)
-
-    tmp_ptr = os.path.join(path, _POINTER + ".tmp")
-    with open(tmp_ptr, "w") as fh:
-        fh.write(gen_name)
-    os.replace(tmp_ptr, os.path.join(path, _POINTER))  # atomic publish
-    if old_gen is not None:
-        shutil.rmtree(old_gen, ignore_errors=True)  # retire old generation
+    gen_path = _publish_generation(
+        path, lambda p: new_state.write.mode("overwrite").parquet(p)
+    )
     return live_rows(spark.read.parquet(gen_path))
