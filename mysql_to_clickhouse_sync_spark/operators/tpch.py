@@ -499,3 +499,177 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@declare(
+    "q_tpch_q8",
+    oracle=f"""
+    WITH volumes AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               n2.n_name AS supp_nation,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                    AS DECIMAL(18,6)) AS volume
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT yr,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6))
+               AS nation_volume,
+           CAST(sum(volume) AS DECIMAL(18,6)) AS total_volume,
+           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6))
+                AS DOUBLE)
+             / CAST(CAST(sum(volume) AS DECIMAL(18,6)) AS DOUBLE)
+               AS mkt_share
+    FROM volumes
+    GROUP BY yr
+    """,
+    tier="P2",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_9's share of ASIA's PROMO-
+    part order volume by year. Eight-table join, every dimension broadcast,
+    nation attached twice (customer region filter vs supplier share tag);
+    the share is one double division of exact decimal sums (both < 2^53
+    raw)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _revenue()
+    nation_vol = F.when(F.col("supp_nation") == "NATION_9", vol).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    agg = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), customer.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_rkey") == region.r_regionkey)
+        .join(F.broadcast(n2), supplier.s_nationkey == F.col("n2_key"))
+        .withColumn("yr", F.year("o_orderdate"))
+        .groupBy("yr")
+        .agg(
+            F.sum(nation_vol).cast("decimal(18,6)").alias("nation_volume"),
+            F.sum(vol).cast("decimal(18,6)").alias("total_volume"),
+        )
+    )
+    return agg.select(
+        "yr",
+        "nation_volume",
+        "total_volume",
+        (
+            F.col("nation_volume").cast("double")
+            / F.col("total_volume").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+@declare(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {_REVENUE_SQL} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tier="P2",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum quarterly
+    revenue — a CTE reused by both the ranking and the scalar-max subquery.
+    The revenue aggregation computes once; the 1-row max broadcasts back
+    against it (decimal equality is exact, so 'the max' is well-defined
+    cross-engine; genuine ties all surface, as in the spec)."""
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        lineitem.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue()).cast("decimal(18,6)").alias("total_revenue"))
+        .localCheckpoint(eager=True)  # compute the CTE once, reuse twice
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@declare(
+    "q_tpch_q17",
+    oracle="""
+    WITH stats AS (
+        SELECT l_partkey AS pk,
+               count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6))
+               AS small_qty_price,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part  ON p_partkey = l_partkey
+    JOIN stats ON pk = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND CAST(l_quantity AS DECIMAL(18,6)) * n * 5 < sq
+    """,
+    tier="P2",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lineitems of one brand
+    whose quantity is below 20% of that part's average. The correlated AVG
+    decorrelates to a per-part (count, sum) aggregate joined back; the
+    comparison qty*n*5 < sum is division-free exact decimal, so no float
+    can split the engines. Lineitem shuffles once on l_partkey for the
+    stats; the stats join reuses that key."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    stats = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count("*").alias("n"), F.sum(qty).alias("sq")
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(stats, F.col("l_partkey") == F.col("pk"))
+        .filter(qty * F.col("n") * F.lit(5) < F.col("sq"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("small_qty_price"),
+            F.count("*").alias("n_items"),
+        )
+    )
