@@ -1,9 +1,14 @@
 """TPC-H analytics suite (extensions — the reference copies tables without
 analytics, mysql_to_clickhouse_sync.py:192-199; these queries demonstrate the
 relational completeness a ClickHouse-side user would run on the synced data,
-SURVEY.md §2.3/§2.4/§2.6). Q1 lives in skew.py; this module adds Q3, Q5, Q6,
-Q10 and Q18, adapted to the fixture schemas (no shippriority / commitdate /
-address columns — nearest existing columns substituted).
+SURVEY.md §2.3/§2.4/§2.6). Q1 lives in skew.py; this module adds Q3, Q4,
+Q5, Q6, Q7, Q8, Q10, Q13, Q14, Q15, Q17, Q18 and Q19 — every TPC-H query
+expressible on the fixture schemas (no partsupp table, no shippriority /
+commitdate / shipmode / container / phone columns — nearest existing
+columns substituted; synthetic NATION_N names stand in for country
+literals). Q2/Q9/Q11/Q16/Q20 need partsupp; Q12/Q21 need commit/receipt
+dates; Q22 needs phone codes — structurally inexpressible here, not
+skipped for difficulty.
 
 Money arithmetic follows the q_tpch_q1 pattern: cast operands to
 decimal(18,6), rescale every product back to (18,6) (exact — inputs carry
