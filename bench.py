@@ -29,9 +29,10 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    warm_mode = "--warm" in sys.argv or os.environ.get("SPARK_GRAFT_WARM") == "1"
     qs = queries()
-    timings: dict[str, float] = {}
-    for name in sorted(qs):
+
+    def run_once(name: str) -> float:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         if REGISTRY[name].tier == "P3":
@@ -40,20 +41,29 @@ def main() -> None:
             df.count()
         else:
             df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        return round(time.time() - t0, 3)
+
+    timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for name in sorted(qs):
+        timings[name] = run_once(name)
+        if warm_mode:
+            # Second run of the identical plan: codegen/compile amortized —
+            # the steady-state number a long-running cluster job sees.
+            warm[name] = run_once(name)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_declared_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "total_declared_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if warm_mode:
+        out["value_warm"] = round(sum(warm.values()), 3)
+        out["queries_warm"] = warm
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
