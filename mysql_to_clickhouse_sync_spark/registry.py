@@ -80,6 +80,7 @@ def _load_all_modules() -> None:
     from mysql_to_clickhouse_sync_spark.streaming import (  # noqa: F401
         stateful as _stateful,
     )
+    from mysql_to_clickhouse_sync_spark.sources import binlog as _binlog  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:
