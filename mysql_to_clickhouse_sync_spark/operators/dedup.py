@@ -96,27 +96,16 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- shared text-normalization / hashing expressions ------------------------
 
-def _norm_text(col: Column) -> Column:
-    """Lowercase, strip non-alphanumerics (keep spaces) — the canonical form
-    shared by fingerprint / minhash / simhash."""
-    return F.regexp_replace(F.lower(col), "[^a-z0-9 ]", "")
-
-
-_NORM_SQL = "regexp_replace(lower({col}), '[^a-z0-9 ]', '', 'g')"
-
-
-def md5_hash64(col: Column, seed: str = "") -> Column:
-    """Deterministic 60-bit integer hash via md5 — reproducible in any engine
-    with md5 + hex parsing (DuckDB: CAST('0x'||substr(md5(..),1,15) AS BIGINT))."""
-    salted = F.concat(col, F.lit(seed)) if seed else col
-    return F.conv(F.substring(F.md5(salted.cast("binary")), 1, 15), 16, 10).cast(
-        "bigint"
-    )
-
-
-def _md5_hash64_sql(expr: str, seed: str = "") -> str:
-    salted = f"{expr} || '{seed}'" if seed else expr
-    return f"CAST(concat('0x', substr(md5({salted}), 1, 15)) AS BIGINT)"
+# Canonical definitions live in functions/ (textexpr.py, hashing.py);
+# re-exported here under the historical names for downstream importers.
+from mysql_to_clickhouse_sync_spark.functions.hashing import (  # noqa: E402
+    md5_hash64,
+    md5_hash64_sql as _md5_hash64_sql,
+)
+from mysql_to_clickhouse_sync_spark.functions.textexpr import (  # noqa: E402
+    NORM_TEXT_SQL as _NORM_SQL,
+    norm_text as _norm_text,
+)
 
 
 @declare(

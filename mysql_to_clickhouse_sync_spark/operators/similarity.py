@@ -42,29 +42,14 @@ LSH_QUERIES = 50  # vec_id bound for the ANN query set
 ANN_K = 3
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold dot product in double — deterministic and
-    engine-portable (matches DuckDB list_reduce exactly)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-_DOT_SQL = """
-    list_reduce(list_transform(list_zip({a}, {b}),
-                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-                (x, y) -> x + y)
-"""
-
-
-def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
-    """Attach the L2 norm once per vector (never recompute per pair)."""
-    return df.withColumn("norm", F.sqrt(dot(F.col(vec), F.col(vec))))
-
-
-_NORM_SQL = f"sqrt({_DOT_SQL.format(a='embedding', b='embedding')})"
+# Canonical definitions live in functions/vectors.py; re-exported here under
+# the historical names for the operator/test importers.
+from mysql_to_clickhouse_sync_spark.functions.vectors import (  # noqa: E402
+    DOT_SQL as _DOT_SQL,
+    NORM_SQL as _NORM_SQL,
+    dot,
+    with_norm,
+)
 
 
 def _pair_cosine(subset_pred: str) -> str:
