@@ -249,3 +249,62 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOPK)
         .select("doc_id", "token", "tf", "df", "score")
     )
+
+
+FUZZY_BOUND = 150  # c_custkey bound for the exact all-pairs demonstration
+
+
+@declare(
+    "q_fuzzy_match",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.c_custkey AS custkey,
+               b.c_custkey AS other,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a
+        JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey
+        WHERE a.c_custkey < {FUZZY_BOUND} AND b.c_custkey < {FUZZY_BOUND}
+    ),
+    ranked AS (
+        SELECT custkey, other AS best_match, dist,
+               row_number() OVER (PARTITION BY custkey
+                                  ORDER BY dist, other) AS rn
+        FROM pairs
+    )
+    SELECT custkey, best_match, dist FROM ranked WHERE rn = 1
+    """,
+    tier="P2",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: nearest name by Levenshtein distance within a
+    blocking key (nation). Both engines implement classic unit-cost edit
+    distance, so distances are integer-identical; the (dist, other) window
+    order makes the winner deterministic.
+
+    Scale notes: the blocking key turns O(n^2) global pairs into
+    sum-of-squares per block — the standard record-linkage shape. At 100 TB
+    block on a cheap canopy (sorted-neighborhood key, phonetic code, or an
+    LSH bucket from operators/dedup.py) so block sizes stay bounded; the
+    id-bound here is the fixture-scale stand-in for that."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < FUZZY_BOUND)
+        .select("c_custkey", "c_nationkey", "c_name")
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") != F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("custkey"),
+        F.col("b.c_custkey").alias("other"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+    )
+    w = Window.partitionBy("custkey").orderBy("dist", "other")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("custkey", F.col("other").alias("best_match"), "dist")
+    )

@@ -183,3 +183,45 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+_HOUR_FRAME = (
+    "OVER (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+)
+
+
+@declare(
+    "q_range_frame",
+    oracle=f"""
+    {EVENTS_US_CTE}
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) {_HOUR_FRAME}
+                AS DECIMAL(18,2)) AS hour_sum,
+           count(*) {_HOUR_FRAME} AS hour_n
+    FROM events_us
+    """,
+    tier="P2",
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: per user, the trailing-1-hour sum/count at
+    every event. Unlike q_sliding_avg's ROWS frame, the frame edge is a
+    timestamp predicate, so tied order keys share one frame and the result
+    is deterministic without a row tiebreak. Sum runs in decimal (exact,
+    associative). One hash-exchange on user_id serves both functions.
+
+    At scale a RANGE frame is state-bounded by time, not row count — the
+    window buffer holds only one hour of a user's events regardless of
+    total history (contrast ROWS N PRECEDING, which is unbounded in time
+    on burst traffic)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(
+            f"CAST(sum(CAST(value AS DECIMAL(18,6))) {_HOUR_FRAME} "
+            "AS DECIMAL(18,2))"
+        ).alias("hour_sum"),
+        F.expr(f"count(*) {_HOUR_FRAME}").alias("hour_n"),
+    )
