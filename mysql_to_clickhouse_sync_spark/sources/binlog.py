@@ -27,7 +27,7 @@ S:85-91).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -156,6 +156,32 @@ def read_envelope_stream(
     return _PARSERS[fmt](raw, payload_schema)
 
 
+def to_debezium_envelopes(
+    df: DataFrame, cols: list[str], is_delete: Column
+) -> DataFrame:
+    """Serialize rows to Debezium envelope JSON strings (single `value`
+    column) — deletes put the row image in `before`, everything else in
+    `after`. The inverse of parse_debezium; used by the declared queries to
+    synthesize a binlog feed from fixture tables."""
+    payload = F.struct(*cols)
+    return df.select(
+        F.to_json(
+            F.struct(
+                F.when(is_delete, payload).alias("before"),
+                F.when(~is_delete, payload).alias("after"),
+                F.when(is_delete, F.lit(_DEBEZIUM_DELETE))
+                .otherwise(F.lit("u"))
+                .alias("op"),
+                F.struct(
+                    F.lit("binlog.000001").alias("file"),
+                    F.col(cols[0]).alias("pos"),
+                ).alias("source"),
+            ),
+            _JSON_OPTS,
+        ).alias("value")
+    )
+
+
 @declare(
     "q_binlog_parse",
     oracle="""
@@ -177,24 +203,8 @@ def q_binlog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     payload_schema = events.select(*cols).schema
-    is_del = F.col("event_type") == "error"
-    payload = F.struct(*cols)
-    envelopes = events.select(
-        F.to_json(
-            F.struct(
-                F.when(is_del, payload).alias("before"),
-                F.when(~is_del, payload).alias("after"),
-                F.when(is_del, F.lit(_DEBEZIUM_DELETE))
-                .otherwise(F.lit("u"))
-                .alias("op"),
-                F.unix_millis(F.col("ts")).alias("ts_ms"),
-                F.struct(
-                    F.lit("binlog.000001").alias("file"),
-                    F.col("event_id").alias("pos"),
-                ).alias("source"),
-            ),
-            _JSON_OPTS,
-        ).alias("value")
+    envelopes = to_debezium_envelopes(
+        events, cols, F.col("event_type") == "error"
     )
     return parse_debezium(envelopes, payload_schema).select(*cols, OP_COL)
 
