@@ -1,0 +1,217 @@
+"""Dataset-curation operators: reproducible splits, sensitive-term
+scrubbing, and per-column profiling (north-star training-data extensions;
+the reference has no analytics surface at all — SURVEY.md §2.8, §2.10).
+
+  * q_hash_split   — deterministic md5-keyed train/val/test split. THE
+                     reproducible way to split 100 TB: the assignment is a
+                     pure function of the stable key, so it needs no shuffle,
+                     no persisted assignment table, and is stable under
+                     re-runs, repartitioning, and incremental appends.
+  * q_redact_scrub — regex scrub of sensitive terms (PII-shaped machinery:
+                     swap the pattern for emails/phones/SSNs in production;
+                     the fixture corpus has no digits, so the declared query
+                     uses word patterns that actually occur) with per-language
+                     hit accounting.
+  * q_null_profile — per-column data-quality profile (null count, exact
+                     distinct count, typed min/max rendered to strings) of
+                     `orders`, unpivoted to one row per column.
+
+Scale notes: hash-split and scrub are map-only scalar expressions inside
+whole-stage codegen — they scan once and shuffle only the tiny final
+aggregate. The profiler computes every column's aggregates in ONE pass over
+the table (single scan at 100 TB) and unpivots the 1-row result driver-side;
+exact multi-column distinct counts expand the plan (Catalyst `Expand`, one
+shuffle per distinct column set) — at 100 TB you would swap
+`count(distinct)` for `approx_count_distinct` per column, which collapses
+back to a single aggregate; declared exact here so DuckDB hash-matches.
+
+Reference tie-in: min/max-with-default profiling per table is exactly the
+reference's planning scan (IFNULL(MIN/MAX), mysql_to_clickhouse_sync.py:163)
+generalized from the PK column to every column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+# 80/10/10 by the first two hex chars of md5(key): hex strings compare
+# lexicographically identically in Spark and DuckDB (ASCII '0'<'9'<'a'<'f').
+_TRAIN_HI = "cc"  # 0xcc = 204/256 ≈ 79.7 %
+_VAL_HI = "e6"  # 0xe6 = 230/256 → next ≈ 10.2 %
+
+
+def split_assign(key: Column) -> Column:
+    """Deterministic split label from a stable key — md5 keeps the
+    assignment uniform and engine-independent."""
+    bucket = F.substring(F.md5(key.cast("string")), 1, 2)
+    return (
+        F.when(bucket < _TRAIN_HI, F.lit("train"))
+        .when(bucket < _VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@declare(
+    "q_hash_split",
+    oracle=f"""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}'
+                    THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}'
+                    THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           min(doc_id) AS first_doc
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tier="P1",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test split of the document corpus, audited
+    per (split, lang). Map-only assignment; the only shuffle is the
+    |splits|x|langs|-row audit aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", split_assign(F.col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+# Word patterns present in the fixture corpus; production swaps in
+# email/phone/SSN alternations — identical plan shape either way.
+_SCRUB_PATTERN = r"\b(customer|key)\b"
+_SCRUB_TOKEN = "<REDACTED>"
+
+
+@declare(
+    "q_redact_scrub",
+    oracle=f"""
+    WITH hits AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '{_SCRUB_PATTERN}')) AS n_hits,
+               length(regexp_replace(text, '{_SCRUB_PATTERN}',
+                                     '{_SCRUB_TOKEN}', 'g')) AS len_after,
+               length(text) AS len_before
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS docs_hit,
+           sum(n_hits) AS total_hits,
+           sum(len_before) AS chars_before,
+           sum(len_after) AS chars_after
+    FROM hits
+    GROUP BY lang
+    """,
+    tier="P1",
+)
+def q_redact_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-term scrub with audit counts: how many documents and
+    occurrences were touched per language, and the size delta. One codegen'd
+    scan; Spark's regexp_replace is global by default (DuckDB needs 'g')."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_hits = F.size(
+        F.regexp_extract_all("text", F.lit(_SCRUB_PATTERN), 0)
+    ).cast("bigint")
+    redacted = F.regexp_replace("text", _SCRUB_PATTERN, _SCRUB_TOKEN)
+    return (
+        docs.select(
+            "lang",
+            n_hits.alias("n_hits"),
+            F.length(redacted).alias("len_after"),
+            F.length("text").alias("len_before"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_hits") > 0).cast("bigint")).alias("docs_hit"),
+            F.sum("n_hits").alias("total_hits"),
+            F.sum("len_before").alias("chars_before"),
+            F.sum("len_after").alias("chars_after"),
+        )
+    )
+
+
+# (column, render) pairs for the profiler. o_totalprice (double) renders no
+# min/max string: Java's Double.toString and DuckDB's shortest-round-trip
+# repr disagree on some doubles, and rounding through a decimal cast
+# double-rounds in DuckDB (memory: wide-decimal→double) — n_null/n_distinct
+# are still exact for it.
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _render(col: str, dtype: str) -> Column:
+    if dtype == "double":
+        return F.lit(None).cast("string")
+    if dtype.startswith("timestamp"):
+        return F.date_format(F.col(col), _TS_FMT)
+    return F.col(col).cast("string")
+
+
+def _render_sql(col: str, dtype: str) -> str:
+    if dtype == "double":
+        return "CAST(NULL AS VARCHAR)"
+    if dtype.startswith("timestamp"):
+        return f"strftime({col}, '%Y-%m-%d %H:%M:%S.%f')"
+    return f"CAST({col} AS VARCHAR)"
+
+
+_ORDERS_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, t in _ORDERS_COLS:
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+                   count(*) - count({c}) AS n_null,
+                   count(DISTINCT {c}) AS n_distinct,
+                   min({_render_sql(c, t)}) AS min_str,
+                   max({_render_sql(c, t)}) AS max_str
+            FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@declare("q_null_profile", oracle=_profile_oracle(), tier="P1")
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column quality profile of `orders` in one scan: null count, exact
+    distinct count, rendered min/max. The single aggregated row is unpivoted
+    to one row per column driver-side (6 rows — no second shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, t in _ORDERS_COLS:
+        rendered = _render(c, t)
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(rendered).alias(f"{c}__min"),
+            F.max(rendered).alias(f"{c}__max"),
+        ]
+    one_row = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__null, {c}__distinct, {c}__min, {c}__max"
+        for c, _ in _ORDERS_COLS
+    )
+    return one_row.selectExpr(
+        f"stack({len(_ORDERS_COLS)}, {stack_args}) "
+        "AS (col_name, n_null, n_distinct, min_str, max_str)"
+    )

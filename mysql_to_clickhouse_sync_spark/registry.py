@@ -58,6 +58,7 @@ def _load_all_modules() -> None:
         json_ops,
         multimodal,
         normalize,
+        profiling,
         reshape,
         scans,
         sketches,
