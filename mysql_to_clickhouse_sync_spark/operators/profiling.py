@@ -193,25 +193,33 @@ def _profile_oracle() -> str:
 
 @declare("q_null_profile", oracle=_profile_oracle(), tier="P1")
 def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column quality profile of `orders` in one scan: null count, exact
-    distinct count, rendered min/max. The single aggregated row is unpivoted
-    to one row per column driver-side (6 rows — no second shuffle)."""
+    """Per-column quality profile of `orders`: null count, exact distinct
+    count, rendered min/max — one independent single-column sub-plan per
+    column, unioned.
+
+    Deliberately NOT one agg() with six count_distinct's: Catalyst rewrites
+    multi-distinct into a single Expand (rows x (N+1)) feeding a
+    SortAggregate keyed on every profiled column at once — a full sort of
+    the expanded table. Per-column sub-plans instead each read ONE
+    column-pruned parquet column and hash-aggregate it; on a cluster the six
+    sub-plans are independent jobs over ~1/6 of the bytes each, so the
+    union form is both faster wall-clock and strictly less shuffle. (At
+    100 TB, swap count_distinct for approx_count_distinct and the whole
+    profile collapses to one scan with no Expand at all.)"""
     orders = load_table(spark, sf_dir, "orders")
-    aggs = []
+    parts = []
     for c, t in _ORDERS_COLS:
         rendered = _render(c, t)
-        aggs += [
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__null"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(rendered).alias(f"{c}__min"),
-            F.max(rendered).alias(f"{c}__max"),
-        ]
-    one_row = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__null, {c}__distinct, {c}__min, {c}__max"
-        for c, _ in _ORDERS_COLS
-    )
-    return one_row.selectExpr(
-        f"stack({len(_ORDERS_COLS)}, {stack_args}) "
-        "AS (col_name, n_null, n_distinct, min_str, max_str)"
-    )
+        parts.append(
+            orders.select(c).agg(
+                F.lit(c).alias("col_name"),
+                F.sum(F.col(c).isNull().cast("bigint")).alias("n_null"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.min(rendered).alias("min_str"),
+                F.max(rendered).alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
