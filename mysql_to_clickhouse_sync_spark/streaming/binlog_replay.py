@@ -3,10 +3,13 @@
 The reference's complete north-star pipeline (BASELINE.json): bulk snapshot,
 then resume from the recorded binlog offset (metadata.txt,
 mysql_to_clickhouse_sync.py:175-183) and keep the sink converged. Here the
-post-snapshot events are serialized to Debezium envelope FILES (the wire a
-replayer emits), streamed back through `read_envelope_stream`, and folded
-onto the snapshot with `apply_changelog` — so the declared result exercises
-envelope parsing, micro-batching, AND the versioned merge in one query.
+post-snapshot events are serialized to rotated Debezium envelope FILES (the
+wire a replayer emits), streamed back through the custom `binlogdir` Python
+DataSource (sources/binlog_datasource.py — offsets are literally
+{file, pos}, the reference's metadata.txt pair), parsed, and folded onto the
+snapshot with `apply_changelog` — so the declared result exercises the
+custom source's offset tracking, envelope parsing, micro-batching, AND the
+versioned merge in one query.
 
 Unlike s_cdc_apply (rows-only check), this one carries a FULL DuckDB
 oracle: snapshot(latest-per-key pre-split) merged with every post-split
@@ -34,8 +37,12 @@ from mysql_to_clickhouse_sync_spark.registry import declare
 from mysql_to_clickhouse_sync_spark.sources.binlog import (
     FILE_COL,
     POS_COL,
-    read_envelope_stream,
+    parse_debezium,
     to_debezium_envelopes,
+)
+from mysql_to_clickhouse_sync_spark.sources.binlog_datasource import (
+    FORMAT_NAME,
+    register,
 )
 from mysql_to_clickhouse_sync_spark.streaming.cdc import (
     apply_changelog,
@@ -96,22 +103,40 @@ def s_binlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             version_cols=["ts", "event_id"],
         ).localCheckpoint(eager=True)
 
+    def emit_rotated_file(i: int) -> None:
+        # One envelope file per slice, named in rotation order — written by
+        # Spark (coalesce(1) text), then moved into the tailed directory
+        # under the binlog-style name the source's offsets refer to.
+        tmp = os.path.join(workdir, f"slice_{i}")
+        to_debezium_envelopes(
+            post.filter(F.col("event_id") % N_SLICES == i),
+            COLS,
+            F.col("event_type") == "error",
+        ).coalesce(1).write.mode("overwrite").text(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.startswith("part-")
+        )
+        os.rename(
+            os.path.join(tmp, part),
+            os.path.join(in_dir, f"binlog.{i + 1:06d}.jsonl"),
+        )
+
     query = None
     try:
+        register(spark)
+        raw = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("path", in_dir)
+            .load()
+        )
         stream = (
-            read_envelope_stream(
-                spark, in_dir, payload_schema, max_files_per_trigger=1
-            )
+            parse_debezium(raw, payload_schema)
             .writeStream.foreachBatch(merge)
             .option("checkpointLocation", os.path.join(workdir, "ckpt"))
         )
         # Deliberately un-ordered slices: event_id % N interleaves time.
         for i in range(N_SLICES):
-            to_debezium_envelopes(
-                post.filter(F.col("event_id") % N_SLICES == i),
-                COLS,
-                F.col("event_type") == "error",
-            ).coalesce(1).write.mode("append").text(in_dir)
+            emit_rotated_file(i)
             if query is None:
                 query = stream.start()
             query.processAllAvailable()

@@ -1,0 +1,128 @@
+"""Tests for the custom binlogdir Python DataSource
+(sources/binlog_datasource.py): exactly-once delivery across file rotation,
+checkpoint resume, snapshot→stream handoff via startingOffset, and the
+partition-per-file batch reader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from mysql_to_clickhouse_sync_spark.sources.binlog_datasource import (
+    FORMAT_NAME,
+    _scan,
+    current_offset,
+    register,
+)
+
+
+@pytest.fixture()
+def feed(tmp_path):
+    d = tmp_path / "feed"
+    d.mkdir()
+    return str(d)
+
+
+def _write(feed: str, fname: str, lines: list[str]) -> None:
+    with open(os.path.join(feed, fname), "w") as fh:
+        fh.write("".join(line + "\n" for line in lines))
+
+
+def _append(feed: str, fname: str, lines: list[str]) -> None:
+    with open(os.path.join(feed, fname), "a") as fh:
+        fh.write("".join(line + "\n" for line in lines))
+
+
+def _stream_collect(spark, feed: str, ckpt: str, got: list, offset: str | None = None):
+    reader = spark.readStream.format(FORMAT_NAME).option("path", feed)
+    if offset is not None:
+        reader = reader.option("startingOffset", offset)
+    return (
+        reader.load()
+        .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+def test_scan_pure_function(feed):
+    assert _scan(feed, {"file": "", "pos": 0}) == ([], {"file": "", "pos": 0})
+    _write(feed, "binlog.000001.jsonl", ["a", "b"])
+    rows, end = _scan(feed, {"file": "", "pos": 0})
+    assert rows == [("binlog.000001.jsonl", 0, "a"), ("binlog.000001.jsonl", 1, "b")]
+    assert end == {"file": "binlog.000001.jsonl", "pos": 2}
+    # Resume mid-file: only the tail.
+    rows, _ = _scan(feed, {"file": "binlog.000001.jsonl", "pos": 1})
+    assert rows == [("binlog.000001.jsonl", 1, "b")]
+
+
+def test_stream_exactly_once_across_rotation(spark, feed, tmp_path):
+    register(spark)
+    _write(feed, "binlog.000001.jsonl", ["r1", "r2"])
+    got: list = []
+    q = _stream_collect(spark, feed, str(tmp_path / "ckpt"), got)
+    q.processAllAvailable()
+    # Grow the current file, then rotate to a new one.
+    _append(feed, "binlog.000001.jsonl", ["r3"])
+    q.processAllAvailable()
+    _write(feed, "binlog.000002.jsonl", ["r4"])
+    q.processAllAvailable()
+    q.stop()
+    assert sorted((r.file, r.pos, r.value) for r in got) == [
+        ("binlog.000001.jsonl", 0, "r1"),
+        ("binlog.000001.jsonl", 1, "r2"),
+        ("binlog.000001.jsonl", 2, "r3"),
+        ("binlog.000002.jsonl", 0, "r4"),
+    ]
+
+
+def test_restart_resumes_from_checkpoint(spark, feed, tmp_path):
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    _write(feed, "binlog.000001.jsonl", ["r1"])
+    got1: list = []
+    q = _stream_collect(spark, feed, ckpt, got1)
+    q.processAllAvailable()
+    q.stop()
+    assert [r.value for r in got1] == ["r1"]
+    # New rows while the query is down; restart with the same checkpoint.
+    _write(feed, "binlog.000002.jsonl", ["r2", "r3"])
+    got2: list = []
+    q = _stream_collect(spark, feed, ckpt, got2)
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r.value for r in got2) == ["r2", "r3"]  # r1 NOT replayed
+
+
+def test_starting_offset_handoff(spark, feed, tmp_path):
+    """The reference's snapshot recipe: record the position under the lock,
+    stream only what came after (metadata.txt, S:175-183)."""
+    register(spark)
+    _write(feed, "binlog.000001.jsonl", ["pre1", "pre2"])
+    snap = current_offset(feed)  # SHOW MASTER STATUS analog
+    assert snap == {"file": "binlog.000001.jsonl", "pos": 2}
+    _append(feed, "binlog.000001.jsonl", ["post1"])
+    _write(feed, "binlog.000002.jsonl", ["post2"])
+    got: list = []
+    q = _stream_collect(
+        spark, feed, str(tmp_path / "ckpt"), got, offset=json.dumps(snap)
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r.value for r in got) == ["post1", "post2"]
+
+
+def test_batch_reader_partition_per_file(spark, feed):
+    register(spark)
+    _write(feed, "binlog.000001.jsonl", ["a", "b"])
+    _write(feed, "binlog.000002.jsonl", ["c"])
+    df = spark.read.format(FORMAT_NAME).option("path", feed).load()
+    assert df.rdd.getNumPartitions() == 2  # one per rotated file
+    assert sorted((r.file, r.pos, r.value) for r in df.collect()) == [
+        ("binlog.000001.jsonl", 0, "a"),
+        ("binlog.000001.jsonl", 1, "b"),
+        ("binlog.000002.jsonl", 0, "c"),
+    ]
