@@ -69,6 +69,7 @@ def _load_all_modules() -> None:
         timeseries,
         tpch,
         udtf_ops,
+        validation,
         versioning,
         windows,
     )
