@@ -1,0 +1,127 @@
+"""Behavioral analytics over the event stream: ordered funnels and
+retention cohorts (north-star extensions — the reference has no analytics
+surface; SURVEY.md §2.3/§2.5 declare the category).
+
+  * q_funnel_steps — ordered conversion funnel signup → view → click →
+    purchase: a user counts at step N only if their earliest step-N event
+    follows their earliest qualifying step-(N-1) event. Expressed as chained
+    conditional-min aggregations (the relational funnel form — each step is
+    one filter + groupBy-min + join on the cohort so far), not a per-user
+    Python state machine: every stage is a narrow (user_id, ts) shuffle.
+  * q_retention_cohort — classic triangle: users bucketed by the calendar
+    week of their first event, counted distinct in each later week offset.
+
+Scale notes: both shuffle only (user_id, timestamp)-shaped pairs, partially
+aggregated map-side; the funnel's step joins are user-keyed equi-joins AQE
+sizes from the shrinking survivor set (each stage's input is the previous
+stage's output — monotonically smaller). At 100 TB the natural refinement
+is pre-bucketing events by user_id so every stage is shuffle-free; the
+declared plan keeps the portable form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_sync_spark.catalog import EVENTS_US_CTE, load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+_STEPS = ["signup", "view", "click", "purchase"]
+
+
+@declare(
+    "q_funnel_steps",
+    oracle=f"""
+    {EVENTS_US_CTE},
+    s1 AS (
+        SELECT user_id, min(ts) AS t FROM events_us
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events_us e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events_us e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+    ),
+    s4 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events_us e
+        JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'view', count(*) FROM s2
+    UNION ALL
+    SELECT 3, 'click', count(*) FROM s3
+    UNION ALL
+    SELECT 4, 'purchase', count(*) FROM s4
+    """,
+    tier="P1",
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: survivors per step with strict event-order
+    enforcement (step N's first event must be later than the user's first
+    qualifying step-(N-1) event)."""
+    events = load_table(spark, sf_dir, "events")
+    cohort: DataFrame | None = None
+    counts = []
+    for i, step in enumerate(_STEPS):
+        stage = events.filter(F.col("event_type") == step)
+        if cohort is not None:
+            stage = stage.join(
+                cohort.select("user_id", "t"), "user_id"
+            ).filter(F.col("ts") > F.col("t"))
+        cohort = stage.groupBy("user_id").agg(F.min("ts").alias("t"))
+        counts.append(
+            cohort.agg(
+                F.lit(i + 1).alias("step"),
+                F.lit(step).alias("event_type"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+@declare(
+    "q_retention_cohort",
+    oracle=f"""
+    {EVENTS_US_CTE},
+    firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events_us GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week,
+                CAST(date_trunc('week', e.ts) AS TIMESTAMP)) // 7
+                AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events_us e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tier="P1",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: distinct active users per (first-week cohort,
+    week offset). Both week buckets are calendar date_trunc's, so the
+    offset division is exact."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    joined = events.join(firsts, "user_id")
+    offset = F.floor(
+        F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+        / 7
+    ).cast("bigint")
+    return joined.groupBy(
+        "cohort_week", offset.alias("week_offset")
+    ).agg(F.count_distinct("user_id").alias("n_users"))
