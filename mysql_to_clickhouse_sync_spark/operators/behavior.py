@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mysql_to_clickhouse_sync_spark.catalog import EVENTS_US_CTE, load_table
 from mysql_to_clickhouse_sync_spark.registry import declare
@@ -125,3 +126,45 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "cohort_week", offset.alias("week_offset")
     ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+@declare(
+    "q_event_transitions",
+    oracle=f"""
+    {EVENTS_US_CTE},
+    seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events_us
+    )
+    SELECT prev_type, event_type AS next_type,
+           count(*) AS n_transitions,
+           count(DISTINCT user_id) AS n_users
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tier="P1",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style transition matrix of the event stream: per-user lag
+    over (ts, event_id) — the total order makes the bigram counts exact —
+    then counts per (previous, next) pair. Scale: the lag window shuffles
+    only (user_id, ts, type)-width rows keyed by user; the transition
+    matrix itself is |types|² rows."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Deterministic sampling and quantile binning (north-star extensions —
+SURVEY.md §2.3/§2.6; the reference never samples, it bulk-copies
+everything, mysql_to_clickhouse_sync.py:44).
+
+  * q_stratified_sample — exact N-per-stratum sample, deterministic: rank
+    documents inside each language by md5(doc_id) and keep the first 10.
+    The hash order is a reproducible uniform permutation, so this IS a
+    simple random sample per stratum, yet it is a pure function of the
+    data — stable under re-runs, repartitioning, and appends, with no
+    RNG state to ship to executors (the distributed-sampling analog of
+    q_hash_split's Bernoulli split).
+  * q_ntile_binning — exact quartile binning of order totals with
+    per-bucket stats (row counts, decimal min/max/sum). ntile over a
+    total order (price, then unique key) is identically defined in Spark
+    and DuckDB.
+
+Scale notes: the stratified sample is rank-per-partition — Spark 3.5+
+pushes the `row_number <= k` predicate into a WindowGroupLimit that
+top-k-prunes BEFORE the shuffle, so each stratum moves only ~k rows.
+Exact global ntile requires a single ordered partition (the declared
+semantic); at 100 TB you bin against approx_percentile boundaries instead
+— one scan for the sketch, one map-only pass to assign, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+_PER_STRATUM = 10
+
+
+@declare(
+    "q_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, sample_rank
+    FROM ranked WHERE sample_rank <= {_PER_STRATUM}
+    """,
+    tier="P1",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10-per-language document sample ordered by a reproducible
+    md5 permutation (doc_id tiebreak for hash stability)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _PER_STRATUM)
+        .select("doc_id", "lang", "source", "n_chars", "sample_rank")
+    )
+
+
+@declare(
+    "q_ntile_binning",
+    oracle="""
+    WITH binned AS (
+        SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    )
+    SELECT quartile,
+           count(*) AS n_orders,
+           min(price) AS min_price,
+           max(price) AS max_price,
+           CAST(sum(price) AS DECIMAL(18,2)) AS total_price
+    FROM binned
+    GROUP BY quartile
+    """,
+    tier="P2",
+)
+def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bins of order totals: exact ntile over (price, key), then
+    per-bucket decimal stats."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.select(
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+            F.sum("price").cast("decimal(18,2)").alias("total_price"),
+        )
+    )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mysql_to_clickhouse_sync_spark.catalog import load_table
 from mysql_to_clickhouse_sync_spark.registry import declare
@@ -153,4 +154,64 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(bal * F.col("n_cnt") > F.col("n_sum"))
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    )
+
+
+@declare(
+    "q_zscore_outliers",
+    oracle="""
+    WITH cents AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(10,2)) * 100 AS HUGEINT) AS c
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type, c,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               sum(c) OVER (PARTITION BY event_type) AS s,
+               sum(c * c) OVER (PARTITION BY event_type) AS s2
+        FROM cents
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CASE WHEN (n * c - s) * (n * c - s) > 4 * (n * s2 - s * s)
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(sum(CASE WHEN (n * c - s) * (n * c - s)
+                              > 4 * (n * s2 - s * s)
+                         THEN c ELSE 0 END) AS BIGINT) AS outlier_cents
+    FROM stats
+    GROUP BY event_type
+    """,
+    tier="P2",
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier detection (|z| > 2), division-free:
+    (x-mu)^2 > 4*sigma^2 rearranged over integer cent power sums to
+    (n*x - sx)^2 > 4*(n*sxx - sx^2) — every operand exact in decimal(38)
+    (Spark) / int128 (DuckDB), so the flag is bit-identical. Scale: the
+    per-type moments are one map-side-combined aggregate broadcast back
+    over the stream (phrased as a window here, same exchange either way);
+    magnitudes stay far below 10^38 even at sf1000."""
+    events = load_table(spark, sf_dir, "events")
+    c = (F.col("value").cast("decimal(10,2)") * 100).cast("decimal(38,0)")
+    w = Window.partitionBy("event_type")
+    stats = events.select(
+        "event_type",
+        c.alias("c"),
+        F.count("*").over(w).cast("decimal(38,0)").alias("n"),
+        F.sum(c).over(w).cast("decimal(38,0)").alias("s"),
+        F.sum((c * c).cast("decimal(38,0)")).over(w)
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("s")
+    is_out = (dev * dev) > 4 * (
+        F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    )
+    return stats.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(is_out.cast("int")).alias("n_outliers"),
+        F.sum(F.when(is_out, F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("outlier_cents"),
     )

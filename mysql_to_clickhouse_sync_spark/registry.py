@@ -60,10 +60,12 @@ def _load_all_modules() -> None:
         multimodal,
         normalize,
         profiling,
+        quality,
         reshape,
+        sampling,
         scans,
-        sketches,
         similarity,
+        sketches,
         skew,
         stats,
         text,
