@@ -189,20 +189,21 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x-mu)^2 > 4*sigma^2 rearranged over integer cent power sums to
     (n*x - sx)^2 > 4*(n*sxx - sx^2) — every operand exact in decimal(38)
     (Spark) / int128 (DuckDB), so the flag is bit-identical. Scale: the
-    per-type moments are one map-side-combined aggregate broadcast back
-    over the stream (phrased as a window here, same exchange either way);
-    magnitudes stay far below 10^38 even at sf1000."""
+    per-type moments are one map-side-combined groupBy (constant state per
+    type) BROADCAST back over the stream — not a window: partitionBy on a
+    5-value key would funnel the whole table into 5 tasks. The oracle
+    phrases the same moments as a window, which DuckDB is free to execute
+    however it likes. Magnitudes stay far below 10^38 even at sf1000."""
     events = load_table(spark, sf_dir, "events")
     c = (F.col("value").cast("decimal(10,2)") * 100).cast("decimal(38,0)")
-    w = Window.partitionBy("event_type")
-    stats = events.select(
-        "event_type",
-        c.alias("c"),
-        F.count("*").over(w).cast("decimal(38,0)").alias("n"),
-        F.sum(c).over(w).cast("decimal(38,0)").alias("s"),
-        F.sum((c * c).cast("decimal(38,0)")).over(w)
-        .cast("decimal(38,0)")
-        .alias("s2"),
+    moments = events.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(c).cast("decimal(38,0)").alias("s"),
+        F.sum((c * c).cast("decimal(38,0)")).cast("decimal(38,0)").alias("s2"),
+    )
+    stats = events.select("event_type", c.alias("c")).join(
+        F.broadcast(moments),
+        F.col("event_type") == F.col("m_type"),
     )
     dev = F.col("n") * F.col("c") - F.col("s")
     is_out = (dev * dev) > 4 * (
