@@ -1,0 +1,272 @@
+"""ClickHouse table-engine and analytics-function semantics, re-expressed
+as Spark plans.
+
+The reference's whole purpose is to land MySQL tables INTO ClickHouse
+(mysql_to_clickhouse_sync.py:52-91 is a raw INSERT into an existing
+ClickHouse table) — it leaves the ClickHouse-side merge semantics to
+whatever table engine the user created. These operators port the three
+ClickHouse behaviors a sync user actually relies on, plus two of its
+signature analytics functions, so a migrating user keeps them:
+
+  * q_collapsing_merge — CollapsingMergeTree(sign): a changelog of
+    (+1 state, -1 cancel) rows collapses, pairwise, to the net state.
+    ReplacingMergeTree is q_dedup_latest; SummingMergeTree is a plain
+    groupBy-sum (q_topk_value et al.) — this is the remaining engine.
+  * q_ttl_rollup — `TTL ts + INTERVAL ... GROUP BY` semantics: rows older
+    than the TTL collapse into coarse per-hour aggregates, fresh rows stay
+    raw — the standard ClickHouse hot/cold downsampling pattern.
+  * q_sequence_match — sequenceMatch / sequenceCount: per-user ordered
+    event-pattern detection ('click … purchase') over the event stream.
+  * q_running_delta — runningDifference + running total per user, the
+    ClickHouse idiom for turning gauges into deltas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_to_clickhouse_sync_spark.catalog import EVENTS_US_CTE, load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+# Exact money arithmetic: double -> decimal(10,2) -> integer cents, the
+# same idiom as operators/stats.py (immune to float summation order).
+# (A function, not a module constant: building a Column requires an active
+# SparkContext, which doesn't exist at import time.)
+def _cents():
+    return (F.col("value").cast("decimal(10,2)") * 100).cast("bigint")
+
+
+_CENTS_SQL = "CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)"
+
+TTL_DAYS = 7  # rows older than max(ts) - 7d collapse to hourly aggregates
+
+
+@declare(
+    "q_collapsing_merge",
+    oracle=f"""
+    {EVENTS_US_CTE}
+    , ordered AS (
+        SELECT user_id, event_id, ts, value,
+               lag(event_id) OVER w AS p_eid,
+               lag(ts)       OVER w AS p_ts,
+               lag(value)    OVER w AS p_val
+        FROM events_us
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changelog AS (
+        SELECT user_id, event_id, ts, value, 1 AS sign FROM ordered
+        UNION ALL
+        SELECT user_id, p_eid, p_ts, p_val, -1 FROM ordered
+        WHERE p_eid IS NOT NULL
+    )
+    SELECT user_id, event_id, ts, value,
+           CAST(sum(sign) AS BIGINT) AS net_sign
+    FROM changelog
+    GROUP BY user_id, event_id, ts, value
+    HAVING sum(sign) != 0
+    """,
+    tier="P1",
+)
+def q_collapsing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingMergeTree(sign) merge. The writer pairs every new state
+    (+1) with a cancel copy of the prior state (-1); the engine's merge
+    drops rows whose signs cancel, leaving each key's live state — here,
+    each user's latest event, derived end-to-end from the changelog rather
+    than taken on faith. Plan: one lag window (shuffle on user_id) builds
+    each row's (+1 state, -1 prior-state-cancel) pair, emitted via a single
+    explode rather than a self-union — the union form would run the
+    WindowExec twice over a reused exchange. The groupBy then collapses
+    pairs map-side: partial aggregation kills cancelled pairs before the
+    exchange, so the second shuffle carries only net rows."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    state = F.struct(
+        F.col("event_id"), F.col("ts"), F.col("value"), F.lit(1).alias("sign")
+    )
+    cancel = F.struct(
+        F.col("p_eid").alias("event_id"),
+        F.col("p_ts").alias("ts"),
+        F.col("p_val").alias("value"),
+        F.lit(-1).alias("sign"),
+    )
+    changelog = (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.lag("event_id").over(w).alias("p_eid"),
+            F.lag("ts").over(w).alias("p_ts"),
+            F.lag("value").over(w).alias("p_val"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.when(
+                    F.col("p_eid").isNotNull(), F.array(state, cancel)
+                ).otherwise(F.array(state))
+            ).alias("r"),
+        )
+        .select("user_id", "r.*")
+    )
+    return (
+        changelog.groupBy("user_id", "event_id", "ts", "value")
+        .agg(F.sum("sign").alias("net_sign"))
+        .filter(F.col("net_sign") != 0)
+    )
+
+
+@declare(
+    "q_ttl_rollup",
+    oracle=f"""
+    {EVENTS_US_CTE}
+    , bounds AS (
+        SELECT CAST(date_trunc('day', max(ts)) AS TIMESTAMP)
+               - INTERVAL {TTL_DAYS} DAY AS cutoff
+        FROM events_us
+    )
+    SELECT user_id, 'raw' AS granularity,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+           event_id, 1 AS n_rows, {_CENTS_SQL} AS value_cents
+    FROM events_us, bounds WHERE ts >= cutoff
+    UNION ALL
+    SELECT user_id, 'hourly' AS granularity,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+           NULL AS event_id, CAST(count(*) AS INT) AS n_rows,
+           CAST(sum({_CENTS_SQL}) AS BIGINT) AS value_cents
+    FROM events_us, bounds WHERE ts < cutoff
+    GROUP BY user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+    """,
+    tier="P2",
+)
+def q_ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`TTL ts + INTERVAL 7 DAY GROUP BY user, hour` downsampling: events
+    in the last week of the dataset stay raw, older ones collapse into
+    per-user hourly (count, cent-sum) aggregates. The cutoff is data-
+    relative (max(ts) - 7d) so the query is scale-factor-stable. Plan: the
+    1-row bounds aggregate broadcasts back over the scan (no second full
+    read — Spark reuses the cached relation; the filter splits one pass),
+    and the cold-side groupBy map-combines before its shuffle. At 100 TB
+    the hot/cold split is exactly the partition-pruning boundary a
+    ts-partitioned layout would give for free."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        (F.date_trunc("day", F.max("ts")) - F.expr(f"INTERVAL {TTL_DAYS} DAYS"))
+        .alias("cutoff")
+    )
+    e = events.crossJoin(F.broadcast(bounds))
+    hour = F.date_trunc("hour", F.col("ts"))
+    fresh = e.filter(F.col("ts") >= F.col("cutoff")).select(
+        "user_id",
+        F.lit("raw").alias("granularity"),
+        hour.alias("bucket_ts"),
+        "event_id",
+        F.lit(1).alias("n_rows"),
+        _cents().alias("value_cents"),
+    )
+    aged = (
+        e.filter(F.col("ts") < F.col("cutoff"))
+        .groupBy("user_id", hour.alias("bucket_ts"))
+        .agg(
+            F.count("*").cast("int").alias("n_rows"),
+            F.sum(_cents()).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.lit("hourly").alias("granularity"),
+            "bucket_ts",
+            F.lit(None).cast("bigint").alias("event_id"),
+            "n_rows",
+            "value_cents",
+        )
+    )
+    return fresh.unionByName(aged)
+
+
+@declare(
+    "q_sequence_match",
+    oracle=f"""
+    {EVENTS_US_CTE}
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq,
+           regexp_matches(
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+               'c.*p') AS has_click_then_purchase,
+           CAST(len(regexp_extract_all(
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+               'c[^p]*p')) AS INT) AS n_click_purchase
+    FROM events_us
+    GROUP BY user_id
+    """,
+    tier="P1",
+)
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceMatch('(?1).*(?2)') / sequenceCount analog: per user, the
+    ordered event-type initials form a string; 'did a click ever precede a
+    purchase' is one regex, and the non-overlapping click→purchase count is
+    a greedy 'c[^p]*p' scan — exactly ClickHouse's strict-order matcher.
+    Plan: one groupBy(user_id) with collect_list of (ts, event_id, char)
+    structs; sort_array pins the order deterministically (collect_list
+    order is partition-dependent), then the regex runs JVM-side on the
+    assembled string. State per key is the user's event count — bounded and
+    skew-tolerant; at 100 TB this is the same one-shuffle shape as any
+    sessionization."""
+    events = load_table(spark, sf_dir, "events")
+    ch = F.substring("event_type", 1, 1)
+    agg = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", ch.alias("ch")))
+        ).alias("arr"),
+    )
+    seq = F.array_join(F.transform("arr", lambda x: x["ch"]), "")
+    return agg.select(
+        "user_id",
+        "n_events",
+        seq.alias("seq"),
+        seq.rlike("c.*p").alias("has_click_then_purchase"),
+        F.size(F.regexp_extract_all(seq, F.lit("c[^p]*p"), 0)).alias(
+            "n_click_purchase"
+        ),
+    )
+
+
+@declare(
+    "q_running_delta",
+    oracle=f"""
+    {EVENTS_US_CTE}
+    SELECT user_id, event_id, ts,
+           {_CENTS_SQL} AS value_cents,
+           {_CENTS_SQL} - lag({_CENTS_SQL})
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS delta_cents,
+           CAST(sum({_CENTS_SQL})
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cents
+    FROM events_us
+    """,
+    tier="P1",
+)
+def q_running_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """runningDifference + running total per user: gauge-to-delta
+    conversion in exact integer cents (the float value goes through
+    decimal(10,2) first, so both engines sum identical integers). One
+    window shuffle on user_id serves both the lag and the cumulative sum —
+    Spark computes them in a single WindowExec over one sort."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = _cents()
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        cents.alias("value_cents"),
+        (cents - F.lag(cents).over(w)).alias("delta_cents"),
+        F.sum(cents)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cents"),
+    )

@@ -1,0 +1,69 @@
+"""Semantics tests for the ClickHouse-engine operators (operators/clickhouse.py)
+on constructed micro-data — the oracle-parity test covers fixture-scale
+equivalence; these pin the intended merge/matcher behavior directly.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_to_clickhouse_sync_spark.operators.clickhouse import (
+    q_collapsing_merge,
+    q_sequence_match,
+)
+from tests.conftest import SF_DIR
+
+
+def test_collapsing_merge_leaves_latest_state_per_user(spark):
+    """After collapsing, the surviving rows must be exactly each user's
+    latest (ts, event_id) event with net_sign = +1 — the ReplacingMergeTree
+    answer reached via the CollapsingMergeTree changelog route."""
+    got = {
+        (r.user_id, r.event_id, r.net_sign)
+        for r in q_collapsing_merge(spark, SF_DIR).collect()
+    }
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+    )
+    want = {(r.user_id, r.event_id, 1) for r in latest.collect()}
+    assert got == want
+
+
+def test_sequence_match_greedy_nonoverlapping_count(spark):
+    """sequenceCount semantics: 'c[^p]*p' consumes greedily left-to-right,
+    so ccpp counts once, cpcp twice, and events after the last p are idle."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: click click purchase purchase view  -> 1 match, has=True
+    for i, et in enumerate(["click", "click", "purchase", "purchase", "view"]):
+        rows.append((i + 1, base + datetime.timedelta(minutes=i), 1, et, 1.0, "{}"))
+    # user 2: click purchase click purchase -> 2 matches
+    for i, et in enumerate(["click", "purchase", "click", "purchase"]):
+        rows.append((i + 10, base + datetime.timedelta(minutes=i), 2, et, 1.0, "{}"))
+    # user 3: purchase click -> 0 matches, has=False
+    for i, et in enumerate(["purchase", "click"]):
+        rows.append((i + 20, base + datetime.timedelta(minutes=i), 3, et, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {
+            r.user_id: (r.seq, r.has_click_then_purchase, r.n_click_purchase)
+            for r in q_sequence_match(spark, d).collect()
+        }
+    assert out[1] == ("ccppv", True, 1)
+    assert out[2] == ("cpcp", True, 2)
+    assert out[3] == ("pc", False, 0)
