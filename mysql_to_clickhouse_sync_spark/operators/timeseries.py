@@ -114,6 +114,141 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declare(
+    "q_interpolate",
+    oracle=f"""
+    {EVENTS_US_CTE},
+    keys AS (
+        SELECT DISTINCT user_id FROM events_us
+        WHERE user_id < {RESAMPLE_USERS}
+    ), spine AS (
+        SELECT k.user_id, s.h AS hour_start
+        FROM keys k
+        CROSS JOIN (
+            SELECT unnest(generate_series(
+                TIMESTAMP '{RESAMPLE_START}',
+                TIMESTAMP '{RESAMPLE_END}',
+                INTERVAL 1 HOUR)) AS h
+        ) s
+    ), hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_start,
+               CAST(sum(CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT))
+                   AS BIGINT) AS c
+        FROM events_us
+        WHERE user_id < {RESAMPLE_USERS}
+          AND ts >= TIMESTAMP '{RESAMPLE_START}'
+          AND ts < TIMESTAMP '{RESAMPLE_END}' + INTERVAL 1 HOUR
+        GROUP BY user_id, date_trunc('hour', ts)
+    ), grid AS (
+        SELECT s.user_id, s.hour_start,
+               epoch_ms(s.hour_start) // 3600000 AS h, hourly.c
+        FROM spine s LEFT JOIN hourly USING (user_id, hour_start)
+    ), ctx AS (
+        SELECT user_id, hour_start, h, c,
+               last_value(c IGNORE NULLS) OVER wp AS prev_c,
+               last_value(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wp AS prev_h,
+               first_value(c IGNORE NULLS) OVER wf AS next_c,
+               first_value(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wf AS next_h
+        FROM grid
+        WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hour_start, (c IS NOT NULL) AS is_observed,
+           CAST(CASE
+                WHEN c IS NOT NULL THEN c
+                WHEN prev_c IS NOT NULL AND next_c IS NOT NULL
+                THEN (prev_c * (next_h - h) + next_c * (h - prev_h))
+                     // (next_h - prev_h)
+                ELSE NULL END AS BIGINT) AS cents_interp
+    FROM ctx
+    """,
+    tier="P2",
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill over the hourly spine: observed hours
+    keep their exact cent sum; interior gaps take the time-weighted line
+    between the surrounding observations; hours before the first / after
+    the last observation stay NULL (q_resample's ffill answers the
+    carry-forward variant). All arithmetic is integer — cents and epoch-
+    hour indices — finished by one floor division of positive BIGINTs, so
+    Spark's `div` and DuckDB's `//` agree exactly (no float round-trip).
+    Plan: the same single user_id shuffle serves the spine join and BOTH
+    direction windows (one sort, ascending h — the backward-looking and
+    forward-looking frames share it). State per key is one value per
+    direction; linear at any key count."""
+    events = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < RESAMPLE_USERS)
+        & (F.col("ts") >= F.lit(RESAMPLE_START))
+        & (
+            F.col("ts")
+            < F.to_timestamp(F.lit(RESAMPLE_END)) + F.expr("INTERVAL 1 HOUR")
+        )
+    )
+    spine = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.to_timestamp(F.lit(RESAMPLE_START)),
+                    F.to_timestamp(F.lit(RESAMPLE_END)),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("hour_start"),
+        )
+    )
+    cents = (F.col("value").cast("decimal(10,2)") * 100).cast("bigint")
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.sum(cents).cast("bigint").alias("c"))
+    grid = spine.join(hourly, ["user_id", "hour_start"], "left").withColumn(
+        "h", (F.unix_millis("hour_start") / F.lit(3600000)).cast("bigint")
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("c").isNotNull(), F.col("h"))
+    ctx = grid.select(
+        "user_id",
+        "hour_start",
+        "h",
+        "c",
+        F.last("c", ignorenulls=True).over(wp).alias("prev_c"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("prev_h"),
+        F.first("c", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("next_h"),
+    )
+    interp = ctx.withColumn(
+        "num",
+        F.col("prev_c") * (F.col("next_h") - F.col("h"))
+        + F.col("next_c") * (F.col("h") - F.col("prev_h")),
+    ).withColumn("den", F.col("next_h") - F.col("prev_h"))
+    return interp.select(
+        "user_id",
+        "hour_start",
+        F.col("c").isNotNull().alias("is_observed"),
+        F.when(F.col("c").isNotNull(), F.col("c"))
+        .when(
+            F.col("prev_c").isNotNull() & F.col("next_c").isNotNull(),
+            F.expr("num div den"),
+        )
+        .cast("bigint")
+        .alias("cents_interp"),
+    )
+
+
 OUTER_CUST_BOUND = 1000  # customers kept on the dim side to force unmatched orders
 
 

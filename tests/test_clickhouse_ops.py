@@ -67,3 +67,34 @@ def test_sequence_match_greedy_nonoverlapping_count(spark):
     assert out[1] == ("ccppv", True, 1)
     assert out[2] == ("cpcp", True, 2)
     assert out[3] == ("pc", False, 0)
+
+
+def test_interpolate_linear_interior_null_edges(spark):
+    """Interior gaps take the exact integer line between neighbors; hours
+    after the last observation stay NULL; observed hours keep their sum."""
+    import tempfile
+
+    from mysql_to_clickhouse_sync_spark.operators.timeseries import q_interpolate
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: 1.00 at hour 0, 5.00 at hour 4 -> 100,200,300,400,500 cents
+        (1, base, 1, "view", 1.00, "{}"),
+        (2, base + datetime.timedelta(hours=4), 1, "view", 5.00, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {
+            r.hour_start.hour: (r.is_observed, r.cents_interp)
+            for r in q_interpolate(spark, d).filter("hour_start < '2024-01-01 08:00:00'").collect()
+        }
+    assert out[0] == (True, 100)
+    assert out[1] == (False, 200)
+    assert out[2] == (False, 300)
+    assert out[3] == (False, 400)
+    assert out[4] == (True, 500)
+    assert out[5] == (False, None) and out[7] == (False, None)
