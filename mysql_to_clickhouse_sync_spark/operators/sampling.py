@@ -65,6 +65,54 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_balanced_sample",
+    oracle="""
+    WITH quota AS (
+        SELECT min(cnt) AS q FROM (
+            SELECT count(*) AS cnt FROM documents GROUP BY lang
+        )
+    ), ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, sample_rank, CAST(q AS BIGINT) AS quota
+    FROM ranked, quota WHERE sample_rank <= q
+    """,
+    tier="P1",
+)
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-corpus mixture sampling: the per-language quota is
+    DATA-DEPENDENT — min(count) across languages — so every language
+    contributes equally many documents (the training-data rebalancing
+    step; a target-proportion vector drops into the same plan as a
+    per-stratum quota column). Deterministic md5-permutation order makes
+    the sample a pure function of the data, stable under repartitioning
+    and appends. Plan: the quota is a two-level aggregate collapsing to
+    ONE row, broadcast back; the rank predicate pushes into a
+    WindowGroupLimit only for constant limits, so here the filter runs
+    post-window — still one shuffle on lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    quota = (
+        docs.groupBy("lang")
+        .count()
+        .agg(F.min("count").cast("bigint").alias("quota"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select("doc_id", "lang", "n_chars", "sample_rank", "quota")
+    )
+
+
+@declare(
     "q_ntile_binning",
     oracle="""
     WITH binned AS (

@@ -63,6 +63,7 @@ def _load_all_modules() -> None:
         profiling,
         quality,
         reshape,
+        robust,
         sampling,
         scans,
         similarity,
