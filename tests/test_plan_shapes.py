@@ -63,3 +63,27 @@ def test_unpivot_generates_no_exchange(spark):
 def test_ivf_broadcasts_centroids(spark):
     p = _plan(spark, "q_ann_ivf")
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_stats_broadcast_back_shapes(spark):
+    # Per-group stats (medians / skyline levels) broadcast back over the
+    # stream; the fact side must never sort-merge for them.
+    for name in ("q_anomaly_mad", "q_skyline", "q_balanced_sample"):
+        p = _plan(spark, name)
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+
+
+def test_collapsing_merge_single_window_single_exchange(spark):
+    # The explode formulation runs ONE WindowExec (the union form ran two),
+    # and the collapse groupBy rides the window's user_id partitioning —
+    # grouping keys are a superset, so NO second exchange exists.
+    p = _plan(spark, "q_collapsing_merge")
+    assert p.count("Window (") == 1, p
+    assert p.count("Exchange (") == 1, p
+
+
+def test_running_delta_one_exchange_serves_lag_and_cumsum(spark):
+    p = _plan(spark, "q_running_delta")
+    assert p.count("Exchange (") == 1, p
+    assert p.count("Window (") == 1, p
