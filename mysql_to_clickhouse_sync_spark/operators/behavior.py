@@ -91,6 +91,101 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+FUNNEL_WINDOW_HOURS = 24  # windowFunnel chain deadline, anchored at step 1
+
+
+@declare(
+    "q_window_funnel",
+    oracle=f"""
+    {EVENTS_US_CTE},
+    s1 AS (
+        SELECT user_id, min(ts) AS t,
+               min(ts) + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR AS dl
+        FROM events_us WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t, s1.dl AS dl
+        FROM events_us e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t AND e.ts <= s1.dl
+        GROUP BY e.user_id, s1.dl
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t, s2.dl AS dl
+        FROM events_us e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'click' AND e.ts > s2.t AND e.ts <= s2.dl
+        GROUP BY e.user_id, s2.dl
+    ),
+    s4 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events_us e JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s3.t AND e.ts <= s3.dl
+        GROUP BY e.user_id
+    )
+    SELECT CASE WHEN s4.user_id IS NOT NULL THEN 4
+                WHEN s3.user_id IS NOT NULL THEN 3
+                WHEN s2.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS level,
+           count(*) AS n_users
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    LEFT JOIN s4 ON s1.user_id = s4.user_id
+    GROUP BY 1
+    """,
+    tier="P1",
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse windowFunnel(24h): the funnel chain is anchored at the
+    user's FIRST signup and every later step must land inside 24 hours of
+    that anchor (q_funnel_steps is the unbounded twin). Returns the level
+    histogram — how many signed-up users got exactly N steps deep in time.
+    The oracle states the relational chained-min form; the plan is a
+    single-pass per-user FOLD — sort_array(collect_list) then one
+    higher-order `aggregate` carrying (level, last_ts, deadline) state
+    across the ordered events, entirely inside codegen. One shuffle on
+    user_id, no joins, no stage recomputation (the chained-join form
+    re-evaluated each survivor stage ~3x: measured 20s vs 1s at sf0.1).
+    The strict `>` step comparisons make the fold order-insensitive among
+    equal timestamps, so it matches the relational min-chain exactly."""
+    events = load_table(spark, sf_dir, "events")
+    arr = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    init = F.struct(
+        F.lit(0).alias("level"),
+        F.lit(None).cast("timestamp").alias("last"),
+        F.lit(None).cast("timestamp").alias("dl"),
+    )
+    steps = ["signup", "view", "click", "purchase"]
+
+    def fold(acc, x):
+        out = None
+        for lvl, step in enumerate(steps):
+            advance = F.struct(
+                F.lit(lvl + 1).alias("level"),
+                x["ts"].alias("last"),
+                (
+                    (x["ts"] + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS"))
+                    if lvl == 0
+                    else acc["dl"]
+                ).alias("dl"),
+            )
+            cond = (acc["level"] == lvl) & (x["event_type"] == step)
+            if lvl > 0:
+                cond = cond & (x["ts"] > acc["last"]) & (x["ts"] <= acc["dl"])
+            out = F.when(cond, advance) if out is None else out.when(cond, advance)
+        return out.otherwise(acc)
+
+    per_user = events.groupBy("user_id").agg(
+        F.aggregate(arr, init, fold).getField("level").alias("level")
+    )
+    return (
+        per_user.filter(F.col("level") >= 1)
+        .groupBy("level")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 @declare(
     "q_retention_cohort",
     oracle=f"""
