@@ -86,6 +86,26 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skyline_2d(pts: DataFrame, x: str, y: str) -> DataFrame:
+    """Maximization skyline on integer axes (x, y): keep rows not dominated
+    (another row >= on both, > on one). Linear composition: max(y) per
+    distinct x level, one running max over levels sorted by x descending
+    (strictly-richer best), broadcast back; dominated iff that running max
+    reaches the row's y, or an equal-x peer strictly beats it."""
+    levels = pts.groupBy(F.col(x).alias("l_x")).agg(F.max(y).alias("lvl_max"))
+    w = (
+        Window.orderBy(F.col("l_x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    levels = levels.withColumn("gt_max", F.max("lvl_max").over(w))
+    joined = pts.join(F.broadcast(levels), F.col(x) == F.col("l_x"))
+    dominated = (
+        F.coalesce(F.col("gt_max") >= F.col(y), F.lit(False))
+    ) | (F.col("lvl_max") > F.col(y))
+    return joined.filter(~dominated).drop("l_x", "lvl_max", "gt_max")
+
+
+
 @declare(
     "q_skyline",
     oracle="""
@@ -132,16 +152,6 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_c"),
         F.coalesce(F.col("o_cnt"), F.lit(0)).cast("bigint").alias("n_orders"),
     )
-    levels = pts.groupBy(F.col("bal_c").alias("l_bal")).agg(
-        F.max("n_orders").alias("lvl_max")
+    return skyline_2d(pts, "bal_c", "n_orders").select(
+        "c_custkey", "bal_c", "n_orders"
     )
-    w = (
-        Window.orderBy(F.col("l_bal").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    levels = levels.withColumn("gt_max", F.max("lvl_max").over(w))
-    joined = pts.join(F.broadcast(levels), F.col("bal_c") == F.col("l_bal"))
-    dominated = (
-        F.coalesce(F.col("gt_max") >= F.col("n_orders"), F.lit(False))
-    ) | (F.col("lvl_max") > F.col("n_orders"))
-    return joined.filter(~dominated).select("c_custkey", "bal_c", "n_orders")
