@@ -43,11 +43,13 @@ ROWID = {
 }
 
 
-# events.ts is parquet TIMESTAMP(NANOS), which Spark cannot represent (max
-# precision is microseconds). We read the raw nanos via the runtime-settable
-# legacy conf and floor to microseconds; every DuckDB oracle that touches ts
-# mirrors this with make_timestamp(epoch_us(ts)) so both engines see the
-# identical µs value (see EVENTS_US_CTE in the operator modules).
+# events.ts is parquet TIMESTAMP(NANOS). pyspark >= 4.1 reads it natively as
+# timestamp_ntz floored to microseconds; older 4.x needs the legacy
+# nanosAsLong conf + an explicit micros conversion (kept below as a
+# fallback — it's a no-op when the native read already yields a timestamp).
+# Every DuckDB oracle that touches ts mirrors the µs floor with
+# make_timestamp(epoch_us(ts)) so both engines see the identical value
+# (see EVENTS_US_CTE in the operator modules).
 _NANOS_TS_TABLES = {"events": "ts"}
 
 

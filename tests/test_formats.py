@@ -26,8 +26,13 @@ def _roundtrip(spark, df, fmt: str, **read_opts):
         writer = df.write.mode("overwrite")
         reader = spark.read.schema(df.schema)
         if fmt in ("csv", "json"):
-            # default text-format timestamp precision is ms; force µs
-            opts = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+            # default text-format timestamp precision is ms; force µs.
+            # NTZ columns (parquet nanos read natively as timestamp_ntz on
+            # pyspark >= 4.1) use the separate timestampNTZFormat option.
+            opts = {
+                "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+                "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+            }
             if fmt == "csv":
                 opts["header"] = "true"
             writer = writer.options(**opts)
