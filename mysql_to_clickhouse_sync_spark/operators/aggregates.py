@@ -175,13 +175,27 @@ def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decimal_sum(col: str, alias: str) -> Column:
     """Exact, partition-order-independent sum of a double column: cast to
     decimal first (decimal addition is associative; float addition is not),
-    so Spark and DuckDB agree bit-for-bit regardless of parallelism."""
+    so Spark and DuckDB agree bit-for-bit regardless of parallelism.
+
+    The FINAL cast to double is for the driver's pandas canonicalization:
+    DuckDB DECIMAL maps to float64 there while Spark DECIMAL stays a
+    Decimal object, and the two render differently whenever the value has
+    a trailing zero ('1234.50' vs '1234.5'). Casting the already-rounded
+    2-dp result to double on BOTH sides makes the rendering identical —
+    the internal arithmetic stays decimal-exact, and distinct 2-dp values
+    below 10^13 stay distinct as doubles (ulp < 0.002), so no information
+    is lost at the output boundary."""
     return (
-        F.sum(F.col(col).cast("decimal(18,6)")).cast("decimal(18,2)").alias(alias)
+        F.sum(F.col(col).cast("decimal(18,6)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias(alias)
     )
 
 
-DECIMAL_SUM_SQL = "CAST(sum(CAST({col} AS DECIMAL(18,6))) AS DECIMAL(18,2))"
+DECIMAL_SUM_SQL = (
+    "CAST(CAST(sum(CAST({col} AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS DOUBLE)"
+)
 
 
 @declare(
@@ -296,8 +310,9 @@ def _pivot_oracle() -> str:
     for t in _PIVOT_TYPES:
         cols.append(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}")
         cols.append(
-            f"CAST(sum(CAST(value AS DECIMAL(18,6)))"
-            f" FILTER (WHERE event_type = '{t}') AS DECIMAL(18,2)) AS sum_{t}"
+            f"CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))"
+            f" FILTER (WHERE event_type = '{t}') AS DECIMAL(18,2))"
+            f" AS DOUBLE) AS sum_{t}"
         )
     return (
         "SELECT user_id, " + ", ".join(cols) + " FROM events GROUP BY user_id"
@@ -318,6 +333,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             F.sum(F.when(cond, F.col("value").cast("decimal(18,6)")))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias(f"sum_{t}")
         )
     return events.groupBy("user_id").agg(*aggs)
@@ -329,10 +345,10 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_brand,
            count(*) AS n_parts,
            count(DISTINCT p_type) AS n_types,
-           CAST(min(p_retailprice) AS DECIMAL(18,2)) AS min_price,
-           CAST(max(p_retailprice) AS DECIMAL(18,2)) AS max_price,
-           CAST(sum(CAST(p_retailprice AS DECIMAL(18,6))) AS DECIMAL(18,2))
-               AS total_price,
+           CAST(CAST(min(p_retailprice) AS DECIMAL(18,2)) AS DOUBLE) AS min_price,
+           CAST(CAST(max(p_retailprice) AS DECIMAL(18,2)) AS DOUBLE) AS max_price,
+           CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(18,6))) AS DECIMAL(18,2))
+               AS DOUBLE) AS total_price,
            max(p_size) AS max_size
     FROM part
     GROUP BY p_brand
@@ -347,8 +363,8 @@ def q_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.groupBy("p_brand").agg(
         F.count("*").alias("n_parts"),
         F.count_distinct("p_type").alias("n_types"),
-        F.min("p_retailprice").cast("decimal(18,2)").alias("min_price"),
-        F.max("p_retailprice").cast("decimal(18,2)").alias("max_price"),
+        F.min("p_retailprice").cast("decimal(18,2)").cast("double").alias("min_price"),
+        F.max("p_retailprice").cast("decimal(18,2)").cast("double").alias("max_price"),
         decimal_sum("p_retailprice", "total_price"),
         F.max("p_size").alias("max_size"),
     )
@@ -423,7 +439,9 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(lang, 'ALL') AS lang_name,
            coalesce(source, 'ALL') AS source_name,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           -- CAST: DuckDB sum(BIGINT) is HUGEINT → pandas float64; Spark
+           -- stays int64 (dtype-sensitive driver canonicalization).
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY CUBE (lang, source)
     """,

@@ -108,6 +108,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("revenue"),
     )
 
@@ -171,8 +172,13 @@ HOF_BOUND = 50
     "q_hof_battery",
     oracle=f"""
     SELECT vec_id,
-           list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)
-               AS scaled,
+           -- Serialized, not a raw list: the driver canonicalizes through
+           -- pandas, which cannot hash array cells. Fixed-scale DECIMAL
+           -- formatting is engine-stable (both engines print all 6 digits),
+           -- unlike shortest-round-trip double rendering.
+           array_to_string(list_transform(embedding,
+               x -> CAST(CAST(CAST(x AS DOUBLE) * 2.0 AS DECIMAL(18,6))
+                         AS VARCHAR)), ',') AS scaled,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
            list_reduce(list_transform(embedding,
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
@@ -193,11 +199,13 @@ def q_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_to_clickhouse_sync_spark.catalog import load_table as _lt
 
     emb = _lt(spark, sf_dir, "embeddings").filter(F.col("vec_id") < HOF_BOUND)
-    x2 = lambda x: x.cast("double") * F.lit(2.0)  # noqa: E731
+    x2 = lambda x: (  # noqa: E731
+        (x.cast("double") * F.lit(2.0)).cast("decimal(18,6)").cast("string")
+    )
     sq = lambda x: x.cast("double") * x.cast("double")  # noqa: E731
     return emb.select(
         "vec_id",
-        F.transform("embedding", x2).alias("scaled"),
+        F.concat_ws(",", F.transform("embedding", x2)).alias("scaled"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
         F.aggregate(
             F.transform("embedding", sq), F.lit(0.0), lambda a, b: a + b

@@ -44,7 +44,13 @@ from mysql_to_clickhouse_sync_spark.operators.text import (
 from mysql_to_clickhouse_sync_spark.registry import declare
 
 SEQ_LEN = 512  # tokens per packed training sequence
-BLOCK = 1000  # docs per prefix-sum block (the reference's batch_size default)
+# Docs per prefix-sum block. Sized so the block-offset table stays
+# broadcast-small at scale: at 10^6 docs/block, even a trillion-doc corpus
+# yields ~10^6 offset rows (~tens of MB) — a safe broadcast — while each
+# block-local window still sorts only its own block. (At 1000 docs/block a
+# billion-doc corpus would mean millions of offset rows, risking the
+# broadcast limit.)
+BLOCK = 1_000_000
 
 
 @declare(

@@ -65,7 +65,11 @@ def split_assign(key: Column) -> Column:
                 ELSE 'test' END AS split,
            lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           -- CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas maps to
+           -- float64 while Spark's sum stays int64 — the driver's
+           -- canonicalization is dtype-sensitive, so pin BIGINT on both
+           -- sides (Spark sum(bigint) is already bigint).
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS first_doc
     FROM documents
     GROUP BY 1, 2
@@ -107,10 +111,13 @@ _SCRUB_TOKEN = "<REDACTED>"
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS docs_hit,
-           sum(n_hits) AS total_hits,
-           sum(len_before) AS chars_before,
-           sum(len_after) AS chars_after
+           -- CASTs: DuckDB integer sums widen to HUGEINT → pandas float64;
+           -- Spark stays int64. Pin BIGINT so the driver's dtype-sensitive
+           -- canonicalization matches.
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           CAST(sum(len_before) AS BIGINT) AS chars_before,
+           CAST(sum(len_after) AS BIGINT) AS chars_after
     FROM hits
     GROUP BY lang
     """,

@@ -60,12 +60,15 @@ _TOP_COUNT_EXPR = (
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_words) AS total_words,
-           sum(n_distinct) AS total_distinct,
-           sum(CASE WHEN 2 * n_distinct < n_words THEN 1 ELSE 0 END)
-               AS n_repetitive,
-           sum(CASE WHEN 5 * top_count > n_words THEN 1 ELSE 0 END)
-               AS n_topheavy
+           -- CASTs: DuckDB integer sums widen to HUGEINT → pandas float64;
+           -- Spark stays int64. Pin BIGINT for the driver's dtype-sensitive
+           -- canonicalization.
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_distinct) AS BIGINT) AS total_distinct,
+           CAST(sum(CASE WHEN 2 * n_distinct < n_words THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_repetitive,
+           CAST(sum(CASE WHEN 5 * top_count > n_words THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_topheavy
     FROM scored
     GROUP BY lang
     """,

@@ -60,6 +60,7 @@ def _load_all_modules() -> None:
         json_ops,
         multimodal,
         normalize,
+        packing,
         profiling,
         quality,
         reshape,

@@ -38,7 +38,11 @@ from mysql_to_clickhouse_sync_spark.streaming.cdc import DELETE, OP_COL, UPSERT
 # default to millisecond precision, which silently truncates the fixture's
 # microsecond event times (see tests/test_formats.py for the same pin).
 TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-_JSON_OPTS = {"timestampFormat": TS_FMT}
+# timestampNTZFormat too: NTZ columns format/parse via their own option, so
+# an NTZ payload reaching this path would otherwise floor µs→ms silently
+# (catalog.load_table normalizes NTZ away, but the envelope codecs must be
+# safe for caller-supplied frames as well).
+_JSON_OPTS = {"timestampFormat": TS_FMT, "timestampNTZFormat": TS_FMT}
 
 # Debezium op codes: c=create, r=snapshot-read, u=update, d=delete.
 _DEBEZIUM_DELETE = "d"

@@ -52,9 +52,68 @@ def to_multiset(cols: list[str], rows) -> Counter:
     return Counter(tuple(norm_cell(row[i]) for i in order) for row in rows)
 
 
+def canon_pandas(pdf):
+    """Mirror of the driver's pandas canonicalization: columns sorted by
+    name, rows sorted by all columns. Raises the same TypeError the driver
+    raises on unhashable cells (e.g. a raw array column)."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf.columns):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def canon_cell(v) -> str:
+    # Deliberately dtype-sensitive: the driver hashes the canonicalized
+    # pandas frame, where numpy int64(5) and float64(5.0) differ. repr()
+    # preserves that distinction ('5' vs '5.0'), so a dtype drift between
+    # the Spark and DuckDB sides fails here exactly as it fails the driver.
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, pd.Timestamp):
+        return "ts:" + v.isoformat()
+    return f"{type(v).__name__}:{v!r}"
+
+
+def canon_diff(s_pdf, d_pdf) -> list[str]:
+    """Compare two canonicalized frames the way the driver's hash would:
+    same shape, same dtypes-as-values cell by cell."""
+    problems = []
+    if list(s_pdf.columns) != list(d_pdf.columns):
+        problems.append(
+            f"schema spark={list(s_pdf.columns)} duckdb={list(d_pdf.columns)}"
+        )
+        return problems
+    if len(s_pdf) != len(d_pdf):
+        problems.append(f"rowcount spark={len(s_pdf)} duckdb={len(d_pdf)}")
+        return problems
+    for col in s_pdf.columns:
+        s_vals = [canon_cell(v) for v in s_pdf[col]]
+        d_vals = [canon_cell(v) for v in d_pdf[col]]
+        if s_vals != d_vals:
+            bad = next(
+                (s, d) for s, d in zip(s_vals, d_vals) if s != d
+            )
+            problems.append(f"col {col!r}: spark={bad[0]} duckdb={bad[1]}")
+    return problems
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--canon",
+        action="store_true",
+        help="additionally compare through the driver's pandas "
+        "canonicalization (dtype-sensitive; catches int64-vs-float64 "
+        "and unhashable-cell failures the multiset compare forgives)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -106,6 +165,13 @@ def main() -> int:
                 only_s = list((ms - md).items())[:3]
                 only_d = list((md - ms).items())[:3]
                 problems.append(f"values spark-only={only_s} duckdb-only={only_d}")
+        if not problems and args.canon:
+            try:
+                s_pdf = canon_pandas(sdf.toPandas())
+                d_pdf = canon_pandas(con.sql(decl.oracle).df())
+                problems.extend(canon_diff(s_pdf, d_pdf))
+            except Exception as e:  # noqa: BLE001 — the driver dies here too
+                problems.append(f"canon error: {type(e).__name__}: {e}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures.append(name)
