@@ -136,8 +136,8 @@ _SHINGLES_EXPR = f"""
     )
     SELECT d.lang,
            count(*) AS n_train,
-           sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-               AS n_contaminated
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_contaminated
     FROM documents d LEFT JOIN cont c USING (doc_id)
     WHERE d.source <> '{_BENCH_SOURCE}'
     GROUP BY d.lang

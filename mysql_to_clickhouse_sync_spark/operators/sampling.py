@@ -122,9 +122,9 @@ def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT quartile,
            count(*) AS n_orders,
-           min(price) AS min_price,
-           max(price) AS max_price,
-           CAST(sum(price) AS DECIMAL(18,2)) AS total_price
+           CAST(min(price) AS DOUBLE) AS min_price,
+           CAST(max(price) AS DOUBLE) AS max_price,
+           CAST(CAST(sum(price) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
     FROM binned
     GROUP BY quartile
     """,
@@ -143,8 +143,8 @@ def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n_orders"),
-            F.min("price").alias("min_price"),
-            F.max("price").alias("max_price"),
-            F.sum("price").cast("decimal(18,2)").alias("total_price"),
+            F.min("price").cast("double").alias("min_price"),
+            F.max("price").cast("double").alias("max_price"),
+            F.sum("price").cast("decimal(18,2)").cast("double").alias("total_price"),
         )
     )

@@ -1,13 +1,20 @@
 """Embedding similarity search — north-star extension (SURVEY.md §2.8).
 
-The embeddings fixture is (vec_id, embedding array<float> x64, label). Three
+The embeddings fixture is (vec_id, embedding array<float> x64, label). Four
 declared queries cover the similarity ladder:
 
   * q_cosine_topk       — brute-force top-5 most-similar pairs per label on a
-                          bounded id range: the exact baseline.
-  * q_embedding_neardup — near-duplicate pairs above a cosine threshold
-                          (embedding-space dedup).
-  * q_ann_lsh           — the scale path: sign-random-projection buckets
+                          bounded id range: the exact baseline (ground truth
+                          only — per-label all-pairs, never the scale path).
+  * q_neardup_exact     — all-pairs near-duplicate ground truth on the same
+                          bounded subset.
+  * q_embedding_neardup — THE production near-dup path: banded sign-LSH
+                          candidate generation (16 bands x 4 sign bits; an
+                          equi-join on (label, band, bucket) over a skinny
+                          exploded table) followed by exact scoring. No
+                          per-label all-pairs term; band length dials
+                          recall vs candidate volume.
+  * q_ann_lsh           — the ANN scale path: sign-random-projection buckets
                           (first 8 dims -> 256 buckets), search only within
                           the bucket. Approximate by construction; both
                           engines compute the identical bucketing, so it
@@ -131,7 +138,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "q_embedding_neardup",
+    "q_neardup_exact",
     oracle=f"""
     {_pair_cosine(f'vec_id < {TOPK_SUBSET}')}
     SELECT label, vec_a, vec_b, cosine
@@ -140,12 +147,144 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tier="P2",
 )
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-duplicate pairs: cosine above threshold."""
+def q_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-duplicate pairs on a bounded subset: the
+    all-pairs ground truth against which q_embedding_neardup's banded-LSH
+    recall is judged. Per-label all-pairs is O(n^2/L) — deliberately
+    bounded; the unbounded production path is q_embedding_neardup."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < TOPK_SUBSET
     )
     return pairwise_cosine(emb).filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+
+
+# Banded sign-LSH for near-dup candidate generation: 16 bands x 4 sign bits
+# covering all 64 dims. A pair becomes a candidate iff some band's 4 signs
+# all agree — the same band/bucket recall dial as MinHash LSH (longer bands
+# => fewer, more-precise candidates; production near-dup at cosine>=0.9
+# would use 8-16 bit bands).
+NEARDUP_BANDS = 16
+NEARDUP_BAND_BITS = 4
+
+
+def band_bucket(vec: Column, band: int) -> Column:
+    out = F.lit(0)
+    for j in range(NEARDUP_BAND_BITS):
+        dim = band * NEARDUP_BAND_BITS + j + 1
+        out = out + F.when(F.element_at(vec, dim) > 0, F.lit(2**j)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def _band_sql(col: str, band: int) -> str:
+    return " + ".join(
+        f"CASE WHEN {col}[{band * NEARDUP_BAND_BITS + j + 1}] > 0"
+        f" THEN {2**j} ELSE 0 END"
+        for j in range(NEARDUP_BAND_BITS)
+    )
+
+
+_NEARDUP_BANDS_CTE = ",\n".join(
+    f"{_band_sql('embedding', b)} AS band{b}" for b in range(NEARDUP_BANDS)
+)
+_NEARDUP_ANY_BAND = " OR ".join(
+    f"a.band{b} = b.band{b}" for b in range(NEARDUP_BANDS)
+)
+
+
+@declare(
+    "q_embedding_neardup",
+    oracle=f"""
+    WITH normed AS (
+        SELECT vec_id, label, embedding, {_NORM_SQL} AS norm,
+               {_NEARDUP_BANDS_CTE}
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.label AS label,
+               a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / (a.norm * b.norm) AS cosine
+        FROM normed a JOIN normed b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+         AND ({_NEARDUP_ANY_BAND})
+    )
+    SELECT label, vec_a, vec_b, cosine
+    FROM pairs
+    WHERE cosine >= {NEARDUP_THRESHOLD}
+    """,
+    tier="P2",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs via banded sign-LSH — the
+    production shape for 100 TB. Candidates are generated by an EQUI-join
+    on (label, band, bucket) over an exploded skinny banding table (no
+    arrays shuffled), deduped, then scored exactly and thresholded. No
+    per-label all-pairs anywhere: the only quadratic term is within a
+    (label, band, bucket) cell, dialed by band length. The oracle states
+    identical semantics as the OR-of-bands theta join — results must match
+    pair for pair (the exact fold-based cosine is bitwise engine-identical).
+    """
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    banded = emb.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bucket(F.col("embedding"), b).alias("bucket"),
+                    )
+                    for b in range(NEARDUP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "label", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(
+        F.col("label"), F.col("band"), F.col("bucket"), F.col("vec_id").alias("vec_a")
+    )
+    b = banded.select(
+        F.col("label").alias("label_b"),
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("band") == F.col("band_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("label", "vec_a", "vec_b")
+        .distinct()
+    )
+    normed_a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    normed_b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        cand.join(normed_a, "vec_a")
+        .join(normed_b, "vec_b")
+        .select(
+            "label",
+            "vec_a",
+            "vec_b",
+            (
+                dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+    )
 
 
 def cosine_pandas_pairs(pairs: DataFrame) -> DataFrame:

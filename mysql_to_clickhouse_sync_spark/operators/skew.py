@@ -55,10 +55,10 @@ def salted_sum_count(
     oracle="""
     SELECT l_returnflag,
            count(*) AS n_rows,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,2))
-               AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,2))
-               AS sum_price
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,2))
+               AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,2))
+               AS DOUBLE) AS sum_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -81,8 +81,8 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_returnflag",
         "n_rows",
-        F.col("sum_qty").cast("decimal(18,2)").alias("sum_qty"),
-        F.col("sum_price").cast("decimal(18,2)").alias("sum_price"),
+        F.col("sum_qty").cast("decimal(18,2)").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("decimal(18,2)").cast("double").alias("sum_price"),
     )
 
 
@@ -91,20 +91,20 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,2))
-               AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,2))
-               AS sum_base_price,
-           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,2))
+               AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,2))
+               AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
                          * (1 - CAST(l_discount AS DECIMAL(18,6)))
                          AS DECIMAL(18,6)))
-                AS DECIMAL(18,6)) AS sum_disc_price,
-           CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                AS DECIMAL(18,6)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
                               * (1 - CAST(l_discount AS DECIMAL(18,6)))
                               AS DECIMAL(18,6))
                          * (1 + CAST(l_tax AS DECIMAL(18,6)))
                          AS DECIMAL(18,6)))
-                AS DECIMAL(18,6)) AS sum_charge,
+                AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -131,10 +131,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(18,6)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            F.sum(qty).cast("decimal(18,2)").cast("double").alias("sum_qty"),
+            F.sum(price).cast("decimal(18,2)").cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,6)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,6)").cast("double").alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -148,9 +148,9 @@ JOIN_SALTS = 4
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_items,
-           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+           CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
                          * (1 - CAST(l_discount AS DECIMAL(18,6)))
-                         AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+                         AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -192,6 +192,6 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(revenue).cast("decimal(18,6)").alias("revenue"),
+            F.sum(revenue).cast("decimal(18,6)").cast("double").alias("revenue"),
         )
     )

@@ -47,7 +47,7 @@ from mysql_to_clickhouse_sync_spark.registry import declare
         GROUP BY c_nationkey
     )
     SELECT c_nationkey, n,
-           CAST(sx AS DECIMAL(18,2)) AS sum_bal,
+           CAST(CAST(sx AS DECIMAL(18,2)) AS DOUBLE) AS sum_bal,
            CAST(CAST(sx AS DOUBLE) / n AS DOUBLE) AS mean_bal,
            CAST(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
                       * CAST(sx AS DOUBLE) / n) / (n - 1)) AS DOUBLE)
@@ -81,7 +81,7 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.filter(n > 1).select(
         "c_nationkey",
         "n",
-        F.col("sx").cast("decimal(18,2)").alias("sum_bal"),
+        F.col("sx").cast("decimal(18,2)").cast("double").alias("sum_bal"),
         (sx / n).cast("double").alias("mean_bal"),
         F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))).cast("double").alias(
             "stddev_bal"
@@ -93,7 +93,6 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_battery",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types_seen,
            len(list(DISTINCT event_type))       AS n_types,
            list_contains(list(DISTINCT event_type), 'purchase')
                AS has_purchase,
@@ -108,14 +107,15 @@ def q_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection-function roster: per-user distinct event types as a
     deterministically-sorted array, plus size / membership / join-to-string
     over it. collect_set order is undefined — sort_array pins it (the
-    hash-stability rule for any collected array)."""
+    hash-stability rule for any collected array). The sorted array itself
+    leaves the query only as types_csv: raw array cells are unhashable in
+    the driver's pandas canonicalization."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("user_id")
         .agg(F.sort_array(F.collect_set("event_type")).alias("types_seen"))
         .select(
             "user_id",
-            "types_seen",
             F.size("types_seen").cast("long").alias("n_types"),
             F.array_contains("types_seen", "purchase").alias("has_purchase"),
             F.array_join("types_seen", ",").alias("types_csv"),
@@ -174,8 +174,9 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            count(*) AS n_events,
-           sum(CASE WHEN (n * c - s) * (n * c - s) > 4 * (n * s2 - s * s)
-                    THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(sum(CASE WHEN (n * c - s) * (n * c - s)
+                             > 4 * (n * s2 - s * s)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            CAST(sum(CASE WHEN (n * c - s) * (n * c - s)
                               > 4 * (n * s2 - s * s)
                          THEN c ELSE 0 END) AS BIGINT) AS outlier_cents

@@ -40,9 +40,9 @@ _EN_STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
-           sum(length(text)) AS total_text_len
+           CAST(sum(length(text)) AS BIGINT) AS total_text_len
     FROM documents
     GROUP BY lang
     """,
@@ -78,7 +78,8 @@ _TOKEN_COUNT_SQL = """
     "q_token_count",
     oracle=f"""
     SELECT lang,
-           sum({_TOKEN_COUNT_SQL.format(col='text')}) AS total_tokens,
+           CAST(sum({_TOKEN_COUNT_SQL.format(col='text')}) AS BIGINT)
+               AS total_tokens,
            CAST(sum({_TOKEN_COUNT_SQL.format(col='text')}) AS DOUBLE)
                / count(*) AS avg_tokens,
            max({_TOKEN_COUNT_SQL.format(col='text')}) AS max_tokens

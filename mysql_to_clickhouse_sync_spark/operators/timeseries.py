@@ -58,11 +58,11 @@ RESAMPLE_END = "2024-01-07 23:00:00"  # inclusive hourly spine, 168 buckets
     )
     SELECT s.user_id, s.hour_start,
            coalesce(h.n_events, 0) AS n_events,
-           h.sum_value AS sum_value_raw,
-           last_value(h.sum_value IGNORE NULLS) OVER (
+           CAST(h.sum_value AS DOUBLE) AS sum_value_raw,
+           CAST(last_value(h.sum_value IGNORE NULLS) OVER (
                PARTITION BY s.user_id ORDER BY s.hour_start
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS sum_value_ffill
+           ) AS DOUBLE) AS sum_value_ffill
     FROM spine s
     LEFT JOIN hourly h USING (user_id, hour_start)
     """,
@@ -95,6 +95,7 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)"))
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("sum_value"),
     )
     w = (
@@ -257,8 +258,8 @@ OUTER_CUST_BOUND = 1000  # customers kept on the dim side to force unmatched ord
     oracle=f"""
     WITH per_cust AS (
         SELECT o_custkey, count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,2))
-                   AS total_spend
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                   AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
         FROM orders GROUP BY o_custkey
     ), dims AS (
         SELECT c_custkey, c_mktsegment FROM customer
@@ -286,6 +287,7 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_spend"),
         )
     )

@@ -41,9 +41,15 @@ def _revenue() -> Column:
     return (price * (F.lit(1) - disc)).cast("decimal(18,6)")
 
 
-_REVENUE_SQL = """CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+# The outer CAST to DOUBLE is the output boundary: DuckDB DECIMAL maps to
+# float64 under the driver's pandas canonicalization while Spark DECIMAL
+# stays a Decimal object, and the two render differently on trailing zeros.
+# The sum itself stays decimal-exact; unscaled values are < 2^53, so the
+# decimal->double conversion is the same correctly-rounded result in both
+# engines and injective over distinct sums (ordering/top-k unaffected).
+_REVENUE_SQL = """CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
                  * (1 - CAST(l_discount AS DECIMAL(18,6)))
-                 AS DECIMAL(18,6))) AS DECIMAL(18,6))"""
+                 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)"""
 
 
 @declare(
@@ -83,7 +89,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_revenue()).cast("decimal(18,6)").alias("revenue"))
+        .agg(F.sum(_revenue()).cast("decimal(18,6)").cast("double").alias("revenue"))
         .orderBy(
             F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
         )
@@ -134,16 +140,16 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_revenue()).cast("decimal(18,6)").alias("revenue"))
+        .agg(F.sum(_revenue()).cast("decimal(18,6)").cast("double").alias("revenue"))
     )
 
 
 @declare(
     "q_tpch_q6",
     oracle="""
-    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+    SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
                          * CAST(l_discount AS DECIMAL(18,6))
-                         AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue,
+                         AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -171,6 +177,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum((price * disc).cast("decimal(18,6)"))
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -212,7 +219,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_revenue()).cast("decimal(18,6)").alias("revenue"))
+        .agg(F.sum(_revenue()).cast("decimal(18,6)").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -226,8 +233,8 @@ Q18_QTY_THRESHOLD = 250  # ~p98 of per-order quantity in the fixtures
     "q_tpch_q18",
     oracle=f"""
     SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,2))
-               AS sum_qty
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(18,2))
+               AS DOUBLE) AS sum_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -263,7 +270,12 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
         .select(
-            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
         )
     )
 
@@ -364,7 +376,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .withColumn("yr", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "yr")
-        .agg(F.sum(_revenue()).cast("decimal(18,6)").alias("revenue"))
+        .agg(F.sum(_revenue()).cast("decimal(18,6)").cast("double").alias("revenue"))
     )
 
 
@@ -411,11 +423,11 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
     )
     SELECT
-        CAST(sum(CASE WHEN p_type = 'PROMO'
+        CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
                  THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6))
                       * (1 - CAST(l_discount AS DECIMAL(18,6)))
                       AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
-             AS DECIMAL(18,6)) AS promo_revenue,
+             AS DECIMAL(18,6)) AS DOUBLE) AS promo_revenue,
         {_REVENUE_SQL} AS total_revenue,
         100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
                  THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6))
@@ -445,8 +457,8 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.sum(promo).cast("decimal(18,6)").alias("promo_revenue"),
-            F.sum(rev).cast("decimal(18,6)").alias("total_revenue"),
+            F.sum(promo).cast("decimal(18,6)").cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("decimal(18,6)").cast("double").alias("total_revenue"),
         )
     )
     return agg.select(
@@ -500,7 +512,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.sum(_revenue()).cast("decimal(18,6)").alias("revenue"),
+            F.sum(_revenue()).cast("decimal(18,6)").cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -528,10 +540,10 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     )
     SELECT yr,
-           CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
+           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6))
-               AS nation_volume,
-           CAST(sum(volume) AS DECIMAL(18,6)) AS total_volume,
+               AS DOUBLE) AS nation_volume,
+           CAST(CAST(sum(volume) AS DECIMAL(18,6)) AS DOUBLE) AS total_volume,
            CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6))
                 AS DOUBLE)
@@ -579,8 +591,8 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("yr", F.year("o_orderdate"))
         .groupBy("yr")
         .agg(
-            F.sum(nation_vol).cast("decimal(18,6)").alias("nation_volume"),
-            F.sum(vol).cast("decimal(18,6)").alias("total_volume"),
+            F.sum(nation_vol).cast("decimal(18,6)").cast("double").alias("nation_volume"),
+            F.sum(vol).cast("decimal(18,6)").cast("double").alias("total_volume"),
         )
     )
     return agg.select(
@@ -623,7 +635,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     revenue = (
         lineitem.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_revenue()).cast("decimal(18,6)").alias("total_revenue"))
+        .agg(F.sum(_revenue()).cast("decimal(18,6)").cast("double").alias("total_revenue"))
         .localCheckpoint(eager=True)  # compute the CTE once, reuse twice
     )
     top = revenue.agg(F.max("total_revenue").alias("max_rev"))
@@ -643,8 +655,8 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(CAST(l_quantity AS DECIMAL(18,6))) AS sq
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,6))
-               AS small_qty_price,
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+               AS DECIMAL(18,6)) AS DOUBLE) AS small_qty_price,
            count(*) AS n_items
     FROM lineitem
     JOIN part  ON p_partkey = l_partkey
@@ -674,6 +686,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("small_qty_price"),
             F.count("*").alias("n_items"),
         )

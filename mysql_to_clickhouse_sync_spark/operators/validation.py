@@ -78,7 +78,12 @@ def _row_fingerprint() -> Column:
            min(o_orderkey) AS min_key,
            max(o_orderkey) AS max_key,
            bit_xor(fingerprint) AS xor_checksum,
-           sum(CAST(fingerprint AS DECIMAL(38, 0))) AS sum_checksum
+           -- String output: a 21-digit digest overflows float64, and the
+           -- driver's pandas canonicalization maps DuckDB DECIMAL to
+           -- float64 (precision loss) while Spark keeps Decimal. Plain
+           -- digit strings are lossless and render identically.
+           CAST(sum(CAST(fingerprint AS DECIMAL(38, 0))) AS VARCHAR)
+               AS sum_checksum
     FROM fp
     GROUP BY chunk
     """,
@@ -101,9 +106,9 @@ def q_sync_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderkey").alias("min_key"),
             F.max("o_orderkey").alias("max_key"),
             F.bit_xor("fingerprint").alias("xor_checksum"),
-            F.sum(F.col("fingerprint").cast("decimal(38,0)")).alias(
-                "sum_checksum"
-            ),
+            F.sum(F.col("fingerprint").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("sum_checksum"),
         )
     )
 

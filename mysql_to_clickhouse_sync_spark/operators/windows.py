@@ -196,8 +196,8 @@ _HOUR_FRAME = (
     oracle=f"""
     {EVENTS_US_CTE}
     SELECT event_id, user_id, ts,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) {_HOUR_FRAME}
-                AS DECIMAL(18,2)) AS hour_sum,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) {_HOUR_FRAME}
+                AS DECIMAL(18,2)) AS DOUBLE) AS hour_sum,
            count(*) {_HOUR_FRAME} AS hour_n
     FROM events_us
     """,
@@ -220,8 +220,8 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.expr(
-            f"CAST(sum(CAST(value AS DECIMAL(18,6))) {_HOUR_FRAME} "
-            "AS DECIMAL(18,2))"
+            f"CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) {_HOUR_FRAME} "
+            "AS DECIMAL(18,2)) AS DOUBLE)"
         ).alias("hour_sum"),
         F.expr(f"count(*) {_HOUR_FRAME}").alias("hour_n"),
     )

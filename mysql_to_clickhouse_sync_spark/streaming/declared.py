@@ -130,7 +130,7 @@ _TUMBLING_STREAM_ORACLE = """
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
     FROM events_us
     GROUP BY window_start, event_type
 """
@@ -165,6 +165,7 @@ def s_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select(

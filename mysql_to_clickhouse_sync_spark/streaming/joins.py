@@ -42,8 +42,8 @@ _WATERMARK = "40 days"  # > fixture span: nothing evicted -> oracle-exact
     oracle="""
     SELECT c_mktsegment,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,2))
-               AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,2))
+               AS DOUBLE) AS sum_value
     FROM events
     JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
@@ -80,6 +80,7 @@ def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("sum_value"),
         )
     )

@@ -87,3 +87,14 @@ def test_running_delta_one_exchange_serves_lag_and_cumsum(spark):
     p = _plan(spark, "q_running_delta")
     assert p.count("Exchange (") == 1, p
     assert p.count("Window (") == 1, p
+
+
+def test_neardup_candidates_are_equi_join_not_all_pairs(spark):
+    # The banded-LSH near-dup must generate candidates through an EQUI-join
+    # on (label, band, bucket) — never a nested-loop/cartesian pair
+    # enumeration (the per-label all-pairs scale-killer lives only in the
+    # bounded q_neardup_exact ground-truth twin).
+    p = _plan(spark, "q_embedding_neardup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
