@@ -19,6 +19,9 @@ signature analytics functions, so a migrating user keeps them:
     event-pattern detection ('click … purchase') over the event stream.
   * q_running_delta — runningDifference + running total per user, the
     ClickHouse idiom for turning gauges into deltas.
+  * q_agg_state_merge — AggregatingMergeTree / materialized-view
+    semantics: partial -State aggregates at fine grain, -Merge to coarse,
+    provably equal to aggregating the raw rows.
 """
 
 from __future__ import annotations
@@ -269,4 +272,62 @@ def q_running_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum_cents"),
+    )
+
+
+@declare(
+    "q_agg_state_merge",
+    oracle=f"""
+    {EVENTS_US_CTE}
+    , states AS (
+        -- the "materialized view": partial aggregate states at fine grain
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*) AS c,
+               sum({_CENTS_SQL}) AS s,
+               min(ts) AS mn, max(ts) AS mx
+        FROM events_us
+        GROUP BY event_type, day
+    )
+    SELECT event_type,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(sum(s) AS BIGINT) AS sum_cents,
+           min(mn) AS first_ts,
+           max(mx) AS last_ts,
+           count(*) AS n_states
+    FROM states
+    GROUP BY event_type
+    """,
+    tier="P2",
+)
+def q_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree / materialized-view semantics: aggregate to
+    partial STATES at fine grain (event_type, day), then MERGE the states
+    to the coarse grain (event_type) — the two-phase contract ClickHouse's
+    -State/-Merge combinators expose, and exactly what a sync user's
+    target-side materialized views do as parts merge.
+
+    Every aggregate here is mergeable (count/sum re-aggregate with sum;
+    min/max with min/max), so merging states is provably identical to
+    aggregating raw rows — the oracle states the same two-level plan so the
+    intermediate n_states column is checkable too. Plan shape: two
+    partial/final HashAggregates; the first shuffles on the FINE key (high
+    cardinality — spreads well), the second on its prefix (tiny input, one
+    row per state). At 100 TB this is the standard pre-aggregation
+    pipeline: states land incrementally per micro-batch/partition and the
+    coarse merge touches only state rows, never raw events again."""
+    events = load_table(spark, sf_dir, "events")
+    states = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").alias("c"),
+        F.sum(_cents()).alias("s"),
+        F.min("ts").alias("mn"),
+        F.max("ts").alias("mx"),
+    )
+    return states.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum("s").cast("bigint").alias("sum_cents"),
+        F.min("mn").alias("first_ts"),
+        F.max("mx").alias("last_ts"),
+        F.count("*").alias("n_states"),
     )
