@@ -22,14 +22,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mysql_to_clickhouse_sync_spark.catalog import load_table
 from mysql_to_clickhouse_sync_spark.operators.dedup import (
+    _minhash_oracle,
     minhash_lsh_candidates,
 )
 from mysql_to_clickhouse_sync_spark.registry import declare
 
 MAX_ITERATIONS = 20
+SURVIVOR_JACCARD = 0.5  # MinHash estimate threshold for dedup edges
 
 
 def connected_components(
@@ -141,3 +144,82 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = docs.select(F.col("doc_id").alias("id"))
     return connected_components(nodes, edges)
+
+
+@declare(
+    "q_dedup_survivorship",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+        SELECT doc_a AS src, doc_b AS dst
+        FROM ({_minhash_oracle()})
+        WHERE est_jaccard >= {SURVIVOR_JACCARD}
+    ), sym AS (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), reach(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+    ), comp AS (
+        SELECT id AS doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY id
+    ), m AS (
+        SELECT c.cluster_id, d.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           count(*) AS n_members,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+               AS survivor_doc,
+           CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS survivor_chars
+    FROM m
+    GROUP BY cluster_id
+    HAVING count(*) > 1
+    """,
+    tier="P1",
+)
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship over near-duplicate clusters: MinHash-LSH candidate
+    pairs at est_jaccard >= 0.5 are the edges, their transitive closure
+    the clusters (same min-label propagation as q_dedup_clusters), and for
+    every multi-member cluster the canonical representative is elected —
+    longest document, doc_id tiebreak — with accounting for what dedup
+    drops. This is the decision step a training-data pipeline runs AFTER
+    near-dup detection: which copy to keep, how many bytes go away.
+
+    Plan: candidate generation is the banded LSH equi-join (no all-pairs);
+    the component labels join back to (doc_id, n_chars) — a skinny payload
+    — then one window ranks members inside each cluster and one aggregate
+    emits per-cluster stats. Cluster cardinality, not corpus size, bounds
+    the output."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        minhash_lsh_candidates(docs)
+        .filter(F.col("est_jaccard") >= SURVIVOR_JACCARD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = connected_components(docs.select(F.col("doc_id").alias("id")), edges)
+    members = comp.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("id")
+    )
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min(F.when(F.col("rn") == 1, F.col("id")))
+            .cast("bigint")
+            .alias("survivor_doc"),
+            F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("survivor_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+    )

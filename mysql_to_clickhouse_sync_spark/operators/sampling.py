@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.operators.text import _TOKEN_COUNT_SQL
 from mysql_to_clickhouse_sync_spark.registry import declare
 
 _PER_STRATUM = 10
@@ -147,4 +148,74 @@ def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("price").cast("double").alias("max_price"),
             F.sum("price").cast("decimal(18,2)").cast("double").alias("total_price"),
         )
+    )
+
+
+TOKEN_BUDGET = 500  # tokens per language — bites at every fixture SF
+
+
+@declare(
+    "q_token_budget_sample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars,
+               {_TOKEN_COUNT_SQL.format(col='text')} AS tok
+        FROM documents
+    ), cum AS (
+        SELECT lang, tok,
+               sum(tok) OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS c
+        FROM toks
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN c <= {TOKEN_BUDGET} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN c <= {TOKEN_BUDGET} THEN tok ELSE 0 END)
+               AS BIGINT) AS tokens_kept,
+           CAST(sum(CASE WHEN c <= {TOKEN_BUDGET} THEN tok ELSE 0 END)
+               * 10000 // {TOKEN_BUDGET} AS BIGINT) AS utilization_bp
+    FROM cum
+    GROUP BY lang
+    """,
+    tier="P1",
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: per language, greedily admit
+    documents in (n_chars DESC, doc_id) priority order until the token
+    budget is exhausted — the mixture-building step of assembling a
+    pretraining corpus under a fixed per-language token allocation
+    (complement of q_balanced_sample's count-based quota).
+
+    The admission rule is a running token sum compared to the budget —
+    deterministic, re-runnable, append-stable for the admitted prefix.
+    All integer arithmetic (token counts, basis points by floor division).
+    Scale: the per-language running sum is the same global-prefix-sum
+    shape as q_sequence_pack; at 100 TB languages span blocks and the
+    two-level decomposition in operators/packing.py applies verbatim."""
+    from mysql_to_clickhouse_sync_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "n_chars", "doc_id", token_count(F.col("text")).alias("tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("c", F.sum("tok").over(w))
+    kept = F.col("c") <= TOKEN_BUDGET
+    return cum.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("tok")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.expr(
+            f"CAST(sum(CASE WHEN c <= {TOKEN_BUDGET} THEN tok ELSE 0 END)"
+            f" * 10000 div {TOKEN_BUDGET} AS BIGINT)"
+        ).alias("utilization_bp"),
     )
