@@ -156,7 +156,9 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sym AS (
         SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
     ), reach(id, label) AS (
-        SELECT doc_id, doc_id FROM documents
+        -- only edge endpoints: every member of a multi-member cluster
+        -- touches an edge, and singletons are dropped by HAVING anyway
+        SELECT DISTINCT src, src FROM sym
         UNION
         SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
     ), comp AS (
@@ -200,8 +202,17 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_candidates(docs)
         .filter(F.col("est_jaccard") >= SURVIVOR_JACCARD)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint(eager=True)  # candidates feed every CC round
     )
-    comp = connected_components(docs.select(F.col("doc_id").alias("id")), edges)
+    # Nodes = edge endpoints only: every member of a multi-member cluster
+    # touches an edge (singletons are filtered out below), so the label
+    # table each round is bounded by 2|edges|, not corpus size.
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(nodes, edges)
     members = comp.join(
         docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
     )

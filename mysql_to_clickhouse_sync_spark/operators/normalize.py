@@ -72,3 +72,68 @@ def q_type_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_literal"
         ),
     )
+
+
+DRIFT_SPLIT = 2  # key parity: even keys arrive as "v1" (pre-ALTER) rows — scale-independent
+
+
+@declare(
+    "q_schema_drift",
+    oracle=f"""
+    WITH v1 AS (
+        -- rows extracted before the upstream ALTER TABLE: no priority col
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders WHERE o_orderkey % {DRIFT_SPLIT} = 0
+    ), v2 AS (
+        -- rows extracted after: schema gained o_orderpriority
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey % {DRIFT_SPLIT} <> 0
+    ), unified AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(NULL AS VARCHAR) AS o_orderpriority, 'v1' AS src_schema
+        FROM v1
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, 'v2'
+        FROM v2
+    )
+    SELECT src_schema, o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_priority,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM unified
+    GROUP BY src_schema, o_orderstatus
+    """,
+    tier="P1",
+)
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: merge extracts taken before and after an
+    upstream ALTER TABLE ADD COLUMN (the mid-sync drift every long-running
+    copy of a live MySQL database eventually hits — the reference re-derives
+    columns per batch from dict keys, mysql_to_clickhouse_sync.py:56, and
+    would silently produce ragged INSERTs). Spark's
+    unionByName(allowMissingColumns=True) aligns by NAME and NULL-fills the
+    missing column — position-based UNION would mis-bind or reject. The
+    audit aggregate proves which slice carries NULLs. Pure map-side union:
+    no shuffle beyond the final audit groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = (
+        orders.filter(F.col("o_orderkey") % DRIFT_SPLIT == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .withColumn("src_schema", F.lit("v1"))
+    )
+    v2 = (
+        orders.filter(F.col("o_orderkey") % DRIFT_SPLIT != 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .withColumn("src_schema", F.lit("v2"))
+    )
+    unified = v1.unionByName(v2, allowMissingColumns=True)
+    return unified.groupBy("src_schema", "o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_orderpriority").isNull().cast("bigint")).alias(
+            "n_null_priority"
+        ),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
