@@ -275,9 +275,7 @@ def q_running_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "q_agg_state_merge",
-    oracle=f"""
+AGG_STATE_ORACLE = f"""
     {EVENTS_US_CTE}
     , states AS (
         -- the "materialized view": partial aggregate states at fine grain
@@ -296,9 +294,10 @@ def q_running_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_states
     FROM states
     GROUP BY event_type
-    """,
-    tier="P2",
-)
+    """
+
+
+@declare("q_agg_state_merge", oracle=AGG_STATE_ORACLE, tier="P2")
 def q_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AggregatingMergeTree / materialized-view semantics: aggregate to
     partial STATES at fine grain (event_type, day), then MERGE the states

@@ -1,0 +1,132 @@
+"""Incremental materialized view — the streaming half of
+q_agg_state_merge's AggregatingMergeTree contract.
+
+ClickHouse materialized views populate an AggregatingMergeTree target
+incrementally: every INSERT block is pre-aggregated to partial -State rows
+and parts merge later. The Spark-native equivalent is a foreachBatch sink
+that maintains a STATE TABLE: each micro-batch aggregates to partial
+states at the fine grain and merges them into the persisted states with a
+read-modify-write (all aggregates mergeable — count/sum by sum, min/max by
+min/max — so the merge is associative and batch-boundary-independent).
+
+The declared query drives a real two-micro-batch stream and returns the
+final -Merge readout; the oracle is the SAME SQL as q_agg_state_merge —
+proving the incremental path converges to the batch answer regardless of
+how rows were sliced into batches (including the per-(type,day) state
+count, which must equal the batch state count because states merge by
+key, never split).
+
+Scale notes: each micro-batch shuffles only its own partial states (group
+cardinality, not row count); the read-modify-write touches the state
+table (bounded by key cardinality), never reprocessed raw history. At
+100 TB/day the state table lives in a keyed, transactional store
+(Delta/Iceberg MERGE or ClickHouse itself) — the parquet
+checkpoint-then-overwrite here is the sandbox stand-in with the same merge
+algebra.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.operators.clickhouse import (
+    AGG_STATE_ORACLE,
+    _cents,
+)
+from mysql_to_clickhouse_sync_spark.registry import declare
+from mysql_to_clickhouse_sync_spark.streaming.tuning import tuned
+
+SPLIT_TS = "2024-01-20 00:00:00"  # same micro-batch split as declared.py
+
+
+def _partial_states(df: DataFrame) -> DataFrame:
+    return df.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").alias("c"),
+        F.sum(_cents()).alias("s"),
+        F.min("ts").alias("mn"),
+        F.max("ts").alias("mx"),
+    )
+
+
+def merge_states(cur: DataFrame, partial: DataFrame) -> DataFrame:
+    """-Merge of two state tables: associative, key-aligned."""
+    return (
+        cur.unionByName(partial)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("c").alias("c"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+
+
+@declare("s_agg_state_stream", oracle=AGG_STATE_ORACLE, tier="P3")
+@tuned
+def s_agg_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental materialized view: micro-batches of the events
+    feed are pre-aggregated to partial states and merged into a persisted
+    state table via foreachBatch; the result is the -Merge readout of the
+    final states. Oracle-equal to the one-shot batch aggregation."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    early = events.filter(F.col("ts") < F.lit(SPLIT_TS))
+    late = events.filter(F.col("ts") >= F.lit(SPLIT_TS))
+
+    workdir = tempfile.mkdtemp(prefix="matview_")
+    in_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    state_dir = f"{workdir}/state"
+    os.makedirs(in_dir, exist_ok=True)
+
+    def upsert_states(batch_df: DataFrame, _batch_id: int) -> None:
+        partial = _partial_states(batch_df)
+        if os.path.isdir(state_dir):
+            cur = spark.read.parquet(state_dir)
+            # Materialize BEFORE overwriting the directory being read —
+            # the eager checkpoint severs the plan from the input files.
+            merged = merge_states(cur, partial).localCheckpoint(eager=True)
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    query = None
+    try:
+        early.coalesce(1).write.mode("append").parquet(in_dir)
+        query = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(upsert_states)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(in_dir)
+        query.processAllAvailable()
+        states = spark.read.parquet(state_dir)
+        return (
+            states.groupBy("event_type")
+            .agg(
+                F.sum("c").cast("bigint").alias("n_events"),
+                F.sum("s").cast("bigint").alias("sum_cents"),
+                F.min("mn").alias("first_ts"),
+                F.max("mx").alias("last_ts"),
+                F.count("*").alias("n_states"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
