@@ -63,3 +63,24 @@ def test_word_shingles_small_docs(spark):
     assert out[1] == ["one two"]
     assert out[2] == ["one two three", "two three four"]
     assert out[3] == [""]  # degenerate but well-defined
+
+
+def test_banded_neardup_recall_vs_exact(spark):
+    # The banded-LSH default path must retain most of the exact all-pairs
+    # ground truth at the declared threshold — a recall floor keeps the
+    # band-length dial honest (16 bands x 4 bits ≈ 95% measured; assert a
+    # conservative 80%).
+    from mysql_to_clickhouse_sync_spark.registry import queries
+    from tests.conftest import SF_DIR
+
+    qs = queries()
+    exact = {
+        (r.label, r.vec_a, r.vec_b)
+        for r in qs["q_neardup_exact"](spark, SF_DIR).collect()
+    }
+    banded = {
+        (r.label, r.vec_a, r.vec_b)
+        for r in qs["q_embedding_neardup"](spark, SF_DIR).collect()
+    }
+    assert banded <= exact  # candidates are re-scored exactly: no false positives
+    assert len(banded) >= 0.8 * len(exact), (len(banded), len(exact))
