@@ -98,3 +98,26 @@ def test_neardup_candidates_are_equi_join_not_all_pairs(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Join" in p
+
+
+def test_agg_state_merge_two_level_aggregation(spark):
+    # -State then -Merge: two partial/final HashAggregate pairs, one
+    # exchange per level — the coarse merge never rereads raw events.
+    p = _plan(spark, "q_agg_state_merge")
+    assert p.count("Exchange (") == 2, p
+    assert p.count("HashAggregate (") == 4, p
+
+
+def test_schema_drift_union_is_map_side(spark):
+    # unionByName with NULL-fill must not shuffle; the only exchange is
+    # the final audit aggregation.
+    p = _plan(spark, "q_schema_drift")
+    assert p.count("Exchange (") == 1, p
+
+
+def test_token_budget_one_exchange_serves_window_and_agg(spark):
+    # The per-language running sum and the per-language audit aggregate
+    # share a single hash exchange on lang.
+    p = _plan(spark, "q_token_budget_sample")
+    assert p.count("Exchange (") == 1, p
+    assert p.count("Window (") == 1, p
