@@ -496,3 +496,21 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("except_all").alias("kind"), "nationkey"
     )
     return union_d.unionAll(except_a)
+
+
+@declare("q_approx_percentile", oracle=None, tier="P2")
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE scale path for quantiles (declared rows-only: the sketch is
+    approximate by construction, so no cross-engine hash can exist —
+    tests/test_approx_sketches.py bounds its error against q_median's
+    exact values instead). approx_percentile keeps a bounded
+    QuantileSummaries sketch per group and merges sketches map-side: one
+    shuffle of sketches (not values), constant memory per group — replaces
+    q_median's exact percentile, which must hold each group's values, at
+    100 TB. Accuracy 10000 ≈ 0.01% rank error."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("median_approx"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("p90_approx"),
+        F.count("*").alias("n_events"),
+    )
