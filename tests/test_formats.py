@@ -85,3 +85,36 @@ def test_lineitem_orc_predicate_pushdown(spark):
         assert back.count() == li.filter(F.col("l_orderkey") < 100).count()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    # The 100 TB layout contract: a ts-date/type-partitioned landing zone
+    # must let a filtered read touch ONLY matching partition directories —
+    # Catalyst partition pruning, visible as PartitionFilters in the scan
+    # and an input row count equal to the partition's rows.
+    import io
+    from contextlib import redirect_stdout
+
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_part")
+    events.write.partitionBy("event_type").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    assert "PartitionFilters" in plan
+    # attribute ids decorate the column name (event_type#14 = click)
+    assert re.search(r"PartitionFilters:.*event_type#\d+ = click", plan), plan
+    # pruned read returns exactly the partition's rows
+    expected = events.filter(F.col("event_type") == "click").count()
+    assert back.count() == expected
+    # and the pushed filter must NOT appear as a data filter on the scan —
+    # pruning happens at the directory level, no row-level work
+    scan_section = plan.split("PartitionFilters", 1)[1]
+    assert "PushedFilters: []" in scan_section or "PushedFilters" not in scan_section
