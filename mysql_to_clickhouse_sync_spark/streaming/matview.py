@@ -70,6 +70,54 @@ def merge_states(cur: DataFrame, partial: DataFrame) -> DataFrame:
     )
 
 
+class StateSink:
+    """Idempotent foreachBatch state sink. Structured Streaming's
+    foreachBatch is at-least-once: after a failure the SAME batch_id can
+    be re-delivered, and a naive merge would double-count it. The fix is
+    the standard exactly-once recipe — record applied batch ids in a
+    transaction log next to the state and skip re-deliveries. (batch_id
+    is stable across retries by contract; at 100 TB the log and state
+    live in one transactional table — Delta/Iceberg MERGE keyed on
+    batch_id — this file-pair is the sandbox stand-in with the same
+    algebra.)"""
+
+    def __init__(self, spark: SparkSession, state_dir: str) -> None:
+        self.spark = spark
+        self.state_dir = state_dir
+        self._log = f"{state_dir}_applied.log"
+
+    def _applied(self) -> set[int]:
+        if not os.path.exists(self._log):
+            return set()
+        with open(self._log) as fh:
+            return {int(line) for line in fh if line.strip()}
+
+    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self._applied():
+            return  # re-delivered batch: already merged, skip
+        partial = _partial_states(batch_df)
+        if os.path.isdir(self.state_dir):
+            cur = self.spark.read.parquet(self.state_dir)
+            # Materialize BEFORE overwriting the directory being read —
+            # the eager checkpoint severs the plan from the input files.
+            merged = merge_states(cur, partial).localCheckpoint(eager=True)
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(self.state_dir)
+        with open(self._log, "a") as fh:
+            fh.write(f"{batch_id}\n")
+
+    def readout(self) -> DataFrame:
+        states = self.spark.read.parquet(self.state_dir)
+        return states.groupBy("event_type").agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.sum("s").cast("bigint").alias("sum_cents"),
+            F.min("mn").alias("first_ts"),
+            F.max("mx").alias("last_ts"),
+            F.count("*").alias("n_states"),
+        )
+
+
 @declare("s_agg_state_stream", oracle=AGG_STATE_ORACLE, tier="P3")
 @tuned
 def s_agg_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,19 +134,8 @@ def s_agg_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = tempfile.mkdtemp(prefix="matview_")
     in_dir = f"{workdir}/in"
     ckpt = f"{workdir}/ckpt"
-    state_dir = f"{workdir}/state"
     os.makedirs(in_dir, exist_ok=True)
-
-    def upsert_states(batch_df: DataFrame, _batch_id: int) -> None:
-        partial = _partial_states(batch_df)
-        if os.path.isdir(state_dir):
-            cur = spark.read.parquet(state_dir)
-            # Materialize BEFORE overwriting the directory being read —
-            # the eager checkpoint severs the plan from the input files.
-            merged = merge_states(cur, partial).localCheckpoint(eager=True)
-        else:
-            merged = partial
-        merged.write.mode("overwrite").parquet(state_dir)
+    sink = StateSink(spark, f"{workdir}/state")
 
     query = None
     try:
@@ -107,25 +144,14 @@ def s_agg_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(in_dir)
-            .writeStream.foreachBatch(upsert_states)
+            .writeStream.foreachBatch(sink.apply)
             .option("checkpointLocation", ckpt)
             .start()
         )
         query.processAllAvailable()
         late.coalesce(1).write.mode("append").parquet(in_dir)
         query.processAllAvailable()
-        states = spark.read.parquet(state_dir)
-        return (
-            states.groupBy("event_type")
-            .agg(
-                F.sum("c").cast("bigint").alias("n_events"),
-                F.sum("s").cast("bigint").alias("sum_cents"),
-                F.min("mn").alias("first_ts"),
-                F.max("mx").alias("last_ts"),
-                F.count("*").alias("n_states"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        return sink.readout().localCheckpoint(eager=True)
     finally:
         if query is not None:
             query.stop()
