@@ -41,11 +41,18 @@ def clickhouse_jdbc_options(
     max_connections: int = DEFAULT_MAX_CONNECTIONS,
     user: str | None = None,
     password: str | None = None,
+    dedup_token_value: str | None = None,
 ) -> dict[str, Any]:
     """JDBC writer options with the reference's tuning mapped onto Spark:
     batch_size -> batchsize (rows per INSERT), max_workers -> numPartitions
     (concurrent inserting connections). The decimal-trailing-zeros session
-    setting (S:77-83) rides along in the connection params."""
+    setting (S:77-83) rides along in the connection params;
+    dedup_token_value adds ClickHouse's insert_deduplication_token so a
+    retried identical INSERT is dropped server-side (the streaming sink's
+    exactly-once layer)."""
+    params = "output_format_decimal_trailing_zeros=1"
+    if dedup_token_value:
+        params += f"&insert_deduplication_token={dedup_token_value}"
     opts: dict[str, Any] = {
         "url": url,
         "dbtable": table,
@@ -54,7 +61,7 @@ def clickhouse_jdbc_options(
         "numPartitions": str(max_connections),
         "isolationLevel": "NONE",  # ClickHouse has no transactions
         # S:77-83 — preserve decimal scale on output.
-        "custom_http_params": "output_format_decimal_trailing_zeros=1",
+        "custom_http_params": params,
     }
     if user:
         opts["user"] = user
@@ -78,16 +85,32 @@ def write_to_clickhouse(df: DataFrame, url: str, table: str, **kw: Any) -> None:
 
 
 def foreach_batch_writer(
-    url: str, table: str, **kw: Any
+    url: str, table: str, *, dedup_token: bool = True, **kw: Any
 ) -> Callable[[DataFrame, int], None]:
     """Streaming sink: writeStream.foreachBatch(foreach_batch_writer(...)).
     Empty micro-batches are skipped (the reference's empty-batch guard,
-    S:98/S:115)."""
+    S:98/S:115).
 
-    def write(batch_df: DataFrame, _epoch: int) -> None:
+    At-least-once caveat: foreachBatch can RE-DELIVER a batch_id after a
+    failure, and a plain append INSERT would duplicate it. Two layers make
+    the sink effectively exactly-once on the ClickHouse side:
+      * dedup_token=True sets ``insert_deduplication_token`` to a value
+        derived from (table, batch_id) — *MergeTree tables then drop a
+        retried identical INSERT server-side (ClickHouse's standard
+        block-dedup keyed on the token).
+      * for upsert-shaped tables the DDL module (sinks/ddl.py) emits
+        ReplacingMergeTree(ver), where replayed rows collapse on merge
+        regardless of INSERT-level dedup.
+    (streaming/matview.StateSink is the state-table analog: an applied-
+    batch log instead of a server token.)"""
+
+    def write(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
-        write_to_clickhouse(batch_df, url, table, **kw)
+        opts = dict(kw)
+        if dedup_token:
+            opts["dedup_token_value"] = f"{table}_batch_{epoch}"
+        write_to_clickhouse(batch_df, url, table, **opts)
 
     return write
 

@@ -95,3 +95,18 @@ def test_foreach_batch_empty_guard(spark):
     writer = foreach_batch_writer("jdbc:clickhouse://nonexistent:1/db", "t")
     empty = spark.createDataFrame([], "a bigint")
     writer(empty, 0)  # no exception == guard worked
+
+
+def test_jdbc_options_carry_dedup_token():
+    from mysql_to_clickhouse_sync_spark.sinks.clickhouse import (
+        clickhouse_jdbc_options,
+    )
+
+    opts = clickhouse_jdbc_options(
+        "jdbc:clickhouse://h:1/db", "t", dedup_token_value="t_batch_7"
+    )
+    assert "insert_deduplication_token=t_batch_7" in opts["custom_http_params"]
+    assert "output_format_decimal_trailing_zeros=1" in opts["custom_http_params"]
+    # without a token the param must be absent (plain batch loads)
+    plain = clickhouse_jdbc_options("jdbc:clickhouse://h:1/db", "t")
+    assert "insert_deduplication_token" not in plain["custom_http_params"]
