@@ -65,6 +65,16 @@ def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_limit_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset-paged read (pagination.py:64-74) with the engine's added
-    determinism: total order on the PK before offset/limit."""
+    determinism: total order on the PK before offset/limit.
+
+    Scale note: Spark executes this as TakeOrderedAndProject with an
+    offset — each partition keeps its top-(offset+limit), one merge skips
+    the offset. Cost grows with page depth (the classic deep-paging trap,
+    same as MySQL's own LIMIT offset,n the reference paginates with,
+    P:68). The 100 TB path for a FULL paged extract is keyset pagination
+    — `WHERE pk > last_seen ORDER BY pk LIMIT n` — which is exactly
+    q_range_scan's pushed-predicate shape; offset paging is declared for
+    parity with the reference's PK-less fallback, where no keyset
+    exists."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.orderBy("o_orderkey").offset(PAGE_OFFSET).limit(PAGE_SIZE)
