@@ -102,3 +102,34 @@ def test_clickhouse_options_shape():
     assert opts["numPartitions"] == "4"
     assert "output_format_decimal_trailing_zeros=1" in opts["custom_http_params"]
     assert opts["isolationLevel"] == "NONE"
+
+
+def test_bmp_roundtrip_and_malformed_payloads():
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        bmp_geometry,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    w, h, seed = bmp_geometry(42)
+    payload = encode_bmp(w, h, seed)
+    dw, dh, psum = decode_bmp(payload)
+    assert (dw, dh) == (w, h)
+    assert psum == sum((seed + 31 * i) % 256 for i in range(3 * w * h))
+    # padding must be stripped: a stride-ignorant decoder would add the
+    # zero pad bytes (no change) — so ALSO check a payload whose pad bytes
+    # are nonzero still yields the padding-free checksum
+    stride = ((3 * w + 3) // 4) * 4
+    if stride > 3 * w:
+        raw = bytearray(payload)
+        for row in range(h):
+            for p in range(3 * w, stride):
+                raw[54 + row * stride + p] = 255
+        assert decode_bmp(bytes(raw))[2] == psum
+    # malformed payloads quarantine as NULLs, never raise
+    assert decode_bmp(None) == (None, None, None)
+    assert decode_bmp(b"XX" + payload[2:]) == (None, None, None)  # bad magic
+    assert decode_bmp(payload[:40]) == (None, None, None)  # truncated
+    bad_bpp = bytearray(payload)
+    bad_bpp[28] = 8
+    assert decode_bmp(bytes(bad_bpp)) == (None, None, None)
