@@ -86,6 +86,9 @@ def _load_all_modules() -> None:
         joins as _streaming_joins,
     )
     from mysql_to_clickhouse_sync_spark.streaming import (  # noqa: F401
+        evolution as _evolution,
+    )
+    from mysql_to_clickhouse_sync_spark.streaming import (  # noqa: F401
         matview as _matview,
     )
     from mysql_to_clickhouse_sync_spark.streaming import (  # noqa: F401
