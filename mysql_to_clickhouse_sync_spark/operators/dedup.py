@@ -517,3 +517,73 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+_NEW_BATCH_SOURCE = "src4"  # the arriving batch; the rest is the corpus
+
+
+@declare(
+    "q_incremental_dedup",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang, source,
+               md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS f
+        FROM documents
+    ), corpus AS (
+        SELECT DISTINCT f FROM fp WHERE source <> 'src4'
+    ), batch AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        FROM fp WHERE source = 'src4'
+    )
+    SELECT lang,
+           count(*) AS n_arrived,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_in_batch,
+           CAST(sum(CASE WHEN rn = 1 AND c.f IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dup_vs_corpus,
+           CAST(sum(CASE WHEN rn = 1 AND c.f IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+    FROM batch b LEFT JOIN corpus c USING (f)
+    GROUP BY lang
+    """,
+    tier="P1",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: an arriving batch (source = src4) is
+    deduplicated FIRST within itself (keep min doc_id per fingerprint),
+    then against the standing corpus (anti-join on fingerprint), yielding
+    the per-language admission ledger: batch-internal dupes, corpus
+    collisions, novel survivors. This is the production shape of a corpus
+    that grows daily — the standing side is only the DISTINCT fingerprint
+    set (bytes-per-doc constant, Bloom-filter swappable), never the text.
+
+    Plan: fingerprints are a map-only md5 pass; the batch self-dedup is
+    one window on f; the corpus probe is a LEFT join on the fingerprint
+    hash — at 100 TB both sides shuffle on an evenly-distributed hash,
+    and the corpus side ships one row per distinct fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    fp = docs.select(
+        "doc_id", "lang", "source", F.md5(norm.cast("binary")).alias("f")
+    )
+    corpus = (
+        fp.filter(F.col("source") != _NEW_BATCH_SOURCE)
+        .select("f")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    w = Window.partitionBy("f").orderBy("doc_id")
+    batch = fp.filter(F.col("source") == _NEW_BATCH_SOURCE).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    joined = batch.join(corpus, "f", "left")
+    first = F.col("rn") == 1
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_arrived"),
+        F.sum((~first).cast("bigint")).alias("n_dup_in_batch"),
+        F.sum((first & F.col("hit").isNotNull()).cast("bigint")).alias(
+            "n_dup_vs_corpus"
+        ),
+        F.sum((first & F.col("hit").isNull()).cast("bigint")).alias("n_novel"),
+    )
