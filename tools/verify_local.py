@@ -109,10 +109,12 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument(
         "--canon",
-        action="store_true",
-        help="additionally compare through the driver's pandas "
-        "canonicalization (dtype-sensitive; catches int64-vs-float64 "
-        "and unhashable-cell failures the multiset compare forgives)",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="also compare through the driver's pandas canonicalization "
+        "(dtype-sensitive; catches int64-vs-float64 and unhashable-cell "
+        "failures the multiset compare forgives). ON by default — "
+        "--no-canon only for quick value-level iteration",
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
