@@ -309,3 +309,75 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("custkey", F.col("other").alias("best_match"), "dist")
     )
+
+
+VOCAB_K = 64  # tokenizer vocabulary budget (top-K corpus tokens)
+
+
+@declare(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ), freq AS (
+        SELECT t, count(*) AS n FROM tok GROUP BY t
+    ), vocab AS (
+        SELECT t FROM freq
+        ORDER BY n DESC, t ASC
+        LIMIT {VOCAB_K}
+    )
+    SELECT lang,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered,
+           CAST(sum(CASE WHEN v.t IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS coverage_bp,
+           CAST(count(DISTINCT CASE WHEN v.t IS NULL THEN tok.t END)
+               AS BIGINT) AS n_oov_types
+    FROM tok LEFT JOIN vocab v USING (t)
+    GROUP BY lang
+    """,
+    tier="P1",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-K corpus vocabulary
+    (global frequency, deterministic (count desc, token) tiebreak), then
+    measure per-language what fraction of token OCCURRENCES it covers and
+    how many out-of-vocabulary token TYPES remain — the OOV-rate study
+    that sizes a tokenizer's vocab before training.
+
+    Plan: one token explode feeds both phases; frequencies map-side
+    combine into a token-keyed aggregate; the top-K vocab is a
+    TakeOrderedAndProject (per-partition top-K, single merge — never a
+    global sort) broadcast back against the occurrence stream as a LEFT
+    join; coverage is integer arithmetic (basis points by floor div). At
+    100 TB the vocab side stays K rows regardless of corpus size — the
+    only corpus-sized shuffle is the frequency aggregation, bounded by
+    distinct-token cardinality, not occurrences."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "lang",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+        )
+    )
+    freq = tok.groupBy("t").agg(F.count("*").alias("n"))
+    vocab = (
+        freq.orderBy(F.col("n").desc(), F.col("t").asc())
+        .limit(VOCAB_K)
+        .select("t")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    joined = tok.join(F.broadcast(vocab), "t", "left")
+    covered = F.col("in_vocab").isNotNull()
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(covered.cast("bigint")).alias("n_covered"),
+        F.expr(
+            "CAST(sum(CASE WHEN in_vocab IS NOT NULL THEN 1 ELSE 0 END)"
+            " * 10000 div count(*) AS BIGINT)"
+        ).alias("coverage_bp"),
+        F.count_distinct(F.when(~covered, F.col("t"))).alias("n_oov_types"),
+    )
