@@ -381,3 +381,121 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("coverage_bp"),
         F.count_distinct(F.when(~covered, F.col("t"))).alias("n_oov_types"),
     )
+
+
+NGRAM_MIN_COUNT = 2  # LM count-table pruning threshold
+
+
+@declare(
+    "q_ngram_lm_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), uni AS (
+        SELECT lang, unnest(w) AS g FROM toks
+    ), bi AS (
+        SELECT lang,
+               unnest(list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i + 1])) AS g
+        FROM toks WHERE len(w) >= 2
+    ), uc AS (
+        SELECT lang, g, count(*) AS n FROM uni GROUP BY lang, g
+    ), bc AS (
+        SELECT lang, g, count(*) AS n FROM bi GROUP BY lang, g
+    )
+    SELECT lang,
+           CAST((SELECT count(*) FROM uc u WHERE u.lang = l.lang) AS BIGINT)
+               AS n_unigram_types,
+           CAST((SELECT coalesce(sum(n), 0) FROM uc u WHERE u.lang = l.lang)
+               AS BIGINT) AS n_unigram_occ,
+           CAST((SELECT count(*) FROM bc b
+                 WHERE b.lang = l.lang AND b.n >= {NGRAM_MIN_COUNT})
+               AS BIGINT) AS n_bigram_types_kept,
+           CAST((SELECT coalesce(sum(n), 0) FROM bc b
+                 WHERE b.lang = l.lang AND b.n >= {NGRAM_MIN_COUNT})
+               AS BIGINT) AS n_bigram_occ_kept,
+           (SELECT min(g) FROM bc b
+            WHERE b.lang = l.lang
+              AND b.n = (SELECT max(n) FROM bc b2 WHERE b2.lang = l.lang))
+               AS top_bigram
+    FROM (SELECT DISTINCT lang FROM toks) l
+    """,
+    tier="P1",
+)
+def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram count tables — the canonical MapReduce-era language-
+    model workload, Spark-first: unigram and bigram counts per language
+    with min-count pruning (count >= 2 survives, the classic LM-table
+    cutoff), plus the modal bigram (deterministic min-tiebreak).
+
+    Bigrams are built RELATIONALLY (posexplode + lead over (doc, pos)),
+    not with array lambdas — the same lesson as the minhash shingles
+    (PLANS.md: lambda shingling re-evaluated the tokenizer per element,
+    26s -> 2s when moved to the window form). Counting is two map-side-
+    combined aggregates keyed on (lang, gram) — shuffle volume is type
+    cardinality, not occurrence count; pruning drops the long tail BEFORE
+    any downstream join would see it. At 100 TB this is the exact shape
+    of web-scale LM count tables (hash-partitioned by gram)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "lang",
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "t"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "lang",
+        F.col("t").alias("uni"),
+        F.when(
+            F.lead("t", 1).over(w).isNotNull(),
+            F.concat_ws(" ", F.col("t"), F.lead("t", 1).over(w)),
+        ).alias("bi"),
+    )
+    uc = grams.groupBy("lang", F.col("uni").alias("g")).agg(
+        F.count("*").alias("n")
+    )
+    bc = (
+        grams.filter(F.col("bi").isNotNull())
+        .groupBy("lang", F.col("bi").alias("g"))
+        .agg(F.count("*").alias("n"))
+    )
+    uni_stats = uc.groupBy("lang").agg(
+        F.count("*").alias("n_unigram_types"),
+        F.sum("n").cast("bigint").alias("n_unigram_occ"),
+    )
+    kept = bc.filter(F.col("n") >= NGRAM_MIN_COUNT)
+    bi_stats = kept.groupBy("lang").agg(
+        F.count("*").alias("n_bigram_types_kept"),
+        F.sum("n").cast("bigint").alias("n_bigram_occ_kept"),
+    )
+    top = (
+        bc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("g"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("g").alias("top_bigram"))
+    )
+    return (
+        uni_stats.join(bi_stats, "lang", "left")
+        .join(top, "lang", "left")
+        .select(
+            "lang",
+            "n_unigram_types",
+            "n_unigram_occ",
+            F.coalesce(F.col("n_bigram_types_kept"), F.lit(0)).alias(
+                "n_bigram_types_kept"
+            ),
+            F.coalesce(F.col("n_bigram_occ_kept"), F.lit(0)).alias(
+                "n_bigram_occ_kept"
+            ),
+            "top_bigram",
+        )
+    )
