@@ -95,16 +95,21 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS DOUBLE) AS sum_qty,
            CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(18,2))
                AS DOUBLE) AS sum_base_price,
-           CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+           -- exact integer micro-currency: a whole-table 6-scale sum can
+           -- exceed 2^53 unscaled, where decimal->double conversion
+           -- differs by 1 ulp between engines (observed at ~sf1); the
+           -- decimal sum * 10^6 is an exact BIGINT in both engines at any
+           -- realistic magnitude (int64 caps at 9.2e18 micros)
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
                          * (1 - CAST(l_discount AS DECIMAL(18,6)))
-                         AS DECIMAL(18,6)))
-                AS DECIMAL(18,6)) AS DOUBLE) AS sum_disc_price,
-           CAST(CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                         AS DECIMAL(18,6))) * 1000000
+                AS BIGINT) AS sum_disc_price_micros,
+           CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
                               * (1 - CAST(l_discount AS DECIMAL(18,6)))
                               AS DECIMAL(18,6))
                          * (1 + CAST(l_tax AS DECIMAL(18,6)))
-                         AS DECIMAL(18,6)))
-                AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
+                         AS DECIMAL(18,6))) * 1000000
+                AS BIGINT) AS sum_charge_micros,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -133,8 +138,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(qty).cast("decimal(18,2)").cast("double").alias("sum_qty"),
             F.sum(price).cast("decimal(18,2)").cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(18,6)").cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(18,6)").cast("double").alias("sum_charge"),
+            (F.sum(disc_price) * 1_000_000)
+            .cast("bigint")
+            .alias("sum_disc_price_micros"),
+            (F.sum(charge) * 1_000_000).cast("bigint").alias("sum_charge_micros"),
             F.count("*").alias("count_order"),
         )
     )

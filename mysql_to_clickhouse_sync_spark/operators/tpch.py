@@ -13,8 +13,19 @@ skipped for difficulty.
 Money arithmetic follows the q_tpch_q1 pattern: cast operands to
 decimal(18,6), rescale every product back to (18,6) (exact — inputs carry
 <= 4 decimal digits), sum in decimal so the result is associative and thus
-partition-order independent; output at scale 6 to avoid HALF_UP-vs-even
-rounding ties on a final rescale.
+partition-order independent. Output boundary, by sum magnitude:
+  * per-group sums (q3/q5/q7/q10/q15): 2-dp-representable values whose
+    unscaled decimals stay far below 2^53 — cast to DOUBLE (the driver's
+    pandas canonicalization needs one numeric dtype on both sides; the
+    conversion is correctly rounded and injective in that window).
+  * WHOLE-TABLE sums (q1 disc_price/charge, q6, q8 volumes, q14, q17,
+    q19): a 6-scale global sum can exceed 2^53 unscaled, where
+    decimal->double conversion differs by 1 ulp between engines (observed
+    at ~sf1), and a 6->2 decimal rescale is NOT portable either (Spark
+    rounds HALF_UP, DuckDB truncates — measured). These leave the query
+    as exact integer MICRO-currency: decimal_sum * 10^6 is an exact
+    BIGINT in both engines up to 9.2e18 micros — no rounding anywhere,
+    at any corpus size.
 
 Scale notes (100 TB): customer/nation/region/supplier are dimensions —
 broadcast, so the orders->lineitem fact spine shuffles only for its own
@@ -147,9 +158,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "q_tpch_q6",
     oracle="""
-    SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
                          * CAST(l_discount AS DECIMAL(18,6))
-                         AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+                         AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               AS revenue_micros,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -175,10 +187,9 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum((price * disc).cast("decimal(18,6)"))
-            .cast("decimal(18,6)")
-            .cast("double")
-            .alias("revenue"),
+            (F.sum((price * disc).cast("decimal(18,6)")) * 1_000_000)
+            .cast("bigint")
+            .alias("revenue_micros"),
             F.count("*").alias("n_items"),
         )
     )
@@ -423,18 +434,24 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
     )
     SELECT
-        CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        CAST(sum(CASE WHEN p_type = 'PROMO'
                  THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6))
                       * (1 - CAST(l_discount AS DECIMAL(18,6)))
                       AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
-             AS DECIMAL(18,6)) AS DOUBLE) AS promo_revenue,
-        {_REVENUE_SQL} AS total_revenue,
+             * 1000000 AS BIGINT) AS promo_revenue_micros,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                 AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+            AS total_revenue_micros,
         100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
                  THEN CAST(CAST(l_extendedprice AS DECIMAL(18,6))
                       * (1 - CAST(l_discount AS DECIMAL(18,6)))
                       AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
-                 AS DECIMAL(18,6)) AS DOUBLE)
-              / CAST({_REVENUE_SQL} AS DOUBLE) AS promo_pct
+                 * 1000000 AS BIGINT) AS DOUBLE)
+              / CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                       AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE)
+              AS promo_pct
     FROM j
     """,
     tier="P2",
@@ -457,17 +474,19 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.sum(promo).cast("decimal(18,6)").cast("double").alias("promo_revenue"),
-            F.sum(rev).cast("decimal(18,6)").cast("double").alias("total_revenue"),
+            (F.sum(promo) * 1_000_000)
+            .cast("bigint")
+            .alias("promo_revenue_micros"),
+            (F.sum(rev) * 1_000_000).cast("bigint").alias("total_revenue_micros"),
         )
     )
     return agg.select(
-        "promo_revenue",
-        "total_revenue",
+        "promo_revenue_micros",
+        "total_revenue_micros",
         (
             F.lit(100.0)
-            * F.col("promo_revenue").cast("double")
-            / F.col("total_revenue").cast("double")
+            * F.col("promo_revenue_micros").cast("double")
+            / F.col("total_revenue_micros").cast("double")
         ).alias("promo_pct"),
     )
 
@@ -475,7 +494,10 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "q_tpch_q19",
     oracle=f"""
-    SELECT {_REVENUE_SQL} AS revenue, count(*) AS n_items
+    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                 AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS revenue_micros,
+           count(*) AS n_items
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 1 AND l_quantity <= 21)
@@ -512,7 +534,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.sum(_revenue()).cast("decimal(18,6)").cast("double").alias("revenue"),
+            (F.sum(_revenue()) * 1_000_000).cast("bigint").alias("revenue_micros"),
             F.count("*").alias("n_items"),
         )
     )
@@ -540,14 +562,14 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     )
     SELECT yr,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000
+               AS BIGINT) AS nation_volume_micros,
+           CAST(sum(volume) * 1000000 AS BIGINT) AS total_volume_micros,
            CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
-                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6))
-               AS DOUBLE) AS nation_volume,
-           CAST(CAST(sum(volume) AS DECIMAL(18,6)) AS DOUBLE) AS total_volume,
-           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume
-                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000 AS BIGINT)
                 AS DOUBLE)
-             / CAST(CAST(sum(volume) AS DECIMAL(18,6)) AS DOUBLE)
+             / CAST(CAST(sum(volume) * 1000000 AS BIGINT) AS DOUBLE)
                AS mkt_share
     FROM volumes
     GROUP BY yr
@@ -591,17 +613,19 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("yr", F.year("o_orderdate"))
         .groupBy("yr")
         .agg(
-            F.sum(nation_vol).cast("decimal(18,6)").cast("double").alias("nation_volume"),
-            F.sum(vol).cast("decimal(18,6)").cast("double").alias("total_volume"),
+            (F.sum(nation_vol) * 1_000_000)
+            .cast("bigint")
+            .alias("nation_volume_micros"),
+            (F.sum(vol) * 1_000_000).cast("bigint").alias("total_volume_micros"),
         )
     )
     return agg.select(
         "yr",
-        "nation_volume",
-        "total_volume",
+        "nation_volume_micros",
+        "total_volume_micros",
         (
-            F.col("nation_volume").cast("double")
-            / F.col("total_volume").cast("double")
+            F.col("nation_volume_micros").cast("double")
+            / F.col("total_volume_micros").cast("double")
         ).alias("mkt_share"),
     )
 
@@ -655,8 +679,8 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(CAST(l_quantity AS DECIMAL(18,6))) AS sq
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
-               AS DECIMAL(18,6)) AS DOUBLE) AS small_qty_price,
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000
+               AS BIGINT) AS small_qty_price_micros,
            count(*) AS n_items
     FROM lineitem
     JOIN part  ON p_partkey = l_partkey
@@ -684,10 +708,9 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(stats, F.col("l_partkey") == F.col("pk"))
         .filter(qty * F.col("n") * F.lit(5) < F.col("sq"))
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
-            .cast("decimal(18,6)")
-            .cast("double")
-            .alias("small_qty_price"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) * 1_000_000)
+            .cast("bigint")
+            .alias("small_qty_price_micros"),
             F.count("*").alias("n_items"),
         )
     )

@@ -14,6 +14,7 @@ import argparse
 import datetime
 import decimal
 import math
+import os
 import sys
 import time
 from collections import Counter
@@ -125,8 +126,13 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
+        # Fixtures are single files; Spark-written tables (e.g. the
+        # scale-stress output) are directories of part files — glob those.
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     failures = []
