@@ -41,9 +41,16 @@ HLL_LGK = 17  # sparse/coupon mode (exact) far beyond fixture cardinality
     tier="P2",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per event type via an HLL sketch aggregate (exact in
-    sparse mode at this cardinality — see module docstring). The sketch is
-    built map-side per partition; only sketches shuffle."""
+    """Distinct users per event type via an HLL sketch aggregate. The
+    sketch is built map-side per partition; only sketches shuffle.
+
+    Oracle-exactness boundary (measured): the sketch stays in sparse mode
+    — hence exact and oracle-matchable — at the driver fixtures'
+    cardinalities (<= 1,500 users at sf0.1). At ~sf1 (15,000 users) it
+    crosses into dense estimation and returns ±0.1%-ish estimates (15002
+    / 14987 / 15008 vs 15000 exact), which is its CONTRACT at 100 TB, not
+    a defect; the exact twin is q_distinct_count. Same labeled-boundary
+    treatment as q_ngram_jaccard."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(HLL_LGK))).alias(
