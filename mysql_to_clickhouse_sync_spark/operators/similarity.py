@@ -167,14 +167,102 @@ NEARDUP_BANDS = 16
 NEARDUP_BAND_BITS = 4
 
 
-def band_bucket(vec: Column, band: int) -> Column:
+def band_bucket(
+    vec: Column, band: int, band_bits: int = NEARDUP_BAND_BITS
+) -> Column:
     out = F.lit(0)
-    for j in range(NEARDUP_BAND_BITS):
-        dim = band * NEARDUP_BAND_BITS + j + 1
+    for j in range(band_bits):
+        dim = band * band_bits + j + 1
         out = out + F.when(F.element_at(vec, dim) > 0, F.lit(2**j)).otherwise(
             F.lit(0)
         )
     return out
+
+
+def banded_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    n_bands: int = NEARDUP_BANDS,
+    band_bits: int = NEARDUP_BAND_BITS,
+) -> DataFrame:
+    """Parameterized banded sign-LSH near-dup: the (n_bands, band_bits)
+    pair IS the recall/cost dial. Longer bands (more bits) require more
+    sign agreement per band, so the candidate set SHRINKS monotonically
+    when bits grow at fixed coverage (n_bands * band_bits <= dims) —
+    tests/test_dedup_modules.py pins that monotonicity. At the fixture's
+    deliberately loose threshold the 25x stress measured ~300 vectors per
+    cell with 4-bit bands (PLANS.md); a production near-dup pass
+    (cosine >= 0.9) runs 8-16 bit bands, which empties the cells while
+    keeping recall for truly-near pairs.
+
+    `emb` must carry (vec_id, label, embedding); norms are derived."""
+    emb = with_norm(emb)
+    banded = emb.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bucket(F.col("embedding"), b, band_bits).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    a = banded.select(
+        F.col("label"), F.col("band"), F.col("bucket"), F.col("vec_id").alias("vec_a")
+    )
+    b = banded.select(
+        F.col("label").alias("label_b"),
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("band") == F.col("band_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("label", "vec_a", "vec_b")
+        .distinct()
+    )
+    normed_a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    normed_b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        cand.join(normed_a, "vec_a")
+        .join(normed_b, "vec_b")
+        .select(
+            "label",
+            "vec_a",
+            "vec_b",
+            (
+                dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def _band_sql(col: str, band: int) -> str:
@@ -225,66 +313,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical semantics as the OR-of-bands theta join — results must match
     pair for pair (the exact fold-based cosine is bitwise engine-identical).
     """
-    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
-    banded = emb.select(
-        "vec_id",
-        "label",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_bucket(F.col("embedding"), b).alias("bucket"),
-                    )
-                    for b in range(NEARDUP_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "label", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.select(
-        F.col("label"), F.col("band"), F.col("bucket"), F.col("vec_id").alias("vec_a")
-    )
-    b = banded.select(
-        F.col("label").alias("label_b"),
-        F.col("band").alias("band_b"),
-        F.col("bucket").alias("bucket_b"),
-        F.col("vec_id").alias("vec_b"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("label") == F.col("label_b"))
-            & (F.col("band") == F.col("band_b"))
-            & (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .select("label", "vec_a", "vec_b")
-        .distinct()
-    )
-    normed_a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-    )
-    normed_b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-    )
-    return (
-        cand.join(normed_a, "vec_a")
-        .join(normed_b, "vec_b")
-        .select(
-            "label",
-            "vec_a",
-            "vec_b",
-            (
-                dot(F.col("emb_a"), F.col("emb_b"))
-                / (F.col("norm_a") * F.col("norm_b"))
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
-    )
+    return banded_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
 def cosine_pandas_pairs(pairs: DataFrame) -> DataFrame:

@@ -84,3 +84,26 @@ def test_banded_neardup_recall_vs_exact(spark):
     }
     assert banded <= exact  # candidates are re-scored exactly: no false positives
     assert len(banded) >= 0.8 * len(exact), (len(banded), len(exact))
+
+
+def test_band_length_dial_is_monotone(spark):
+    # Longer bands demand more sign agreement per band: at fixed dimension
+    # coverage, the 8-bit-band candidate set must be a SUBSET of the
+    # 4-bit-band set — the recall/cost dial turns one way.
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+    from mysql_to_clickhouse_sync_spark.operators.similarity import (
+        banded_neardup_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    short = {
+        (r.label, r.vec_a, r.vec_b)
+        for r in banded_neardup_pairs(emb, n_bands=16, band_bits=4).collect()
+    }
+    long = {
+        (r.label, r.vec_a, r.vec_b)
+        for r in banded_neardup_pairs(emb, n_bands=8, band_bits=8).collect()
+    }
+    assert long <= short
+    assert len(long) < len(short)  # the dial actually bites on this data
