@@ -15,7 +15,10 @@ training-data dedup ladder:
                         oracle reproduces it exactly.
   * q_ngram_jaccard   — exact n-gram Jaccard on a bounded subset (the
                         ground-truth for the MinHash estimate)
-  * q_simhash_dedup   — 32-bit SimHash + Hamming-distance pairs
+  * q_simhash_dedup   — 32-bit SimHash, pigeonhole-banded candidate
+                        generation + exact Hamming re-score (exact recall)
+  * q_simhash_exact   — all-pairs SimHash on a bounded subset (ground truth
+                        twin, same role as q_ngram_jaccard for MinHash)
 
 Scale notes: exact dedup and fingerprint are single-shuffle groupBys on a
 fixed-width hash — the canonical 100 TB pattern. MinHash-LSH is the scale
@@ -41,6 +44,28 @@ SHINGLE_WORDS = 3
 JACCARD_SUBSET = 200  # doc_id bound for the exact ground-truth query
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 4
+# Pigeonhole banding: with MAX_HAMMING + 1 disjoint chunks covering all 32
+# bits, any pair within hamming <= MAX_HAMMING must agree on >= 1 whole chunk
+# (at most MAX_HAMMING chunks can contain a differing bit). Equi-joining on
+# (lang, chunk_idx, chunk_value) therefore has EXACT recall — the banded plan
+# returns the identical pair set as the all-pairs join, so the same oracle
+# hash-matches.
+SIMHASH_CHUNKS = SIMHASH_MAX_HAMMING + 1  # 5 chunks: bit widths 7,7,6,6,6
+SIMHASH_EXACT_SUBSET = 300  # doc_id bound for the all-pairs ground-truth twin
+
+
+def _simhash_chunk_bounds(
+    bits: int = SIMHASH_BITS, chunks: int = SIMHASH_CHUNKS
+) -> list[tuple[int, int]]:
+    """(start_bit, width) for each pigeonhole chunk, widths as even as
+    possible (7,7,6,6,6 for 32/5)."""
+    base, extra = divmod(bits, chunks)
+    bounds, start = [], 0
+    for i in range(chunks):
+        width = base + (1 if i < extra else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
 
 
 @declare(
@@ -494,13 +519,107 @@ def _simhash_oracle() -> str:
     """
 
 
+def simhash_banded_pairs(
+    sh: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs from a (doc_id, lang, simhash) table via pigeonhole
+    banding — the 100 TB plan. Candidates come from an EQUI-join on
+    (lang, chunk_idx, chunk_value) over a skinny exploded banding table
+    (3 bigints per row, never the text); the quadratic term is confined to a
+    (lang, chunk_idx, chunk_value) cell (~n/2^6 docs at 32/5 chunking).
+    Candidates are deduped, re-joined to the fingerprints, and exact-hamming
+    re-scored. Recall is exact (see SIMHASH_CHUNKS note), so the result set
+    is identical to the all-pairs join — which stays only as the bounded
+    ground-truth twin q_simhash_exact."""
+    chunks = max_hamming + 1
+    chunk_cols = [
+        F.shiftright(F.col("simhash"), start).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        for start, width in _simhash_chunk_bounds(bits, chunks)
+    ]
+    bands = sh.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.array(*chunk_cols)).alias("chunk_idx", "chunk_val"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sim_a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    sim_b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.join(sim_a, "doc_a")
+        .join(sim_b, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 @declare("q_simhash_dedup", oracle=_simhash_oracle(), tier="P1")
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= 4 (same lang). At scale,
-    band the fingerprint (split into 4 byte-chunks, join on any equal chunk)
-    instead of the all-pairs join used here for oracle parity."""
+    """Near-dup pairs by SimHash Hamming distance <= 4 (same lang), banded:
+    the fingerprint is split into 5 pigeonhole chunks and candidates come
+    from an equi-join on (lang, chunk_idx, chunk_value) with exact hamming
+    re-scoring. Exact recall at hamming <= 4, so the unbanded all-pairs
+    oracle hash-matches while the plan stays bucket-bounded at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     sh = simhash_table(docs, extra_cols=("lang",)).cache()
+    return simhash_banded_pairs(sh)
+
+
+def _simhash_exact_oracle() -> str:
+    h = _md5_hash64_sql("t")
+    bit_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(tokens, t -> (({h} >> {b}) & 1) * 2 - 1)) > 0"
+        f" THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split_regex({_NORM_SQL.format(col='text')}, '\\s+') AS tokens
+        FROM documents WHERE doc_id < {SIMHASH_EXACT_SUBSET}
+    ), sh AS (
+        SELECT doc_id, lang, {bit_terms} AS simhash
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@declare("q_simhash_exact", oracle=_simhash_exact_oracle(), tier="P1")
+def q_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs SimHash hamming over a BOUNDED subset (doc_id < 300) — the
+    ground-truth twin for q_simhash_dedup's banded plan, same role as
+    q_ngram_jaccard for MinHash and q_neardup_exact for embedding-LSH.
+    Deliberately quadratic; the bound is what makes that acceptable."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SIMHASH_EXACT_SUBSET
+    )
+    sh = simhash_table(docs, extra_cols=("lang",))
     a = sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),
@@ -513,7 +632,11 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )

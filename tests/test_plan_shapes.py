@@ -100,6 +100,18 @@ def test_neardup_candidates_are_equi_join_not_all_pairs(spark):
     assert "Join" in p
 
 
+def test_simhash_candidates_are_equi_join_not_all_pairs(spark):
+    # q_simhash_dedup's candidates must come from the pigeonhole-chunk
+    # EQUI-join on (lang, chunk_idx, chunk_val) — the per-language all-pairs
+    # theta join lives only in the bounded q_simhash_exact twin. A theta
+    # join on lang alone would surface as BroadcastNestedLoopJoin or a
+    # cartesian with a post-filter.
+    p = _plan(spark, "q_simhash_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "chunk_idx" in p and "chunk_val" in p
+
+
 def test_agg_state_merge_two_level_aggregation(spark):
     # -State then -Merge: two partial/final HashAggregate pairs, one
     # exchange per level — the coarse merge never rereads raw events.
