@@ -40,11 +40,20 @@ def connected_components(
 ) -> DataFrame:
     """Min-label propagation. nodes: (id); edges: (src, dst) undirected
     (either orientation suffices — symmetrized internally). Returns
-    (id, component) where component = min node id in the component."""
+    (id, component) where component = min node id in the component.
+
+    Raises RuntimeError if labels are still changing when the iteration cap
+    is hit: non-converged labels are silently WRONG (some component would
+    carry two ids), so the cap is a circuit-breaker, never an answer. Plain
+    propagation converges in O(component diameter) rounds; if a dense LSH
+    candidate graph ever trips the cap at scale, raise the cap or switch
+    the loop to pointer-doubling (large-star/small-star), which converges
+    in O(log n) rounds."""
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("component"))
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             labels.join(sym, labels.id == sym.src)
@@ -71,6 +80,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            f"iterations ({changed} labels still changing) — raise "
+            "max_iterations (diameter-bound) or use pointer-doubling"
+        )
     return labels
 
 

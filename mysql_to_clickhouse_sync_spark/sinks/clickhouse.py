@@ -49,10 +49,20 @@ def clickhouse_jdbc_options(
     setting (S:77-83) rides along in the connection params;
     dedup_token_value adds ClickHouse's insert_deduplication_token so a
     retried identical INSERT is dropped server-side (the streaming sink's
-    exactly-once layer)."""
+    exactly-once layer).
+
+    Token invariant: ClickHouse dedups INSERT *blocks* by the token, not by
+    content — every block after the first that carries the same token is
+    silently DROPPED. A connection-level token is therefore only safe when
+    the whole write is exactly one block. When dedup_token_value is set we
+    enforce that here: numPartitions=1 (one connection) and batchsize
+    2^31-1 (the JDBC writer flushes one executeBatch => one INSERT block),
+    so a micro-batch of any size lands as a single deduplicatable block."""
     params = "output_format_decimal_trailing_zeros=1"
     if dedup_token_value:
         params += f"&insert_deduplication_token={dedup_token_value}"
+        batch_size = 2**31 - 1
+        max_connections = 1
     opts: dict[str, Any] = {
         "url": url,
         "dbtable": table,
@@ -85,7 +95,12 @@ def write_to_clickhouse(df: DataFrame, url: str, table: str, **kw: Any) -> None:
 
 
 def foreach_batch_writer(
-    url: str, table: str, *, dedup_token: bool = True, **kw: Any
+    url: str,
+    table: str,
+    *,
+    dedup_token: bool = True,
+    run_id: str | None = None,
+    **kw: Any,
 ) -> Callable[[DataFrame, int], None]:
     """Streaming sink: writeStream.foreachBatch(foreach_batch_writer(...)).
     Empty micro-batches are skipped (the reference's empty-batch guard,
@@ -94,22 +109,42 @@ def foreach_batch_writer(
     At-least-once caveat: foreachBatch can RE-DELIVER a batch_id after a
     failure, and a plain append INSERT would duplicate it. Two layers make
     the sink effectively exactly-once on the ClickHouse side:
-      * dedup_token=True sets ``insert_deduplication_token`` to a value
-        derived from (table, batch_id) — *MergeTree tables then drop a
-        retried identical INSERT server-side (ClickHouse's standard
-        block-dedup keyed on the token).
+      * dedup_token=True sets ``insert_deduplication_token`` to
+        ``{table}_{run_id}_{epoch}``; clickhouse_jdbc_options then forces
+        the whole micro-batch into ONE insert block (one connection, one
+        executeBatch) so the token guards exactly the data it names — a
+        retried identical INSERT is dropped server-side, and no block of
+        the same batch is ever dropped as collateral.
       * for upsert-shaped tables the DDL module (sinks/ddl.py) emits
         ReplacingMergeTree(ver), where replayed rows collapse on merge
         regardless of INSERT-level dedup.
     (streaming/matview.StateSink is the state-table analog: an applied-
-    batch log instead of a server token.)"""
+    batch log instead of a server token.)
+
+    ``run_id`` scopes tokens to one logical stream run: epoch numbering
+    restarts at 0 on a FRESH checkpoint, so an unscoped token would collide
+    with a prior run's and silently drop the new run's first batches. Pass
+    a stable id derived from the checkpoint location to keep tokens valid
+    across driver restarts of the SAME run; when omitted, a random id is
+    generated per writer construction (safe against cross-run collisions;
+    after a driver restart the redelivered batch then falls back to the
+    ReplacingMergeTree layer instead of the token).
+
+    Note the single-block tradeoff: with dedup_token=True the micro-batch
+    is written over one connection. For high-throughput streams prefer
+    dedup_token=False + ReplacingMergeTree(ver) and keep the parallel
+    multi-connection path."""
+    if dedup_token and run_id is None:
+        import uuid
+
+        run_id = uuid.uuid4().hex[:12]
 
     def write(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
         opts = dict(kw)
         if dedup_token:
-            opts["dedup_token_value"] = f"{table}_batch_{epoch}"
+            opts["dedup_token_value"] = f"{table}_{run_id}_{epoch}"
         write_to_clickhouse(batch_df, url, table, **opts)
 
     return write

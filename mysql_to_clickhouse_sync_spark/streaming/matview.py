@@ -74,41 +74,86 @@ class StateSink:
     """Idempotent foreachBatch state sink. Structured Streaming's
     foreachBatch is at-least-once: after a failure the SAME batch_id can
     be re-delivered, and a naive merge would double-count it. The fix is
-    the standard exactly-once recipe — record applied batch ids in a
-    transaction log next to the state and skip re-deliveries. (batch_id
-    is stable across retries by contract; at 100 TB the log and state
-    live in one transactional table — Delta/Iceberg MERGE keyed on
-    batch_id — this file-pair is the sandbox stand-in with the same
-    algebra.)"""
+    the standard exactly-once recipe — state and the applied-batch log
+    commit ATOMICALLY, as one artifact.
+
+    Commit protocol (single-writer, like foreachBatch itself):
+      * each apply() writes a fresh generation directory
+        ``gen-<n>`` holding the merged state parquet AND a ``_APPLIED``
+        manifest (all batch ids folded into that state);
+      * the generation is published by atomically replacing the
+        ``_CURRENT`` pointer file (os.replace — atomic on POSIX).
+    A crash BEFORE the pointer flip leaves _CURRENT on the old
+    generation, whose manifest doesn't list the batch — redelivery
+    re-merges from the OLD state: no double count, no loss. A crash
+    AFTER the flip leaves the batch in the committed manifest —
+    redelivery is skipped. The live state dir is never deleted or
+    overwritten in place; stale generations are pruned only after a
+    successful flip, keeping the previous one as a crash fallback.
+    (batch_id is stable across retries by contract; at 100 TB the state
+    lives in a transactional table — Delta/Iceberg MERGE keyed on
+    batch_id — this generation scheme is the sandbox stand-in with the
+    same commit algebra.)"""
 
     def __init__(self, spark: SparkSession, state_dir: str) -> None:
         self.spark = spark
         self.state_dir = state_dir
-        self._log = f"{state_dir}_applied.log"
+        os.makedirs(state_dir, exist_ok=True)
+        self._pointer = os.path.join(state_dir, "_CURRENT")
 
-    def _applied(self) -> set[int]:
-        if not os.path.exists(self._log):
+    def _current_gen(self) -> str | None:
+        if not os.path.exists(self._pointer):
+            return None
+        with open(self._pointer) as fh:
+            name = fh.read().strip()
+        return os.path.join(self.state_dir, name) if name else None
+
+    @staticmethod
+    def _manifest(gen_dir: str) -> set[int]:
+        path = os.path.join(gen_dir, "_APPLIED")
+        if not os.path.exists(path):
             return set()
-        with open(self._log) as fh:
+        with open(path) as fh:
             return {int(line) for line in fh if line.strip()}
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in self._applied():
-            return  # re-delivered batch: already merged, skip
+        cur_gen = self._current_gen()
+        applied = self._manifest(cur_gen) if cur_gen else set()
+        if batch_id in applied:
+            return  # re-delivered batch: already committed, skip
         partial = _partial_states(batch_df)
-        if os.path.isdir(self.state_dir):
-            cur = self.spark.read.parquet(self.state_dir)
-            # Materialize BEFORE overwriting the directory being read —
-            # the eager checkpoint severs the plan from the input files.
-            merged = merge_states(cur, partial).localCheckpoint(eager=True)
+        if cur_gen:
+            cur = self.spark.read.parquet(os.path.join(cur_gen, "data"))
+            merged = merge_states(cur, partial)
         else:
             merged = partial
-        merged.write.mode("overwrite").parquet(self.state_dir)
-        with open(self._log, "a") as fh:
-            fh.write(f"{batch_id}\n")
+        new_gen_name = f"gen-{len(applied)}-{batch_id}"
+        new_gen = os.path.join(self.state_dir, new_gen_name)
+        # a leftover dir from a crashed earlier attempt is uncommitted
+        # garbage (the pointer never flipped to it) — clear and rewrite
+        shutil.rmtree(new_gen, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(os.path.join(new_gen, "data"))
+        with open(os.path.join(new_gen, "_APPLIED"), "w") as fh:
+            for b in sorted(applied | {batch_id}):
+                fh.write(f"{b}\n")
+        # atomic publish: state + log become visible in one rename
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(new_gen_name)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._pointer)
+        # prune generations older than the committed one's predecessor
+        keep = {new_gen_name, os.path.basename(cur_gen) if cur_gen else ""}
+        for d in os.listdir(self.state_dir):
+            if d.startswith("gen-") and d not in keep:
+                shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
 
     def readout(self) -> DataFrame:
-        states = self.spark.read.parquet(self.state_dir)
+        cur_gen = self._current_gen()
+        if cur_gen is None:
+            raise FileNotFoundError(f"no committed state in {self.state_dir}")
+        states = self.spark.read.parquet(os.path.join(cur_gen, "data"))
         return states.groupBy("event_type").agg(
             F.sum("c").cast("bigint").alias("n_events"),
             F.sum("s").cast("bigint").alias("sum_cents"),

@@ -47,6 +47,22 @@ def test_long_path_converges_within_cap(spark):
     assert set(comp.values()) == {0}
 
 
+def test_non_convergence_raises_not_wrong_labels(spark):
+    # Hitting the iteration cap with labels still moving must be an ERROR:
+    # returning silently non-converged labels would split a component into
+    # two ids and diverge from the recursive-closure oracle.
+    import pytest
+
+    from pyspark.sql import Row
+
+    nodes = spark.createDataFrame([Row(id=i) for i in range(6)])
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(5)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iterations=1)
+
+
 def test_minhash_cluster_integration(spark):
     """Planted A~B~C chain through one-word edits: B bridges A and C, so all
     three land in one cluster even if A~C alone wouldn't pair."""

@@ -40,6 +40,52 @@ def test_redelivered_batch_is_skipped(spark, tmp_path):
     assert _readout_rows(sink) == once
 
 
+def test_crash_before_pointer_flip_is_exactly_once(spark, tmp_path):
+    """Simulate a crash BETWEEN writing the new generation and publishing
+    it: the un-flipped generation must be invisible (old state intact, old
+    manifest without the batch), and the redelivery must merge the batch
+    exactly once — the non-atomic two-file scheme double-counted here."""
+    import os
+
+    events = _events(spark)
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    sink = StateSink(spark, str(tmp_path / "state"))
+    sink.apply(half1, 0)
+    after_b0 = _readout_rows(sink)
+
+    # crash injection: run apply(half2, 1) but die right before os.replace
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise RuntimeError("simulated crash before commit")
+
+    os.replace = boom
+    try:
+        try:
+            sink.apply(half2, 1)
+            assert False, "crash injection did not fire"
+        except RuntimeError:
+            pass
+    finally:
+        os.replace = real_replace
+
+    # uncommitted: readout still shows only batch 0
+    assert _readout_rows(sink) == after_b0
+    # redelivery (fresh sink instance = fresh driver) applies it once
+    sink2 = StateSink(spark, str(tmp_path / "state"))
+    sink2.apply(half2, 1)
+    once = _readout_rows(sink2)
+    sink2.apply(half2, 1)  # and a further retry stays a no-op
+    assert _readout_rows(sink2) == once
+
+    # ground truth: a sink that saw each batch exactly once
+    clean = StateSink(spark, str(tmp_path / "clean"))
+    clean.apply(half1, 0)
+    clean.apply(half2, 1)
+    assert once == _readout_rows(clean)
+
+
 def test_batch_slicing_invisible_in_state(spark, tmp_path):
     events = _events(spark)
     # one big batch vs three uneven batches must converge identically

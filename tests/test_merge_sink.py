@@ -107,6 +107,47 @@ def test_jdbc_options_carry_dedup_token():
     )
     assert "insert_deduplication_token=t_batch_7" in opts["custom_http_params"]
     assert "output_format_decimal_trailing_zeros=1" in opts["custom_http_params"]
-    # without a token the param must be absent (plain batch loads)
+    # ClickHouse dedups BLOCKS by token — a tokened write must be exactly
+    # one insert block: one connection, one executeBatch flush.
+    assert opts["numPartitions"] == "1"
+    assert opts["batchsize"] == str(2**31 - 1)
+    # without a token the param must be absent (plain batch loads) and the
+    # parallel multi-connection path stays in force
     plain = clickhouse_jdbc_options("jdbc:clickhouse://h:1/db", "t")
     assert "insert_deduplication_token" not in plain["custom_http_params"]
+    assert plain["numPartitions"] == "10"
+    assert plain["batchsize"] == "1000"
+
+
+def test_foreach_batch_token_is_run_scoped(monkeypatch):
+    from mysql_to_clickhouse_sync_spark.sinks import clickhouse as ch
+
+    # Capture the token each write would carry instead of touching JDBC.
+    tokens: list[str] = []
+    monkeypatch.setattr(
+        ch,
+        "write_to_clickhouse",
+        lambda df, url, table, **kw: tokens.append(kw["dedup_token_value"]),
+    )
+
+    class _FakeBatch:
+        def isEmpty(self):
+            return False
+
+    # Two fresh writers model two fresh checkpoints, both restarting epoch
+    # numbering at 0 — their tokens must never collide, or ClickHouse drops
+    # the second run's first blocks as "duplicates" of the first run's.
+    w1 = ch.foreach_batch_writer("jdbc:clickhouse://h:1/db", "t")
+    w2 = ch.foreach_batch_writer("jdbc:clickhouse://h:1/db", "t")
+    w1(_FakeBatch(), 0)
+    w2(_FakeBatch(), 0)
+    assert tokens[0] != tokens[1]
+    # same writer, retried epoch: token must be stable (that's the dedup)
+    w1(_FakeBatch(), 0)
+    assert tokens[2] == tokens[0]
+    # explicit run_id (checkpoint-derived) is honored verbatim
+    w3 = ch.foreach_batch_writer(
+        "jdbc:clickhouse://h:1/db", "t", run_id="ckpt_abc"
+    )
+    w3(_FakeBatch(), 7)
+    assert tokens[3] == "t_ckpt_abc_7"

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import sys
 import time
 
@@ -59,10 +60,20 @@ DEFAULT_QUERIES = [
 
 
 def synthesize(spark, src_dir: str, out_dir: str, copies: int) -> None:
+    # Marker records the multiplier the data was synthesized at — a rerun
+    # with a different --copies must re-synthesize, or the stress timings
+    # would silently measure stale data at the old scale.
+    marker = f"{out_dir}/_COPIES"
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read().strip() != str(copies)
     for name in TABLES:
         dst = f"{out_dir}/{name}.parquet"
         if os.path.exists(dst):
-            continue
+            if not stale:
+                continue
+            shutil.rmtree(dst, ignore_errors=True)
         df = load_table(spark, src_dir, name)
         if name not in FACTS:
             df.write.mode("overwrite").parquet(dst)
@@ -77,6 +88,8 @@ def synthesize(spark, src_dir: str, out_dir: str, copies: int) -> None:
         for k in keys:
             out = out.withColumn(k, F.col(k) + F.col("_copy") * F.lit(strides[k]))
         out.drop("_copy").write.mode("overwrite").parquet(dst)
+    with open(marker, "w") as fh:
+        fh.write(str(copies))
 
 
 def main() -> None:
