@@ -498,19 +498,77 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_d.unionAll(except_a)
 
 
-@declare("q_approx_percentile", oracle=None, tier="P2")
+APPROX_PCT_ACCURACY = 10000  # QuantileSummaries rank error <= 1/accuracy
+
+
+@declare(
+    "q_approx_percentile",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           true AS median_in_bounds,
+           true AS p90_in_bounds
+    FROM events
+    GROUP BY event_type
+    """,
+    tier="P2",
+)
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE scale path for quantiles (declared rows-only: the sketch is
-    approximate by construction, so no cross-engine hash can exist —
-    tests/test_approx_sketches.py bounds its error against q_median's
-    exact values instead). approx_percentile keeps a bounded
-    QuantileSummaries sketch per group and merges sketches map-side: one
-    shuffle of sketches (not values), constant memory per group — replaces
-    q_median's exact percentile, which must hold each group's values, at
-    100 TB. Accuracy 10000 ≈ 0.01% rank error."""
+    """THE scale path for quantiles, SELF-AUDITING so it carries a full
+    oracle despite the sketch being approximate: the raw estimates can't
+    hash-match across engines, but their RANK-ERROR CONTRACT can. The
+    query computes approx_percentile(0.5/0.9), joins the (broadcast,
+    one-row-per-group) estimates back over events, counts each estimate's
+    exact rank interval [n_lt+1, n_le], and emits whether that interval
+    touches the guaranteed window (q ± 1/accuracy)·n (±1 row slack). The
+    oracle asserts `true` — any estimate outside its published bound
+    hash-fails the driver's check. (tests/test_approx_sketches.py keeps
+    the value-level error bounds against q_median's exact answers.)
+
+    Scale: approx_percentile keeps a bounded QuantileSummaries sketch per
+    group, merged map-side — one shuffle of sketches, constant memory per
+    group, where exact percentiles must hold each group's values. The
+    audit adds one more scan of events plus a broadcast join on the tiny
+    estimates table — the standard estimate-then-audit shape."""
+    eps = 1.0 / APPROX_PCT_ACCURACY
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, 0.5, 10000)").alias("median_approx"),
-        F.expr("approx_percentile(value, 0.9, 10000)").alias("p90_approx"),
+    est = events.groupBy("event_type").agg(
+        F.expr(
+            f"approx_percentile(value, 0.5, {APPROX_PCT_ACCURACY})"
+        ).alias("median_approx"),
+        F.expr(
+            f"approx_percentile(value, 0.9, {APPROX_PCT_ACCURACY})"
+        ).alias("p90_approx"),
         F.count("*").alias("n_events"),
+    )
+    joined = events.select("event_type", "value").join(
+        F.broadcast(est), "event_type"
+    )
+    audited = joined.groupBy("event_type").agg(
+        F.first("n_events").alias("n_events"),
+        F.count("value").alias("n_vals"),
+        F.sum((F.col("value") < F.col("median_approx")).cast("bigint")).alias(
+            "n_lt_m"
+        ),
+        F.sum((F.col("value") <= F.col("median_approx")).cast("bigint")).alias(
+            "n_le_m"
+        ),
+        F.sum((F.col("value") < F.col("p90_approx")).cast("bigint")).alias(
+            "n_lt_p"
+        ),
+        F.sum((F.col("value") <= F.col("p90_approx")).cast("bigint")).alias(
+            "n_le_p"
+        ),
+    )
+
+    def in_bounds(n_lt: str, n_le: str, q: float) -> Column:
+        lo = (F.lit(q - eps) * F.col("n_vals")) - 1
+        hi = (F.lit(q + eps) * F.col("n_vals")) + 1
+        return (F.col(n_lt) <= hi) & (F.col(n_le) >= lo)
+
+    return audited.select(
+        "event_type",
+        "n_events",
+        in_bounds("n_lt_m", "n_le_m", 0.5).alias("median_in_bounds"),
+        in_bounds("n_lt_p", "n_le_p", 0.9).alias("p90_in_bounds"),
     )

@@ -17,10 +17,33 @@ def test_approx_percentile_rank_bounds(spark):
     # sit within the sketch's rank-error envelope of the target quantile
     # (the exact q_median interpolates BETWEEN samples, so value-distance
     # is the wrong metric — rank is the contract).
+    from pyspark.sql import functions as F
+
+    from mysql_to_clickhouse_sync_spark.operators.aggregates import (
+        APPROX_PCT_ACCURACY,
+    )
+
+    # the declared query now emits the AUDIT booleans (hash-checkable);
+    # recompute the raw estimates here with the same sketch parameters to
+    # keep the value-level rank assertion
     qs = queries()
+    audited = qs["q_approx_percentile"](spark, SF_DIR).collect()
+    assert audited and all(
+        r.median_in_bounds and r.p90_in_bounds for r in audited
+    )
     approx = {
         r.event_type: (r.median_approx, r.p90_approx)
-        for r in qs["q_approx_percentile"](spark, SF_DIR).collect()
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                f"approx_percentile(value, 0.5, {APPROX_PCT_ACCURACY})"
+            ).alias("median_approx"),
+            F.expr(
+                f"approx_percentile(value, 0.9, {APPROX_PCT_ACCURACY})"
+            ).alias("p90_approx"),
+        )
+        .collect()
     }
     vals = defaultdict(list)
     for r in (
