@@ -9,13 +9,21 @@ loop: a Spark 4 Python DataSource (``spark.dataSource.register``) that tails
 a directory of rotated envelope files (``*.jsonl``, Debezium/Maxwell lines —
 the wire format of sources/binlog.py) with offsets of exactly that shape::
 
-    {"file": "binlog.000002.jsonl", "pos": 1842}
+    {"file": "binlog.000002.jsonl", "pos": 1842, "gtid": 3420}
 
 ``pos`` is the line index within the file (the envelope analog of the byte
-position in a real binlog). Spark persists the offset in its checkpoint log
-— the engine-native metadata.txt — giving exactly-once replay across query
-restarts; ``readBetweenOffsets`` re-serves any window deterministically for
-failure recovery.
+position in a real binlog); ``gtid`` is the monotonic count of txn events
+applied since the beginning of the stream — the GTID analog the reference
+records alongside file/pos (S:175-181). File+pos is the fast resume path;
+gtid is the FAILOVER-SAFE one: it names a point in the transaction sequence
+independent of file naming, so when the recorded file no longer exists
+(primary switch renamed the binlogs), the reader relocates the resume point
+by skipping the first ``gtid`` events in replay order — no replays, no
+gaps. Offsets from older checkpoints without a gtid are migrated in place
+(the prefix count is derived once on the next batch). Spark persists the
+offset in its checkpoint log — the engine-native metadata.txt — giving
+exactly-once replay across query restarts; ``readBetweenOffsets`` re-serves
+any window deterministically for failure recovery.
 
 Snapshot→stream handoff (the reference's whole architecture): run the bulk
 snapshot, call ``current_offset(path)`` (the SHOW MASTER STATUS analog,
@@ -54,7 +62,7 @@ from pyspark.sql.types import StructType
 FORMAT_NAME = "binlogdir"
 SCHEMA = "file string, pos bigint, value string"
 
-_BEGINNING = {"file": "", "pos": 0}
+_BEGINNING = {"file": "", "pos": 0, "gtid": 0}
 
 
 def _list_files(path: str) -> list[str]:
@@ -70,13 +78,57 @@ def _read_lines(path: str, fname: str) -> list[str]:
         return fh.read().splitlines()
 
 
+def _prefix_count(path: str, files: list[str], start: dict) -> int:
+    """Events strictly before a (file, pos) cursor — derives the gtid for
+    offsets written by pre-gtid checkpoints (one-time migration cost)."""
+    if not start.get("file"):
+        return 0
+    n = 0
+    for fname in files:
+        if fname < start["file"]:
+            n += len(_read_lines(path, fname))
+        elif fname == start["file"]:
+            n += min(start["pos"], len(_read_lines(path, fname)))
+            break
+    return n
+
+
 def _scan(path: str, start: dict) -> tuple[list[tuple], dict]:
     """All (file, pos, value) rows at or after `start`, plus the offset one
     past the last row — the pure function both the stream and batch readers
-    (and current_offset) share."""
-    rows: list[tuple] = []
-    cur = dict(start)
-    for fname in _list_files(path):
+    (and current_offset) share.
+
+    Resume rules (the reference's S:175-181 triple, in order of trust):
+      1. (file, pos) when the recorded file still exists — O(tail) fast path.
+      2. gtid when it doesn't (failover rename): replay order is rescanned
+         and the first `gtid` events — already applied under the old names —
+         are skipped. The returned offset carries the NEW file names, so
+         subsequent batches are back on the fast path.
+    """
+    files = _list_files(path)
+    gtid = start.get("gtid")
+    if start.get("file") and start["file"] not in files and gtid is not None:
+        all_rows: list[tuple] = []
+        for fname in files:
+            for i, line in enumerate(_read_lines(path, fname)):
+                all_rows.append((fname, i, line))
+        rows = all_rows[gtid:]
+        if all_rows:
+            last_f, last_i, _ = all_rows[-1]
+            # never rewind the txn counter, even if the new dir is short
+            end = {
+                "file": last_f,
+                "pos": last_i + 1,
+                "gtid": max(gtid, len(all_rows)),
+            }
+        else:
+            end = {"file": "", "pos": 0, "gtid": gtid}
+        return rows, end
+    if gtid is None:
+        gtid = _prefix_count(path, files, start)
+    rows = []
+    cur = {"file": start.get("file", ""), "pos": start.get("pos", 0)}
+    for fname in files:
         if cur["file"] and fname < cur["file"]:
             continue  # behind the committed offset: immutable, skip unread
         first = cur["pos"] if fname == cur["file"] else 0
@@ -84,7 +136,7 @@ def _scan(path: str, start: dict) -> tuple[list[tuple], dict]:
         for i in range(first, len(lines)):
             rows.append((fname, i, lines[i]))
         cur = {"file": fname, "pos": max(first, len(lines))}
-    return rows, cur
+    return rows, {**cur, "gtid": gtid + len(rows)}
 
 
 def current_offset(path: str) -> dict:

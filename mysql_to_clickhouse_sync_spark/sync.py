@@ -90,9 +90,17 @@ def snapshot_sync(
     include: str | None = None,
     exclude: str | None = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    binlog_dir: str | None = None,
 ) -> dict:
     """Full-database sync: discover + filter tables, extract each, write the
-    resume manifest (metadata.txt analog)."""
+    resume manifest (metadata.txt analog).
+
+    When ``binlog_dir`` is given (the changelog feed the CDC phase will
+    tail), the manifest also records its live end offset — the full
+    (file, pos, gtid) triple the reference captures under the snapshot lock
+    (S:175-181). Start the stream with ``.option("startingOffset",
+    json.dumps(manifest["binlog_offset"]))``: file+pos is the fast resume,
+    gtid survives a failover rename (sources/binlog_datasource._scan)."""
     names = filter_tables(list(TABLES), include, exclude)
     entries = [
         sync_table(spark, sf_dir, out_dir, name, batch_size) for name in names
@@ -106,6 +114,12 @@ def snapshot_sync(
         "batch_size": batch_size,
         "tables": entries,
     }
+    if binlog_dir is not None:
+        from mysql_to_clickhouse_sync_spark.sources.binlog_datasource import (
+            current_offset,
+        )
+
+        manifest["binlog_offset"] = current_offset(binlog_dir)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2)

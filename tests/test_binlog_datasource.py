@@ -49,14 +49,48 @@ def _stream_collect(spark, feed: str, ckpt: str, got: list, offset: str | None =
 
 
 def test_scan_pure_function(feed):
-    assert _scan(feed, {"file": "", "pos": 0}) == ([], {"file": "", "pos": 0})
+    assert _scan(feed, {"file": "", "pos": 0, "gtid": 0}) == (
+        [],
+        {"file": "", "pos": 0, "gtid": 0},
+    )
     _write(feed, "binlog.000001.jsonl", ["a", "b"])
-    rows, end = _scan(feed, {"file": "", "pos": 0})
+    rows, end = _scan(feed, {"file": "", "pos": 0, "gtid": 0})
     assert rows == [("binlog.000001.jsonl", 0, "a"), ("binlog.000001.jsonl", 1, "b")]
-    assert end == {"file": "binlog.000001.jsonl", "pos": 2}
-    # Resume mid-file: only the tail.
-    rows, _ = _scan(feed, {"file": "binlog.000001.jsonl", "pos": 1})
+    assert end == {"file": "binlog.000001.jsonl", "pos": 2, "gtid": 2}
+    # Resume mid-file: only the tail; gtid advances from the recorded point.
+    rows, end = _scan(feed, {"file": "binlog.000001.jsonl", "pos": 1, "gtid": 1})
     assert rows == [("binlog.000001.jsonl", 1, "b")]
+    assert end["gtid"] == 2
+    # Pre-gtid checkpoint (old offset shape): the prefix count migrates it.
+    rows, end = _scan(feed, {"file": "binlog.000001.jsonl", "pos": 1})
+    assert rows == [("binlog.000001.jsonl", 1, "b")]
+    assert end == {"file": "binlog.000001.jsonl", "pos": 2, "gtid": 2}
+
+
+def test_gtid_failover_rename(feed):
+    """A primary switch renames the binlogs: (file, pos) dangles, but the
+    gtid names the same point in the txn sequence — resume must deliver
+    exactly the unapplied tail under the NEW names, then get back on the
+    (file, pos) fast path."""
+    _write(feed, "binlog.000001.jsonl", ["t1", "t2", "t3"])
+    _, ckpt = _scan(feed, {"file": "", "pos": 0, "gtid": 0})
+    assert ckpt == {"file": "binlog.000001.jsonl", "pos": 3, "gtid": 3}
+    # failover: same history re-served under a new basename + new txns
+    os.rename(
+        os.path.join(feed, "binlog.000001.jsonl"),
+        os.path.join(feed, "mysql-bin.000001.jsonl"),
+    )
+    _append(feed, "mysql-bin.000001.jsonl", ["t4"])
+    _write(feed, "mysql-bin.000002.jsonl", ["t5"])
+    rows, end = _scan(feed, ckpt)
+    assert [(r[0], r[2]) for r in rows] == [
+        ("mysql-bin.000001.jsonl", "t4"),
+        ("mysql-bin.000002.jsonl", "t5"),
+    ]
+    assert end == {"file": "mysql-bin.000002.jsonl", "pos": 1, "gtid": 5}
+    # next batch: fast path under the new names, nothing replayed
+    rows, end = _scan(feed, end)
+    assert rows == [] and end["gtid"] == 5
 
 
 def test_stream_exactly_once_across_rotation(spark, feed, tmp_path):
@@ -103,7 +137,7 @@ def test_starting_offset_handoff(spark, feed, tmp_path):
     register(spark)
     _write(feed, "binlog.000001.jsonl", ["pre1", "pre2"])
     snap = current_offset(feed)  # SHOW MASTER STATUS analog
-    assert snap == {"file": "binlog.000001.jsonl", "pos": 2}
+    assert snap == {"file": "binlog.000001.jsonl", "pos": 2, "gtid": 2}
     _append(feed, "binlog.000001.jsonl", ["post1"])
     _write(feed, "binlog.000002.jsonl", ["post2"])
     got: list = []
@@ -113,6 +147,52 @@ def test_starting_offset_handoff(spark, feed, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert sorted(r.value for r in got) == ["post1", "post2"]
+
+
+def test_stream_resumes_after_failover_rename(spark, feed, tmp_path):
+    """End-to-end: a checkpointed stream survives a binlog rename (primary
+    failover) — the persisted GTID-bearing offset relocates the resume
+    point; applied rows are not replayed, new rows are not lost."""
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    _write(feed, "binlog.000001.jsonl", ["r1", "r2"])
+    got1: list = []
+    q = _stream_collect(spark, feed, ckpt, got1)
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r.value for r in got1) == ["r1", "r2"]
+    # failover while the query is down: history under a new basename
+    os.rename(
+        os.path.join(feed, "binlog.000001.jsonl"),
+        os.path.join(feed, "mysql-bin.000001.jsonl"),
+    )
+    _append(feed, "mysql-bin.000001.jsonl", ["r3"])
+    _write(feed, "mysql-bin.000002.jsonl", ["r4"])
+    got2: list = []
+    q = _stream_collect(spark, feed, ckpt, got2)
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r.value for r in got2) == ["r3", "r4"]  # exactly the tail
+
+
+def test_snapshot_manifest_records_gtid_offset(spark, feed, tmp_path):
+    """snapshot_sync's manifest carries the full (file, pos, gtid) resume
+    triple — the reference's metadata.txt content (S:175-181)."""
+    from mysql_to_clickhouse_sync_spark.sync import snapshot_sync
+
+    _write(feed, "binlog.000001.jsonl", ["t1", "t2"])
+    manifest = snapshot_sync(
+        spark,
+        "/root/testdata/sf0.001",
+        str(tmp_path / "out"),
+        include="region",
+        binlog_dir=feed,
+    )
+    assert manifest["binlog_offset"] == {
+        "file": "binlog.000001.jsonl",
+        "pos": 2,
+        "gtid": 2,
+    }
 
 
 def test_batch_reader_partition_per_file(spark, feed):
