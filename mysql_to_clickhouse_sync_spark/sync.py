@@ -49,6 +49,27 @@ def table_bounds(df: DataFrame, rowid: str) -> tuple[int, int, int]:
     return int(row.mn), int(row.mx), int(row.n)
 
 
+def _load_any(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Catalog tables go through load_table (NTZ normalization etc.);
+    discovered tables outside the static catalog read directly — the
+    analog of a SHOW TABLES hit the metadata query knows nothing about."""
+    if name in TABLES:
+        return load_table(spark, sf_dir, name)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def discover_tables(sf_dir: str) -> list[str]:
+    """SHOW TABLES analog (S:155-157): list the source's tables from the
+    directory, not a hardcoded catalog — a fixture dir with extra tables
+    syncs them too."""
+    names = sorted(
+        f[: -len(".parquet")]
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    return names
+
+
 def sync_table(
     spark: SparkSession,
     sf_dir: str,
@@ -57,24 +78,43 @@ def sync_table(
     batch_size: int = DEFAULT_BATCH_SIZE,
 ) -> dict:
     """Extract one table chunk-parallel and load it to the sink, returning
-    its manifest entry (the resume-point metadata)."""
-    rowid = ROWID[name]
-    df = load_table(spark, sf_dir, name)
-    mn, mx, n = table_bounds(df, rowid)
+    its manifest entry (the resume-point metadata).
+
+    Tables with an integer rowid get the keyset path: range bounds + key-
+    range partitioning (the chunk plan, P:119-129). A table with NO
+    auto-increment PK — absent from the ROWID map or missing the column —
+    takes the reference's fallback (P:200-211): the (0,0) bounds sentinel
+    and offset paging (P:130-142). Spark-first, that is a plain parallel
+    scan hash-spread over ceil(n/batch) output chunks: MySQL's LIMIT
+    paging without ORDER BY carries no row order contract anyway, and the
+    scan needs no key to parallelize. Such tables cannot resume by key —
+    incremental_sync re-extracts them in full (mode == "offset")."""
+    rowid = ROWID.get(name)
+    df = _load_any(spark, sf_dir, name)
+    out_path = os.path.join(out_dir, name)
+    if rowid is not None and rowid in df.columns:
+        mn, mx, n = table_bounds(df, rowid)
+        mode = "keyset"
+    else:
+        rowid = None
+        mn, mx, n = 0, 0, df.count()  # the reference's (0,0) sentinel
+        mode = "offset"
 
     # Chunk plan -> physical partitioning: ceil(n/batch) ranges on the key,
     # capped so a 100 TB table yields a sane task count (each partition then
     # covers a wider stride — same plan, coarser granularity).
     n_chunks = max(1, min(MAX_OUTPUT_PARTITIONS, math.ceil(max(n, 1) / batch_size)))
-    out_path = os.path.join(out_dir, name)
-    if n > 0:
+    if n == 0:
+        extracted = df
+    elif mode == "keyset":
         extracted = df.repartitionByRange(n_chunks, F.col(rowid))
     else:
-        extracted = df
+        extracted = df.repartition(n_chunks)
     extracted.write.mode("overwrite").parquet(out_path)
     return {
         "table": name,
         "rowid": rowid,
+        "mode": mode,
         "min_id": mn,
         "max_id": mx,
         "rows": n,
@@ -101,7 +141,8 @@ def snapshot_sync(
     (S:175-181). Start the stream with ``.option("startingOffset",
     json.dumps(manifest["binlog_offset"]))``: file+pos is the fast resume,
     gtid survives a failover rename (sources/binlog_datasource._scan)."""
-    names = filter_tables(list(TABLES), include, exclude)
+    discovered = discover_tables(sf_dir) or list(TABLES)
+    names = filter_tables(discovered, include, exclude)
     entries = [
         sync_table(spark, sf_dir, out_dir, name, batch_size) for name in names
     ]
@@ -148,7 +189,14 @@ def incremental_sync(
     new_entries = []
     for entry in manifest["tables"]:
         name, rowid, last_max = entry["table"], entry["rowid"], entry["max_id"]
-        df = load_table(spark, sf_dir, name)
+        if entry.get("mode", "keyset") == "offset" or rowid is None:
+            # PK-less table: no key to resume by (the reference's offset-
+            # paged tables have the same property) — full re-extract.
+            new_entries.append(
+                sync_table(spark, sf_dir, out_dir, name, batch_size)
+            )
+            continue
+        df = _load_any(spark, sf_dir, name)
         delta = df.filter(F.col(rowid) > last_max)
         mn, mx, n = table_bounds(delta, rowid)
         if n > 0:

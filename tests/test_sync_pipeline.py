@@ -30,6 +30,51 @@ def test_snapshot_sync_roundtrip(spark, tmp_path):
         assert json.load(fh)["batch_size"] == 1000
 
 
+def test_pkless_table_syncs_with_sentinel(spark, tmp_path):
+    """Reference P:200-211: a table with no auto-increment PK gets the
+    (0,0) bounds sentinel and the offset-paged extract (P:130-142); it
+    still syncs, and incremental_sync re-extracts it in full because
+    there is no key to resume by."""
+    import os
+
+    from mysql_to_clickhouse_sync_spark.sync import incremental_sync
+
+    # fixture source dir: one keyed table + one PK-less table
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.read.parquet(f"{SF_DIR}/region.parquet").write.parquet(
+        f"{src}/region.parquet"
+    )
+    notes = spark.createDataFrame(
+        [("alpha", "x"), ("beta", "y"), ("gamma", "x")], "note string, tag string"
+    )
+    notes.write.parquet(f"{src}/notes.parquet")
+
+    out = str(tmp_path / "out")
+    manifest = snapshot_sync(spark, src, out)
+    tables = {t["table"]: t for t in manifest["tables"]}
+    assert set(tables) == {"region", "notes"}
+    assert tables["region"]["mode"] == "keyset"
+    nt = tables["notes"]
+    assert nt["mode"] == "offset"
+    assert nt["rowid"] is None
+    assert (nt["min_id"], nt["max_id"]) == (0, 0)  # the sentinel
+    assert nt["rows"] == 3
+    assert spark.read.parquet(nt["path"]).count() == 3
+
+    # source grows; the PK-less table full-resyncs on the incremental pass
+    spark.createDataFrame([("delta", "z")], "note string, tag string").write.mode(
+        "append"
+    ).parquet(f"{src}/notes.parquet")
+    manifest2 = incremental_sync(spark, src, out)
+    nt2 = {t["table"]: t for t in manifest2["tables"]}["notes"]
+    assert nt2["rows"] == 4
+    assert spark.read.parquet(nt2["path"]).count() == 4
+    assert sorted(
+        r.note for r in spark.read.parquet(nt2["path"]).collect()
+    ) == ["alpha", "beta", "delta", "gamma"]
+
+
 def test_filter_tables_matches_reference_semantics():
     # Reference: keep iff not exclude.search(n) and (no include or
     # include.search(n)) — unanchored (S:158-159).
