@@ -5,17 +5,20 @@ Media travels as an opaque `binary` column plus typed metadata; all
 byte-level work happens in Arrow-batched pandas iterators (mapInPandas) so
 nothing row-at-a-time crosses the JVM/Python boundary.
 
-Codec status, honestly: the IMAGE path is a REAL codec — `encode_bmp` /
+Codec status, honestly: IMAGE and AUDIO are REAL codecs — `encode_bmp` /
 `decode_bmp` build and parse valid 24-bit uncompressed BMPs with pure
 struct/numpy (magic/bpp/compression validation, row-stride padding), and
-`q_image_decode` proves the round trip against a closed-form oracle that
-never sees the bytes. Compressed formats and audio/video need
-PIL/ffmpeg/librosa, which are NOT in this container, so those kernels are
-STUBBED: `decode_media` raises NotImplementedError unless `fake=True`,
-in which case a clearly-marked deterministic fake derives metadata from
-the bytes. The Spark-side plumbing — schema, batch iteration,
-partitioning, UDF signatures — is identical on both paths; a real codec
-swaps into the same slot `decode_bmp` occupies.
+`encode_wav` / `decode_wav` build and parse valid 16-bit mono PCM WAVs
+with the stdlib `wave` module (RIFF validation, format checks).
+`q_image_decode` / `q_audio_decode` prove both round trips against
+closed-form oracles that never see the bytes. VIDEO needs ffmpeg, which
+is NOT in this container, so only that kernel stays gated:
+`decode_media` dispatches the real BMP/WAV decoders for image/audio and
+raises NotImplementedError on video unless `fake=True`, in which case a
+clearly-marked deterministic fake derives video metadata from the bytes.
+The Spark-side plumbing — schema, batch iteration, partitioning, UDF
+signatures — is identical on all paths; a real video codec swaps into
+the same slot the other two occupy.
 
 The fixtures carry no binary table, so `media_table` synthesizes one
 deterministically from `documents` (text bytes as payload, media_type cycled
@@ -86,27 +89,24 @@ def media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode_one(media_type: str, payload: bytes | None):
-    """DETERMINISTIC FAKE decode — stands in for PIL/ffmpeg/librosa, which
-    are not installed in this container. Derives plausible metadata purely
-    from byte content so tests are reproducible."""
+def _fake_decode_video(payload: bytes | None):
+    """DETERMINISTIC FAKE video decode — stands in for ffmpeg, which is not
+    installed in this container. Derives plausible metadata purely from
+    byte content so tests are reproducible."""
     if payload is None:
         return (None, None, None, None)
     n = len(payload)
-    if media_type == "image":
-        return (n, (n % 640) + 1, (n % 480) + 1, None)
-    if media_type == "video":
-        return (n, (n % 1280) + 1, (n % 720) + 1, (n % 120) + 1)
-    return (n, None, None, (n % 16000) + 1)  # audio: frames = samples
+    return (n, (n % 1280) + 1, (n % 720) + 1, (n % 120) + 1)
 
 
 def decode_media(media: DataFrame, *, fake: bool = False) -> DataFrame:
-    """Decode a media table to typed metadata via mapInPandas.
-
-    With fake=False this raises NotImplementedError from the workers — the
-    real codecs are not available here; the distributed plumbing is identical
-    either way.
-    """
+    """Decode a media table to typed metadata via mapInPandas, dispatching
+    per media family: image → the real BMP decoder, audio → the real WAV
+    decoder (both below; malformed payloads yield NULL metadata, the
+    quarantine pattern), video → gated on the missing ffmpeg — raises
+    NotImplementedError from the workers unless fake=True selects the
+    deterministic stub. The distributed plumbing is identical on every
+    path."""
 
     def decode_batches(
         batches: Iterator["pd.DataFrame"],
@@ -114,16 +114,23 @@ def decode_media(media: DataFrame, *, fake: bool = False) -> DataFrame:
         import pandas as pd
 
         for batch in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media codecs (PIL/ffmpeg) are not installed in "
-                    "this environment; pass fake=True for the deterministic "
-                    "stub decoder"
-                )
-            decoded = [
-                _fake_decode_one(t, p)
-                for t, p in zip(batch["media_type"], batch["payload"])
-            ]
+            decoded = []
+            for t, p in zip(batch["media_type"], batch["payload"]):
+                n = len(p) if p is not None else None
+                if t == "image":
+                    w, h, _ = decode_bmp(p)
+                    decoded.append((n, w, h, None))
+                elif t == "audio":
+                    sr, ns, _ = decode_wav(p)
+                    decoded.append((n, None, None, ns))
+                elif not fake:
+                    raise NotImplementedError(
+                        "real video decoding (ffmpeg) is not installed in "
+                        "this environment; pass fake=True for the "
+                        "deterministic stub decoder"
+                    )
+                else:
+                    decoded.append(_fake_decode_video(p))
             out = pd.DataFrame(
                 decoded, columns=["n_bytes", "width", "height", "n_frames"]
             )
@@ -329,6 +336,200 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "width", "height", "n_bytes", "pix_sum"],
+            )
+
+    return encoded.mapInPandas(decode_batches, schema=decoded_schema)
+
+
+# --- Real audio codec: 16-bit mono PCM WAV, pure stdlib wave/struct --------
+#
+# librosa/soundfile are absent, but canonical PCM WAV needs neither: the
+# stdlib `wave` module writes/reads the 44-byte RIFF/fmt/data layout. The
+# decoder validates the RIFF magic and the PCM format before trusting any
+# field; malformed payloads quarantine as NULLs, mirroring decode_bmp.
+
+_WAV_HEADER = 44  # canonical RIFF + fmt + data chunk headers
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def wav_geometry(doc_id: int) -> tuple[int, int, int]:
+    """Deterministic (sample_rate, n_samples, seed) for the synthetic
+    corpus — the closed form the oracle re-derives independently."""
+    return _WAV_RATES[doc_id % 4], 50 + doc_id % 211, doc_id % 60000
+
+
+def encode_wav(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    """A valid 16-bit mono PCM WAV whose sample i is
+    ((seed + 37*i) % 65536) - 32768."""
+    import io
+    import wave
+
+    import numpy as np
+
+    samples = ((seed + 37 * np.arange(n_samples, dtype=np.int64)) % 65536) - 32768
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes | None):
+    """Parse a 16-bit mono PCM WAV: returns (sample_rate, n_samples,
+    amp_sum) where amp_sum is the signed sum of all samples — an
+    endianness or width mistake cannot produce the right checksum.
+    Malformed payloads return NULLs (quarantine, not abort)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if (
+        payload is None
+        or len(payload) < _WAV_HEADER
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return (None, None, None)
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                return (None, None, None)
+            rate, n = w.getframerate(), w.getnframes()
+            data = np.frombuffer(w.readframes(n), dtype="<i2")
+    except (wave.Error, EOFError):
+        return (None, None, None)
+    if len(data) != n:
+        return (None, None, None)
+    return (rate, n, int(data.astype(np.int64).sum()))
+
+
+def real_media_table(docs: DataFrame) -> DataFrame:
+    """Media table with VALID payloads per family — image rows carry real
+    BMPs, audio rows real WAVs (both from the closed-form geometries), and
+    video rows opaque text bytes (their codec is the gated one). This is
+    what decode_media's real dispatch runs against; media_table keeps the
+    opaque-bytes form for the metadata-only path."""
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
+
+    def encode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for d, txt in zip(batch["doc_id"], batch["text"]):
+                d = int(d)
+                t = MEDIA_TYPES[d % 3]
+                if t == "image":
+                    p = encode_bmp(*bmp_geometry(d))
+                elif t == "audio":
+                    p = encode_wav(*wav_geometry(d))
+                else:
+                    p = str(txt).encode("utf-8")
+                rows.append((d, t, p))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "payload"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode_batches, schema=MEDIA_SCHEMA
+    )
+
+
+@declare(
+    "q_audio_decode",
+    oracle=f"""
+    WITH geo AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+               50 + doc_id % 211 AS n_samples,
+               doc_id % 60000 AS seed
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST({_WAV_HEADER} + 2 * n_samples AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(
+                    generate_series(0, n_samples - 1),
+                    i -> (seed + 37 * i) % 65536 - 32768)) AS BIGINT)
+               AS amp_sum
+    FROM geo
+    """,
+    tier="P1",
+)
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end to end: synthesize a valid 16-bit mono PCM
+    WAV per document (Arrow-batched), then parse it back with the stdlib
+    wave decoder — RIFF validation, format checks, sample checksum —
+    inside mapInPandas. The oracle never sees the bytes: it recomputes
+    rate/sample-count/file-size/signed-sample-sum from the closed-form
+    geometry, so a decoder that mis-reads the header or sample width
+    cannot hash-match. Companion to q_image_decode; video remains the one
+    honestly-gated codec."""
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ensure_package_shipped(spark)
+
+    def encode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            payloads = [
+                encode_wav(*wav_geometry(int(d))) for d in batch["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": batch["doc_id"].values, "payload": payloads}
+            )
+
+    encoded_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+    encoded = docs.mapInPandas(encode_batches, schema=encoded_schema)
+
+    decoded_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("sample_rate", LongType(), True),
+            StructField("n_samples", LongType(), True),
+            StructField("n_bytes", LongType(), True),
+            StructField("amp_sum", LongType(), True),
+        ]
+    )
+
+    def decode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                rate, n, s = decode_wav(payload)
+                nb = len(payload) if payload is not None else None
+                rows.append((mid, rate, n, nb, s))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "n_bytes",
+                    "amp_sum",
+                ],
             )
 
     return encoded.mapInPandas(decode_batches, schema=decoded_schema)

@@ -32,33 +32,46 @@ def test_media_table_schema_and_types(media):
     assert types == {"image", "audio", "video"}
 
 
-def test_decode_without_codecs_raises(media):
+def test_video_without_codec_raises(media):
+    # image/audio have REAL decoders; only video is gated on ffmpeg
     with pytest.raises(Exception) as exc_info:
         decode_media(media).count()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+    # non-video rows decode fine without fake=
+    non_video = media.filter(F.col("media_type") != "video")
+    assert decode_media(non_video).count() == non_video.count()
 
 
-def test_fake_decode_is_deterministic_and_typed(media):
-    out = decode_media(media, fake=True)
+def test_real_decode_is_deterministic_and_typed(spark):
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        bmp_geometry,
+        real_media_table,
+        wav_geometry,
+    )
+
+    real = real_media_table(load_table(spark, SF_DIR, "documents")).cache()
+    out = decode_media(real, fake=True)  # fake covers only the video rows
     assert out.schema == DECODED_SCHEMA
     rows = {r.media_id: r for r in out.collect()}
-    assert len(rows) == media.count()
-    # Byte counts match the payload; type-dispatch fills the right fields.
-    sizes = {r.media_id: r for r in media.select(
-        "media_id", "media_type", F.octet_length("payload").alias("n")).collect()}
+    assert len(rows) == real.count()
+    sizes = {r.media_id: r.n for r in real.select(
+        "media_id", F.octet_length("payload").alias("n")).collect()}
     for mid, r in rows.items():
-        assert r.n_bytes == sizes[mid].n
+        assert r.n_bytes == sizes[mid]
         if r.media_type == "image":
-            assert r.width is not None and r.n_frames is None
-        elif r.media_type == "video":
-            assert r.width is not None and r.n_frames is not None
+            w, h, _ = bmp_geometry(mid)
+            assert (r.width, r.height, r.n_frames) == (w, h, None)
+        elif r.media_type == "audio":
+            _, n_samples, _ = wav_geometry(mid)
+            assert (r.width, r.height, r.n_frames) == (None, None, n_samples)
         else:
-            assert r.width is None and r.n_frames is not None
+            assert r.width is not None and r.n_frames is not None
     # Determinism: second run identical.
-    again = {r.media_id: r for r in decode_media(media, fake=True).collect()}
+    again = {r.media_id: r for r in decode_media(real, fake=True).collect()}
     assert rows == again
+    real.unpersist()
 
 
 def test_frame_sample_only_video_and_stride(media):
@@ -102,6 +115,29 @@ def test_clickhouse_options_shape():
     assert opts["numPartitions"] == "4"
     assert "output_format_decimal_trailing_zeros=1" in opts["custom_http_params"]
     assert opts["isolationLevel"] == "NONE"
+
+
+def test_wav_roundtrip_and_malformed_payloads():
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        wav_geometry,
+    )
+
+    rate, n, seed = wav_geometry(42)
+    payload = encode_wav(rate, n, seed)
+    assert len(payload) == 44 + 2 * n  # canonical header + 16-bit samples
+    drate, dn, amp = decode_wav(payload)
+    assert (drate, dn) == (rate, n)
+    assert amp == sum((seed + 37 * i) % 65536 - 32768 for i in range(n))
+    # malformed payloads quarantine as NULLs, never raise
+    assert decode_wav(None) == (None, None, None)
+    assert decode_wav(b"XXXX" + payload[4:]) == (None, None, None)  # bad magic
+    assert decode_wav(payload[:30]) == (None, None, None)  # truncated header
+    assert decode_wav(payload[:-10]) == (None, None, None)  # truncated data
+    stereo = bytearray(payload)
+    stereo[22] = 2  # channels field: claim stereo
+    assert decode_wav(bytes(stereo)) == (None, None, None)
 
 
 def test_bmp_roundtrip_and_malformed_payloads():
