@@ -271,10 +271,16 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-duplicate candidates: signature -> band buckets
     -> bucket self-join -> distinct pairs with the signature-agreement
-    Jaccard estimate. Returns (doc_a, doc_b, est_jaccard)."""
+    Jaccard estimate. Returns (doc_a, doc_b, est_jaccard).
+
+    max_bucket arms the degenerate-bucket guard (functions/lsh_guard): a
+    bucket above the cap — e.g. every empty-text doc sharing one signature
+    — is excluded from the self-join instead of contributing n^2 pairs.
+    None (the default used by the declared oracle query) disables it."""
     rows_per_band = num_hashes // num_bands
     # The signature table feeds three plan branches (banding + both sides of
     # the agreement join) — cache it so the md5 pass runs once.
@@ -296,6 +302,10 @@ def minhash_lsh_candidates(
     bands = sigs.select(
         "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bucket")
     )
+    if max_bucket is not None:
+        from mysql_to_clickhouse_sync_spark.functions.lsh_guard import cap_buckets
+
+        bands, _ = cap_buckets(bands, ["band_idx", "bucket"], max_bucket)
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (
@@ -523,6 +533,7 @@ def simhash_banded_pairs(
     sh: DataFrame,
     max_hamming: int = SIMHASH_MAX_HAMMING,
     bits: int = SIMHASH_BITS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs from a (doc_id, lang, simhash) table via pigeonhole
     banding — the 100 TB plan. Candidates come from an EQUI-join on
@@ -545,6 +556,12 @@ def simhash_banded_pairs(
         "lang",
         F.posexplode(F.array(*chunk_cols)).alias("chunk_idx", "chunk_val"),
     )
+    if max_bucket is not None:
+        from mysql_to_clickhouse_sync_spark.functions.lsh_guard import cap_buckets
+
+        bands, _ = cap_buckets(
+            bands, ["lang", "chunk_idx", "chunk_val"], max_bucket
+        )
     cand = (
         bands.alias("a")
         .join(

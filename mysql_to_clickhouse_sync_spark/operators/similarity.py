@@ -184,6 +184,7 @@ def banded_neardup_pairs(
     threshold: float = NEARDUP_THRESHOLD,
     n_bands: int = NEARDUP_BANDS,
     band_bits: int = NEARDUP_BAND_BITS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Parameterized banded sign-LSH near-dup: the (n_bands, band_bits)
     pair IS the recall/cost dial. Longer bands (more bits) require more
@@ -195,8 +196,12 @@ def banded_neardup_pairs(
     (cosine >= 0.9) runs 8-16 bit bands, which empties the cells while
     keeping recall for truly-near pairs.
 
-    `emb` must carry (vec_id, label, embedding); norms are derived."""
-    emb = with_norm(emb)
+    `emb` must carry (vec_id, label, embedding); norms are derived.
+    Zero-norm vectors are excluded up front: their cosine is undefined
+    (ANSI division by zero at rescore time), they can never legitimately
+    cross a similarity threshold, and at scale they all collapse into one
+    degenerate bucket — route them to exact dedup instead."""
+    emb = with_norm(emb).filter(F.col("norm") > 0)
     banded = emb.select(
         "vec_id",
         "label",
@@ -219,6 +224,13 @@ def banded_neardup_pairs(
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
+    if max_bucket is not None:
+        # degenerate-bucket guard (e.g. all-zero vectors collapsing into one
+        # cell): see functions/lsh_guard — None keeps oracle parity for the
+        # declared query.
+        from mysql_to_clickhouse_sync_spark.functions.lsh_guard import cap_buckets
+
+        banded, _ = cap_buckets(banded, ["label", "band", "bucket"], max_bucket)
     a = banded.select(
         F.col("label"), F.col("band"), F.col("bucket"), F.col("vec_id").alias("vec_a")
     )
