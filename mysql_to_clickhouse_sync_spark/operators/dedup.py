@@ -659,6 +659,120 @@ def q_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cap for the DECLARED guarded variants: small enough to bite on the
+# fixture's bucket-size distribution, so the exclusion semantics are
+# actually exercised by the oracle comparison (a cap that never fires
+# would verify nothing).
+GUARD_CAP = 8
+
+
+def _simhash_chunks_sql() -> str:
+    """UNION ALL of the 5 pigeonhole chunk projections over `sh` — the SQL
+    twin of the posexplode in simhash_banded_pairs."""
+    return "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, lang, {i} AS chunk_idx,"
+        f" (simhash >> {start}) & {(1 << width) - 1} AS chunk_val FROM sh"
+        for i, (start, width) in enumerate(_simhash_chunk_bounds())
+    )
+
+
+def _simhash_sh_cte() -> str:
+    h = _md5_hash64_sql("t")
+    bit_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(tokens, t -> (({h} >> {b}) & 1) * 2 - 1)) > 0"
+        f" THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split_regex({_NORM_SQL.format(col='text')}, '\\s+') AS tokens
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, lang, {bit_terms} AS simhash
+        FROM toks
+    )"""
+
+
+def _simhash_guarded_oracle() -> str:
+    return f"""
+    {_simhash_sh_cte()}, chunks AS (
+        {_simhash_chunks_sql()}
+    ), sized AS (
+        SELECT lang, chunk_idx, chunk_val, count(*) AS n
+        FROM chunks GROUP BY lang, chunk_idx, chunk_val
+    ), kept AS (
+        SELECT c.doc_id, c.lang, c.chunk_idx, c.chunk_val
+        FROM chunks c JOIN sized s
+          ON c.lang = s.lang AND c.chunk_idx = s.chunk_idx
+         AND c.chunk_val = s.chunk_val
+        WHERE s.n <= {GUARD_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.lang = b.lang AND a.chunk_idx = b.chunk_idx
+         AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@declare("q_simhash_guarded", oracle=_simhash_guarded_oracle(), tier="P1")
+def q_simhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_simhash_dedup with the degenerate-bucket guard ARMED at a cap that
+    bites on the fixture (GUARD_CAP=8): buckets above the cap are excluded
+    from candidate generation, trading documented recall on pathological
+    keys for bounded join cost. The oracle re-implements the identical
+    exclusion relationally (bucket counts -> filter -> self-join), so the
+    guard's semantics — not just its existence — are hash-verified
+    cross-engine. Production dials the cap to hundreds (see
+    functions/lsh_guard.DEFAULT_MAX_BUCKET); the banded candidate join is
+    otherwise the same scale plan as q_simhash_dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = simhash_table(docs, extra_cols=("lang",)).cache()
+    return simhash_banded_pairs(sh, max_bucket=GUARD_CAP)
+
+
+def _bucket_audit_oracle() -> str:
+    return f"""
+    {_simhash_sh_cte()}, chunks AS (
+        {_simhash_chunks_sql()}
+    )
+    SELECT lang, chunk_idx, chunk_val, count(*) AS bucket_n
+    FROM chunks
+    GROUP BY lang, chunk_idx, chunk_val
+    HAVING count(*) > {GUARD_CAP}
+    """
+
+
+@declare("q_lsh_bucket_audit", oracle=_bucket_audit_oracle(), tier="P1")
+def q_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dropped-bucket accounting for q_simhash_guarded: one row per
+    excluded bucket with its size — the explicit record of where the guard
+    traded recall. At 100 TB this table is what routes degenerate keys to
+    exact dedup instead of silently losing them."""
+    from mysql_to_clickhouse_sync_spark.functions.lsh_guard import cap_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = simhash_table(docs, extra_cols=("lang",))
+    chunk_cols = [
+        F.shiftright(F.col("simhash"), start).bitwiseAND(F.lit((1 << width) - 1))
+        for start, width in _simhash_chunk_bounds()
+    ]
+    bands = sh.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.array(*chunk_cols)).alias("chunk_idx", "chunk_val"),
+    )
+    _, dropped = cap_buckets(bands, ["lang", "chunk_idx", "chunk_val"], GUARD_CAP)
+    return dropped
+
+
 _NEW_BATCH_SOURCE = "src4"  # the arriving batch; the rest is the corpus
 
 
