@@ -676,20 +676,23 @@ def _simhash_chunks_sql() -> str:
     )
 
 
-def _simhash_sh_cte() -> str:
+def _simhash_bit_terms_sql() -> str:
     h = _md5_hash64_sql("t")
-    bit_terms = " + ".join(
+    return " + ".join(
         f"CASE WHEN list_sum(list_transform(tokens, t -> (({h} >> {b}) & 1) * 2 - 1)) > 0"
         f" THEN CAST({2**b} AS BIGINT) ELSE 0 END"
         for b in range(SIMHASH_BITS)
     )
+
+
+def _simhash_sh_cte(source: str = "documents") -> str:
     return f"""
     WITH toks AS (
         SELECT doc_id, lang,
                string_split_regex({_NORM_SQL.format(col='text')}, '\\s+') AS tokens
-        FROM documents
+        FROM {source}
     ), sh AS (
-        SELECT doc_id, lang, {bit_terms} AS simhash
+        SELECT doc_id, lang, {_simhash_bit_terms_sql()} AS simhash
         FROM toks
     )"""
 
@@ -840,4 +843,104 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_vs_corpus"
         ),
         F.sum((first & F.col("hit").isNull()).cast("bigint")).alias("n_novel"),
+    )
+
+
+def _dedup_ladder_oracle() -> str:
+    return f"""
+    WITH reps AS (
+        SELECT doc_id, lang, text FROM (
+            SELECT doc_id, lang, text,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    ), toks AS (
+        SELECT doc_id, lang,
+               string_split_regex({_NORM_SQL.format(col='text')}, '\\s+') AS tokens
+        FROM reps
+    ), sh AS (
+        SELECT doc_id, lang, {_simhash_bit_terms_sql()} AS simhash
+        FROM toks
+    ), pairs AS (
+        SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ), pair_docs AS (
+        SELECT lang, doc_a AS d FROM pairs
+        UNION
+        SELECT lang, doc_b AS d FROM pairs
+    ), base AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ), rep_c AS (
+        SELECT lang, count(*) AS n_reps FROM reps GROUP BY lang
+    ), pair_c AS (
+        SELECT lang, count(*) AS n_pairs FROM pairs GROUP BY lang
+    ), pd_c AS (
+        SELECT lang, count(DISTINCT d) AS n_pair_docs
+        FROM pair_docs GROUP BY lang
+    )
+    SELECT b.lang,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(r.n_reps AS BIGINT) AS n_exact_reps,
+           CAST(b.n_docs - r.n_reps AS BIGINT) AS n_exact_removed,
+           CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_neardup_pairs,
+           CAST(coalesce(d.n_pair_docs, 0) AS BIGINT) AS n_neardup_docs
+    FROM base b
+    JOIN rep_c r USING (lang)
+    LEFT JOIN pair_c p USING (lang)
+    LEFT JOIN pd_c d USING (lang)
+    """
+
+
+@declare("q_dedup_ladder", oracle=_dedup_ladder_oracle(), tier="P1")
+def q_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup LADDER in pipeline order — the lesson the 10x stress
+    quantified (PLANS.md round-3 wave): run O(n) exact dedup FIRST, then
+    banded near-dup over the representatives only. On the replica-heavy
+    stress corpus this is the difference between a 50.6 s and a 2.8 s
+    simhash pass, because exact replicas concentrate quadratic candidate
+    mass in single LSH cells.
+
+    Stage 1: one representative per md5(text) (window keep-min — one
+    shuffle on the hash). Stage 2: pigeonhole-banded simhash pairs among
+    representatives (exact recall at hamming <= 4). Output: the per-lang
+    ledger — docs in, exact reps/removed, near-dup pairs and distinct
+    docs implicated — the admission numbers a curation run reports.
+    The oracle recomputes both stages relationally (all-pairs is fine
+    DuckDB-side at fixture scale; recall equality makes them match)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        "doc_id"
+    )
+    reps = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    sh = simhash_table(reps, extra_cols=("lang",)).cache()
+    pairs = simhash_banded_pairs(sh).join(
+        sh.select(F.col("doc_id").alias("doc_a"), "lang"), "doc_a"
+    )
+    pair_docs = pairs.select("lang", F.col("doc_a").alias("d")).union(
+        pairs.select("lang", F.col("doc_b").alias("d"))
+    )
+    base = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    rep_c = reps.groupBy("lang").agg(F.count("*").alias("n_exact_reps"))
+    pair_c = pairs.groupBy("lang").agg(F.count("*").alias("n_neardup_pairs"))
+    pd_c = pair_docs.groupBy("lang").agg(
+        F.count_distinct("d").alias("n_neardup_docs")
+    )
+    return (
+        base.join(rep_c, "lang")
+        .join(pair_c, "lang", "left")
+        .join(pd_c, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_exact_reps",
+            (F.col("n_docs") - F.col("n_exact_reps")).alias("n_exact_removed"),
+            F.coalesce("n_neardup_pairs", F.lit(0)).alias("n_neardup_pairs"),
+            F.coalesce("n_neardup_docs", F.lit(0)).alias("n_neardup_docs"),
+        )
     )
