@@ -112,6 +112,16 @@ def test_simhash_candidates_are_equi_join_not_all_pairs(spark):
     assert "chunk_idx" in p and "chunk_val" in p
 
 
+def test_dedup_ladder_no_all_pairs(spark):
+    # Both ladder stages must stay equi-keyed: exact dedup is a window on
+    # the md5 hash, near-dup candidates are the pigeonhole-chunk equi-join
+    # — never a nested-loop / cartesian pair enumeration.
+    p = _plan(spark, "q_dedup_ladder")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "chunk_idx" in p and "chunk_val" in p
+
+
 def test_agg_state_merge_two_level_aggregation(spark):
     # -State then -Merge: two partial/final HashAggregate pairs, one
     # exchange per level — the coarse merge never rereads raw events.
