@@ -846,6 +846,115 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_BITS_PER_ITEM = 10  # ~0.9% expected false-positive rate
+
+
+@declare(
+    "q_bloom_dedup",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang, source,
+               md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS f
+        FROM documents
+    ), corpus AS (
+        SELECT DISTINCT f FROM fp WHERE source <> 'src4'
+    ), batch AS (
+        SELECT b.lang, b.f, c.f IS NOT NULL AS in_corpus
+        FROM fp b LEFT JOIN corpus c USING (f)
+        WHERE b.source = 'src4'
+    )
+    SELECT lang,
+           count(*) AS n_arrived,
+           CAST(sum(CASE WHEN NOT in_corpus THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_novel,
+           true AS no_false_negatives,
+           true AS fp_within_bound
+    FROM batch
+    GROUP BY lang
+    """,
+    tier="P1",
+)
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter corpus probing — the constant-memory scale path for
+    q_incremental_dedup's anti-join. The standing corpus's distinct
+    fingerprints fold into ONE Bloom filter built from first principles
+    JVM-side (k=2 positions per item via seeded xxhash64 mod m, m = 10
+    bits/item; the set-position array merges by set-union, so map-side
+    partials combine), broadcast as a scalar to probe the arriving batch
+    — no shuffle of the corpus at probe time, ever. (Production packs the
+    position set into a bitmap — Spark's internal BloomFilter does
+    exactly this for join pruning but isn't SQL-exposed; the position-set
+    form has identical verdict semantics and the same broadcast shape.)
+
+    Estimate-then-audit oracle (the sketch pattern of q_approx_distinct):
+    the Bloom verdicts aren't engine-portable, but their CONTRACT is. The
+    query joins the exact membership truth in-query and emits (a)
+    no_false_negatives — no true duplicate ever probes "novel" (Bloom's
+    hard guarantee), and (b) fp_within_bound — false positives within 3x
+    the expected (1-e^(-kn/m))^k rate (+10 slack). The oracle asserts
+    both true alongside the exact counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    fp = docs.select(
+        "doc_id", "lang", "source", F.md5(norm.cast("binary")).alias("f")
+    )
+    corpus = fp.filter(F.col("source") != _NEW_BATCH_SOURCE).select("f").distinct()
+    n_corpus = corpus.count()  # sizes the filter; scalar, same as bounds aggs
+    m = max(64, n_corpus * BLOOM_BITS_PER_ITEM)
+
+    def positions(col: Column) -> list[Column]:
+        return [
+            F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m)) for seed in (1, 2)
+        ]
+
+    bloom = (
+        corpus.select(F.explode(F.array(*positions(F.col("f")))).alias("p"))
+        .distinct()
+        .agg(F.sort_array(F.collect_set("p")).alias("bits"))
+    )
+    batch = fp.filter(F.col("source") == _NEW_BATCH_SOURCE)
+    # truth via exact anti-join (distinct corpus side), bloom verdict via
+    # the broadcast scalar filter
+    truth = corpus.withColumn("hit", F.lit(1))
+    p1, p2 = positions(F.col("f"))
+    probed = (
+        batch.join(truth, "f", "left")
+        .crossJoin(F.broadcast(bloom))
+        .select(
+            "lang",
+            F.col("hit").isNotNull().alias("in_corpus"),
+            (
+                F.array_contains(F.col("bits"), p1)
+                & F.array_contains(F.col("bits"), p2)
+            ).alias("bloom_hit"),
+        )
+    )
+    agg = probed.groupBy("lang").agg(
+        F.count("*").alias("n_arrived"),
+        F.sum((~F.col("in_corpus")).cast("bigint")).alias("n_true_novel"),
+        # false negative: truly in corpus but bloom says novel — must be 0
+        F.sum((F.col("in_corpus") & ~F.col("bloom_hit")).cast("bigint")).alias(
+            "n_false_neg"
+        ),
+        # false positive: truly novel but bloom says dup
+        F.sum((~F.col("in_corpus") & F.col("bloom_hit")).cast("bigint")).alias(
+            "n_false_pos"
+        ),
+    )
+    # k=2, m=10n -> (1 - e^(-0.2))^2 ~= 3.3%
+    expected_fp = 0.033
+    return agg.select(
+        "lang",
+        "n_arrived",
+        "n_true_novel",
+        (F.col("n_false_neg") == 0).alias("no_false_negatives"),
+        (
+            F.col("n_false_pos")
+            <= F.lit(3 * expected_fp) * F.col("n_true_novel") + F.lit(10)
+        ).alias("fp_within_bound"),
+    )
+
+
 def _dedup_ladder_oracle() -> str:
     return f"""
     WITH reps AS (
