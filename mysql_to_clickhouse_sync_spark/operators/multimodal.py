@@ -5,20 +5,21 @@ Media travels as an opaque `binary` column plus typed metadata; all
 byte-level work happens in Arrow-batched pandas iterators (mapInPandas) so
 nothing row-at-a-time crosses the JVM/Python boundary.
 
-Codec status, honestly: IMAGE and AUDIO are REAL codecs — `encode_bmp` /
-`decode_bmp` build and parse valid 24-bit uncompressed BMPs with pure
-struct/numpy (magic/bpp/compression validation, row-stride padding), and
-`encode_wav` / `decode_wav` build and parse valid 16-bit mono PCM WAVs
-with the stdlib `wave` module (RIFF validation, format checks).
-`q_image_decode` / `q_audio_decode` prove both round trips against
-closed-form oracles that never see the bytes. VIDEO needs ffmpeg, which
-is NOT in this container, so only that kernel stays gated:
-`decode_media` dispatches the real BMP/WAV decoders for image/audio and
-raises NotImplementedError on video unless `fake=True`, in which case a
-clearly-marked deterministic fake derives video metadata from the bytes.
-The Spark-side plumbing — schema, batch iteration, partitioning, UDF
-signatures — is identical on all paths; a real video codec swaps into
-the same slot the other two occupy.
+Codec status: all three families are REAL codecs, no stubs remain.
+IMAGE — `encode_bmp` / `decode_bmp` build and parse valid 24-bit
+uncompressed BMPs with pure struct/numpy (magic/bpp/compression
+validation, row-stride padding). AUDIO — `encode_wav` / `decode_wav`
+build and parse valid 16-bit mono PCM WAVs with the stdlib `wave`
+module (RIFF validation, format checks). VIDEO — `encode_avi` /
+`decode_avi` build and parse valid uncompressed-DIB AVIs with a real
+RIFF chunk walker (container validation, per-frame stride handling,
+declared-vs-actual frame-count check); `avi_frames` extracts sampled
+raw frames for frame_sample. `q_image_decode` / `q_audio_decode` /
+`q_video_decode` prove all three round trips against closed-form
+oracles that never see the bytes. COMPRESSED formats (JPEG/MP3/H.264)
+still need PIL/ffmpeg, which are not in this container — a compressed
+codec drops into the same decode slot; the Spark-side plumbing (schema,
+batch iteration, partitioning, UDF signatures) is format-agnostic.
 
 The fixtures carry no binary table, so `media_table` synthesizes one
 deterministically from `documents` (text bytes as payload, media_type cycled
@@ -89,24 +90,12 @@ def media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode_video(payload: bytes | None):
-    """DETERMINISTIC FAKE video decode — stands in for ffmpeg, which is not
-    installed in this container. Derives plausible metadata purely from
-    byte content so tests are reproducible."""
-    if payload is None:
-        return (None, None, None, None)
-    n = len(payload)
-    return (n, (n % 1280) + 1, (n % 720) + 1, (n % 120) + 1)
-
-
-def decode_media(media: DataFrame, *, fake: bool = False) -> DataFrame:
+def decode_media(media: DataFrame) -> DataFrame:
     """Decode a media table to typed metadata via mapInPandas, dispatching
-    per media family: image → the real BMP decoder, audio → the real WAV
-    decoder (both below; malformed payloads yield NULL metadata, the
-    quarantine pattern), video → gated on the missing ffmpeg — raises
-    NotImplementedError from the workers unless fake=True selects the
-    deterministic stub. The distributed plumbing is identical on every
-    path."""
+    the real codec per media family: image → BMP, audio → WAV, video →
+    AVI (all below). Malformed payloads yield NULL metadata — the
+    quarantine pattern, never an abort. The distributed plumbing is
+    identical on every path."""
 
     def decode_batches(
         batches: Iterator["pd.DataFrame"],
@@ -123,14 +112,9 @@ def decode_media(media: DataFrame, *, fake: bool = False) -> DataFrame:
                 elif t == "audio":
                     sr, ns, _ = decode_wav(p)
                     decoded.append((n, None, None, ns))
-                elif not fake:
-                    raise NotImplementedError(
-                        "real video decoding (ffmpeg) is not installed in "
-                        "this environment; pass fake=True for the "
-                        "deterministic stub decoder"
-                    )
                 else:
-                    decoded.append(_fake_decode_video(p))
+                    w, h, nf, _ = decode_avi(p)
+                    decoded.append((n, w, h, nf))
             out = pd.DataFrame(
                 decoded, columns=["n_bytes", "width", "height", "n_frames"]
             )
@@ -147,9 +131,11 @@ def decode_media(media: DataFrame, *, fake: bool = False) -> DataFrame:
     )
 
 
-def frame_sample(media: DataFrame, every_n: int = 10, *, fake: bool = False) -> DataFrame:
-    """Sample every n-th 'frame' of video payloads (fake frames = fixed-size
-    byte slices). Output: (media_id, frame_idx, frame binary)."""
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Sample every n-th frame of video payloads through the REAL AVI
+    walker: frames are padding-stripped raster bytes from `avi_frames`.
+    Malformed payloads contribute no rows (quarantine). Output:
+    (media_id, frame_idx, frame binary)."""
     out_schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -164,21 +150,10 @@ def frame_sample(media: DataFrame, every_n: int = 10, *, fake: bool = False) -> 
         import pandas as pd
 
         for batch in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real video decoding is not installed; pass fake=True"
-                )
             rows = []
             for mid, payload in zip(batch["media_id"], batch["payload"]):
-                if payload is None:
-                    continue
-                frame_size = 64  # fake: fixed-size byte slices as frames
-                frames = [
-                    payload[i : i + frame_size]
-                    for i in range(0, len(payload), frame_size)
-                ]
-                for idx in range(0, len(frames), every_n):
-                    rows.append((mid, idx, frames[idx]))
+                for idx, frame in avi_frames(payload, every_n):
+                    rows.append((mid, idx, frame))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
@@ -341,6 +316,195 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.mapInPandas(decode_batches, schema=decoded_schema)
 
 
+# --- Real video codec: uncompressed-DIB AVI, pure struct/numpy -------------
+#
+# ffmpeg is absent, but AVI with raw DIB frames needs only the RIFF
+# container rules: RIFF('AVI ') -> LIST(hdrl){avih, LIST(strl){strh,strf}}
+# -> LIST(movi){00db frames}. Each frame is a 24-bit DIB bitmap (same
+# stride/padding rules as BMP). The decoder is a real RIFF walker with
+# header validation; malformed payloads quarantine as NULLs.
+
+_AVIH_BYTES = 56  # MainAVIHeader: 14 DWORDs
+_STRH_BYTES = 56  # AVIStreamHeader incl. rcFrame
+
+
+def avi_geometry(doc_id: int) -> tuple[int, int, int, int]:
+    """Deterministic (width, height, n_frames, pixel seed) for the
+    synthetic corpus — the closed form the oracle re-derives."""
+    return 8 + doc_id % 9, 6 + doc_id % 5, 3 + doc_id % 6, doc_id % 251
+
+
+def encode_avi(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """A valid uncompressed AVI whose frame f's pixel byte i (raster
+    order, padding excluded) is (seed + 7*f + 31*i) % 256."""
+    import struct
+
+    import numpy as np
+
+    stride = ((3 * width + 3) // 4) * 4
+    frame_size = stride * height
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(subtype: bytes, payload: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(payload)) + subtype + payload
+
+    frames = []
+    for f in range(n_frames):
+        pix = (
+            seed + 7 * f + 31 * np.arange(3 * width * height, dtype=np.int64)
+        ) % 256
+        rows = pix.reshape(height, 3 * width).astype(np.uint8)
+        padded = np.zeros((height, stride), dtype=np.uint8)
+        padded[:, : 3 * width] = rows
+        frames.append(chunk(b"00db", padded.tobytes()))
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<14I",
+            40000,  # usec/frame (25 fps)
+            frame_size * 25,
+            0,
+            0x10,  # AVIF_HASINDEX off, AVIF_WASCAPTUREFILE-ish flags: keep simple
+            n_frames,
+            0,
+            1,  # one stream
+            frame_size,
+            width,
+            height,
+            0,
+            0,
+            0,
+            0,
+        ),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHH8I", 0, 0, 0, 0, 1, 25, 0, n_frames, frame_size, 0, 0
+        )
+        + struct.pack("<4h", 0, 0, width, height),
+    )
+    strf = chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0
+        ),
+    )
+    body = (
+        b"AVI "
+        + lst(b"hdrl", avih + lst(b"strl", strh + strf))
+        + lst(b"movi", b"".join(frames))
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(buf: bytes, offset: int, end: int):
+    """Yield (fourcc, data_offset, size) walking a RIFF chunk sequence."""
+    import struct
+
+    while offset + 8 <= end:
+        fourcc = buf[offset : offset + 4]
+        size = struct.unpack_from("<I", buf, offset + 4)[0]
+        if offset + 8 + size > end:
+            return  # truncated chunk: stop (caller validates counts)
+        yield fourcc, offset + 8, size
+        offset += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def decode_avi(payload: bytes | None):
+    """Parse an uncompressed-DIB AVI: returns (width, height, n_frames,
+    pix_sum) with pix_sum over all frames' pixel bytes, row padding
+    STRIPPED — wrong stride or frame-walk handling cannot produce the
+    right checksum. The declared frame count must match the frames
+    actually present. Malformed payloads return NULLs (quarantine)."""
+    import struct
+
+    import numpy as np
+
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        return (None, None, None, None)
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    width = height = declared_frames = None
+    bpp_ok = False
+    frames = []
+    for fourcc, off, size in _riff_chunks(payload, 12, end):
+        if fourcc != b"LIST" or size < 4:
+            continue
+        subtype = payload[off : off + 4]
+        if subtype == b"hdrl":
+            for f2, o2, s2 in _riff_chunks(payload, off + 4, off + size):
+                if f2 == b"avih" and s2 >= _AVIH_BYTES:
+                    hdr = struct.unpack_from("<14I", payload, o2)
+                    declared_frames, width, height = hdr[4], hdr[8], hdr[9]
+                elif f2 == b"LIST" and payload[o2 : o2 + 4] == b"strl":
+                    for f3, o3, s3 in _riff_chunks(payload, o2 + 4, o2 + s2):
+                        if f3 == b"strf" and s3 >= 40:
+                            bi = struct.unpack_from("<IiiHHI", payload, o3)
+                            bpp_ok = bi[4] == 24 and bi[5] == 0
+        elif subtype == b"movi":
+            for f2, o2, s2 in _riff_chunks(payload, off + 4, off + size):
+                if f2 in (b"00db", b"00dc"):
+                    frames.append((o2, s2))
+    if (
+        not bpp_ok
+        or width is None
+        or width <= 0
+        or height is None
+        or height <= 0
+        or declared_frames != len(frames)
+        or not frames
+    ):
+        return (None, None, None, None)
+    stride = ((3 * width + 3) // 4) * 4
+    total = 0
+    for off, size in frames:
+        if size != stride * height:
+            return (None, None, None, None)
+        data = np.frombuffer(
+            payload, dtype=np.uint8, count=size, offset=off
+        ).reshape(height, stride)
+        total += int(data[:, : 3 * width].astype(np.int64).sum())
+    return (width, height, len(frames), total)
+
+
+def avi_frames(payload: bytes | None, every_n: int = 1):
+    """Sampled (frame_idx, pixel_bytes) pairs from an uncompressed AVI —
+    padding-stripped raster bytes, the real form of frame_sample's
+    kernel. Malformed payloads yield no frames."""
+    import struct
+
+    import numpy as np
+
+    w, h, n, _ = decode_avi(payload)
+    if n is None:
+        return
+    stride = ((3 * w + 3) // 4) * 4
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    idx = 0
+    for fourcc, off, size in _riff_chunks(payload, 12, end):
+        if fourcc != b"LIST" or payload[off : off + 4] != b"movi":
+            continue
+        for f2, o2, s2 in _riff_chunks(payload, off + 4, off + size):
+            if f2 not in (b"00db", b"00dc"):
+                continue
+            if idx % every_n == 0:
+                data = np.frombuffer(
+                    payload, dtype=np.uint8, count=s2, offset=o2
+                ).reshape(h, stride)
+                yield idx, data[:, : 3 * w].tobytes()
+            idx += 1
+
+
 # --- Real audio codec: 16-bit mono PCM WAV, pure stdlib wave/struct --------
 #
 # librosa/soundfile are absent, but canonical PCM WAV needs neither: the
@@ -407,11 +571,11 @@ def decode_wav(payload: bytes | None):
 
 
 def real_media_table(docs: DataFrame) -> DataFrame:
-    """Media table with VALID payloads per family — image rows carry real
-    BMPs, audio rows real WAVs (both from the closed-form geometries), and
-    video rows opaque text bytes (their codec is the gated one). This is
-    what decode_media's real dispatch runs against; media_table keeps the
-    opaque-bytes form for the metadata-only path."""
+    """Media table with VALID payloads in every family — image rows carry
+    real BMPs, audio rows real WAVs, video rows real uncompressed AVIs
+    (all from the closed-form geometries). This is what decode_media and
+    frame_sample run against; media_table keeps the opaque-bytes form for
+    the metadata-only path."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(docs.sparkSession)
@@ -423,7 +587,7 @@ def real_media_table(docs: DataFrame) -> DataFrame:
 
         for batch in batches:
             rows = []
-            for d, txt in zip(batch["doc_id"], batch["text"]):
+            for d in batch["doc_id"]:
                 d = int(d)
                 t = MEDIA_TYPES[d % 3]
                 if t == "image":
@@ -431,13 +595,13 @@ def real_media_table(docs: DataFrame) -> DataFrame:
                 elif t == "audio":
                     p = encode_wav(*wav_geometry(d))
                 else:
-                    p = str(txt).encode("utf-8")
+                    p = encode_avi(*avi_geometry(d))
                 rows.append((d, t, p))
             yield pd.DataFrame(
                 rows, columns=["media_id", "media_type", "payload"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return docs.select("doc_id").mapInPandas(
         encode_batches, schema=MEDIA_SCHEMA
     )
 
@@ -530,6 +694,94 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_bytes",
                     "amp_sum",
                 ],
+            )
+
+    return encoded.mapInPandas(decode_batches, schema=decoded_schema)
+
+
+@declare(
+    "q_video_decode",
+    oracle=f"""
+    WITH geo AS (
+        SELECT doc_id AS media_id,
+               8 + doc_id % 9 AS width,
+               6 + doc_id % 5 AS height,
+               3 + doc_id % 6 AS n_frames,
+               doc_id % 251 AS seed
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(list_sum(list_transform(
+                    generate_series(0, n_frames - 1),
+                    f -> list_sum(list_transform(
+                             generate_series(0, 3 * width * height - 1),
+                             i -> (seed + 7 * f + 31 * i) % 256))))
+               AS BIGINT) AS pix_sum
+    FROM geo
+    """,
+    tier="P1",
+)
+def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, end to end: synthesize a valid uncompressed-DIB
+    AVI per document (Arrow-batched), then parse it back with the RIFF
+    walker — container validation, per-frame stride handling, frame-count
+    cross-check — inside mapInPandas. The oracle never sees the bytes: it
+    recomputes geometry and the all-frames pixel checksum from the closed
+    form, so a decoder that mis-walks chunks, miscounts frames, or keeps
+    row padding cannot hash-match. Completes the codec family with
+    q_image_decode and q_audio_decode — no stubbed media path remains."""
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ensure_package_shipped(spark)
+
+    def encode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            payloads = [
+                encode_avi(*avi_geometry(int(d))) for d in batch["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": batch["doc_id"].values, "payload": payloads}
+            )
+
+    encoded_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+    encoded = docs.mapInPandas(encode_batches, schema=encoded_schema)
+
+    decoded_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("n_frames", IntegerType(), True),
+            StructField("pix_sum", LongType(), True),
+        ]
+    )
+
+    def decode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                w, h, nf, s = decode_avi(payload)
+                rows.append((mid, w, h, nf, s))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_frames", "pix_sum"],
             )
 
     return encoded.mapInPandas(decode_batches, schema=decoded_schema)

@@ -32,27 +32,29 @@ def test_media_table_schema_and_types(media):
     assert types == {"image", "audio", "video"}
 
 
-def test_video_without_codec_raises(media):
-    # image/audio have REAL decoders; only video is gated on ffmpeg
-    with pytest.raises(Exception) as exc_info:
-        decode_media(media).count()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+def test_malformed_payloads_quarantine_not_raise(media):
+    # `media` carries opaque text bytes — not one valid BMP/WAV/AVI among
+    # them. Every row must decode to NULL metadata (quarantine), with no
+    # worker exception from any codec.
+    out = decode_media(media)
+    rows = out.collect()
+    assert len(rows) == media.count()
+    assert all(
+        r.width is None and r.height is None and r.n_frames is None
+        for r in rows
     )
-    # non-video rows decode fine without fake=
-    non_video = media.filter(F.col("media_type") != "video")
-    assert decode_media(non_video).count() == non_video.count()
 
 
 def test_real_decode_is_deterministic_and_typed(spark):
     from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        avi_geometry,
         bmp_geometry,
         real_media_table,
         wav_geometry,
     )
 
     real = real_media_table(load_table(spark, SF_DIR, "documents")).cache()
-    out = decode_media(real, fake=True)  # fake covers only the video rows
+    out = decode_media(real)
     assert out.schema == DECODED_SCHEMA
     rows = {r.media_id: r for r in out.collect()}
     assert len(rows) == real.count()
@@ -67,23 +69,44 @@ def test_real_decode_is_deterministic_and_typed(spark):
             _, n_samples, _ = wav_geometry(mid)
             assert (r.width, r.height, r.n_frames) == (None, None, n_samples)
         else:
-            assert r.width is not None and r.n_frames is not None
+            w, h, nf, _ = avi_geometry(mid)
+            assert (r.width, r.height, r.n_frames) == (w, h, nf)
     # Determinism: second run identical.
-    again = {r.media_id: r for r in decode_media(real, fake=True).collect()}
+    again = {r.media_id: r for r in decode_media(real).collect()}
     assert rows == again
     real.unpersist()
 
 
-def test_frame_sample_only_video_and_stride(media):
-    frames = frame_sample(media, every_n=5, fake=True)
+def test_frame_sample_real_avi_frames(spark):
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        avi_geometry,
+        real_media_table,
+    )
+
+    real = real_media_table(load_table(spark, SF_DIR, "documents")).cache()
+    frames = frame_sample(real, every_n=2)
     rows = frames.collect()
     video_ids = {
         r.media_id
-        for r in media.filter(F.col("media_type") == "video").collect()
+        for r in real.filter(F.col("media_type") == "video").collect()
     }
-    assert {r.media_id for r in rows} <= video_ids
-    assert all(r.frame_idx % 5 == 0 for r in rows)
-    assert all(r.frame is not None and len(r.frame) > 0 for r in rows)
+    assert {r.media_id for r in rows} == video_ids  # every valid AVI yields
+    assert all(r.frame_idx % 2 == 0 for r in rows)
+    # frame content is the closed-form raster bytes, padding stripped
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, {})[r.frame_idx] = bytes(r.frame)
+    for mid, got in list(by_media.items())[:20]:
+        w, h, nf, seed = avi_geometry(mid)
+        assert sorted(got) == list(range(0, nf, 2))
+        for idx, frame in got.items():
+            assert len(frame) == 3 * w * h
+            assert list(frame) == [
+                (seed + 7 * idx + 31 * i) % 256 for i in range(3 * w * h)
+            ]
+    # malformed video payloads (text bytes) quarantine: zero rows
+    assert frame_sample(media_table(load_table(spark, SF_DIR, "documents"))).count() == 0
+    real.unpersist()
 
 
 def test_batch_plan_arithmetic():
@@ -115,6 +138,37 @@ def test_clickhouse_options_shape():
     assert opts["numPartitions"] == "4"
     assert "output_format_decimal_trailing_zeros=1" in opts["custom_http_params"]
     assert opts["isolationLevel"] == "NONE"
+
+
+def test_avi_roundtrip_and_malformed_payloads():
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        avi_frames,
+        avi_geometry,
+        decode_avi,
+        encode_avi,
+    )
+
+    w, h, nf, seed = avi_geometry(7)
+    payload = encode_avi(w, h, nf, seed)
+    dw, dh, dn, psum = decode_avi(payload)
+    assert (dw, dh, dn) == (w, h, nf)
+    assert psum == sum(
+        (seed + 7 * f + 31 * i) % 256
+        for f in range(nf)
+        for i in range(3 * w * h)
+    )
+    # sampled frames carry padding-stripped raster bytes
+    sampled = dict(avi_frames(payload, every_n=2))
+    assert sorted(sampled) == list(range(0, nf, 2))
+    assert list(sampled[0][:4]) == [(seed + 31 * i) % 256 for i in range(4)]
+    # malformed payloads quarantine as NULLs, never raise
+    assert decode_avi(None) == (None, None, None, None)
+    assert decode_avi(b"RIFF\x00\x00\x00\x00AVI ") == (None, None, None, None)
+    assert decode_avi(payload[:-30]) == (None, None, None, None)  # truncated
+    bad = bytearray(payload)
+    bad[0:4] = b"XIFF"
+    assert decode_avi(bytes(bad)) == (None, None, None, None)  # bad magic
+    assert list(avi_frames(b"not an avi")) == []
 
 
 def test_wav_roundtrip_and_malformed_payloads():
