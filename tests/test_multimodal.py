@@ -1,5 +1,5 @@
-"""Multimodal plumbing tests: schema, mapInPandas batch shape, the stub
-boundary (NotImplementedError without fake=True), and frame sampling."""
+"""Multimodal tests: schema, mapInPandas batch shape, real BMP/WAV/AVI
+codec round trips, malformed-payload quarantine, and frame sampling."""
 
 from __future__ import annotations
 
