@@ -563,7 +563,10 @@ def decode_wav(payload: bytes | None):
                 return (None, None, None)
             rate, n = w.getframerate(), w.getnframes()
             data = np.frombuffer(w.readframes(n), dtype="<i2")
-    except (wave.Error, EOFError):
+    # wave/chunk raise bare RuntimeError on corrupt chunk-size fields
+    # (found by the quarantine fuzz test) and ValueError/OSError on other
+    # malformed structures — all quarantine, none abort.
+    except (wave.Error, EOFError, RuntimeError, ValueError, OSError):
         return (None, None, None)
     if len(data) != n:
         return (None, None, None)

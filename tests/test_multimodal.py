@@ -140,6 +140,51 @@ def test_clickhouse_options_shape():
     assert opts["isolationLevel"] == "NONE"
 
 
+def test_codec_quarantine_contract_fuzz():
+    """Property: NO byte string may make any decoder raise — malformed
+    media quarantines as NULLs. Covers both random bytes and adversarial
+    single-byte mutations of valid payloads (header/size field damage)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        avi_frames,
+        avi_geometry,
+        bmp_geometry,
+        decode_avi,
+        decode_bmp,
+        decode_wav,
+        encode_avi,
+        encode_bmp,
+        encode_wav,
+        wav_geometry,
+    )
+
+    valid = [
+        encode_bmp(*bmp_geometry(5)),
+        encode_wav(*wav_geometry(5)),
+        encode_avi(*avi_geometry(5)),
+    ]
+
+    mutated = st.tuples(
+        st.integers(0, 2), st.integers(0, 200), st.integers(0, 255)
+    ).map(
+        lambda t: (lambda b: b[: t[1] % len(b)]
+                   + bytes([t[2]])
+                   + b[t[1] % len(b) + 1 :])(valid[t[0]])
+    )
+
+    @given(st.one_of(st.binary(max_size=300), mutated))
+    @settings(max_examples=200, deadline=None)
+    def check(payload):
+        assert len(decode_bmp(payload)) == 3
+        assert len(decode_wav(payload)) == 3
+        assert len(decode_avi(payload)) == 4
+        list(avi_frames(payload))
+
+    check()
+
+
 def test_avi_roundtrip_and_malformed_payloads():
     from mysql_to_clickhouse_sync_spark.operators.multimodal import (
         avi_frames,
