@@ -790,6 +790,69 @@ def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.mapInPandas(decode_batches, schema=decoded_schema)
 
 
+FRAME_SAMPLE_EVERY = 2
+
+
+@declare(
+    "q_frame_sample",
+    oracle=f"""
+    WITH geo AS (
+        SELECT doc_id AS media_id,
+               8 + doc_id % 9 AS width,
+               6 + doc_id % 5 AS height,
+               3 + doc_id % 6 AS n_frames,
+               doc_id % 251 AS seed
+        FROM documents
+        WHERE doc_id % 3 = 2
+    ), sampled AS (
+        SELECT media_id, width, height, seed,
+               unnest(generate_series(0, n_frames - 1,
+                                      {FRAME_SAMPLE_EVERY})) AS frame_idx
+        FROM geo
+    )
+    SELECT media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(3 * width * height AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(
+                    generate_series(0, 3 * width * height - 1),
+                    i -> (seed + 7 * frame_idx + 31 * i) % 256))
+               AS BIGINT) AS pix_sum
+    FROM sampled
+    """,
+    tier="P1",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frame_sample, oracle-checked: sample every 2nd frame of each video
+    document's real AVI and emit per-frame (size, pixel checksum). The
+    oracle enumerates the same sampled indices and recomputes each
+    frame's checksum from the closed-form geometry — a frame walker that
+    returns the wrong frames, the wrong stride, or padding bytes cannot
+    hash-match. (The frame BYTES themselves flow through frame_sample's
+    binary column; the checksum is their engine-portable shadow.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    media = real_media_table(docs).filter(F.col("media_type") == "video")
+    frames = frame_sample(media, every_n=FRAME_SAMPLE_EVERY)
+    # Sum of frame bytes via JVM built-ins: hex-pair fold (2 hex chars per
+    # byte, conv to int) — keeps the checksum out of Python.
+    hexstr = F.hex(F.col("frame"))
+    n_bytes = F.octet_length(F.col("frame")).cast("bigint")
+    pairs = F.transform(
+        F.sequence(F.lit(0), n_bytes.cast("int") - 1),
+        lambda i: F.conv(hexstr.substr(i * 2 + 1, F.lit(2)), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    byte_sum = F.aggregate(
+        pairs, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        n_bytes.alias("n_bytes"),
+        byte_sum.alias("pix_sum"),
+    )
+
+
 @declare(
     "q_multimodal_meta",
     oracle="""
