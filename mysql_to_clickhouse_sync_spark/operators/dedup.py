@@ -505,28 +505,42 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     return out
 
 
-def _simhash_oracle() -> str:
+def _simhash_bit_terms_sql() -> str:
     h = _md5_hash64_sql("t")
-    bit_terms = " + ".join(
+    return " + ".join(
         f"CASE WHEN list_sum(list_transform(tokens, t -> (({h} >> {b}) & 1) * 2 - 1)) > 0"
         f" THEN CAST({2**b} AS BIGINT) ELSE 0 END"
         for b in range(SIMHASH_BITS)
     )
+
+
+def _simhash_sh_cte(source: str = "documents") -> str:
+    """The shared toks/sh CTE prefix every simhash oracle builds on — ONE
+    definition of the fingerprint SQL, so the all-pairs, bounded-exact,
+    guarded and ladder oracles cannot silently diverge."""
     return f"""
     WITH toks AS (
         SELECT doc_id, lang,
                string_split_regex({_NORM_SQL.format(col='text')}, '\\s+') AS tokens
-        FROM documents
+        FROM {source}
     ), sh AS (
-        SELECT doc_id, lang, {bit_terms} AS simhash
+        SELECT doc_id, lang, {_simhash_bit_terms_sql()} AS simhash
         FROM toks
-    )
+    )"""
+
+
+def _simhash_allpairs_sql() -> str:
+    return f"""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     """
+
+
+def _simhash_oracle() -> str:
+    return _simhash_sh_cte() + _simhash_allpairs_sql()
 
 
 def simhash_banded_pairs(
@@ -604,27 +618,10 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_exact_oracle() -> str:
-    h = _md5_hash64_sql("t")
-    bit_terms = " + ".join(
-        f"CASE WHEN list_sum(list_transform(tokens, t -> (({h} >> {b}) & 1) * 2 - 1)) > 0"
-        f" THEN CAST({2**b} AS BIGINT) ELSE 0 END"
-        for b in range(SIMHASH_BITS)
+    return (
+        _simhash_sh_cte(f"documents WHERE doc_id < {SIMHASH_EXACT_SUBSET}")
+        + _simhash_allpairs_sql()
     )
-    return f"""
-    WITH toks AS (
-        SELECT doc_id, lang,
-               string_split_regex({_NORM_SQL.format(col='text')}, '\\s+') AS tokens
-        FROM documents WHERE doc_id < {SIMHASH_EXACT_SUBSET}
-    ), sh AS (
-        SELECT doc_id, lang, {bit_terms} AS simhash
-        FROM toks
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
-    """
 
 
 @declare("q_simhash_exact", oracle=_simhash_exact_oracle(), tier="P1")
@@ -674,27 +671,6 @@ def _simhash_chunks_sql() -> str:
         f" (simhash >> {start}) & {(1 << width) - 1} AS chunk_val FROM sh"
         for i, (start, width) in enumerate(_simhash_chunk_bounds())
     )
-
-
-def _simhash_bit_terms_sql() -> str:
-    h = _md5_hash64_sql("t")
-    return " + ".join(
-        f"CASE WHEN list_sum(list_transform(tokens, t -> (({h} >> {b}) & 1) * 2 - 1)) > 0"
-        f" THEN CAST({2**b} AS BIGINT) ELSE 0 END"
-        for b in range(SIMHASH_BITS)
-    )
-
-
-def _simhash_sh_cte(source: str = "documents") -> str:
-    return f"""
-    WITH toks AS (
-        SELECT doc_id, lang,
-               string_split_regex({_NORM_SQL.format(col='text')}, '\\s+') AS tokens
-        FROM {source}
-    ), sh AS (
-        SELECT doc_id, lang, {_simhash_bit_terms_sql()} AS simhash
-        FROM toks
-    )"""
 
 
 def _simhash_guarded_oracle() -> str:
@@ -898,7 +874,14 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = docs.select(
         "doc_id", "lang", "source", F.md5(norm.cast("binary")).alias("f")
     )
-    corpus = fp.filter(F.col("source") != _NEW_BATCH_SOURCE).select("f").distinct()
+    # corpus feeds three branches (sizing count, bloom build, truth join) —
+    # cache it so the scan + md5 + distinct shuffle run once.
+    corpus = (
+        fp.filter(F.col("source") != _NEW_BATCH_SOURCE)
+        .select("f")
+        .distinct()
+        .cache()
+    )
     n_corpus = corpus.count()  # sizes the filter; scalar, same as bounds aggs
     m = max(64, n_corpus * BLOOM_BITS_PER_ITEM)
 

@@ -416,15 +416,14 @@ def _riff_chunks(buf: bytes, offset: int, end: int):
         offset += 8 + size + (size & 1)  # chunks are word-aligned
 
 
-def decode_avi(payload: bytes | None):
-    """Parse an uncompressed-DIB AVI: returns (width, height, n_frames,
-    pix_sum) with pix_sum over all frames' pixel bytes, row padding
-    STRIPPED — wrong stride or frame-walk handling cannot produce the
-    right checksum. The declared frame count must match the frames
-    actually present. Malformed payloads return NULLs (quarantine)."""
+def _avi_parse(payload: bytes | None):
+    """Validate an uncompressed-DIB AVI and return (width, height,
+    frame_offsets) where frame_offsets is the ordered [(offset, size)]
+    list of 00db/00dc chunks — the single RIFF walk both decode_avi and
+    avi_frames build on. Returns None for malformed payloads: bad magic,
+    wrong bpp/compression, declared-vs-actual frame-count mismatch, or a
+    frame whose size disagrees with the stride geometry."""
     import struct
-
-    import numpy as np
 
     if (
         payload is None
@@ -432,7 +431,7 @@ def decode_avi(payload: bytes | None):
         or payload[:4] != b"RIFF"
         or payload[8:12] != b"AVI "
     ):
-        return (None, None, None, None)
+        return None
     end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
     width = height = declared_frames = None
     bpp_ok = False
@@ -464,12 +463,27 @@ def decode_avi(payload: bytes | None):
         or declared_frames != len(frames)
         or not frames
     ):
+        return None
+    stride = ((3 * width + 3) // 4) * 4
+    if any(size != stride * height for _, size in frames):
+        return None
+    return width, height, frames
+
+
+def decode_avi(payload: bytes | None):
+    """Parse an uncompressed-DIB AVI: returns (width, height, n_frames,
+    pix_sum) with pix_sum over all frames' pixel bytes, row padding
+    STRIPPED — wrong stride or frame-walk handling cannot produce the
+    right checksum. Malformed payloads return NULLs (quarantine)."""
+    import numpy as np
+
+    parsed = _avi_parse(payload)
+    if parsed is None:
         return (None, None, None, None)
+    width, height, frames = parsed
     stride = ((3 * width + 3) // 4) * 4
     total = 0
     for off, size in frames:
-        if size != stride * height:
-            return (None, None, None, None)
         data = np.frombuffer(
             payload, dtype=np.uint8, count=size, offset=off
         ).reshape(height, stride)
@@ -480,29 +494,21 @@ def decode_avi(payload: bytes | None):
 def avi_frames(payload: bytes | None, every_n: int = 1):
     """Sampled (frame_idx, pixel_bytes) pairs from an uncompressed AVI —
     padding-stripped raster bytes, the real form of frame_sample's
-    kernel. Malformed payloads yield no frames."""
-    import struct
-
+    kernel. One RIFF walk, one read per sampled frame; malformed payloads
+    yield no frames."""
     import numpy as np
 
-    w, h, n, _ = decode_avi(payload)
-    if n is None:
+    parsed = _avi_parse(payload)
+    if parsed is None:
         return
+    w, h, frames = parsed
     stride = ((3 * w + 3) // 4) * 4
-    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
-    idx = 0
-    for fourcc, off, size in _riff_chunks(payload, 12, end):
-        if fourcc != b"LIST" or payload[off : off + 4] != b"movi":
-            continue
-        for f2, o2, s2 in _riff_chunks(payload, off + 4, off + size):
-            if f2 not in (b"00db", b"00dc"):
-                continue
-            if idx % every_n == 0:
-                data = np.frombuffer(
-                    payload, dtype=np.uint8, count=s2, offset=o2
-                ).reshape(h, stride)
-                yield idx, data[:, : 3 * w].tobytes()
-            idx += 1
+    for idx in range(0, len(frames), every_n):
+        off, size = frames[idx]
+        data = np.frombuffer(
+            payload, dtype=np.uint8, count=size, offset=off
+        ).reshape(h, stride)
+        yield idx, data[:, : 3 * w].tobytes()
 
 
 # --- Real audio codec: 16-bit mono PCM WAV, pure stdlib wave/struct --------
@@ -639,8 +645,8 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside mapInPandas. The oracle never sees the bytes: it recomputes
     rate/sample-count/file-size/signed-sample-sum from the closed-form
     geometry, so a decoder that mis-reads the header or sample width
-    cannot hash-match. Companion to q_image_decode; video remains the one
-    honestly-gated codec."""
+    cannot hash-match. Companion to q_image_decode and q_video_decode —
+    all three media families carry real codecs."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")

@@ -55,12 +55,21 @@ def clickhouse_jdbc_options(
     content — every block after the first that carries the same token is
     silently DROPPED. A connection-level token is therefore only safe when
     the whole write is exactly one block. When dedup_token_value is set we
-    enforce that here: numPartitions=1 (one connection) and batchsize
-    2^31-1 (the JDBC writer flushes one executeBatch => one INSERT block),
-    so a micro-batch of any size lands as a single deduplicatable block."""
+    enforce that on BOTH sides: client — numPartitions=1 (one connection)
+    and batchsize 2^31-1 (one executeBatch => one INSERT statement);
+    server — max_insert_block_size raised to 2^31-1, because the server
+    re-blocks a single INSERT at max_insert_block_size rows (default ~1M)
+    and each re-formed block would carry the same token, silently dropping
+    every block after the first. The cost is one server-side block's worth
+    of memory for the whole micro-batch — size micro-batches accordingly,
+    or prefer dedup_token=False + ReplacingMergeTree(ver) for very large
+    batches."""
     params = "output_format_decimal_trailing_zeros=1"
     if dedup_token_value:
-        params += f"&insert_deduplication_token={dedup_token_value}"
+        params += (
+            f"&insert_deduplication_token={dedup_token_value}"
+            f"&max_insert_block_size={2**31 - 1}"
+        )
         batch_size = 2**31 - 1
         max_connections = 1
     opts: dict[str, Any] = {
@@ -121,23 +130,27 @@ def foreach_batch_writer(
     (streaming/matview.StateSink is the state-table analog: an applied-
     batch log instead of a server token.)
 
-    ``run_id`` scopes tokens to one logical stream run: epoch numbering
-    restarts at 0 on a FRESH checkpoint, so an unscoped token would collide
-    with a prior run's and silently drop the new run's first batches. Pass
-    a stable id derived from the checkpoint location to keep tokens valid
-    across driver restarts of the SAME run; when omitted, a random id is
-    generated per writer construction (safe against cross-run collisions;
-    after a driver restart the redelivered batch then falls back to the
-    ReplacingMergeTree layer instead of the token).
+    ``run_id`` is REQUIRED when dedup_token=True, and must be a stable id
+    derived from the checkpoint location (e.g. its path hash). Both
+    failure modes of a wrong scope are silent data corruption, so neither
+    default is acceptable: epoch numbering restarts at 0 on a FRESH
+    checkpoint, so a token not scoped by run would collide with a prior
+    run's and DROP the new run's first batches; and a token that changes
+    across driver restarts of the SAME run (e.g. a random per-writer id)
+    stops matching on redelivery and DUPLICATES the replayed batch on
+    plain MergeTree tables. Only the checkpoint identity distinguishes
+    the two cases, and only the caller knows it.
 
     Note the single-block tradeoff: with dedup_token=True the micro-batch
     is written over one connection. For high-throughput streams prefer
     dedup_token=False + ReplacingMergeTree(ver) and keep the parallel
     multi-connection path."""
     if dedup_token and run_id is None:
-        import uuid
-
-        run_id = uuid.uuid4().hex[:12]
+        raise ValueError(
+            "dedup_token=True requires run_id (derive it from the "
+            "checkpoint location): a guessed scope silently drops or "
+            "duplicates batches — see docstring"
+        )
 
     def write(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():

@@ -107,22 +107,25 @@ def _scan(path: str, start: dict) -> tuple[list[tuple], dict]:
     """
     files = _list_files(path)
     gtid = start.get("gtid")
-    if start.get("file") and start["file"] not in files and gtid is not None:
+    file_missing = bool(start.get("file")) and start["file"] not in files
+    # gtid-skip also covers the collapsed case (file == "" with gtid > 0):
+    # a failover poll that raced an empty directory must still not replay
+    # the first `gtid` events once history reappears under new names.
+    if gtid is not None and (file_missing or (not start.get("file") and gtid > 0)):
         all_rows: list[tuple] = []
         for fname in files:
             for i, line in enumerate(_read_lines(path, fname)):
                 all_rows.append((fname, i, line))
         rows = all_rows[gtid:]
-        if all_rows:
+        if rows:
             last_f, last_i, _ = all_rows[-1]
-            # never rewind the txn counter, even if the new dir is short
-            end = {
-                "file": last_f,
-                "pos": last_i + 1,
-                "gtid": max(gtid, len(all_rows)),
-            }
+            end = {"file": last_f, "pos": last_i + 1, "gtid": len(all_rows)}
         else:
-            end = {"file": "", "pos": 0, "gtid": gtid}
+            # Nothing new (directory empty, or shorter than the applied
+            # prefix — e.g. renamed history not yet re-served): keep the
+            # ORIGINAL offset verbatim so the gtid skip re-arms on the
+            # next poll instead of collapsing to "beginning".
+            end = dict(start)
         return rows, end
     if gtid is None:
         gtid = _prefix_count(path, files, start)

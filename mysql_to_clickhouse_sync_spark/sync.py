@@ -136,11 +136,23 @@ def snapshot_sync(
     resume manifest (metadata.txt analog).
 
     When ``binlog_dir`` is given (the changelog feed the CDC phase will
-    tail), the manifest also records its live end offset — the full
+    tail), the manifest also records its end offset — the full
     (file, pos, gtid) triple the reference captures under the snapshot lock
-    (S:175-181). Start the stream with ``.option("startingOffset",
-    json.dumps(manifest["binlog_offset"]))``: file+pos is the fast resume,
-    gtid survives a failover rename (sources/binlog_datasource._scan)."""
+    (S:175-181). The offset is captured BEFORE any table is extracted,
+    mirroring the reference's ordering: events that land mid-extraction
+    are then covered by the stream (idempotent replay into the latest-
+    per-key merge), whereas a late capture would put them in neither
+    snapshot nor stream — a permanent gap. Start the stream with
+    ``.option("startingOffset", json.dumps(manifest["binlog_offset"]))``:
+    file+pos is the fast resume, gtid survives a failover rename
+    (sources/binlog_datasource._scan)."""
+    binlog_offset = None
+    if binlog_dir is not None:
+        from mysql_to_clickhouse_sync_spark.sources.binlog_datasource import (
+            current_offset,
+        )
+
+        binlog_offset = current_offset(binlog_dir)
     discovered = discover_tables(sf_dir) or list(TABLES)
     names = filter_tables(discovered, include, exclude)
     entries = [
@@ -148,19 +160,14 @@ def snapshot_sync(
     ]
     manifest = {
         # The reference stores the binlog position captured under the
-        # snapshot lock (S:175-181); the fixture analog is the per-table max
-        # key at extract time — the point the CDC stream resumes from.
+        # snapshot lock (S:175-181), BEFORE the copy starts.
         "source": sf_dir,
         "completed_unix": int(time.time()),
         "batch_size": batch_size,
         "tables": entries,
     }
-    if binlog_dir is not None:
-        from mysql_to_clickhouse_sync_spark.sources.binlog_datasource import (
-            current_offset,
-        )
-
-        manifest["binlog_offset"] = current_offset(binlog_dir)
+    if binlog_offset is not None:
+        manifest["binlog_offset"] = binlog_offset
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2)

@@ -149,6 +149,24 @@ def test_starting_offset_handoff(spark, feed, tmp_path):
     assert sorted(r.value for r in got) == ["post1", "post2"]
 
 
+def test_gtid_survives_empty_directory_window(feed):
+    """The review-confirmed repro: a poll that races the failover window
+    (old file gone, new history not yet re-served) must NOT collapse the
+    offset to 'beginning' — when history reappears, already-applied
+    events stay applied and the gtid never double-counts."""
+    _write(feed, "binlog.000001.jsonl", ["t1", "t2", "t3"])
+    _, ckpt = _scan(feed, {"file": "", "pos": 0, "gtid": 0})
+    os.remove(os.path.join(feed, "binlog.000001.jsonl"))
+    # poll during the empty window: nothing new, offset preserved verbatim
+    rows, mid = _scan(feed, ckpt)
+    assert rows == [] and mid == ckpt
+    # renamed history reappears with one new event
+    _write(feed, "mysql-bin.000001.jsonl", ["t1", "t2", "t3", "t4"])
+    rows, end = _scan(feed, mid)
+    assert [r[2] for r in rows] == ["t4"]  # t1..t3 NOT replayed
+    assert end == {"file": "mysql-bin.000001.jsonl", "pos": 4, "gtid": 4}
+
+
 def test_stream_resumes_after_failover_rename(spark, feed, tmp_path):
     """End-to-end: a checkpointed stream survives a binlog rename (primary
     failover) — the persisted GTID-bearing offset relocates the resume

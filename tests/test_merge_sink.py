@@ -92,7 +92,9 @@ def test_foreach_batch_empty_guard(spark):
 
     # A bogus URL would explode on any real write; an empty batch must
     # short-circuit before touching JDBC.
-    writer = foreach_batch_writer("jdbc:clickhouse://nonexistent:1/db", "t")
+    writer = foreach_batch_writer(
+        "jdbc:clickhouse://nonexistent:1/db", "t", run_id="ckpt_x"
+    )
     empty = spark.createDataFrame([], "a bigint")
     writer(empty, 0)  # no exception == guard worked
 
@@ -108,9 +110,11 @@ def test_jdbc_options_carry_dedup_token():
     assert "insert_deduplication_token=t_batch_7" in opts["custom_http_params"]
     assert "output_format_decimal_trailing_zeros=1" in opts["custom_http_params"]
     # ClickHouse dedups BLOCKS by token — a tokened write must be exactly
-    # one insert block: one connection, one executeBatch flush.
+    # one insert block: one connection, one executeBatch flush, AND the
+    # server must not re-block the statement at max_insert_block_size.
     assert opts["numPartitions"] == "1"
     assert opts["batchsize"] == str(2**31 - 1)
+    assert f"max_insert_block_size={2**31 - 1}" in opts["custom_http_params"]
     # without a token the param must be absent (plain batch loads) and the
     # parallel multi-connection path stays in force
     plain = clickhouse_jdbc_options("jdbc:clickhouse://h:1/db", "t")
@@ -120,6 +124,8 @@ def test_jdbc_options_carry_dedup_token():
 
 
 def test_foreach_batch_token_is_run_scoped(monkeypatch):
+    import pytest
+
     from mysql_to_clickhouse_sync_spark.sinks import clickhouse as ch
 
     # Capture the token each write would carry instead of touching JDBC.
@@ -134,20 +140,29 @@ def test_foreach_batch_token_is_run_scoped(monkeypatch):
         def isEmpty(self):
             return False
 
-    # Two fresh writers model two fresh checkpoints, both restarting epoch
-    # numbering at 0 — their tokens must never collide, or ClickHouse drops
-    # the second run's first blocks as "duplicates" of the first run's.
-    w1 = ch.foreach_batch_writer("jdbc:clickhouse://h:1/db", "t")
-    w2 = ch.foreach_batch_writer("jdbc:clickhouse://h:1/db", "t")
+    # run_id is the only input that distinguishes "fresh checkpoint,
+    # epoch reset" (tokens must differ) from "same run restarted, epoch
+    # redelivered" (tokens must match) — so it is REQUIRED, not guessed.
+    with pytest.raises(ValueError, match="run_id"):
+        ch.foreach_batch_writer("jdbc:clickhouse://h:1/db", "t")
+    # two fresh checkpoints (different run ids), both at epoch 0: no collision
+    w1 = ch.foreach_batch_writer("jdbc:clickhouse://h:1/db", "t", run_id="ck1")
+    w2 = ch.foreach_batch_writer("jdbc:clickhouse://h:1/db", "t", run_id="ck2")
     w1(_FakeBatch(), 0)
     w2(_FakeBatch(), 0)
     assert tokens[0] != tokens[1]
-    # same writer, retried epoch: token must be stable (that's the dedup)
-    w1(_FakeBatch(), 0)
-    assert tokens[2] == tokens[0]
-    # explicit run_id (checkpoint-derived) is honored verbatim
+    # same run restarted (same checkpoint-derived id), epoch redelivered:
+    # the token matches and ClickHouse drops the duplicate block
+    w1b = ch.foreach_batch_writer("jdbc:clickhouse://h:1/db", "t", run_id="ck1")
+    w1b(_FakeBatch(), 0)
+    assert tokens[2] == tokens[0] == "t_ck1_0"
+    # token disabled: no run_id needed, parallel path preserved
     w3 = ch.foreach_batch_writer(
-        "jdbc:clickhouse://h:1/db", "t", run_id="ckpt_abc"
+        "jdbc:clickhouse://h:1/db", "t", dedup_token=False
     )
-    w3(_FakeBatch(), 7)
-    assert tokens[3] == "t_ckpt_abc_7"
+    monkeypatch.setattr(
+        ch, "write_to_clickhouse",
+        lambda df, url, table, **kw: tokens.append(kw.get("dedup_token_value")),
+    )
+    w3(_FakeBatch(), 0)
+    assert tokens[3] is None

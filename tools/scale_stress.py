@@ -68,6 +68,11 @@ def synthesize(spark, src_dir: str, out_dir: str, copies: int) -> None:
     if os.path.exists(marker):
         with open(marker) as fh:
             stale = fh.read().strip() != str(copies)
+    if stale and os.path.exists(marker):
+        # Invalidate BEFORE touching any table: a crash mid-resynthesis
+        # must leave the dir marked dirty, not claiming the old multiplier
+        # over a mix of old- and new-scale tables.
+        os.remove(marker)
     for name in TABLES:
         dst = f"{out_dir}/{name}.parquet"
         if os.path.exists(dst):
