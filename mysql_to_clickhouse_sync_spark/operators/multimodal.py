@@ -796,6 +796,151 @@ def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.mapInPandas(decode_batches, schema=decoded_schema)
 
 
+# --- Perceptual-hash image dedup -------------------------------------------
+
+DHASH_BITS = 32
+DHASH_MAX_HAMMING = 2
+
+
+def bmp_dhash(payload: bytes | None):
+    """Difference hash over a decoded BMP: bit j set iff pixel byte j >
+    pixel byte j+1 (raster order, padding stripped, first DHASH_BITS+1
+    bytes). The canonical perceptual-dedup primitive — identical images
+    hash equal, small edits move few bits. Returns None for non-BMPs."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < _BMP_HEADER or payload[:2] != b"BM":
+        return None
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or width <= 0 or height <= 0:
+        return None
+    stride = ((3 * width + 3) // 4) * 4
+    if (
+        len(payload) < _BMP_HEADER + stride * height
+        or 3 * width * height < DHASH_BITS + 1
+    ):
+        return None
+    data = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=_BMP_HEADER
+    ).reshape(height, stride)
+    pix = data[:, : 3 * width].flatten()[: DHASH_BITS + 1].astype(np.int64)
+    bits = 0
+    for j in range(DHASH_BITS):
+        if pix[j] > pix[j + 1]:
+            bits |= 1 << j
+    return bits
+
+
+@declare(
+    "q_image_dhash_dedup",
+    oracle=f"""
+    WITH geo AS (
+        SELECT doc_id AS media_id, doc_id % 251 AS seed
+        FROM documents WHERE doc_id % 3 = 0
+    ), hashed AS (
+        SELECT media_id,
+               {" + ".join(
+                   f"CASE WHEN (seed + {31 * j}) % 256 >"
+                   f" (seed + {31 * (j + 1)}) % 256"
+                   f" THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+                   for j in range(32)
+               )} AS dhash
+        FROM geo
+    )
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           bit_count(xor(a.dhash, b.dhash)) AS hamming
+    FROM hashed a JOIN hashed b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_MAX_HAMMING}
+    """,
+    tier="P1",
+)
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup END-TO-END through the real codec: encode
+    each image document's BMP, compute the 32-bit dHash from the DECODED
+    pixel bytes in an Arrow-batched kernel, then find near-duplicate
+    pairs at hamming <= 2 via pigeonhole banding (3 chunks — a pair
+    within hamming 2 must agree on one whole chunk, so recall is exact
+    and the all-pairs oracle hash-matches while the plan stays an
+    equi-join). The oracle recomputes the hash from the closed-form
+    pixel geometry — it never parses bytes, so a decoder or hash kernel
+    that mis-reads stride/padding cannot match. Image-family companion
+    to q_minhash_dedup (text) and q_embedding_neardup (vectors)."""
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    ensure_package_shipped(spark)
+
+    def hash_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for d in batch["doc_id"]:
+                d = int(d)
+                payload = encode_bmp(*bmp_geometry(d))
+                rows.append((d, bmp_dhash(payload)))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    hashed_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("dhash", LongType(), True),
+        ]
+    )
+    # hashed feeds three plan branches (banding + both re-score sides) —
+    # cache so the encode+hash kernel runs once
+    hashed = docs.mapInPandas(hash_batches, schema=hashed_schema).cache()
+
+    # pigeonhole banding: DHASH_MAX_HAMMING + 1 disjoint chunks
+    chunks = DHASH_MAX_HAMMING + 1
+    base, extra = divmod(DHASH_BITS, chunks)
+    bounds, start = [], 0
+    for i in range(chunks):
+        width = base + (1 if i < extra else 0)
+        bounds.append((start, width))
+        start += width
+    chunk_cols = [
+        F.shiftright(F.col("dhash"), s).bitwiseAND(F.lit((1 << w) - 1))
+        for s, w in bounds
+    ]
+    bands = hashed.select(
+        "media_id",
+        F.posexplode(F.array(*chunk_cols)).alias("chunk_idx", "chunk_val"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    ha = hashed.select(F.col("media_id").alias("media_a"), F.col("dhash").alias("h_a"))
+    hb = hashed.select(F.col("media_id").alias("media_b"), F.col("dhash").alias("h_b"))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.join(ha, "media_a")
+        .join(hb, "media_b")
+        .select("media_a", "media_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= DHASH_MAX_HAMMING)
+    )
+
+
 FRAME_SAMPLE_EVERY = 2
 
 
