@@ -213,6 +213,75 @@ def test_snapshot_manifest_records_gtid_offset(spark, feed, tmp_path):
     }
 
 
+def test_scan_exactly_once_under_churn(tmp_path):
+    """Property: under ANY sequence of appends, rotations, failover
+    renames and polls, the concatenation of _scan deliveries equals the
+    full event sequence exactly once, in order — no replay, no gap, at
+    any poll cadence. Exercises the fast path, the gtid failover path,
+    and the empty-window race together."""
+    import shutil
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.just(("append",)),
+        st.just(("rotate",)),
+        st.just(("rename",)),
+        st.just(("poll",)),
+    )
+
+    @given(st.lists(op, min_size=1, max_size=30))
+    @settings(max_examples=60, deadline=None)
+    def run(ops):
+        d = tmp_path / "churn"
+        shutil.rmtree(d, ignore_errors=True)
+        d.mkdir()
+        feed = str(d)
+        prefix, file_no, seq = "a", 0, 0
+        expected: list[str] = []
+        delivered: list[str] = []
+        offset = {"file": "", "pos": 0, "gtid": 0}
+        current = None  # newest file name
+
+        for o in ops:
+            if o[0] == "append":
+                if current is None:
+                    file_no += 1
+                    current = f"{prefix}-{file_no:06d}.jsonl"
+                _append(feed, current, [f"e{seq}"])
+                expected.append(f"e{seq}")
+                seq += 1
+            elif o[0] == "rotate":
+                if current is not None:
+                    file_no += 1
+                    current = f"{prefix}-{file_no:06d}.jsonl"
+                    _write(feed, current, [])
+            elif o[0] == "rename":
+                # failover: all history re-served under a LATER prefix
+                # (same relative order — the rotation contract)
+                new_prefix = chr(ord(prefix) + 1)
+                for f in sorted(os.listdir(feed)):
+                    os.rename(
+                        os.path.join(feed, f),
+                        os.path.join(feed, new_prefix + f[1:]),
+                    )
+                if current is not None:
+                    current = new_prefix + current[1:]
+                prefix = new_prefix
+            else:  # poll
+                rows, offset = _scan(feed, offset)
+                delivered.extend(r[2] for r in rows)
+        rows, offset = _scan(feed, offset)
+        delivered.extend(r[2] for r in rows)
+        assert delivered == expected
+        # and a further poll with no changes delivers nothing
+        rows, _ = _scan(feed, offset)
+        assert rows == []
+
+    run()
+
+
 def test_batch_reader_partition_per_file(spark, feed):
     register(spark)
     _write(feed, "binlog.000001.jsonl", ["a", "b"])
