@@ -86,6 +86,50 @@ def test_crash_before_pointer_flip_is_exactly_once(spark, tmp_path):
     assert once == _readout_rows(clean)
 
 
+import itertools
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "pattern", list(itertools.product((False, True), repeat=3))
+)
+def test_state_sink_exactly_once_any_crash_pattern(spark, tmp_path, pattern):
+    """Exhaustive over crash placement: for every combination of
+    'crash before the pointer flip' across three batches, redelivery
+    must converge to the clean one-apply-each ground truth — the commit
+    protocol has no crash-position-dependent hole."""
+    import os
+
+    events = _events(spark)
+    batches = [
+        events.filter(F.col("event_id") % 3 == i) for i in range(3)
+    ]
+    sink = StateSink(spark, str(tmp_path / "state"))
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise RuntimeError("simulated crash before commit")
+
+    for i, (batch, crash) in enumerate(zip(batches, pattern)):
+        if crash:
+            os.replace = boom
+            try:
+                with pytest.raises(RuntimeError):
+                    sink.apply(batch, i)
+            finally:
+                os.replace = real_replace
+            # redelivery after restart (fresh sink instance)
+            sink = StateSink(spark, str(tmp_path / "state"))
+        sink.apply(batch, i)
+        sink.apply(batch, i)  # and a spurious same-epoch retry
+
+    clean = StateSink(spark, str(tmp_path / "clean"))
+    for i, batch in enumerate(batches):
+        clean.apply(batch, i)
+    assert _readout_rows(sink) == _readout_rows(clean)
+
+
 def test_batch_slicing_invisible_in_state(spark, tmp_path):
     events = _events(spark)
     # one big batch vs three uneven batches must converge identically
