@@ -1,0 +1,315 @@
+"""K-means clustering + product quantization over the embeddings table —
+north-star extensions (SURVEY.md §2.8; the reference copies rows without any
+vector analytics, mysql_to_clickhouse_sync.py:192-199). Together with
+operators/ivf.py these complete the vector-index toolchain a training-data
+pipeline needs: k-means trains coarse centroids (IVF lists / cluster-based
+data mixing), PQ compresses vectors for memory-resident ANN.
+
+Engine-parity design (the whole point — an ITERATIVE algorithm with a full
+DuckDB oracle, like operators/clustering.py's connected components):
+
+  * Quantize first: ``floor(x * 1024)`` per element. Multiplying a float by a
+    power of two is exact in IEEE double, and floor is exact, so both engines
+    start from the SAME integer grid — no float-parsing or rounding-mode
+    divergence can enter.
+  * Exact centroid accumulation: per-(cluster, dim) sums are BIGINT (exact,
+    associative, partition-order independent); the mean is one double
+    division of identical integer operands — correctly rounded, hence
+    bit-identical in both engines.
+  * Distances: sequential left-fold over the (value - centroid)^2 terms in
+    double (Spark ``F.aggregate`` == DuckDB ``list_reduce``, the
+    functions/vectors.py contract), so every distance is bitwise identical
+    and the argmin (tie-break: lowest cluster id) agrees exactly.
+
+Scale notes (100 TB): per Lloyd iteration the centroids (K x DIM doubles)
+travel as a broadcast — assignment is MAP-ONLY (no explode, no join); the
+only shuffle is the (cluster, dim)-keyed sum whose map-side combine bounds
+it at K*DIM records per partition. The iteration loop localCheckpoints the
+K-row centroid frame (clustering.py's pattern), so plan depth stays constant
+in the number of iterations. Seeding by global-min vec_id is one
+TakeOrdered(K) reduction; a production run would swap in k-means|| sampling
+— the iteration body (the part that touches all data) is unchanged. PQ
+assignment is map-only against a broadcast codebook; training the codebook
+per subspace is exactly ``q_kmeans`` restricted to a dim slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+QUANT = 1024.0  # power of two: float * QUANT is exact in double
+DIM = 64
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16  # codewords per subspace
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv: array<double>) on the exact floor(x*1024) integer grid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(QUANT)).cast("double"),
+        ).alias("qv"),
+    )
+
+
+def dist_sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential left-fold in double — bitwise
+    engine-portable (matches DuckDB list_reduce; see functions/vectors.py)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_DIST_SQL = """list_reduce(list_transform(list_zip({a}, {b}),
+      p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y)"""
+
+
+def _assign(qv: DataFrame, cents: DataFrame) -> DataFrame:
+    """Map-only nearest-centroid assignment: the K centroids ride in ONE
+    broadcast row as array<struct<cid,cvec>>; argmin via array_min over
+    (dist, cid) structs (tie-break: lowest cid)."""
+    packed = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
+    return (
+        qv.crossJoin(F.broadcast(packed))
+        .select(
+            "vec_id",
+            "qv",
+            F.array_min(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        dist_sq(F.col("qv"), c["cvec"]).alias("d"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            ).alias("best"),
+        )
+        .select(
+            "vec_id",
+            "qv",
+            F.col("best.cid").alias("cid"),
+            F.col("best.d").alias("d"),
+        )
+    )
+
+
+def kmeans_fit(qv: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Lloyd's iterations over a (vec_id, qv) frame; returns the final
+    K-row (cid, cvec) centroid frame. Exact BIGINT dim-sums -> one double
+    division per mean keeps every centroid bit-identical across engines."""
+    seeds = (
+        qv.orderBy("vec_id")
+        .limit(k)  # TakeOrdered(K) — constant-size at any corpus scale
+        .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
+        .select((F.col("rn") - 1).alias("cid"), F.col("qv").alias("cvec"))
+    )
+    cents = seeds.localCheckpoint(eager=True)  # K rows; truncates lineage
+    for _ in range(iters):
+        assigned = _assign(qv, cents)
+        sums = (
+            assigned.select("cid", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum(F.col("v").cast("bigint")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "s", "n"))).alias("a"))
+            .select(
+                "cid",
+                F.transform(
+                    "a", lambda t: t["s"].cast("double") / t["n"].cast("double")
+                ).alias("newvec"),
+            )
+        )
+        # An empty cluster keeps its previous centroid (COALESCE on both
+        # engines) rather than dying or resampling nondeterministically.
+        cents = (
+            cents.join(sums, "cid", "left")
+            .select("cid", F.coalesce("newvec", "cvec").alias("cvec"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def _kmeans_oracle() -> str:
+    iters = []
+    for i in range(KMEANS_ITERS):
+        prev, out = f"cent_{i}", i + 1
+        iters.append(
+            f"""
+, asg_{out} AS (
+    SELECT vec_id, qv, cid FROM (
+        SELECT v.vec_id, v.qv, c.cid,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_DIST_SQL.format(a='v.qv', b='c.cvec')}, c.cid
+               ) AS rn
+        FROM qv v CROSS JOIN {prev} c) WHERE rn = 1
+), sums_{out} AS (
+    SELECT cid, i - 1 AS dim, SUM(CAST(qv[i] AS BIGINT)) AS s, COUNT(*) AS n
+    FROM asg_{out}
+    CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) d
+    GROUP BY cid, dim
+), newc_{out} AS (
+    SELECT cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY dim)
+               AS cvec
+    FROM sums_{out} GROUP BY cid
+), cent_{out} AS (
+    SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+    FROM {prev} p LEFT JOIN newc_{out} n USING (cid)
+)"""
+        )
+    return f"""
+    WITH qv AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS DOUBLE)) AS qv
+        FROM embeddings
+    ), cent_0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cvec
+        FROM qv ORDER BY vec_id LIMIT {KMEANS_K}
+    )
+    {''.join(iters)}
+    SELECT vec_id, cid AS cluster_id, d AS dist_sq FROM (
+        SELECT v.vec_id, c.cid,
+               {_DIST_SQL.format(a='v.qv', b='c.cvec')} AS d,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_DIST_SQL.format(a='v.qv', b='c.cvec')}, c.cid
+               ) AS rn
+        FROM qv v CROSS JOIN cent_{KMEANS_ITERS} c) WHERE rn = 1
+    """
+
+
+@declare("q_kmeans", oracle=_kmeans_oracle(), tier="P2")
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd's, K=8, 3 iterations, deterministic min-id seeding)
+    over the embeddings — the full iterative algorithm under a full DuckDB
+    oracle (3 unrolled CTE rounds), bit-identical per the module recipe.
+    Returns every vector's final assignment + squared distance."""
+    qv = _quantized(spark, sf_dir)
+    cents = kmeans_fit(qv)
+    return _assign(qv, cents).select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.col("d").alias("dist_sq"),
+    )
+
+
+def _pq_codebook(qv: DataFrame) -> DataFrame:
+    """One broadcast row: array<struct<code, subs: array<array<double>>>> —
+    the PQ_K seed vectors' subspace slices. Seeding = the PQ_K smallest
+    vec_ids (deterministic); production would train each subspace's codebook
+    with kmeans_fit on the dim slice — assignment below is unchanged."""
+    seeds = (
+        qv.orderBy("vec_id")
+        .limit(PQ_K)
+        .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
+        .select(
+            (F.col("rn") - 1).alias("code"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice(
+                    F.col("qv"), m * PQ_SUBDIM + 1, PQ_SUBDIM
+                ),
+            ).alias("subs"),
+        )
+    )
+    return seeds.agg(
+        F.array_sort(F.collect_list(F.struct("code", "subs"))).alias("book")
+    )
+
+
+@declare(
+    "q_pq_quantize",
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS DOUBLE)) AS qv
+        FROM embeddings
+    ), book AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qv
+        FROM qv ORDER BY vec_id LIMIT {PQ_K}
+    ), sub AS (
+        SELECT v.vec_id, m.m,
+               v.qv[m.m * {PQ_SUBDIM} + 1 : (m.m + 1) * {PQ_SUBDIM}] AS svec
+        FROM qv v CROSS JOIN
+             (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+    ), assigned AS (
+        SELECT vec_id, m, code, d FROM (
+            SELECT s.vec_id, s.m, b.code,
+                   {_DIST_SQL.format(
+                       a='s.svec',
+                       b='b.qv[s.m * ' + str(PQ_SUBDIM)
+                         + ' + 1 : (s.m + 1) * ' + str(PQ_SUBDIM) + ']')}
+                       AS d,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_DIST_SQL.format(
+                           a='s.svec',
+                           b='b.qv[s.m * ' + str(PQ_SUBDIM)
+                             + ' + 1 : (s.m + 1) * ' + str(PQ_SUBDIM) + ']')},
+                           b.code
+                   ) AS rn
+            FROM sub s CROSS JOIN book b) WHERE rn = 1
+    )
+    SELECT vec_id,
+           MAX(CASE WHEN m = 0 THEN code END) AS code_0,
+           MAX(CASE WHEN m = 1 THEN code END) AS code_1,
+           MAX(CASE WHEN m = 2 THEN code END) AS code_2,
+           MAX(CASE WHEN m = 3 THEN code END) AS code_3,
+           MAX(CASE WHEN m = 0 THEN d END) + MAX(CASE WHEN m = 1 THEN d END)
+           + MAX(CASE WHEN m = 2 THEN d END) + MAX(CASE WHEN m = 3 THEN d END)
+               AS recon_err
+    FROM assigned
+    GROUP BY vec_id
+    """,
+    tier="P2",
+)
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 64 dims -> 4 subspaces x 16-codeword codebook
+    -> a 4-byte code per vector + the exact reconstruction error. Assignment
+    is MAP-ONLY against the broadcast codebook (one row, PQ_K x DIM doubles);
+    per-subspace errors are summed in a fixed textual order (e0+e1+e2+e3) so
+    the double total is engine-identical."""
+    qv = _quantized(spark, sf_dir)
+    book = _pq_codebook(qv)
+
+    def best(m: int) -> Column:
+        sub = F.slice(F.col("qv"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        return F.array_min(
+            F.transform(
+                "book",
+                lambda c: F.struct(
+                    dist_sq(sub, c["subs"][m]).alias("d"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )
+
+    coded = qv.crossJoin(F.broadcast(book)).select(
+        "vec_id", *[best(m).alias(f"b{m}") for m in range(PQ_M)]
+    )
+    return coded.select(
+        "vec_id",
+        *[F.col(f"b{m}.code").alias(f"code_{m}") for m in range(PQ_M)],
+        (
+            F.col("b0.d") + F.col("b1.d") + F.col("b2.d") + F.col("b3.d")
+        ).alias("recon_err"),
+    )

@@ -58,6 +58,7 @@ def _load_all_modules() -> None:
         ivf,
         joins,
         json_ops,
+        kmeans,
         multimodal,
         normalize,
         packing,

@@ -1,0 +1,107 @@
+"""K-means + product quantization invariants (operators/kmeans.py) beyond
+the registry oracle-parity sweep: Lloyd's monotonicity, partition totality,
+and PQ reconstruction recomputed independently in numpy."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mysql_to_clickhouse_sync_spark.operators.kmeans import (
+    KMEANS_K,
+    PQ_K,
+    PQ_M,
+    PQ_SUBDIM,
+    QUANT,
+    _assign,
+    _quantized,
+    kmeans_fit,
+    q_kmeans,
+    q_pq_quantize,
+)
+from tests.conftest import SF_DIR
+
+
+def test_kmeans_assignment_is_total_partition(spark):
+    out = q_kmeans(spark, SF_DIR).collect()
+    n_vecs = _quantized(spark, SF_DIR).count()
+    assert len(out) == n_vecs
+    assert len({r.vec_id for r in out}) == n_vecs
+    assert all(0 <= r.cluster_id < KMEANS_K for r in out)
+    assert all(r.dist_sq >= 0.0 for r in out)
+    # Fixture data spreads across every cluster (prototype-verified).
+    assert len({r.cluster_id for r in out}) == KMEANS_K
+
+
+def test_kmeans_inertia_non_increasing(spark):
+    """Lloyd's guarantee: total inertia after each (assign, recenter) round
+    never increases. Quantized inputs make each round's inertia a sum of
+    identical doubles, so the comparison is exact, not tolerance-based."""
+    qv = _quantized(spark, SF_DIR)
+    inertias = []
+    for iters in range(4):
+        cents = kmeans_fit(qv, iters=iters)
+        inertia = _assign(qv, cents).agg(F.sum("d")).collect()[0][0]
+        inertias.append(inertia)
+    assert all(a >= b for a, b in zip(inertias, inertias[1:])), inertias
+
+
+def test_pq_codes_and_reconstruction(spark):
+    rows = q_pq_quantize(spark, SF_DIR).collect()
+    qv = {
+        r.vec_id: np.array(r.qv)
+        for r in _quantized(spark, SF_DIR).collect()
+    }
+    seeds = [qv[vid] for vid in sorted(qv)[:PQ_K]]
+    for r in rows:
+        codes = [r.code_0, r.code_1, r.code_2, r.code_3]
+        assert all(0 <= c < PQ_K for c in codes)
+        # Independent reconstruction: chosen codeword must be the argmin per
+        # subspace, and the summed subspace errors must match recon_err.
+        v = qv[r.vec_id]
+        err = 0.0
+        for m, code in enumerate(codes):
+            sub = v[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            dists = [
+                float(((sub - s[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]) ** 2).sum())
+                for s in seeds
+            ]
+            assert dists[code] == min(dists), (r.vec_id, m)
+            err += dists[code]
+        assert abs(err - r.recon_err) < 1e-6, r.vec_id
+
+
+def _plan(spark, fn) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fn(spark, SF_DIR).explain("formatted")
+    return buf.getvalue()
+
+
+def test_kmeans_and_pq_plans_broadcast_only(spark):
+    """Centroids/codebooks must ride as broadcasts — never a shuffled or
+    cartesian join against the vector table."""
+    for fn in (q_kmeans, q_pq_quantize):
+        p = _plan(spark, fn)
+        assert "CartesianProduct" not in p, fn.__name__
+        assert "SortMergeJoin" not in p, fn.__name__
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, (
+            fn.__name__
+        )
+
+
+def test_quantization_grid_is_exact():
+    """floor(float32 * 1024) in double equals the same computed via numpy —
+    the exactness claim the engine-parity recipe rests on."""
+    rng = np.random.default_rng(7)
+    xs = rng.standard_normal(10_000).astype(np.float32)
+    via_double = np.floor(xs.astype(np.float64) * QUANT)
+    # multiply-by-power-of-two is exact: scaling then flooring in any wider
+    # precision gives the identical integer
+    via_long_double = np.floor(xs.astype(np.longdouble) * int(QUANT)).astype(
+        np.float64
+    )
+    assert (via_double == via_long_double).all()
