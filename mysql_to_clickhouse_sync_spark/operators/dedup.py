@@ -1036,3 +1036,100 @@ def q_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_neardup_docs", F.lit(0)).alias("n_neardup_docs"),
         )
     )
+
+
+PASSAGE_TOKENS = 16  # non-overlapping passage width, in whitespace tokens
+
+
+@declare(
+    "q_passage_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), np AS (
+        SELECT doc_id, lang, toks,
+               CAST(ceil(len(toks) / {PASSAGE_TOKENS}.0) AS INT) AS n
+        FROM toks
+    ), passages AS (
+        SELECT doc_id, lang,
+               unnest(range(0, n)) AS pidx,
+               unnest(list_transform(range(0, n),
+                   i -> array_to_string(
+                       toks[i * {PASSAGE_TOKENS} + 1 :
+                            (i + 1) * {PASSAGE_TOKENS}], ' '))) AS passage
+        FROM np
+    ), hashed AS (
+        SELECT doc_id, lang, pidx, md5(passage) AS h FROM passages
+    ), winners AS (
+        SELECT h, min(ROW(doc_id, pidx)) AS w FROM hashed GROUP BY h
+    ), kept AS (
+        SELECT hh.doc_id, hh.lang, hh.pidx,
+               (w.w = ROW(hh.doc_id, hh.pidx)) AS keep
+        FROM hashed hh JOIN winners w USING (h)
+    )
+    SELECT doc_id, lang,
+           count(*) AS n_passages,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS dup_ratio
+    FROM kept GROUP BY doc_id, lang
+    """,
+    tier="P2",
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (the C4/RefinedWeb recipe, one level below
+    document dedup): chunk every document into non-overlapping 16-token
+    passages, hash each, keep only the globally-first occurrence (min
+    (doc_id, pidx)), and report per-document survivorship. Catches the
+    boilerplate q_exact_dedup cannot — documents that are distinct as
+    wholes but share repeated passages.
+
+    Scale notes (100 TB): passage construction is MAP-ONLY (token-array
+    slicing via transform/slice — no explode-then-window); the dedup is one
+    shuffle keyed on the passage hash (groupBy-min with map-side combine,
+    shuffle volume = distinct passages), the winner join re-uses that key,
+    and the report aggregates by doc_id. No stage is quadratic; a
+    pathological passage ("" from whitespace runs) concentrates on one hash
+    key like any hot groupBy key — AQE skew handling applies, and the
+    passage width dials granularity vs key cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    n_p = F.ceil(F.size("toks") / F.lit(PASSAGE_TOKENS)).cast("int")
+
+    def passage(i: Column) -> Column:
+        return F.array_join(
+            F.slice("toks", i * PASSAGE_TOKENS + 1, PASSAGE_TOKENS), " "
+        )
+
+    hashed = toks.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n_p - 1), passage)
+        ).alias("pidx", "passage"),
+    ).select(
+        "doc_id",
+        "lang",
+        "pidx",
+        F.md5(F.col("passage").cast("binary")).alias("h"),
+    )
+    winners = hashed.groupBy("h").agg(F.min(F.struct("doc_id", "pidx")).alias("w"))
+    kept = hashed.join(winners, "h").select(
+        "doc_id",
+        "lang",
+        (
+            (F.col("w.doc_id") == F.col("doc_id"))
+            & (F.col("w.pidx") == F.col("pidx"))
+        ).alias("keep"),
+    )
+    return kept.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_passages"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        (
+            (F.count("*") - F.sum(F.col("keep").cast("bigint"))).cast("double")
+            / F.count("*")
+        ).alias("dup_ratio"),
+    )

@@ -173,3 +173,72 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
         )
     )
+
+
+RARITY_SCALE = 1_000_000  # fixed-point scale for the integer rarity surrogate
+
+
+@declare(
+    "q_token_rarity",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+        FROM documents
+    ), clean AS (
+        SELECT doc_id, lang, token FROM tokens WHERE length(token) >= 1
+    ), freq AS (
+        SELECT token, count(*) AS c FROM clean GROUP BY token
+    ), total AS (
+        SELECT count(*) AS t FROM clean
+    )
+    SELECT doc_id, lang,
+           count(*) AS n_tokens,
+           CAST(sum(({RARITY_SCALE} * total.t) // freq.c) AS BIGINT)
+               AS rarity_sum,
+           CAST(sum(({RARITY_SCALE} * total.t) // freq.c) AS DOUBLE)
+               / count(*) AS mean_rarity
+    FROM clean JOIN freq USING (token) CROSS JOIN total
+    GROUP BY doc_id, lang
+    """,
+    tier="P2",
+)
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-PROXY quality filter: per-document mean inverse unigram
+    probability, the log-free surrogate for LM-perplexity filtering (CCNet
+    uses a real LM; the unigram form ranks rare-token-heavy documents the
+    same way for filtering purposes). Log-free is deliberate: libm's and
+    the JVM's ln() differ in the last ulp (the q_tfidf precedent), while
+    the fixed-point rarity floor((SCALE*T) div c_w) is exact integer
+    arithmetic — the per-doc sum is an associative BIGINT total and the
+    mean is one double division of identical operands on both engines.
+
+    Scale notes (100 TB): one token explode feeding two map-side-combined
+    aggregates (corpus frequency, per-doc sum); the frequency join shuffles
+    on token — same dial as q_tfidf: broadcast a pruned top-K table (rare
+    tail defaults to a cap) or bucket by token. T arrives via a 1-row
+    broadcast cross join. SCALE*T needs ~2^63/SCALE tokens before BIGINT
+    overflow — at trillion-token corpora drop SCALE to 10^3 or move the
+    product to decimal(38,0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"),
+    ).filter(F.length("token") >= 1)
+    freq = tokens.groupBy("token").agg(F.count("*").alias("c"))
+    total = tokens.agg(F.count("*").alias("t"))
+    scored = (
+        tokens.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(f"({RARITY_SCALE} * t) div c").alias("rarity"),
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("rarity").alias("rarity_sum"),
+        (F.sum("rarity").cast("double") / F.count("*")).alias("mean_rarity"),
+    )

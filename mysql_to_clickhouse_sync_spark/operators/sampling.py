@@ -219,3 +219,102 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * 10000 div {TOKEN_BUDGET} AS BIGINT)"
         ).alias("utilization_bp"),
     )
+
+
+@declare(
+    "q_domain_mixture",
+    oracle="""
+    WITH weighted AS (
+        SELECT doc_id, source, n_chars,
+               (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4) + 1
+                   AS weight
+        FROM documents
+    ), wsum AS (
+        SELECT CAST(sum(weight) AS BIGINT) AS w FROM (
+            SELECT source, any_value(weight) AS weight
+            FROM weighted GROUP BY source)
+    ), budget AS (
+        SELECT CAST(sum(n_chars) // 2 AS BIGINT) AS b FROM documents
+    ), cum AS (
+        SELECT source, weight, n_chars,
+               (budget.b * weight) // wsum.w AS src_budget,
+               sum(n_chars) OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS c
+        FROM weighted CROSS JOIN wsum CROSS JOIN budget
+    )
+    SELECT source,
+           any_value(weight) AS weight,
+           CAST(any_value(src_budget) AS BIGINT) AS src_budget,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN c <= src_budget THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN c <= src_budget THEN n_chars ELSE 0 END)
+               AS BIGINT) AS chars_kept,
+           CAST(sum(CASE WHEN c <= src_budget THEN n_chars ELSE 0 END)
+               * 10000 // any_value(src_budget) AS BIGINT) AS fill_bp
+    FROM cum
+    GROUP BY source
+    """,
+    tier="P1",
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture construction: split a global token budget (half the
+    corpus, by chars) across sources according to a TARGET WEIGHT VECTOR
+    (here a deterministic 1..4 weight derived from the source id — in
+    production the pipeline's mixture config), then greedily admit each
+    source's documents in reproducible md5-permutation order until its
+    share is filled. Reports per-source budget, admitted docs/chars, and
+    fill basis points — the numbers a data-mixing run is judged by.
+    Complements q_balanced_sample (equal doc counts) and
+    q_token_budget_sample (fixed per-language budget): here the budget
+    vector itself is data-dependent (total-corpus chars x weights).
+
+    All admission arithmetic is exact integers (floor divisions), so the
+    oracle hash-matches at any scale. Scale: two 1-row broadcast aggregates
+    (weight sum, global budget), one per-source running-sum window (the
+    q_sequence_pack two-level decomposition applies when a source spans
+    blocks), map-side-combined final aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            (F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4) + 1
+        ).alias("weight"),
+    )
+    wsum = (
+        weighted.groupBy("source")
+        .agg(F.any_value("weight").alias("weight"))
+        .agg(F.sum("weight").cast("bigint").alias("w"))
+    )
+    budget = docs.agg(
+        F.expr("CAST(sum(n_chars) div 2 AS BIGINT)").alias("b")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        weighted.crossJoin(F.broadcast(wsum))
+        .crossJoin(F.broadcast(budget))
+        .withColumn("src_budget", F.expr("(b * weight) div w"))
+        .withColumn("c", F.sum("n_chars").over(w))
+    )
+    kept = F.col("c") <= F.col("src_budget")
+    return cum.groupBy("source").agg(
+        F.any_value("weight").alias("weight"),
+        F.any_value("src_budget").cast("bigint").alias("src_budget"),
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("chars_kept"),
+        F.expr(
+            "CAST(sum(CASE WHEN c <= src_budget THEN n_chars ELSE 0 END)"
+            " * 10000 div any_value(src_budget) AS BIGINT)"
+        ).alias("fill_bp"),
+    )

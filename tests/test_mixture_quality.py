@@ -1,0 +1,99 @@
+"""Invariants for the round-3 continuation pipeline operators
+(q_passage_dedup / q_token_rarity / q_domain_mixture) beyond the registry
+oracle-parity sweep — budget feasibility, independent recomputation, and
+plan shape."""
+
+from __future__ import annotations
+
+import io
+from collections import Counter
+from contextlib import redirect_stdout
+
+from mysql_to_clickhouse_sync_spark.operators.dedup import q_passage_dedup
+from mysql_to_clickhouse_sync_spark.operators.quality import (
+    RARITY_SCALE,
+    q_token_rarity,
+)
+from mysql_to_clickhouse_sync_spark.operators.sampling import q_domain_mixture
+from tests.conftest import SF_DIR
+
+
+def test_passage_dedup_counts_and_coverage(spark, duck):
+    rows = q_passage_dedup(spark, SF_DIR).collect()
+    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(rows) == n_docs  # every document reports, even fully-dup ones
+    assert all(0 < r.n_kept <= r.n_passages or r.n_kept == 0 for r in rows)
+    assert all(0.0 <= r.dup_ratio <= 1.0 for r in rows)
+    # Global consistency: total kept passages == distinct passage hashes.
+    total_kept = sum(r.n_kept for r in rows)
+    distinct = duck.execute(
+        """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ), np AS (
+            SELECT doc_id, toks, CAST(ceil(len(toks) / 16.0) AS INT) AS n
+            FROM toks
+        )
+        SELECT count(DISTINCT array_to_string(
+                   toks[i * 16 + 1 : (i + 1) * 16], ' '))
+        FROM (SELECT doc_id, toks, unnest(range(0, n)) AS i FROM np)
+        """
+    ).fetchone()[0]
+    assert total_kept == distinct
+    # The fixture genuinely contains cross-document passage duplication.
+    assert any(r.dup_ratio > 0 for r in rows)
+
+
+def test_token_rarity_independent_recompute(spark, duck):
+    rows = {r.doc_id: r for r in q_token_rarity(spark, SF_DIR).collect()}
+    docs = duck.execute("SELECT doc_id, lower(text) FROM documents").fetchall()
+    import re
+
+    tok = lambda t: [w for w in re.split(r"[^a-z]+", t) if w]
+    freq: Counter = Counter()
+    for _, t in docs:
+        freq.update(tok(t))
+    total = sum(freq.values())
+    for doc_id, t in docs[:50]:
+        words = tok(t)
+        expect = sum((RARITY_SCALE * total) // freq[w] for w in words)
+        r = rows[doc_id]
+        assert r.n_tokens == len(words)
+        assert r.rarity_sum == expect, doc_id
+        # floor((S*T)/c) >= S because c <= T
+        assert r.mean_rarity >= RARITY_SCALE
+
+
+def test_domain_mixture_budget_feasibility(spark):
+    rows = q_domain_mixture(spark, SF_DIR).collect()
+    assert len(rows) == 20  # one row per source
+    for r in rows:
+        assert 1 <= r.weight <= 4
+        assert r.chars_kept <= r.src_budget  # admission never overshoots
+        assert 0 <= r.fill_bp <= 10000
+        assert r.n_kept <= r.n_docs
+    # Budgets must be proportional to weights: same weight -> same budget.
+    by_weight = {}
+    for r in rows:
+        by_weight.setdefault(r.weight, set()).add(r.src_budget)
+    assert all(len(v) == 1 for v in by_weight.values())
+    b1 = by_weight[1].pop()
+    for w, v in by_weight.items():
+        if w != 1:
+            assert abs(v.pop() - w * b1) <= w  # floor-division slack
+
+
+def _plan(spark, fn) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fn(spark, SF_DIR).explain("formatted")
+    return buf.getvalue()
+
+
+def test_pipeline_ops_plans_stay_keyed(spark):
+    """No cartesian/all-pairs stage: dedup joins on the passage hash,
+    rarity on the token, mixture broadcasts its two scalar aggregates."""
+    for fn in (q_passage_dedup, q_token_rarity, q_domain_mixture):
+        p = _plan(spark, fn)
+        assert "CartesianProduct" not in p, fn.__name__
