@@ -313,3 +313,252 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b0.d") + F.col("b1.d") + F.col("b2.d") + F.col("b3.d")
         ).alias("recon_err"),
     )
+
+
+IVFPQ_QUERIES = 20  # vec_id bound for the query set
+IVFPQ_NPROBE = 2
+IVFPQ_K = 3
+
+
+def _residuals(qv: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid, res): each vector's residual against its coarse
+    centroid — broadcast join on the 8-row centroid frame."""
+    assigned = _assign(qv, cents)
+    return assigned.join(F.broadcast(cents), "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with("qv", "cvec", lambda x, y: x - y).alias("res"),
+    )
+
+
+def _kmeans_cte() -> str:
+    """The q_kmeans centroid chain as reusable SQL CTEs ending in
+    cent_{KMEANS_ITERS}; shared by the q_kmeans and q_ann_ivfpq oracles."""
+    iters = []
+    for i in range(KMEANS_ITERS):
+        prev, out = f"cent_{i}", i + 1
+        iters.append(
+            f"""
+, asg_{out} AS (
+    SELECT vec_id, qv, cid FROM (
+        SELECT v.vec_id, v.qv, c.cid,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_DIST_SQL.format(a='v.qv', b='c.cvec')}, c.cid
+               ) AS rn
+        FROM qv v CROSS JOIN {prev} c) WHERE rn = 1
+), sums_{out} AS (
+    SELECT cid, i - 1 AS dim, SUM(CAST(qv[i] AS BIGINT)) AS s, COUNT(*) AS n
+    FROM asg_{out}
+    CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) d
+    GROUP BY cid, dim
+), newc_{out} AS (
+    SELECT cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY dim)
+               AS cvec
+    FROM sums_{out} GROUP BY cid
+), cent_{out} AS (
+    SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+    FROM {prev} p LEFT JOIN newc_{out} n USING (cid)
+)"""
+        )
+    return f"""
+    WITH qv AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS DOUBLE)) AS qv
+        FROM embeddings
+    ), cent_0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cvec
+        FROM qv ORDER BY vec_id LIMIT {KMEANS_K}
+    )
+    {''.join(iters)}
+    """
+
+
+def _sub_sql(col: str, m: str) -> str:
+    """SQL slice of subspace m (0-based) from a DIM-list column."""
+    return f"{col}[{m} * {PQ_SUBDIM} + 1 : ({m} + 1) * {PQ_SUBDIM}]"
+
+
+def _ivfpq_oracle() -> str:
+    adc_terms = " + ".join(
+        f"MAX(CASE WHEN m = {m} THEN d END)" for m in range(PQ_M)
+    )
+    return f"""
+    {_kmeans_cte()}
+    , assigned AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT v.vec_id, v.qv, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_DIST_SQL.format(a='v.qv', b='c.cvec')},
+                                c.cid) AS rn
+            FROM qv v CROSS JOIN cent_{KMEANS_ITERS} c) WHERE rn = 1
+    ), residual AS (
+        SELECT a.vec_id, a.cid,
+               list_transform(list_zip(a.qv, c.cvec),
+                   p -> p[1] - p[2]) AS res
+        FROM assigned a JOIN cent_{KMEANS_ITERS} c USING (cid)
+    ), book AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, res
+        FROM residual ORDER BY vec_id LIMIT {PQ_K}
+    ), coded AS (
+        SELECT vec_id, cid, m, code FROM (
+            SELECT r.vec_id, r.cid, s.m, b.code,
+                   row_number() OVER (
+                       PARTITION BY r.vec_id, s.m
+                       ORDER BY {_DIST_SQL.format(
+                           a=_sub_sql('r.res', 's.m'),
+                           b=_sub_sql('b.res', 's.m'))}, b.code) AS rn
+            FROM residual r
+            CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) s
+            CROSS JOIN book b) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS qid, cid AS probe_cid, res FROM (
+            SELECT v.vec_id, c.cid,
+                   list_transform(list_zip(v.qv, c.cvec),
+                       p -> p[1] - p[2]) AS res,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_DIST_SQL.format(a='v.qv', b='c.cvec')},
+                                c.cid) AS rn
+            FROM qv v CROSS JOIN cent_{KMEANS_ITERS} c
+            WHERE v.vec_id < {IVFPQ_QUERIES})
+        WHERE rn <= {IVFPQ_NPROBE}
+    ), adc AS (
+        SELECT p.qid, co.vec_id AS cand, p.probe_cid, co.m,
+               {_DIST_SQL.format(
+                   a=_sub_sql('p.res', 'co.m'),
+                   b=_sub_sql('b.res', 'co.m'))} AS d
+        FROM probes p
+        JOIN coded co ON co.cid = p.probe_cid AND co.vec_id <> p.qid
+        JOIN book b ON b.code = co.code
+    ), scored AS (
+        SELECT qid, cand, {adc_terms} AS adc_dist
+        FROM adc GROUP BY qid, cand, probe_cid
+    )
+    SELECT qid, cand, adc_dist, rank FROM (
+        SELECT qid, cand, adc_dist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist, cand) AS rank
+        FROM scored)
+    WHERE rank <= {IVFPQ_K}
+    """
+
+
+@declare("q_ann_ivfpq", oracle=_ivfpq_oracle(), tier="P2")
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate nearest neighbor (the Faiss composition): coarse
+    k-means lists (kmeans_fit), PQ codes over CENTROID RESIDUALS, and
+    asymmetric-distance search — each query probes its NPROBE nearest
+    lists and scores candidates as sum-of-subspace distances between the
+    query's residual and the candidate's codewords, top-K per query.
+
+    Scale notes (100 TB): the index side is q_kmeans + q_pq_quantize
+    machinery (map-only against broadcasts + one keyed shuffle); search
+    fans in n·nprobe/K candidates per query via the equi-join on the list
+    id — the same candidate arithmetic as q_ann_ivf, but each candidate
+    costs a PQ_M-term table lookup instead of a full-dimension scan, which
+    is the point of PQ. ADC subspace distances add in fixed textual order
+    so the double total is engine-identical."""
+    qv = _quantized(spark, sf_dir)
+    cents = kmeans_fit(qv)
+    res = _residuals(qv, cents).localCheckpoint(eager=True)
+
+    book = (
+        res.orderBy("vec_id")
+        .limit(PQ_K)
+        .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
+        .select(
+            (F.col("rn") - 1).alias("code"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice(F.col("res"), m * PQ_SUBDIM + 1, PQ_SUBDIM),
+            ).alias("subs"),
+        )
+    )
+    packed_book = book.agg(
+        F.array_sort(F.collect_list(F.struct("code", "subs"))).alias("book")
+    )
+
+    def best_code(m: int) -> Column:
+        sub = F.slice(F.col("res"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        return F.array_min(
+            F.transform(
+                "book",
+                lambda c: F.struct(
+                    dist_sq(sub, c["subs"][m]).alias("d"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )["code"]
+
+    coded = res.crossJoin(F.broadcast(packed_book)).select(
+        "vec_id",
+        "cid",
+        *[best_code(m).alias(f"code_{m}") for m in range(PQ_M)],
+    )
+
+    # Query side: NPROBE nearest lists + per-probe residual.
+    packed_cents = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
+    wq = Window.partitionBy("vec_id").orderBy("d", "cid")
+    probes = (
+        qv.filter(F.col("vec_id") < IVFPQ_QUERIES)
+        .crossJoin(F.broadcast(packed_cents))
+        .select(
+            "vec_id",
+            "qv",
+            F.explode(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
+                        c["cid"].alias("cid"),
+                        dist_sq(F.col("qv"), c["cvec"]).alias("d"),
+                        F.zip_with(
+                            F.col("qv"), c["cvec"], lambda x, y: x - y
+                        ).alias("res"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("vec_id", F.col("p.cid").alias("cid"), F.col("p.d").alias("d"), F.col("p.res").alias("res"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVFPQ_NPROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("probe_cid"), "res")
+    )
+
+    cands = probes.join(
+        coded,
+        (probes.probe_cid == coded.cid) & (probes.qid != coded.vec_id),
+    ).select(
+        "qid",
+        F.col("vec_id").alias("cand"),
+        "res",
+        *[f"code_{m}" for m in range(PQ_M)],
+    )
+
+    def adc_term(m: int) -> Column:
+        sub = F.slice(F.col("res"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        return dist_sq(
+            sub, F.element_at(F.col("book"), F.col(f"code_{m}") + 1)["subs"][m]
+        )
+
+    scored = (
+        cands.crossJoin(F.broadcast(packed_book))
+        .select(
+            "qid",
+            "cand",
+            (
+                adc_term(0) + adc_term(1) + adc_term(2) + adc_term(3)
+            ).alias("adc_dist"),
+        )
+        .groupBy("qid", "cand")
+        .agg(F.first("adc_dist").alias("adc_dist"))
+    )
+    wr = Window.partitionBy("qid").orderBy("adc_dist", "cand")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= IVFPQ_K)
+        .select("qid", "cand", "adc_dist", "rank")
+    )

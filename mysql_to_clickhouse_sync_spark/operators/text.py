@@ -499,3 +499,58 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_bigram",
         )
     )
+
+
+# GPT-2-style pre-tokenizer (simplified to the fixture's character classes;
+# the full pattern adds contraction branches). Java regex and RE2 agree on
+# this subset — pinned by the oracle hash itself.
+BPE_PAT = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+@declare(
+    "q_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {_TOKEN_COUNT_SQL.format(col='text')} AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+', 0)) AS BIGINT)
+               AS n_bpe_tokens,
+           n_chars,
+           CAST(n_chars AS DOUBLE)
+               / len(regexp_extract_all(lower(text),
+                     ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+', 0))
+               AS chars_per_token
+    FROM documents
+    WHERE length(trim(text)) > 0
+    """,
+    tier="P1",
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer token counting, the BPE-ish complement to
+    q_token_count's whitespace split: a GPT-2-style alternation regex
+    (word / number / punctuation runs, each with its leading-space
+    convention) counts the units a byte-pair tokenizer would start from —
+    the standard way to budget training tokens before the real tokenizer
+    runs. chars_per_token is the compression-rate proxy used to convert
+    char budgets to token budgets (one double division of identical
+    integer operands).
+
+    Scale notes: map-only — one regexp_extract_all per document inside
+    whole-stage codegen, no shuffle at all (the output is per-document).
+    At 100 TB this is the cheapest shape there is; the regex cost is
+    linear in chars and the scan prunes to (doc_id, lang, text,
+    n_chars)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    bpe = F.size(
+        F.expr(f"regexp_extract_all(lower(text), '{BPE_PAT}', 0)")
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        "n_chars",
+        (F.col("n_chars").cast("double") / bpe).alias("chars_per_token"),
+    )

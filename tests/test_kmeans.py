@@ -105,3 +105,36 @@ def test_quantization_grid_is_exact():
         np.float64
     )
     assert (via_double == via_long_double).all()
+
+
+def test_ivfpq_output_contract(spark):
+    from mysql_to_clickhouse_sync_spark.operators.kmeans import (
+        IVFPQ_K,
+        IVFPQ_QUERIES,
+        q_ann_ivfpq,
+    )
+
+    rows = q_ann_ivfpq(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        assert r.qid < IVFPQ_QUERIES
+        assert r.cand != r.qid  # self excluded
+        assert r.adc_dist >= 0.0
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) <= IVFPQ_K
+        ranked = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in ranked] == list(range(1, len(rs) + 1))
+        # ranks follow ADC distance (ties broken by cand id)
+        dists = [(r.adc_dist, r.cand) for r in ranked]
+        assert dists == sorted(dists), qid
+
+
+def test_ivfpq_candidate_join_is_equi_keyed(spark):
+    from mysql_to_clickhouse_sync_spark.operators.kmeans import q_ann_ivfpq
+
+    p = _plan(spark, q_ann_ivfpq)
+    # candidate generation must be an equi-join on the IVF list id; the
+    # only nested-loop joins are the broadcast single-row packs
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
