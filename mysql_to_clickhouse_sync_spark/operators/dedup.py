@@ -1133,3 +1133,126 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("dup_ratio"),
     )
+
+
+OVERLAP_CAP = 10  # hashes in more sources than this are boilerplate — excluded
+
+
+@declare(
+    "q_source_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), np AS (
+        SELECT doc_id, source, toks,
+               CAST(ceil(len(toks) / {PASSAGE_TOKENS}.0) AS INT) AS n
+        FROM toks
+    ), hs AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(
+                   toks[i * {PASSAGE_TOKENS} + 1 :
+                        (i + 1) * {PASSAGE_TOKENS}], ' ')) AS h
+        FROM (SELECT source, toks, unnest(range(0, n)) AS i FROM np)
+    ), spread AS (
+        SELECT h, count(*) AS n_sources FROM hs GROUP BY h
+    ), eligible AS (
+        SELECT hs.source, hs.h FROM hs JOIN spread USING (h)
+        WHERE n_sources BETWEEN 2 AND {OVERLAP_CAP}
+    ), per_src AS (
+        SELECT source, count(*) AS n_passages FROM hs GROUP BY source
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS n_shared
+        FROM eligible a JOIN eligible b
+          ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_shared * 10000 //
+                (pa.n_passages + pb.n_passages - n_shared) AS BIGINT)
+               AS jaccard_bp
+    FROM pairs
+    JOIN per_src pa ON pa.source = src_a
+    JOIN per_src pb ON pb.source = src_b
+    """,
+    tier="P2",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: which pairs of sources share
+    16-token passages, and how much (distinct shared passages + Jaccard
+    basis points over each pair's distinct-passage sets). The provenance
+    question a curation run asks before mixing crawls: is src A a mirror
+    of src B?
+
+    Scale notes (100 TB): distinct (source, passage-hash) pairs are one
+    map-side-combined shuffle; the pair join is an equi-join on the hash
+    whose within-key blowup is quadratic in SOURCES SHARING THAT PASSAGE —
+    so universal boilerplate ("click here to subscribe", shared by every
+    domain) is EXCLUDED by the n_sources <= {OVERLAP_CAP} spread cap (the
+    lsh_guard lesson applied to provenance; at web scale the cap is the
+    difference between |pairs| ~ shared-content volume and |domains|^2).
+    Capped-out hashes are boilerplate by definition and belong to a
+    boilerplate report, not an overlap matrix."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    n_p = F.ceil(F.size("toks") / F.lit(PASSAGE_TOKENS)).cast("int")
+    hs = (
+        toks.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_p - 1),
+                    lambda i: F.md5(
+                        F.array_join(
+                            F.slice("toks", i * PASSAGE_TOKENS + 1, PASSAGE_TOKENS),
+                            " ",
+                        ).cast("binary")
+                    ),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    spread = hs.groupBy("h").agg(F.count("*").alias("n_sources"))
+    eligible = hs.join(
+        spread.filter(
+            (F.col("n_sources") >= 2) & (F.col("n_sources") <= OVERLAP_CAP)
+        ),
+        "h",
+    ).select("source", "h")
+    per_src = hs.groupBy("source").agg(F.count("*").alias("n_passages"))
+    a = eligible.select(F.col("source").alias("src_a"), "h")
+    b = eligible.select(F.col("source").alias("src_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            per_src.select(
+                F.col("source").alias("src_a"),
+                F.col("n_passages").alias("pa"),
+            ),
+            "src_a",
+        )
+        .join(
+            per_src.select(
+                F.col("source").alias("src_b"),
+                F.col("n_passages").alias("pb"),
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.expr(
+                "CAST(n_shared * 10000 div (pa + pb - n_shared) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+    )

