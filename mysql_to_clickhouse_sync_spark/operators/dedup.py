@@ -1093,7 +1093,13 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathological passage ("" from whitespace runs) concentrates on one hash
     key like any hot groupBy key — AQE skew handling applies, and the
     passage width dials granularity vs key cardinality."""
-    docs = load_table(spark, sf_dir, "documents")
+    return passage_report(load_table(spark, sf_dir, "documents"))
+
+
+def passage_report(docs: DataFrame) -> DataFrame:
+    """The q_passage_dedup core over an arbitrary documents frame — also a
+    curate.py pipeline stage (documents with dup_ratio above a threshold
+    are boilerplate-heavy and get dropped there)."""
     toks = docs.select(
         "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks")
     )

@@ -62,3 +62,31 @@ def test_curation_is_append_stable(spark, tmp_path):
     ).select("doc_id", F.col("split").alias("split2"))
     joined = full.join(half, "doc_id")
     assert joined.filter(F.col("split") != F.col("split2")).count() == 0
+
+
+def test_passage_gate_drops_boilerplate_and_reports_mixture(spark, tmp_path):
+    base = curate.run(spark, SF_DIR, str(tmp_path / "nogate"))
+    gated = curate.run(
+        spark, SF_DIR, str(tmp_path / "gate"), passage_dup_max=0.3
+    )
+    # the gate can only shrink the kept set, and the fixture has
+    # boilerplate-heavy docs (dup_ratio up to ~0.8), so it must bite
+    assert gated["n_kept"] < base["n_kept"]
+    # every survivor is below the threshold (recompute over survivors)
+    from mysql_to_clickhouse_sync_spark.operators.dedup import passage_report
+
+    docs = load_table(spark, SF_DIR, "documents")
+    kept = curate.curated_documents(docs, passage_dup_max=0.3)
+    joined = kept.join(
+        passage_report(
+            curate.curated_documents(docs).select(
+                "doc_id", "lang", "text", "source", "n_chars"
+            )
+        ).select("doc_id", "dup_ratio"),
+        "doc_id",
+    )
+    assert joined.filter(F.col("dup_ratio") > 0.3).count() == 0
+    # mixture report: shares sum to <= 10000 bp (floor division slack)
+    shares = [int(m["share_bp"]) for m in gated["mixture"]]
+    assert 0 < sum(shares) <= 10000
+    assert len(gated["mixture"]) > 0
