@@ -305,3 +305,137 @@ def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         if query is not None:
             query.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+_KMEANS_STREAM_ORACLE = None  # set below (built from operators.kmeans parts)
+
+
+def _kmeans_stream_oracle() -> str:
+    from mysql_to_clickhouse_sync_spark.operators.kmeans import (
+        _DIST_SQL,
+        DIM,
+        KMEANS_K,
+        QUANT,
+    )
+
+    return f"""
+    WITH qv AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS DOUBLE)) AS qv
+        FROM embeddings
+    ), cent_0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cvec
+        FROM qv ORDER BY vec_id LIMIT {KMEANS_K}
+    ), asg AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT v.vec_id, v.qv, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_DIST_SQL.format(a='v.qv', b='c.cvec')},
+                                c.cid) AS rn
+            FROM qv v CROSS JOIN cent_0 c) WHERE rn = 1
+    )
+    SELECT cid, i - 1 AS dim,
+           CAST(SUM(CAST(qv[i] AS BIGINT)) AS BIGINT) AS s,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(qv[i] AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean
+    FROM asg CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) d
+    GROUP BY cid, dim
+    """
+
+
+@declare("s_kmeans_stream", oracle=_kmeans_stream_oracle(), tier="P3")
+@tuned
+def s_kmeans_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mini-batch k-means accumulation — and the one streaming
+    query that carries a FULL DuckDB oracle, because its algebra makes the
+    stream/batch boundary vanish: against a FIXED centroid snapshot (the
+    deterministic seeds), each micro-batch contributes exact per-(cluster,
+    dim) BIGINT sums and counts, and integer addition is associative and
+    commutative — so any micro-batch slicing accumulates to BITWISE the
+    same state as one batch Lloyd round, which is what the oracle computes.
+    (This is the -State/-Merge contract of q_agg_state_merge applied to a
+    learned model's sufficient statistics.)
+
+    Scale notes: the per-batch work is the map-only broadcast assignment +
+    one (cid, dim)-combined aggregate; the running state is K*DIM rows.
+    At 100 TB the same shape is how a clustering model updates from a feed
+    without rereading the corpus; recentering (the division) happens once
+    at read time, never in the hot accumulate path."""
+    from mysql_to_clickhouse_sync_spark.operators.kmeans import (
+        KMEANS_K,
+        _assign,
+        _quantized,
+    )
+    from pyspark.sql.window import Window as W
+
+    qv = _quantized(spark, sf_dir)
+    seeds = (
+        qv.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .withColumn("rn", F.row_number().over(W.orderBy("vec_id")))
+        .select((F.col("rn") - 1).alias("cid"), F.col("qv").alias("cvec"))
+        .localCheckpoint(eager=True)
+    )
+
+    n_files = 3
+    workdir = tempfile.mkdtemp(prefix="kmeans_stream_")
+    in_dir = f"{workdir}/vectors"
+    ckpt = f"{workdir}/ckpt"
+    schema = qv.schema
+    state = {"df": None}
+
+    def accumulate(batch_df: DataFrame, _epoch: int) -> None:
+        sums = (
+            _assign(batch_df, seeds)
+            .select("cid", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum(F.col("v").cast("bigint")).alias("s"),
+                F.count("*").alias("n"),
+            )
+        )
+        if state["df"] is None:
+            state["df"] = sums.localCheckpoint(eager=True)
+        else:
+            state["df"] = (
+                state["df"]
+                .unionByName(sums)
+                .groupBy("cid", "dim")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .localCheckpoint(eager=True)
+            )
+
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .writeStream.foreachBatch(accumulate)
+        .option("checkpointLocation", ckpt)
+    )
+    query = None
+    try:
+        for i in range(n_files):
+            qv.filter(F.col("vec_id") % n_files == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            if query is None:
+                query = stream.start()
+            query.processAllAvailable()
+        acc = state["df"]
+        return acc.select(
+            "cid",
+            "dim",
+            F.col("s").cast("bigint").alias("s"),
+            "n",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "mean"
+            ),
+        )
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -138,3 +138,26 @@ def test_ivfpq_candidate_join_is_equi_keyed(spark):
     # only nested-loop joins are the broadcast single-row packs
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_stream_accumulation_equals_batch_round(spark):
+    """The streaming mini-batch accumulation must be BITWISE the batch
+    result: s_kmeans_stream's means, assembled per cluster, equal
+    kmeans_fit(iters=1)'s centroids exactly (integer sufficient statistics
+    make micro-batch slicing invisible)."""
+    from mysql_to_clickhouse_sync_spark.streaming.declared import (
+        s_kmeans_stream,
+    )
+
+    streamed = s_kmeans_stream(spark, SF_DIR).collect()
+    by_cid = {}
+    for r in streamed:
+        by_cid.setdefault(r.cid, {})[r.dim] = r.mean
+    qv = _quantized(spark, SF_DIR)
+    batch = {
+        r.cid: r.cvec for r in kmeans_fit(qv, iters=1).collect()
+    }
+    assert set(by_cid) == set(batch)
+    for cid, dims in by_cid.items():
+        got = [dims[d] for d in sorted(dims)]
+        assert got == list(batch[cid]), cid  # exact double equality
