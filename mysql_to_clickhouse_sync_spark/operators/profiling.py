@@ -230,3 +230,106 @@ def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+_SPLIT_SQL = f"""CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                          < '{_TRAIN_HI}' THEN 'train'
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                          < '{_VAL_HI}' THEN 'val'
+                      ELSE 'test' END"""
+
+
+@declare(
+    "q_split_leakage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SPLIT_SQL} AS split,
+               string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), np AS (
+        SELECT doc_id, split, toks,
+               CAST(ceil(len(toks) / 16.0) AS INT) AS n
+        FROM toks
+    ), hs AS (
+        SELECT DISTINCT split,
+               md5(array_to_string(
+                   toks[i * 16 + 1 : (i + 1) * 16], ' ')) AS h
+        FROM (SELECT doc_id, split, toks, unnest(range(0, n)) AS i FROM np)
+    ), per_split AS (
+        SELECT split, count(*) AS n_passages FROM hs GROUP BY split
+    ), leaks AS (
+        SELECT e.split AS eval_split, count(*) AS n_leaked
+        FROM hs e JOIN hs t
+          ON t.split = 'train' AND e.h = t.h AND e.split <> 'train'
+        GROUP BY e.split
+    )
+    SELECT p.split AS eval_split,
+           CAST(p.n_passages AS BIGINT) AS n_passages,
+           CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+           CAST(COALESCE(l.n_leaked, 0) * 10000 // p.n_passages AS BIGINT)
+               AS leak_bp
+    FROM per_split p LEFT JOIN leaks l ON l.eval_split = p.split
+    WHERE p.split <> 'train'
+    """,
+    tier="P2",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: how many distinct 16-token passages in the val
+    and test splits also appear in train — the eval-integrity number a
+    pipeline must report BEFORE anyone trusts a held-out loss (document-
+    level hash splitting does not prevent passage-level leakage when
+    near-duplicate documents land in different splits; this measures
+    exactly that residue).
+
+    Scale notes (100 TB): distinct (split, passage-hash) pairs are one
+    map-side-combined shuffle; the leak check is a hash-keyed equi-join
+    where the build side (val+test passages, ~20 % of the corpus) probes
+    train — at scale flip it into a broadcast Bloom pre-filter (the
+    q_bloom_dedup pattern) with the same audit semantics. No quadratic
+    term anywhere: both sides of the join are DISTINCT hash sets."""
+    from mysql_to_clickhouse_sync_spark.operators.dedup import PASSAGE_TOKENS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        split_assign(F.col("doc_id")).alias("split"),
+        F.split(F.trim("text"), r"\s+").alias("toks"),
+    )
+    n_p = F.ceil(F.size("toks") / F.lit(PASSAGE_TOKENS)).cast("int")
+    hs = (
+        toks.select(
+            "split",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_p - 1),
+                    lambda i: F.md5(
+                        F.array_join(
+                            F.slice(
+                                "toks", i * PASSAGE_TOKENS + 1, PASSAGE_TOKENS
+                            ),
+                            " ",
+                        ).cast("binary")
+                    ),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    train = hs.filter(F.col("split") == "train").select("h")
+    evals = hs.filter(F.col("split") != "train")
+    per_split = evals.groupBy("split").agg(F.count("*").alias("n_passages"))
+    leaks = (
+        evals.join(train, "h")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_leaked"))
+    )
+    return (
+        per_split.join(leaks, "split", "left")
+        .select(
+            F.col("split").alias("eval_split"),
+            F.col("n_passages").cast("bigint").alias("n_passages"),
+            F.coalesce("n_leaked", F.lit(0)).cast("bigint").alias("n_leaked"),
+            F.expr(
+                "CAST(COALESCE(n_leaked, 0) * 10000 div n_passages AS BIGINT)"
+            ).alias("leak_bp"),
+        )
+    )

@@ -138,3 +138,18 @@ def test_source_overlap_symmetric_and_capped(spark, duck):
         "SELECT count(DISTINCT source) FROM documents"
     ).fetchone()[0]
     assert over_cap <= max_pair_support
+
+
+def test_split_leakage_bounds_and_liveness(spark):
+    from mysql_to_clickhouse_sync_spark.operators.profiling import (
+        q_split_leakage,
+    )
+
+    rows = {r.eval_split: r for r in q_split_leakage(spark, SF_DIR).collect()}
+    assert set(rows) == {"val", "test"}
+    for r in rows.values():
+        assert 0 <= r.n_leaked <= r.n_passages
+        assert 0 <= r.leak_bp <= 10000
+    # the fixture's template-generated text leaks across splits — the
+    # audit must detect it (that's the point of the operator)
+    assert any(r.n_leaked > 0 for r in rows.values())
