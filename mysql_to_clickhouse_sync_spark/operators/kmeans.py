@@ -380,6 +380,16 @@ def _sub_sql(col: str, m: str) -> str:
 
 
 def _ivfpq_oracle() -> str:
+    return f"""
+    {_ivfpq_cte()}
+    SELECT qid, cand, adc_dist, rank FROM ranked
+    WHERE rank <= {IVFPQ_K}
+    """
+
+
+def _ivfpq_cte() -> str:
+    """IVF-PQ search as a CTE chain ending in ``ranked`` (qid, cand,
+    adc_dist, rank) — shared by the q_ann_ivfpq and q_ann_recall oracles."""
     adc_terms = " + ".join(
         f"MAX(CASE WHEN m = {m} THEN d END)" for m in range(PQ_M)
     )
@@ -435,13 +445,12 @@ def _ivfpq_oracle() -> str:
     ), scored AS (
         SELECT qid, cand, {adc_terms} AS adc_dist
         FROM adc GROUP BY qid, cand, probe_cid
-    )
-    SELECT qid, cand, adc_dist, rank FROM (
+    ), ranked AS (
         SELECT qid, cand, adc_dist,
                row_number() OVER (PARTITION BY qid
                                   ORDER BY adc_dist, cand) AS rank
-        FROM scored)
-    WHERE rank <= {IVFPQ_K}
+        FROM scored
+    )
     """
 
 
@@ -561,4 +570,79 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= IVFPQ_K)
         .select("qid", "cand", "adc_dist", "rank")
+    )
+
+
+def _recall_oracle() -> str:
+    return f"""
+    {_ivfpq_cte()}
+    , approx AS (
+        SELECT qid, cand FROM ranked WHERE rank <= {IVFPQ_K}
+    ), exact AS (
+        SELECT qid, cand FROM (
+            SELECT q.vec_id AS qid, v.vec_id AS cand,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DIST_SQL.format(a='q.qv', b='v.qv')},
+                                v.vec_id) AS rn
+            FROM qv q JOIN qv v ON v.vec_id <> q.vec_id
+            WHERE q.vec_id < {IVFPQ_QUERIES})
+        WHERE rn <= {IVFPQ_K}
+    )
+    SELECT e.qid,
+           CAST(count(a.cand) AS BIGINT) AS n_hits,
+           CAST(count(a.cand) * 10000 // {IVFPQ_K} AS BIGINT) AS recall_bp
+    FROM exact e
+    LEFT JOIN approx a ON a.qid = e.qid AND a.cand = e.cand
+    GROUP BY e.qid
+    """
+
+
+@declare("q_ann_recall", oracle=_recall_oracle(), tier="P2")
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine audits its own ANN: recall@{K} of q_ann_ivfpq against the
+    EXACT top-K (brute force over the full corpus, bounded to the query
+    set) — the honesty number every approximate index must publish. Both
+    the approximate and the exact path run under one oracle, so the
+    reported recall itself is hash-verified.
+
+    Scale notes: the exact side is a deliberately bounded ground-truth twin
+    (IVFPQ_QUERIES rows broadcast against the corpus — a BroadcastNestedLoop
+    whose cost is queries x corpus, the same labeled-bounded pattern as
+    q_neardup_exact); production recall audits sample queries exactly like
+    this. The approximate side is the production q_ann_ivfpq plan."""
+    qv = _quantized(spark, sf_dir)
+    queries = qv.filter(F.col("vec_id") < IVFPQ_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("q")
+    )
+    wq = Window.partitionBy("qid").orderBy("d", "cand")
+    exact = (
+        F.broadcast(queries)
+        .join(qv, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cand"),
+            dist_sq(F.col("q"), F.col("qv")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVFPQ_K)
+        .select("qid", "cand")
+    )
+    approx = q_ann_ivfpq(spark, sf_dir).select(
+        "qid", F.col("cand").alias("a_cand")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.qid == approx.qid) & (exact.cand == approx.a_cand),
+            "left",
+        )
+        .drop(approx.qid)
+        .groupBy("qid")
+        .agg(
+            F.count("a_cand").cast("bigint").alias("n_hits"),
+            F.expr(f"CAST(count(a_cand) * 10000 div {IVFPQ_K} AS BIGINT)").alias(
+                "recall_bp"
+            ),
+        )
     )

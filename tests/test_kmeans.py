@@ -161,3 +161,19 @@ def test_stream_accumulation_equals_batch_round(spark):
     for cid, dims in by_cid.items():
         got = [dims[d] for d in sorted(dims)]
         assert got == list(batch[cid]), cid  # exact double equality
+
+
+def test_ann_recall_audits_the_index(spark):
+    from mysql_to_clickhouse_sync_spark.operators.kmeans import (
+        IVFPQ_K,
+        IVFPQ_QUERIES,
+        q_ann_recall,
+    )
+
+    rows = q_ann_recall(spark, SF_DIR).collect()
+    assert len(rows) == IVFPQ_QUERIES  # every query reports, even at 0 hits
+    for r in rows:
+        assert 0 <= r.n_hits <= IVFPQ_K
+        assert r.recall_bp == r.n_hits * 10000 // IVFPQ_K
+    # the index must be better than nothing on the fixture
+    assert sum(r.n_hits for r in rows) > 0
