@@ -1262,3 +1262,91 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_bp"),
         )
     )
+
+
+BOILERPLATE_TOPN = 10
+
+
+@declare(
+    "q_boilerplate_report",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), np AS (
+        SELECT doc_id, source, toks,
+               CAST(ceil(len(toks) / {PASSAGE_TOKENS}.0) AS INT) AS n
+        FROM toks
+    ), passages AS (
+        SELECT doc_id, source,
+               array_to_string(toks[i * {PASSAGE_TOKENS} + 1 :
+                                    (i + 1) * {PASSAGE_TOKENS}], ' ')
+                   AS passage
+        FROM (SELECT doc_id, source, toks, unnest(range(0, n)) AS i FROM np)
+    ), ranked AS (
+        SELECT passage,
+               count(DISTINCT source) AS n_sources,
+               count(*) AS n_occurrences,
+               row_number() OVER (
+                   ORDER BY count(DISTINCT source) DESC, count(*) DESC,
+                            md5(passage) ASC) AS rn
+        FROM passages GROUP BY passage
+        HAVING count(DISTINCT source) >= 2
+    )
+    SELECT passage, CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences, rn AS rank
+    FROM ranked WHERE rn <= {BOILERPLATE_TOPN}
+    """,
+    tier="P2",
+)
+def q_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate report q_source_overlap's spread cap routes to: the
+    top-{BOILERPLATE_TOPN} most widely-spread passages (by distinct sources,
+    then total occurrences), with the passage TEXT — what a curator actually
+    reads to write the next cleaning rule ("click here to subscribe").
+
+    Scale notes: one map-side-combined aggregate on the passage string
+    (shuffle volume = distinct passages, like q_passage_dedup), then a
+    TakeOrdered top-N — no global sort. The count(DISTINCT source) inside
+    one aggregate is safe here because the group key is the passage itself
+    (no multi-column Expand trap); at extreme source cardinality swap in
+    approx_count_distinct, same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    n_p = F.ceil(F.size("toks") / F.lit(PASSAGE_TOKENS)).cast("int")
+    passages = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_p - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", i * PASSAGE_TOKENS + 1, PASSAGE_TOKENS),
+                    " ",
+                ),
+            )
+        ).alias("passage"),
+    )
+    order = [
+        F.col("n_sources").desc(),
+        F.col("n_occurrences").desc(),
+        F.md5(F.col("passage").cast("binary")).asc(),
+    ]
+    top = (
+        passages.groupBy("passage")
+        .agg(
+            F.count_distinct("source").alias("n_sources"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_sources") >= 2)
+        .orderBy(*order)
+        .limit(BOILERPLATE_TOPN)  # TakeOrderedAndProject, never a global sort
+    )
+    # rank attaches over the already-reduced TOPN rows (constant-size window)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order))).select(
+        "passage",
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        "rank",
+    )

@@ -153,3 +153,36 @@ def test_split_leakage_bounds_and_liveness(spark):
     # the fixture's template-generated text leaks across splits — the
     # audit must detect it (that's the point of the operator)
     assert any(r.n_leaked > 0 for r in rows.values())
+
+
+def test_boilerplate_report_is_ranked_and_spread(spark):
+    from mysql_to_clickhouse_sync_spark.operators.dedup import (
+        BOILERPLATE_TOPN,
+        q_boilerplate_report,
+    )
+
+    rows = sorted(
+        q_boilerplate_report(spark, SF_DIR).collect(), key=lambda r: r.rank
+    )
+    assert 0 < len(rows) <= BOILERPLATE_TOPN
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(-r.n_sources, -r.n_occurrences) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r.n_sources >= 2  # spread across sources, by construction
+        assert r.n_occurrences >= r.n_sources
+        assert len(r.passage.split()) <= 16
+
+
+def test_boilerplate_topn_is_take_ordered(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from mysql_to_clickhouse_sync_spark.operators.dedup import (
+        q_boilerplate_report,
+    )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q_boilerplate_report(spark, SF_DIR).explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
