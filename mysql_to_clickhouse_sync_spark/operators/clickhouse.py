@@ -330,3 +330,86 @@ def q_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mx").alias("last_ts"),
         F.count("*").alias("n_states"),
     )
+
+
+# --- Z-order data layout ----------------------------------------------------
+
+ZBITS = 16  # per-dimension bits interleaved into a 32-bit z-value
+ZTILE_SHIFT = 24  # keep the top 8 z-bits -> 256 quad-tree tiles
+
+
+def _interleave_sql(x: str, y: str, shiftfmt) -> str:
+    """Bit-interleave two ZBITS-wide ints: bit i of x -> bit 2i, bit i of
+    y -> bit 2i+1. shiftfmt renders one dialect's shift expression."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(shiftfmt(x, i, 2 * i))
+        terms.append(shiftfmt(y, i, 2 * i + 1))
+    return " + ".join(terms)
+
+
+def _duck_shift(col: str, i: int, out: int) -> str:
+    return f"((({col} >> {i}) & 1) << {out})"
+
+
+def _spark_shift(col: str, i: int, out: int) -> str:
+    return f"shiftleft(shiftright({col}, {i}) & 1, {out})"
+
+
+@declare(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH dims AS (
+        SELECT l_orderkey % 65536 AS x, l_partkey % 65536 AS y
+        FROM lineitem
+    ), z AS (
+        SELECT x, y,
+               ({_interleave_sql('x', 'y', _duck_shift)}) >> {ZTILE_SHIFT}
+                   AS tile
+        FROM dims
+    )
+    SELECT tile,
+           count(*) AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max,
+           CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS BIGINT)
+               AS bbox_area
+    FROM z GROUP BY tile
+    """,
+    tier="P2",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data layout: interleave the bits of two clustering
+    dimensions and tile rows by the top z-bits — the multi-dimensional
+    generalization of ClickHouse's ORDER BY (a, b) primary key (which
+    clusters well on a, poorly on b alone; a z-layout bounds BOTH
+    dimensions per tile, so min-max pruning works for predicates on
+    either). The per-tile bounding boxes ARE the result: by construction
+    every tile confines each dimension to a 1/16th-domain range, which a
+    test pins — the 256x bbox-area reduction a lakehouse OPTIMIZE ZORDER
+    buys for file skipping.
+
+    Scale notes: the z-value and tile id are pure integer bit arithmetic
+    inside codegen (map-only); the only shuffle is the 256-group bbox
+    aggregate. Writing the layout is `df.repartitionByRange(tile).
+    sortWithinPartitions(zval)` — same expressions, no extra machinery;
+    at 100 TB the tile width dials file count vs bbox tightness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = li.select(
+        (F.col("l_orderkey") % 65536).alias("x"),
+        (F.col("l_partkey") % 65536).alias("y"),
+    )
+    z = dims.withColumn(
+        "tile",
+        F.expr(f"({_interleave_sql('x', 'y', _spark_shift)}) >> {ZTILE_SHIFT}"),
+    )
+    return z.groupBy("tile").agg(
+        F.count("*").alias("n_rows"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+        F.expr(
+            "CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS BIGINT)"
+        ).alias("bbox_area"),
+    )

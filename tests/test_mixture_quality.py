@@ -186,3 +186,25 @@ def test_boilerplate_topn_is_take_ordered(spark):
     with redirect_stdout(buf):
         q_boilerplate_report(spark, SF_DIR).explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_zorder_tiles_confine_both_dimensions(spark):
+    from mysql_to_clickhouse_sync_spark.operators.clickhouse import (
+        q_zorder_layout,
+    )
+
+    rows = q_zorder_layout(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r.n_rows for r in rows)
+    full_domain = 65536 * 65536
+    for r in rows:
+        # top-8 z-bits fix the top 4 bits of BOTH dims: each tile confines
+        # x and y to a 4096-wide range — the min-max pruning guarantee
+        assert r.x_max - r.x_min < 4096
+        assert r.y_max - r.y_min < 4096
+        assert r.bbox_area <= 4096 * 4096
+        assert r.bbox_area < full_domain // 200  # >=200x skip factor
+    # layout is a partition of the table
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+
+    assert total == load_table(spark, SF_DIR, "lineitem").count()
