@@ -1041,25 +1041,65 @@ def q_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 PASSAGE_TOKENS = 16  # non-overlapping passage width, in whitespace tokens
 
 
-@declare(
-    "q_passage_dedup",
-    oracle=f"""
+def passage_explode(docs: DataFrame, *cols: str) -> DataFrame:
+    """(cols..., pidx, passage): non-overlapping PASSAGE_TOKENS-token
+    passages per document, built MAP-ONLY (token-array slicing, no
+    explode-then-window). THE single definition of "passage" — every
+    passage operator (report / source overlap / boilerplate / split
+    leakage) builds on this and its SQL twin passages_sql, so a change
+    to the width or tokenization cannot desynchronize them."""
+    toks = docs.select(*cols, F.split(F.trim("text"), r"\s+").alias("toks"))
+    n_p = F.ceil(F.size("toks") / F.lit(PASSAGE_TOKENS)).cast("int")
+
+    def passage(i: Column) -> Column:
+        return F.array_join(
+            F.slice("toks", i * PASSAGE_TOKENS + 1, PASSAGE_TOKENS), " "
+        )
+
+    return toks.select(
+        *cols,
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n_p - 1), passage)
+        ).alias("pidx", "passage"),
+    )
+
+
+def passage_hashes(docs: DataFrame, *cols: str) -> DataFrame:
+    """(cols..., pidx, h): md5-hashed passages."""
+    return passage_explode(docs, *cols).select(
+        *cols, "pidx", F.md5(F.col("passage").cast("binary")).alias("h")
+    )
+
+
+def passages_sql(exprs: str, names: str) -> str:
+    """SQL twin of passage_explode: a WITH chain ending in ``passages``
+    (names..., pidx, passage). ``exprs`` are the (possibly computed,
+    aliased) key columns selected from documents; ``names`` their output
+    names for re-selection downstream."""
+    return f"""
     WITH toks AS (
-        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+        SELECT {exprs}, string_split_regex(trim(text), '\\s+') AS toks
         FROM documents
     ), np AS (
-        SELECT doc_id, lang, toks,
+        SELECT {names}, toks,
                CAST(ceil(len(toks) / {PASSAGE_TOKENS}.0) AS INT) AS n
         FROM toks
     ), passages AS (
-        SELECT doc_id, lang,
+        SELECT {names},
                unnest(range(0, n)) AS pidx,
                unnest(list_transform(range(0, n),
                    i -> array_to_string(
                        toks[i * {PASSAGE_TOKENS} + 1 :
                             (i + 1) * {PASSAGE_TOKENS}], ' '))) AS passage
         FROM np
-    ), hashed AS (
+    )"""
+
+
+@declare(
+    "q_passage_dedup",
+    oracle=f"""
+    {passages_sql('doc_id, lang', 'doc_id, lang')}
+    , hashed AS (
         SELECT doc_id, lang, pidx, md5(passage) AS h FROM passages
     ), winners AS (
         SELECT h, min(ROW(doc_id, pidx)) AS w FROM hashed GROUP BY h
@@ -1100,28 +1140,7 @@ def passage_report(docs: DataFrame) -> DataFrame:
     """The q_passage_dedup core over an arbitrary documents frame — also a
     curate.py pipeline stage (documents with dup_ratio above a threshold
     are boilerplate-heavy and get dropped there)."""
-    toks = docs.select(
-        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks")
-    )
-    n_p = F.ceil(F.size("toks") / F.lit(PASSAGE_TOKENS)).cast("int")
-
-    def passage(i: Column) -> Column:
-        return F.array_join(
-            F.slice("toks", i * PASSAGE_TOKENS + 1, PASSAGE_TOKENS), " "
-        )
-
-    hashed = toks.select(
-        "doc_id",
-        "lang",
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), n_p - 1), passage)
-        ).alias("pidx", "passage"),
-    ).select(
-        "doc_id",
-        "lang",
-        "pidx",
-        F.md5(F.col("passage").cast("binary")).alias("h"),
-    )
+    hashed = passage_hashes(docs, "doc_id", "lang")
     winners = hashed.groupBy("h").agg(F.min(F.struct("doc_id", "pidx")).alias("w"))
     kept = hashed.join(winners, "h").select(
         "doc_id",
@@ -1147,19 +1166,9 @@ OVERLAP_CAP = 10  # hashes in more sources than this are boilerplate — exclude
 @declare(
     "q_source_overlap",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
-        FROM documents
-    ), np AS (
-        SELECT doc_id, source, toks,
-               CAST(ceil(len(toks) / {PASSAGE_TOKENS}.0) AS INT) AS n
-        FROM toks
-    ), hs AS (
-        SELECT DISTINCT source,
-               md5(array_to_string(
-                   toks[i * {PASSAGE_TOKENS} + 1 :
-                        (i + 1) * {PASSAGE_TOKENS}], ' ')) AS h
-        FROM (SELECT source, toks, unnest(range(0, n)) AS i FROM np)
+    {passages_sql('source', 'source')}
+    , hs AS (
+        SELECT DISTINCT source, md5(passage) AS h FROM passages
     ), spread AS (
         SELECT h, count(*) AS n_sources FROM hs GROUP BY h
     ), eligible AS (
@@ -1201,27 +1210,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Capped-out hashes are boilerplate by definition and belong to a
     boilerplate report, not an overlap matrix."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", F.split(F.trim("text"), r"\s+").alias("toks")
-    )
-    n_p = F.ceil(F.size("toks") / F.lit(PASSAGE_TOKENS)).cast("int")
-    hs = (
-        toks.select(
-            "source",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n_p - 1),
-                    lambda i: F.md5(
-                        F.array_join(
-                            F.slice("toks", i * PASSAGE_TOKENS + 1, PASSAGE_TOKENS),
-                            " ",
-                        ).cast("binary")
-                    ),
-                )
-            ).alias("h"),
-        )
-        .distinct()
-    )
+    hs = passage_hashes(docs, "source").select("source", "h").distinct()
     spread = hs.groupBy("h").agg(F.count("*").alias("n_sources"))
     eligible = hs.join(
         spread.filter(
@@ -1270,20 +1259,8 @@ BOILERPLATE_TOPN = 10
 @declare(
     "q_boilerplate_report",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
-        FROM documents
-    ), np AS (
-        SELECT doc_id, source, toks,
-               CAST(ceil(len(toks) / {PASSAGE_TOKENS}.0) AS INT) AS n
-        FROM toks
-    ), passages AS (
-        SELECT doc_id, source,
-               array_to_string(toks[i * {PASSAGE_TOKENS} + 1 :
-                                    (i + 1) * {PASSAGE_TOKENS}], ' ')
-                   AS passage
-        FROM (SELECT doc_id, source, toks, unnest(range(0, n)) AS i FROM np)
-    ), ranked AS (
+    {passages_sql('source', 'source')}
+    , ranked AS (
         SELECT passage,
                count(DISTINCT source) AS n_sources,
                count(*) AS n_occurrences,
@@ -1312,22 +1289,7 @@ def q_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no multi-column Expand trap); at extreme source cardinality swap in
     approx_count_distinct, same plan."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", F.split(F.trim("text"), r"\s+").alias("toks")
-    )
-    n_p = F.ceil(F.size("toks") / F.lit(PASSAGE_TOKENS)).cast("int")
-    passages = toks.select(
-        "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_p - 1),
-                lambda i: F.array_join(
-                    F.slice("toks", i * PASSAGE_TOKENS + 1, PASSAGE_TOKENS),
-                    " ",
-                ),
-            )
-        ).alias("passage"),
-    )
+    passages = passage_explode(docs, "source").select("source", "passage")
     order = [
         F.col("n_sources").desc(),
         F.col("n_occurrences").desc(),

@@ -109,17 +109,25 @@ def _assign(qv: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def seed_centroids(qv: DataFrame, k: int) -> DataFrame:
+    """Deterministic (cid, cvec) seeds: the k globally-smallest vec_ids.
+    One TakeOrdered(k) reduction — constant-size at any corpus scale.
+    SHARED by kmeans_fit and s_kmeans_stream: the streaming query's
+    stream==batch bitwise claim depends on both using identical seeds."""
+    return (
+        qv.orderBy("vec_id")
+        .limit(k)
+        .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
+        .select((F.col("rn") - 1).alias("cid"), F.col("qv").alias("cvec"))
+        .localCheckpoint(eager=True)  # k rows; truncates lineage
+    )
+
+
 def kmeans_fit(qv: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
     """Lloyd's iterations over a (vec_id, qv) frame; returns the final
     K-row (cid, cvec) centroid frame. Exact BIGINT dim-sums -> one double
     division per mean keeps every centroid bit-identical across engines."""
-    seeds = (
-        qv.orderBy("vec_id")
-        .limit(k)  # TakeOrdered(K) — constant-size at any corpus scale
-        .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
-        .select((F.col("rn") - 1).alias("cid"), F.col("qv").alias("cvec"))
-    )
-    cents = seeds.localCheckpoint(eager=True)  # K rows; truncates lineage
+    cents = seed_centroids(qv, k)
     for _ in range(iters):
         assigned = _assign(qv, cents)
         sums = (
@@ -148,7 +156,9 @@ def kmeans_fit(qv: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> D
     return cents
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_cte() -> str:
+    """The q_kmeans centroid chain as reusable SQL CTEs ending in
+    cent_{KMEANS_ITERS}; shared by the q_kmeans and q_ann_ivfpq oracles."""
     iters = []
     for i in range(KMEANS_ITERS):
         prev, out = f"cent_{i}", i + 1
@@ -186,6 +196,13 @@ def _kmeans_oracle() -> str:
         FROM qv ORDER BY vec_id LIMIT {KMEANS_K}
     )
     {''.join(iters)}
+    """
+
+
+def _kmeans_oracle() -> str:
+    # the Lloyd CTE chain is _kmeans_cte(), shared with the IVF-PQ oracles
+    return f"""
+    {_kmeans_cte()}
     SELECT vec_id, cid AS cluster_id, d AS dist_sq FROM (
         SELECT v.vec_id, c.cid,
                {_DIST_SQL.format(a='v.qv', b='c.cvec')} AS d,
@@ -212,13 +229,15 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_codebook(qv: DataFrame) -> DataFrame:
+def _pq_codebook(df: DataFrame, col: str = "qv") -> DataFrame:
     """One broadcast row: array<struct<code, subs: array<array<double>>>> —
-    the PQ_K seed vectors' subspace slices. Seeding = the PQ_K smallest
-    vec_ids (deterministic); production would train each subspace's codebook
-    with kmeans_fit on the dim slice — assignment below is unchanged."""
+    the PQ_K seed vectors' subspace slices of ``col`` (raw grid vectors for
+    q_pq_quantize, centroid residuals for q_ann_ivfpq). Seeding = the PQ_K
+    smallest vec_ids (deterministic); production would train each
+    subspace's codebook with kmeans_fit on the dim slice — assignment is
+    unchanged either way."""
     seeds = (
-        qv.orderBy("vec_id")
+        df.orderBy("vec_id")
         .limit(PQ_K)
         .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
         .select(
@@ -226,7 +245,7 @@ def _pq_codebook(qv: DataFrame) -> DataFrame:
             F.transform(
                 F.sequence(F.lit(0), F.lit(PQ_M - 1)),
                 lambda m: F.slice(
-                    F.col("qv"), m * PQ_SUBDIM + 1, PQ_SUBDIM
+                    F.col(col), m * PQ_SUBDIM + 1, PQ_SUBDIM
                 ),
             ).alias("subs"),
         )
@@ -331,49 +350,6 @@ def _residuals(qv: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_cte() -> str:
-    """The q_kmeans centroid chain as reusable SQL CTEs ending in
-    cent_{KMEANS_ITERS}; shared by the q_kmeans and q_ann_ivfpq oracles."""
-    iters = []
-    for i in range(KMEANS_ITERS):
-        prev, out = f"cent_{i}", i + 1
-        iters.append(
-            f"""
-, asg_{out} AS (
-    SELECT vec_id, qv, cid FROM (
-        SELECT v.vec_id, v.qv, c.cid,
-               row_number() OVER (
-                   PARTITION BY v.vec_id
-                   ORDER BY {_DIST_SQL.format(a='v.qv', b='c.cvec')}, c.cid
-               ) AS rn
-        FROM qv v CROSS JOIN {prev} c) WHERE rn = 1
-), sums_{out} AS (
-    SELECT cid, i - 1 AS dim, SUM(CAST(qv[i] AS BIGINT)) AS s, COUNT(*) AS n
-    FROM asg_{out}
-    CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i) d
-    GROUP BY cid, dim
-), newc_{out} AS (
-    SELECT cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY dim)
-               AS cvec
-    FROM sums_{out} GROUP BY cid
-), cent_{out} AS (
-    SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
-    FROM {prev} p LEFT JOIN newc_{out} n USING (cid)
-)"""
-        )
-    return f"""
-    WITH qv AS (
-        SELECT vec_id, list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS DOUBLE)) AS qv
-        FROM embeddings
-    ), cent_0 AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cvec
-        FROM qv ORDER BY vec_id LIMIT {KMEANS_K}
-    )
-    {''.join(iters)}
-    """
-
-
 def _sub_sql(col: str, m: str) -> str:
     """SQL slice of subspace m (0-based) from a DIM-list column."""
     return f"{col}[{m} * {PQ_SUBDIM} + 1 : ({m} + 1) * {PQ_SUBDIM}]"
@@ -473,21 +449,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_fit(qv)
     res = _residuals(qv, cents).localCheckpoint(eager=True)
 
-    book = (
-        res.orderBy("vec_id")
-        .limit(PQ_K)
-        .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
-        .select(
-            (F.col("rn") - 1).alias("code"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda m: F.slice(F.col("res"), m * PQ_SUBDIM + 1, PQ_SUBDIM),
-            ).alias("subs"),
-        )
-    )
-    packed_book = book.agg(
-        F.array_sort(F.collect_list(F.struct("code", "subs"))).alias("book")
-    )
+    packed_book = _pq_codebook(res, col="res")
 
     def best_code(m: int) -> Column:
         sub = F.slice(F.col("res"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
@@ -553,17 +515,15 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             sub, F.element_at(F.col("book"), F.col(f"code_{m}") + 1)["subs"][m]
         )
 
-    scored = (
-        cands.crossJoin(F.broadcast(packed_book))
-        .select(
-            "qid",
-            "cand",
-            (
-                adc_term(0) + adc_term(1) + adc_term(2) + adc_term(3)
-            ).alias("adc_dist"),
-        )
-        .groupBy("qid", "cand")
-        .agg(F.first("adc_dist").alias("adc_dist"))
+    # (qid, cand) is already unique: each candidate lives in exactly one
+    # coarse list and a query's probes are distinct lists, so no dedup
+    # aggregate (and its shuffle) is needed after the probe join.
+    scored = cands.crossJoin(F.broadcast(packed_book)).select(
+        "qid",
+        "cand",
+        (adc_term(0) + adc_term(1) + adc_term(2) + adc_term(3)).alias(
+            "adc_dist"
+        ),
     )
     wr = Window.partitionBy("qid").orderBy("adc_dist", "cand")
     return (

@@ -55,14 +55,19 @@ def split_assign(key: Column) -> Column:
     )
 
 
+# split_assign's SQL twin — the ONE place the split contract is written on
+# the oracle side (q_hash_split and q_split_leakage both splice it).
+_SPLIT_SQL = f"""CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                          < '{_TRAIN_HI}' THEN 'train'
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                          < '{_VAL_HI}' THEN 'val'
+                      ELSE 'test' END"""
+
+
 @declare(
     "q_hash_split",
     oracle=f"""
-    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}'
-                    THEN 'train'
-                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}'
-                    THEN 'val'
-                ELSE 'test' END AS split,
+    SELECT {_SPLIT_SQL} AS split,
            lang,
            count(*) AS n_docs,
            -- CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas maps to
@@ -232,29 +237,18 @@ def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_SPLIT_SQL = f"""CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-                          < '{_TRAIN_HI}' THEN 'train'
-                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-                          < '{_VAL_HI}' THEN 'val'
-                      ELSE 'test' END"""
+from mysql_to_clickhouse_sync_spark.operators.dedup import (  # noqa: E402
+    passage_hashes,
+    passages_sql,
+)
 
 
 @declare(
     "q_split_leakage",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, {_SPLIT_SQL} AS split,
-               string_split_regex(trim(text), '\\s+') AS toks
-        FROM documents
-    ), np AS (
-        SELECT doc_id, split, toks,
-               CAST(ceil(len(toks) / 16.0) AS INT) AS n
-        FROM toks
-    ), hs AS (
-        SELECT DISTINCT split,
-               md5(array_to_string(
-                   toks[i * 16 + 1 : (i + 1) * 16], ' ')) AS h
-        FROM (SELECT doc_id, split, toks, unnest(range(0, n)) AS i FROM np)
+    {passages_sql(f"{_SPLIT_SQL} AS split", "split")}
+    , hs AS (
+        SELECT DISTINCT split, md5(passage) AS h FROM passages
     ), per_split AS (
         SELECT split, count(*) AS n_passages FROM hs GROUP BY split
     ), leaks AS (
@@ -287,33 +281,11 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     train — at scale flip it into a broadcast Bloom pre-filter (the
     q_bloom_dedup pattern) with the same audit semantics. No quadratic
     term anywhere: both sides of the join are DISTINCT hash sets."""
-    from mysql_to_clickhouse_sync_spark.operators.dedup import PASSAGE_TOKENS
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        split_assign(F.col("doc_id")).alias("split"),
-        F.split(F.trim("text"), r"\s+").alias("toks"),
+    tagged = docs.select(
+        split_assign(F.col("doc_id")).alias("split"), "text"
     )
-    n_p = F.ceil(F.size("toks") / F.lit(PASSAGE_TOKENS)).cast("int")
-    hs = (
-        toks.select(
-            "split",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n_p - 1),
-                    lambda i: F.md5(
-                        F.array_join(
-                            F.slice(
-                                "toks", i * PASSAGE_TOKENS + 1, PASSAGE_TOKENS
-                            ),
-                            " ",
-                        ).cast("binary")
-                    ),
-                )
-            ).alias("h"),
-        )
-        .distinct()
-    )
+    hs = passage_hashes(tagged, "split").select("split", "h").distinct()
     train = hs.filter(F.col("split") == "train").select("h")
     evals = hs.filter(F.col("split") != "train")
     per_split = evals.groupBy("split").agg(F.count("*").alias("n_passages"))

@@ -507,6 +507,17 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_PAT = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
 
 
+def bpe_token_count(col: Column) -> Column:
+    """Pre-tokenizer unit count over lowercased text. Column-API regexp
+    (NOT an F.expr splice): a SQL string literal would unescape \\s to a
+    bare 's' and silently count whitespace runs as tokens — pinned by the
+    whitespace regression test, which the fixture sweep cannot catch (the
+    fixtures contain no tabs/double spaces)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(col), F.lit(BPE_PAT), F.lit(0))
+    ).cast("bigint")
+
+
 @declare(
     "q_bpe_token_count",
     oracle=f"""
@@ -543,9 +554,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
-    bpe = F.size(
-        F.expr(f"regexp_extract_all(lower(text), '{BPE_PAT}', 0)")
-    ).cast("bigint")
+    bpe = bpe_token_count(F.col("text"))
     return docs.select(
         "doc_id",
         "lang",

@@ -307,9 +307,6 @@ def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-_KMEANS_STREAM_ORACLE = None  # set below (built from operators.kmeans parts)
-
-
 def _kmeans_stream_oracle() -> str:
     from mysql_to_clickhouse_sync_spark.operators.kmeans import (
         _DIST_SQL,
@@ -366,17 +363,13 @@ def s_kmeans_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         KMEANS_K,
         _assign,
         _quantized,
+        seed_centroids,
     )
-    from pyspark.sql.window import Window as W
 
     qv = _quantized(spark, sf_dir)
-    seeds = (
-        qv.orderBy("vec_id")
-        .limit(KMEANS_K)
-        .withColumn("rn", F.row_number().over(W.orderBy("vec_id")))
-        .select((F.col("rn") - 1).alias("cid"), F.col("qv").alias("cvec"))
-        .localCheckpoint(eager=True)
-    )
+    # SHARED seeding with kmeans_fit — the stream==batch bitwise claim
+    # depends on both paths starting from identical centroids.
+    seeds = seed_centroids(qv, KMEANS_K)
 
     n_files = 3
     workdir = tempfile.mkdtemp(prefix="kmeans_stream_")

@@ -114,30 +114,41 @@ def test_source_overlap_symmetric_and_capped(spark, duck):
         seen.add((r.src_a, r.src_b))
         assert r.n_shared >= 1
         assert 0 <= r.jaccard_bp <= 10000
-    # Spread cap: no passage counted anywhere lives in > OVERLAP_CAP sources.
-    over_cap = duck.execute(
-        f"""
-        WITH toks AS (
-            SELECT source, string_split_regex(trim(text), '\\s+') AS toks
-            FROM documents
-        ), np AS (
-            SELECT source, toks, CAST(ceil(len(toks) / 16.0) AS INT) AS n
-            FROM toks
-        ), hs AS (
-            SELECT DISTINCT source,
-                   md5(array_to_string(toks[i*16+1:(i+1)*16], ' ')) AS h
-            FROM (SELECT source, toks, unnest(range(0, n)) AS i FROM np)
-        )
-        SELECT count(*) FROM (
-            SELECT h FROM hs GROUP BY h HAVING count(*) > {OVERLAP_CAP})
-        """
-    ).fetchone()[0]
-    # the cap is live in the fixture or vacuously true — either way the
-    # pair counts can never include a hash spread wider than the cap
-    max_pair_support = duck.execute(
-        "SELECT count(DISTINCT source) FROM documents"
-    ).fetchone()[0]
-    assert over_cap <= max_pair_support
+    # Cap semantics, checked AGAINST THE SPARK OUTPUT: recompute the pair
+    # counts in DuckDB twice — capped (must equal Spark exactly) and with
+    # the cap lifted (must dominate). Dropping the cap from the Spark
+    # implementation would break the equality whenever the fixture holds
+    # an over-cap passage, and can never break the domination check.
+    def pair_counts(spread_hi: int) -> dict:
+        rows = duck.execute(
+            f"""
+            WITH toks AS (
+                SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+            ), np AS (
+                SELECT source, toks, CAST(ceil(len(toks) / 16.0) AS INT) AS n
+                FROM toks
+            ), hs AS (
+                SELECT DISTINCT source,
+                       md5(array_to_string(toks[i*16+1:(i+1)*16], ' ')) AS h
+                FROM (SELECT source, toks, unnest(range(0, n)) AS i FROM np)
+            ), eligible AS (
+                SELECT hs.source, hs.h FROM hs
+                JOIN (SELECT h, count(*) AS ns FROM hs GROUP BY h) s USING (h)
+                WHERE s.ns BETWEEN 2 AND {spread_hi}
+            )
+            SELECT a.source, b.source, count(*)
+            FROM eligible a JOIN eligible b
+              ON a.h = b.h AND a.source < b.source
+            GROUP BY a.source, b.source
+            """
+        ).fetchall()
+        return {(a, b): n for a, b, n in rows}
+
+    capped = pair_counts(OVERLAP_CAP)
+    assert {(r.src_a, r.src_b): r.n_shared for r in rows} == capped
+    uncapped = pair_counts(10_000)
+    assert all(uncapped[k] >= v for k, v in capped.items())
 
 
 def test_split_leakage_bounds_and_liveness(spark):
@@ -208,3 +219,32 @@ def test_zorder_tiles_confine_both_dimensions(spark):
     from mysql_to_clickhouse_sync_spark.catalog import load_table
 
     assert total == load_table(spark, SF_DIR, "lineitem").count()
+
+
+def test_bpe_tokenizer_handles_whitespace_runs(spark, duck):
+    """Regression: the \\s in BPE_PAT must survive into the engine (an
+    F.expr string-literal splice silently unescapes it to 's', making
+    whitespace runs count as tokens). Drive both engines on text the
+    fixtures do not contain: tabs, newlines, double spaces."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mysql_to_clickhouse_sync_spark.operators.text import bpe_token_count
+
+    cases = ["a  b", "a\tb", "a\nb", "x 42 y!?", "  padded  "]
+    sdf = spark.createDataFrame(pd.DataFrame({"text": cases}))
+    got = [
+        r.n
+        for r in sdf.select(
+            bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    ]
+    want = [
+        duck.execute(
+            "SELECT len(regexp_extract_all(lower(?), ' ?[a-z]+| ?[0-9]+|"
+            " ?[^a-z0-9\\s]+', 0))",
+            [t],
+        ).fetchone()[0]
+        for t in cases
+    ]
+    assert got == want, (got, want)
