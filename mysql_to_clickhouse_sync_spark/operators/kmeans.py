@@ -606,3 +606,122 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster first, near-dup only within clusters.
+# ---------------------------------------------------------------------------
+
+# cos(a,b) >= 3/10  <=>  dot > 0 AND dot^2 * 100 >= 9 * |a|^2 * |b|^2 —
+# the whole test is BIGINT arithmetic on the exact integer grid (entries
+# |q| <= QUANT, so dot^2 * 100 <= 4.6e17 < 2^63), zero floats anywhere.
+SEMDEDUP_NUM_SQ = 9  # eps = 0.30, matching similarity.NEARDUP_THRESHOLD
+SEMDEDUP_DEN_SQ = 100
+
+_DOT_SQL = """CAST(list_reduce(list_transform(list_zip({a}, {b}),
+      p -> p[1]*p[2]), (x, y) -> x + y) AS BIGINT)"""
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized-grid vectors: every
+    product and partial sum is an integer far below 2^53, so the double
+    fold is exact and the BIGINT cast is lossless in both engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).cast("bigint")
+
+
+def _semdedup_oracle() -> str:
+    dot = _DOT_SQL.format(a="a.qv", b="b.qv")
+    return f"""
+    {_kmeans_cte()}
+    , asg AS (
+        SELECT vec_id, qv, cid,
+               {_DOT_SQL.format(a='qv', b='qv')} AS nn
+        FROM (
+            SELECT v.vec_id, v.qv, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_DIST_SQL.format(a='v.qv', b='c.cvec')},
+                                c.cid) AS rn
+            FROM qv v CROSS JOIN cent_{KMEANS_ITERS} c) WHERE rn = 1
+    ), cand AS (
+        SELECT a.vec_id AS v, b.vec_id AS w, a.nn AS na, b.nn AS nb,
+               {dot} AS dp
+        FROM asg a JOIN asg b ON b.cid = a.cid AND b.vec_id < a.vec_id
+    ), dups AS (
+        SELECT v, MIN(w) AS dup_of FROM cand
+        WHERE dp > 0
+          AND dp * dp * {SEMDEDUP_DEN_SQ} >= {SEMDEDUP_NUM_SQ} * na * nb
+        GROUP BY v
+    )
+    SELECT q.vec_id, q.cid AS cluster_id,
+           d.dup_of IS NOT NULL AS is_dup, d.dup_of
+    FROM asg q LEFT JOIN dups d ON d.v = q.vec_id
+    """
+
+
+@declare("q_semantic_dedup", oracle=_semdedup_oracle(), tier="P2")
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means partitions
+    the corpus, then near-duplicate search runs ONLY within each cluster —
+    a vector is a duplicate if an earlier (lower-id) vector in its cluster
+    has cosine >= 0.30; survivors are the non-duplicates. Returns every
+    vector's cluster, dup flag, and the id it duplicates (min such id).
+
+    The similarity test is pure BIGINT arithmetic on the quantized grid
+    (dot > 0 and dot^2*100 >= 9*|a|^2*|b|^2), so the threshold crossing is
+    exactly engine-portable — no float literal, rounding mode, or fold
+    order can flip a pair.
+
+    Scale notes (100 TB): this is the SemDeDup design point — clustering
+    bounds the quadratic term to within-cluster pairs, so with K grown
+    proportionally to the corpus the per-cluster candidate count stays
+    constant while all-pairs would grow quadratically. The join is an
+    EQUI-join on the cluster id (shuffle both sides on cid, quadratic only
+    inside a partition-local cluster); a degenerate giant cluster is the
+    same failure mode as a hot LSH bucket — cap or sub-band it exactly as
+    dedup.py's guarded paths do (q_simhash_guarded, q_lsh_bucket_audit).
+    Assignment is the map-only broadcast argmin of q_kmeans; nothing here
+    re-reads the corpus twice thanks to the k-row centroid checkpoint."""
+    qv = _quantized(spark, sf_dir)
+    cents = kmeans_fit(qv)
+    asg = _assign(qv, cents).select(
+        "vec_id", "qv", "cid", dot_int(F.col("qv"), F.col("qv")).alias("nn")
+    )
+    a = asg.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("qv").alias("a_qv"),
+        "cid",
+        F.col("nn").alias("na"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("qv").alias("b_qv"),
+        F.col("cid").alias("b_cid"),
+        F.col("nn").alias("nb"),
+    )
+    dp = dot_int(F.col("a_qv"), F.col("b_qv"))
+    dups = (
+        a.join(b, (a.cid == b.b_cid) & (b.b_id < a.a_id))
+        .select("a_id", "b_id", "na", "nb", dp.alias("dp"))
+        .filter(
+            (F.col("dp") > 0)
+            & (
+                F.col("dp") * F.col("dp") * F.lit(SEMDEDUP_DEN_SQ)
+                >= F.lit(SEMDEDUP_NUM_SQ) * F.col("na") * F.col("nb")
+            )
+        )
+        .groupBy("a_id")
+        .agg(F.min("b_id").alias("dup_of"))
+    )
+    return (
+        asg.join(dups, asg.vec_id == dups.a_id, "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )

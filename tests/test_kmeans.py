@@ -177,3 +177,49 @@ def test_ann_recall_audits_the_index(spark):
         assert r.recall_bp == r.n_hits * 10000 // IVFPQ_K
     # the index must be better than nothing on the fixture
     assert sum(r.n_hits for r in rows) > 0
+
+
+def test_semantic_dedup_invariants(spark):
+    """SemDeDup recompute in numpy at sf0.001: every vector appears once;
+    a dup's target is the MIN earlier same-cluster vector with cosine >=
+    0.30 on the quantized grid; a non-dup has NO such neighbor."""
+    from mysql_to_clickhouse_sync_spark.operators.kmeans import (
+        SEMDEDUP_DEN_SQ,
+        SEMDEDUP_NUM_SQ,
+        q_semantic_dedup,
+    )
+
+    out = {r.vec_id: r for r in q_semantic_dedup(spark, SF_DIR).collect()}
+    qv = {r.vec_id: np.array(r.qv) for r in _quantized(spark, SF_DIR).collect()}
+    assert set(out) == set(qv)  # total partition of the corpus
+
+    by_cluster: dict[int, list[int]] = {}
+    for vid, r in out.items():
+        by_cluster.setdefault(r.cluster_id, []).append(vid)
+
+    def near(a: int, b: int) -> bool:
+        dp = int(qv[a] @ qv[b])
+        na, nb = int(qv[a] @ qv[a]), int(qv[b] @ qv[b])
+        return dp > 0 and dp * dp * SEMDEDUP_DEN_SQ >= SEMDEDUP_NUM_SQ * na * nb
+
+    n_dups = 0
+    for vid, r in out.items():
+        earlier = [w for w in by_cluster[r.cluster_id] if w < vid]
+        matches = sorted(w for w in earlier if near(vid, w))
+        if r.is_dup:
+            n_dups += 1
+            assert r.dup_of == matches[0], vid
+        else:
+            assert r.dup_of is None and not matches, vid
+    assert 0 < n_dups < len(out)  # non-trivial on the fixture
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """The within-cluster pair join must stay an equi-join on the cluster
+    id — never a cartesian (the whole point of clustering first)."""
+    from mysql_to_clickhouse_sync_spark.operators.kmeans import (
+        q_semantic_dedup,
+    )
+
+    plan = q_semantic_dedup(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
