@@ -1312,3 +1312,102 @@ def q_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
         "rank",
     )
+
+
+# --- Containment dedup (inverted shingle index) -----------------------------
+
+# Containment C(A in B) = |sh(A) & sh(B)| / |sh(A)| catches SUBSET
+# duplication — a doc quoted or embedded inside a larger one — which
+# symmetric Jaccard dilutes toward 0 as the host document grows. The
+# candidate generator is the production inverted-index shape: self-join on
+# the shingle, never on the document pair.
+CONTAIN_DF_CAP = 50  # shingles in more docs than this are boilerplate
+CONTAIN_MIN_BP = 8000  # containment >= 0.80, in exact basis points
+
+
+def _containment_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex({_NORM_SQL.format(col='text')}, '\\s+') AS tokens
+        FROM documents
+    ), shingled AS (
+        SELECT doc_id, {_SHINGLES_SQL} AS sh FROM toks
+    ), srows AS (
+        SELECT doc_id, unnest(sh) AS s FROM shingled
+    ), df AS (
+        SELECT s, count(*) AS df FROM srows GROUP BY s
+    ), pruned AS (
+        SELECT r.doc_id, r.s FROM srows r JOIN df USING (s)
+        WHERE df.df <= {CONTAIN_DF_CAP}
+    ), sizes AS (
+        SELECT doc_id, count(*) AS size_a FROM pruned GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+        FROM pruned a JOIN pruned b
+          ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared, size_a,
+           n_shared * 10000 // size_a AS containment_bp
+    FROM shared JOIN sizes ON sizes.doc_id = shared.doc_a
+    WHERE n_shared * 10000 // size_a >= {CONTAIN_MIN_BP}
+    """
+
+
+def containment_pairs(
+    docs: DataFrame,
+    df_cap: int = CONTAIN_DF_CAP,
+    min_bp: int = CONTAIN_MIN_BP,
+) -> DataFrame:
+    """Directed containment pairs over an arbitrary documents frame — the
+    q_containment_dedup core, reusable on any (doc_id, text) input."""
+    srows = shingle_rows(docs).distinct()
+    df_counts = srows.groupBy("s").agg(F.count("*").alias("df"))
+    # The df cap is the scale guard: a boilerplate shingle shared by d
+    # documents fans out d*(d-1) ordered pairs through the index join, so
+    # without the cap one hot shingle ("all rights reserved ...") goes
+    # quadratic exactly like a hot LSH bucket (q_lsh_bucket_audit). With
+    # it, pair count <= cap * |pruned rows| — linear in the corpus.
+    pruned = (
+        srows.join(df_counts.filter(F.col("df") <= df_cap), "s")
+        .select("doc_id", "s")
+    )
+    sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("size_a"))
+    a = pruned.select(F.col("doc_id").alias("doc_a"), "s")
+    b = pruned.select(F.col("doc_id").alias("doc_b"), "s")
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumn(
+            "containment_bp", F.expr("n_shared * 10000 div size_a")
+        )
+        .filter(F.col("containment_bp") >= min_bp)
+        .select("doc_a", "doc_b", "n_shared", "size_a", "containment_bp")
+    )
+
+
+@declare("q_containment_dedup", oracle=_containment_oracle(), tier="P1")
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-duplicate pairs by shingle CONTAINMENT >= 0.80 (exact
+    integer basis points — no float crosses the engine boundary): doc_a is
+    contained in doc_b when >= 80% of doc_a's distinct 3-word shingles also
+    appear in doc_b. The asymmetric complement to q_ngram_jaccard: catches
+    quotes/embeddings of whole documents inside larger ones.
+
+    Scale notes (100 TB): candidates come from an inverted-index EQUI-join
+    on the shingle — never a document-pair join — with a document-frequency
+    cap (df <= {CONTAIN_DF_CAP}) pruning boilerplate shingles, which bounds
+    the per-shingle fanout at cap^2 ordered pairs and the total at
+    cap * corpus-shingle-rows. Three shuffles total (shingle df, pair
+    count, doc sizes), each with map-side partial aggregation; the sizes
+    join is a small frame AQE can broadcast. The fixture's max df is 7, so
+    the cap prunes nothing at test scale — the planted-boilerplate unit
+    test (tests/test_containment.py) is what exercises it."""
+    return containment_pairs(load_table(spark, sf_dir, "documents"))
