@@ -27,6 +27,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mysql_to_clickhouse_sync_spark.catalog import load_table
 from mysql_to_clickhouse_sync_spark.registry import declare
@@ -427,6 +428,93 @@ def s_kmeans_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s").cast("double") / F.col("n").cast("double")).alias(
                 "mean"
             ),
+        )
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+STREAM_TOPK = 3
+
+_TOPK_STREAM_ORACLE = f"""
+    WITH counts AS (
+        SELECT event_type, user_id, count(*) AS n_events
+        FROM events
+        GROUP BY event_type, user_id
+    ), ranked AS (
+        SELECT event_type, user_id, n_events,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY n_events DESC, user_id) AS rank
+        FROM counts
+    )
+    SELECT event_type, user_id, n_events, rank
+    FROM ranked WHERE rank <= {STREAM_TOPK}
+"""
+
+
+@declare("s_topk_stream", oracle=_TOPK_STREAM_ORACLE, tier="P3")
+@tuned
+def s_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters with a FULL oracle: the stream maintains
+    exact per-(event_type, user_id) counts in complete mode (the hard,
+    stateful part — a ClickHouse SummingMergeTree materialized view), and
+    the top-{STREAM_TOPK} rank is a batch query over the materialized
+    state (how a dashboard reads the view). Counts are exact BIGINTs, so
+    micro-batch slicing is invisible and the final top-k — deterministic
+    tie-break (n DESC, user_id) — hash-matches the batch oracle, the
+    s_kmeans_stream argument applied to frequency state.
+
+    Scale notes (100 TB/day feed): state is one row per live
+    (event_type, user_id) group, shuffled once per micro-batch with
+    map-side partial counts; the rank never touches the stream — it reads
+    K rows per type from the state store's compacted output. At real
+    cardinalities the state backend is RocksDB
+    (tests/test_state_store_rocksdb.py pins parity) and the exact count
+    would pair with q_heavy_hitters' sketch path for the long tail."""
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "user_id"
+    )
+    early = events.filter(F.col("ts") < F.lit(SPLIT_TS))
+    late = events.filter(F.col("ts") >= F.lit(SPLIT_TS))
+
+    workdir = tempfile.mkdtemp(prefix="topk_stream_")
+    in_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    counts = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    sink = f"topk_{abs(hash(workdir)) % 10**9}"
+    query = None
+    try:
+        early.coalesce(1).write.mode("append").parquet(in_dir)
+        query = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(in_dir)
+        query.processAllAvailable()
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("n_events").desc(), F.col("user_id")
+        )
+        return (
+            spark.table(sink)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= STREAM_TOPK)
+            .select("event_type", "user_id", "n_events", "rank")
+            .localCheckpoint(eager=True)
         )
     finally:
         if query is not None:

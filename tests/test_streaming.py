@@ -74,3 +74,25 @@ def test_session_stream_sessions_are_closed_subset(spark):
     }
     assert got <= want
     assert len(got) > 0
+
+
+def test_topk_stream_equals_batch_topk(spark):
+    """s_topk_stream's materialized ranks must equal the batch top-k over
+    the same events exactly — exact BIGINT counts + deterministic
+    tie-break make micro-batch slicing invisible."""
+    from pyspark.sql.window import Window
+
+    out = queries()["s_topk_stream"](spark, SF_DIR)
+    events = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("user_id")
+    )
+    expected = (
+        events.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    got = {tuple(map(str, r)) for r in out.collect()}
+    want = {tuple(map(str, r)) for r in expected.collect()}
+    assert got == want and len(got) > 0
