@@ -1403,7 +1403,7 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes (100 TB): candidates come from an inverted-index EQUI-join
     on the shingle — never a document-pair join — with a document-frequency
-    cap (df <= {CONTAIN_DF_CAP}) pruning boilerplate shingles, which bounds
+    cap (df <= CONTAIN_DF_CAP=50) pruning boilerplate shingles, which bounds
     the per-shingle fanout at cap^2 ordered pairs and the total at
     cap * corpus-shingle-rows. Three shuffles total (shingle df, pair
     count, doc sizes), each with map-side partial aggregation; the sizes

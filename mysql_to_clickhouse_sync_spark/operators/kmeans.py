@@ -35,6 +35,8 @@ per subspace is exactly ``q_kmeans`` restricted to a dim slice.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -109,6 +111,51 @@ def _assign(qv: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _unrolled_dist(a: str, b: str) -> Column:
+    """dist_sq as an UNROLLED left-associative expression tree —
+    whole-stage-codegen'd, unlike the HOF fold (codegen-fallback,
+    interpreted per element, ~10us per centroid-distance). Bitwise
+    IDENTICAL to dist_sq: ((t0+t1)+t2)+... is exactly the sequential
+    left fold DuckDB's list_reduce computes."""
+    terms = [
+        (F.col(a).getItem(i) - F.col(b).getItem(i))
+        * (F.col(a).getItem(i) - F.col(b).getItem(i))
+        for i in range(DIM)
+    ]
+    return reduce(lambda x, y: x + y, terms)
+
+
+def _assign_joined(qv: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment for LARGE K: explode the broadcast to K
+    rows, score each (vector, centroid) with the unrolled codegen'd
+    distance, argmin via a min-struct aggregate (map-side combine reduces
+    the shuffle to one row per vector; struct ordering (d, cid) is the
+    same tie-break as _assign's array_min). Same results bitwise as
+    _assign — the packed form's O(K) interpreted lambda per ROW is the
+    only difference, measured ~40x slower at K=200."""
+    d = _unrolled_dist("qv", "cvec")
+    # The argmin aggregates a SKINNY (vec_id, struct(d, cid)) stream —
+    # carrying the vector payload through the n*K-row aggregation forces
+    # the object/sort aggregate path and spills (measured 60 s/iteration
+    # at n=50k, K=200 vs ~5 s skinny); the vectors re-attach afterwards
+    # with one corpus-keyed join.
+    best = (
+        qv.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(d.alias("d"), F.col("cid").alias("cid")).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+    )
+    return qv.join(best, "vec_id").select(
+        "vec_id",
+        "qv",
+        F.col("m.cid").alias("cid"),
+        F.col("m.d").alias("d"),
+    )
+
+
 def seed_centroids(qv: DataFrame, k: int) -> DataFrame:
     """Deterministic (cid, cvec) seeds: the k globally-smallest vec_ids.
     One TakeOrdered(k) reduction — constant-size at any corpus scale.
@@ -123,13 +170,21 @@ def seed_centroids(qv: DataFrame, k: int) -> DataFrame:
     )
 
 
-def kmeans_fit(qv: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
+def kmeans_fit(
+    qv: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    assign=_assign,
+) -> DataFrame:
     """Lloyd's iterations over a (vec_id, qv) frame; returns the final
     K-row (cid, cvec) centroid frame. Exact BIGINT dim-sums -> one double
-    division per mean keeps every centroid bit-identical across engines."""
+    division per mean keeps every centroid bit-identical across engines.
+    ``assign`` picks the assignment kernel: _assign (packed, map-only) for
+    small K, _assign_joined (codegen'd, one extra combine) for large K —
+    bitwise interchangeable."""
     cents = seed_centroids(qv, k)
     for _ in range(iters):
-        assigned = _assign(qv, cents)
+        assigned = assign(qv, cents)
         sums = (
             assigned.select("cid", F.posexplode("qv").alias("dim", "v"))
             .groupBy("cid", "dim")
@@ -156,9 +211,11 @@ def kmeans_fit(qv: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> D
     return cents
 
 
-def _kmeans_cte() -> str:
+def _kmeans_cte(k_expr: str = str(KMEANS_K)) -> str:
     """The q_kmeans centroid chain as reusable SQL CTEs ending in
-    cent_{KMEANS_ITERS}; shared by the q_kmeans and q_ann_ivfpq oracles."""
+    cent_{KMEANS_ITERS}; shared by the q_kmeans and q_ann_ivfpq oracles.
+    ``k_expr`` is the seed-count LIMIT — a literal for the fixed-K
+    queries, a data-proportional subquery for q_semantic_dedup."""
     iters = []
     for i in range(KMEANS_ITERS):
         prev, out = f"cent_{i}", i + 1
@@ -193,7 +250,7 @@ def _kmeans_cte() -> str:
         FROM embeddings
     ), cent_0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cvec
-        FROM qv ORDER BY vec_id LIMIT {KMEANS_K}
+        FROM qv ORDER BY vec_id LIMIT {k_expr}
     )
     {''.join(iters)}
     """
@@ -616,6 +673,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # |q| <= QUANT, so dot^2 * 100 <= 4.6e17 < 2^63), zero floats anywhere.
 SEMDEDUP_NUM_SQ = 9  # eps = 0.30, matching similarity.NEARDUP_THRESHOLD
 SEMDEDUP_DEN_SQ = 100
+# SemDeDup's tractability premise is K proportional to the corpus: with a
+# FIXED K the within-cluster pair count grows quadratically (measured:
+# fixed K=8 at 50k vectors melts, K=n/250 stays linear). Target ~250
+# vectors per cluster, floored at the fixture K so small SFs keep the
+# 8-cluster geometry the rest of the module documents.
+SEMDEDUP_TARGET_CLUSTER = 250
 
 _DOT_SQL = """CAST(list_reduce(list_transform(list_zip({a}, {b}),
       p -> p[1]*p[2]), (x, y) -> x + y) AS BIGINT)"""
@@ -634,8 +697,12 @@ def dot_int(a: Column, b: Column) -> Column:
 
 def _semdedup_oracle() -> str:
     dot = _DOT_SQL.format(a="a.qv", b="b.qv")
+    k_expr = (
+        f"(SELECT greatest({KMEANS_K}, "
+        f"count(*) // {SEMDEDUP_TARGET_CLUSTER}) FROM qv)"
+    )
     return f"""
-    {_kmeans_cte()}
+    {_kmeans_cte(k_expr)}
     , asg AS (
         SELECT vec_id, qv, cid,
                {_DOT_SQL.format(a='qv', b='qv')} AS nn
@@ -676,18 +743,25 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     order can flip a pair.
 
     Scale notes (100 TB): this is the SemDeDup design point — clustering
-    bounds the quadratic term to within-cluster pairs, so with K grown
-    proportionally to the corpus the per-cluster candidate count stays
-    constant while all-pairs would grow quadratically. The join is an
-    EQUI-join on the cluster id (shuffle both sides on cid, quadratic only
-    inside a partition-local cluster); a degenerate giant cluster is the
-    same failure mode as a hot LSH bucket — cap or sub-band it exactly as
+    bounds the quadratic term to within-cluster pairs, and K GROWS WITH
+    THE CORPUS (K = max(KMEANS_K=8, n/TARGET=250), one
+    scalar count — the same driver-side scalar as the reference's bounds
+    query) so the per-cluster candidate count stays ~constant while
+    all-pairs would grow quadratically; the 25x stress measured fixed-K
+    melting and dynamic-K staying linear. The join is an EQUI-join on the
+    cluster id (shuffle both sides on cid, quadratic only inside a
+    partition-local cluster); a degenerate giant cluster is the same
+    failure mode as a hot LSH bucket — cap or sub-band it exactly as
     dedup.py's guarded paths do (q_simhash_guarded, q_lsh_bucket_audit).
-    Assignment is the map-only broadcast argmin of q_kmeans; nothing here
-    re-reads the corpus twice thanks to the k-row centroid checkpoint."""
+    At K beyond ~10^4 the packed one-row centroid broadcast in _assign
+    would flip to an exploded broadcast-join table; the iteration body is
+    unchanged. Nothing here re-reads the corpus twice thanks to the k-row
+    centroid checkpoint."""
     qv = _quantized(spark, sf_dir)
-    cents = kmeans_fit(qv)
-    asg = _assign(qv, cents).select(
+    n = qv.count()  # one scalar agg, like the reference's MIN/MAX bounds
+    k = max(KMEANS_K, n // SEMDEDUP_TARGET_CLUSTER)
+    cents = kmeans_fit(qv, k=k, assign=_assign_joined)
+    asg = _assign_joined(qv, cents).select(
         "vec_id", "qv", "cid", dot_int(F.col("qv"), F.col("qv")).alias("nn")
     )
     a = asg.select(
@@ -702,6 +776,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("b_cid"),
         F.col("nn").alias("nb"),
     )
+    # The HOF fold, NOT an unrolled expression: in the sort-merge pair
+    # plan the projection is not whole-stage-codegen'd, where one array
+    # traversal (fold) measures 10x faster than 128 interpreted getItems
+    # (8.7 s vs 81 s on 6.7M pairs). In the assignment plan the reverse
+    # holds -- see _assign_joined. Values are identical either way.
     dp = dot_int(F.col("a_qv"), F.col("b_qv"))
     dups = (
         a.join(b, (a.cid == b.b_cid) & (b.b_id < a.a_id))

@@ -223,3 +223,23 @@ def test_semantic_dedup_no_cartesian(spark):
 
     plan = q_semantic_dedup(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_assign_kernels_are_bitwise_interchangeable(spark):
+    """_assign (packed HOF, small-K) and _assign_joined (unrolled codegen,
+    large-K) must produce identical (vec_id, cid, d) — the unrolled
+    left-associative sum IS the sequential fold."""
+    from mysql_to_clickhouse_sync_spark.operators.kmeans import (
+        _assign_joined,
+        seed_centroids,
+    )
+
+    qv = _quantized(spark, SF_DIR)
+    cents = seed_centroids(qv, KMEANS_K)
+    packed = {
+        r.vec_id: (r.cid, r.d) for r in _assign(qv, cents).collect()
+    }
+    joined = {
+        r.vec_id: (r.cid, r.d) for r in _assign_joined(qv, cents).collect()
+    }
+    assert packed == joined  # exact double equality, every vector
