@@ -760,8 +760,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _quantized(spark, sf_dir)
     n = qv.count()  # one scalar agg, like the reference's MIN/MAX bounds
     k = max(KMEANS_K, n // SEMDEDUP_TARGET_CLUSTER)
-    cents = kmeans_fit(qv, k=k, assign=_assign_joined)
-    asg = _assign_joined(qv, cents).select(
+    # Kernel by K (bitwise interchangeable, pinned in test_kmeans.py):
+    # packed map-only argmin wins at small K (no per-iteration corpus
+    # join); the exploded codegen kernel wins once K makes the per-row
+    # interpreted HOF scan dominate (measured crossover well under 200).
+    assign = _assign if k <= 32 else _assign_joined
+    cents = kmeans_fit(qv, k=k, assign=assign)
+    asg = assign(qv, cents).select(
         "vec_id", "qv", "cid", dot_int(F.col("qv"), F.col("qv")).alias("nn")
     )
     a = asg.select(
