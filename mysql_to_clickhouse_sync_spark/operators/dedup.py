@@ -181,6 +181,23 @@ _SHINGLES_SQL = f"""
 """
 
 
+def _shingled_cte_prefix(
+    cols: str = "doc_id", source: str = "documents", where: str = ""
+) -> str:
+    """``WITH toks AS (...), shingled AS (...)`` — the ONE oracle-side
+    definition of tokenization + shingling, shared by the minhash,
+    jaccard and containment oracles so they cannot silently diverge
+    (the _simhash_sh_cte pattern applied to the shingle family)."""
+    return f"""
+    WITH toks AS (
+        SELECT {cols},
+               string_split_regex({_NORM_SQL.format(col='text')}, '\\s+') AS tokens
+        FROM {source}{where}
+    ), shingled AS (
+        SELECT {cols}, {_SHINGLES_SQL} AS sh FROM toks
+    )"""
+
+
 # Affine universal-hash family over a Mersenne prime: h_j(x) = (A_j*x + B_j)
 # mod P, with x = md5-hash(shingle) mod P computed ONCE. One md5 per shingle
 # total (not per hash fn) — the standard MinHash construction, and ~8x less
@@ -365,13 +382,8 @@ def _minhash_oracle() -> str:
     )
     sig_list = "[" + ", ".join(f"mh{j}" for j in range(NUM_HASHES)) + "]"
     return f"""
-    WITH toks AS (
-        SELECT doc_id,
-               string_split_regex({_NORM_SQL.format(col='text')}, '\\s+') AS tokens
-        FROM documents
-    ), shingled AS (
-        SELECT doc_id, {_SHINGLES_SQL} AS sh FROM toks
-    ), sig AS (
+    {_shingled_cte_prefix()}
+    , sig AS (
         SELECT doc_id, {mh_exprs}
         FROM shingled
     ), banded AS (
@@ -404,13 +416,8 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "q_ngram_jaccard",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, lang,
-               string_split_regex({_NORM_SQL.format(col='text')}, '\\s+') AS tokens
-        FROM documents WHERE doc_id < {JACCARD_SUBSET}
-    ), shingled AS (
-        SELECT doc_id, lang, {_SHINGLES_SQL} AS sh FROM toks
-    )
+    {_shingled_cte_prefix(cols="doc_id, lang",
+                          where=f" WHERE doc_id < {JACCARD_SUBSET}")}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
@@ -1327,13 +1334,8 @@ CONTAIN_MIN_BP = 8000  # containment >= 0.80, in exact basis points
 
 def _containment_oracle() -> str:
     return f"""
-    WITH toks AS (
-        SELECT doc_id,
-               string_split_regex({_NORM_SQL.format(col='text')}, '\\s+') AS tokens
-        FROM documents
-    ), shingled AS (
-        SELECT doc_id, {_SHINGLES_SQL} AS sh FROM toks
-    ), srows AS (
+    {_shingled_cte_prefix()}
+    , srows AS (
         SELECT doc_id, unnest(sh) AS s FROM shingled
     ), df AS (
         SELECT s, count(*) AS df FROM srows GROUP BY s

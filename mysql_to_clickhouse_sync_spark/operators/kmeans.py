@@ -680,19 +680,22 @@ SEMDEDUP_DEN_SQ = 100
 # 8-cluster geometry the rest of the module documents.
 SEMDEDUP_TARGET_CLUSTER = 250
 
-_DOT_SQL = """CAST(list_reduce(list_transform(list_zip({a}, {b}),
-      p -> p[1]*p[2]), (x, y) -> x + y) AS BIGINT)"""
+# Delegate to the functions/vectors.py engine-parity contract — ONE
+# definition of the bitwise-critical sequential fold in the repo.
+from mysql_to_clickhouse_sync_spark.functions.vectors import (  # noqa: E402
+    DOT_SQL as _VEC_DOT_SQL,
+    dot as _vec_dot,
+)
+
+_DOT_SQL = "CAST(" + _VEC_DOT_SQL + " AS BIGINT)"
 
 
 def dot_int(a: Column, b: Column) -> Column:
     """Exact integer dot product of two quantized-grid vectors: every
     product and partial sum is an integer far below 2^53, so the double
-    fold is exact and the BIGINT cast is lossless in both engines."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ).cast("bigint")
+    fold (functions/vectors.py's contract) is exact and the BIGINT cast
+    is lossless in both engines."""
+    return _vec_dot(a, b).cast("bigint")
 
 
 def _semdedup_oracle() -> str:
@@ -766,8 +769,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted HOF scan dominate (measured crossover well under 200).
     assign = _assign if k <= 32 else _assign_joined
     cents = kmeans_fit(qv, k=k, assign=assign)
-    asg = assign(qv, cents).select(
-        "vec_id", "qv", "cid", dot_int(F.col("qv"), F.col("qv")).alias("nn")
+    # Materialize the assignment ONCE: the frame feeds three consumers
+    # (both pair-join sides and the final left join), and without the
+    # lineage cut the n*K scoring subtree would re-run per consumer.
+    asg = (
+        assign(qv, cents)
+        .select(
+            "vec_id",
+            "qv",
+            "cid",
+            dot_int(F.col("qv"), F.col("qv")).alias("nn"),
+        )
+        .localCheckpoint(eager=True)
     )
     a = asg.select(
         F.col("vec_id").alias("a_id"),

@@ -441,6 +441,7 @@ _TOPK_STREAM_ORACLE = f"""
     WITH counts AS (
         SELECT event_type, user_id, count(*) AS n_events
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY event_type, user_id
     ), ranked AS (
         SELECT event_type, user_id, n_events,
@@ -460,7 +461,7 @@ def s_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming heavy hitters with a FULL oracle: the stream maintains
     exact per-(event_type, user_id) counts in complete mode (the hard,
     stateful part — a ClickHouse SummingMergeTree materialized view), and
-    the top-{STREAM_TOPK} rank is a batch query over the materialized
+    the top-K (K=3) rank is a batch query over the materialized
     state (how a dashboard reads the view). Counts are exact BIGINTs, so
     micro-batch slicing is invisible and the final top-k — deterministic
     tie-break (n DESC, user_id) — hash-matches the batch oracle, the
@@ -473,8 +474,14 @@ def s_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinalities the state backend is RocksDB
     (tests/test_state_store_rocksdb.py pins parity) and the exact count
     would pair with q_heavy_hitters' sketch path for the long tail."""
-    events = load_table(spark, sf_dir, "events").select(
-        "ts", "event_type", "user_id"
+    # ts is nullable in the schema; a NULL ts would fall through BOTH
+    # slice filters and silently miss the stream while the oracle counted
+    # it. Pin the contract: NULL-ts events are out of scope on both sides
+    # (the oracle states the same WHERE).
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "event_type", "user_id")
+        .filter(F.col("ts").isNotNull())
     )
     early = events.filter(F.col("ts") < F.lit(SPLIT_TS))
     late = events.filter(F.col("ts") >= F.lit(SPLIT_TS))
@@ -519,4 +526,5 @@ def s_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if query is not None:
             query.stop()
+        spark.catalog.dropTempView(sink)  # the checkpointed frame survives
         shutil.rmtree(workdir, ignore_errors=True)
