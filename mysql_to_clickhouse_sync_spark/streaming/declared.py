@@ -133,6 +133,7 @@ _TUMBLING_STREAM_ORACLE = """
            count(*) AS n_events,
            CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
     FROM events_us
+    WHERE ts IS NOT NULL
     GROUP BY window_start, event_type
 """
 
@@ -144,8 +145,12 @@ def s_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events replayed as a 2-micro-batch file stream, windowed aggregation in
     complete mode — the final state must equal the batch aggregation exactly
     (decimal sums make the accumulation order irrelevant)."""
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", "value"
+    # Same NULL-ts contract pin as s_topk_stream: nullable ts would slip
+    # both slice filters while the oracle grouped it into a NULL window.
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .filter(F.col("ts").isNotNull())
     )
     early = events.filter(F.col("ts") < F.lit(SPLIT_TS))
     late = events.filter(F.col("ts") >= F.lit(SPLIT_TS))
