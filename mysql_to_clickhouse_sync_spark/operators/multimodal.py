@@ -1027,3 +1027,112 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("payload").cast("bigint").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+# --- Audio feature extraction (decode -> features, the second half of the
+# --- media pipeline the decode queries start) --------------------------------
+
+AUDIO_WINDOW = 32  # samples per analysis window
+
+_WAV_RATE_SQL = "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END"
+
+
+def _audio_features_oracle() -> str:
+    """Closed-form twin: re-derives every sample from the synthesis law
+    s_i = ((seed + 37*i) % 65536) - 32768 and aggregates the SAME windowed
+    features in SQL — a decoder that mis-reads endianness, width, or frame
+    count cannot reproduce the window sums."""
+    return f"""
+    WITH geom AS (
+        SELECT doc_id,
+               50 + doc_id % 211 AS n_samples,
+               doc_id % 60000 AS seed
+        FROM documents
+    ), samp AS (
+        SELECT doc_id, seed,
+               unnest(generate_series(0, n_samples - 1)) AS i
+        FROM geom
+    ), vals AS (
+        SELECT doc_id, i, i // {AUDIO_WINDOW} AS w,
+               ((seed + 37 * i) % 65536) - 32768 AS s
+        FROM samp
+    ), laged AS (
+        SELECT doc_id, w, s,
+               lead(s) OVER (PARTITION BY doc_id, w ORDER BY i) AS s_next
+        FROM vals
+    )
+    SELECT doc_id AS media_id, w AS window_idx,
+           CAST(count(*) AS BIGINT) AS n_in_window,
+           CAST(SUM(ABS(s)) AS BIGINT) AS l1_energy,
+           CAST(SUM(CASE WHEN s_next IS NOT NULL
+                     AND ((s < 0) != (s_next < 0)) THEN 1 ELSE 0 END)
+               AS BIGINT) AS zero_crossings
+    FROM laged
+    GROUP BY doc_id, w
+    """
+
+
+@declare("q_audio_features", oracle=_audio_features_oracle(), tier="P2")
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION through the real codec: encode each doc's
+    deterministic 16-bit PCM WAV, decode the actual bytes with the stdlib
+    wave parser, then compute windowed L1 energy and zero-crossing counts
+    from the DECODED samples (window = 32 samples, window-local crossings)
+    — the audio analog of q_image_dhash_dedup's decode->feature step. The
+    oracle recomputes the features from the synthesis law, never touching
+    the bytes, so the whole decode+feature path is hash-checked.
+
+    Scale notes (100 TB of audio): one mapInPandas pass, no shuffle at
+    all — features are emitted per (media, window) straight out of the
+    Arrow batch (the aggregation is intra-row over the decoded array);
+    partition sizing is bytes-of-media driven (maxPartitionBytes), and
+    the emitted feature rows are ~24 bytes each regardless of media size.
+    A real corpus would read payloads from object storage with the same
+    kernel signature."""
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ensure_package_shipped(spark)
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("window_idx", LongType(), False),
+            StructField("n_in_window", LongType(), False),
+            StructField("l1_energy", LongType(), False),
+            StructField("zero_crossings", LongType(), False),
+        ]
+    )
+
+    def feature_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            rows: dict[str, list] = {k.name: [] for k in out_schema.fields}
+            for doc_id in batch["doc_id"]:
+                doc_id = int(doc_id)
+                payload = encode_wav(*wav_geometry(doc_id))
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    n = w.getnframes()
+                    data = np.frombuffer(
+                        w.readframes(n), dtype="<i2"
+                    ).astype(np.int64)
+                for wi in range(0, (n + AUDIO_WINDOW - 1) // AUDIO_WINDOW):
+                    win = data[wi * AUDIO_WINDOW : (wi + 1) * AUDIO_WINDOW]
+                    neg = win < 0
+                    rows["media_id"].append(doc_id)
+                    rows["window_idx"].append(wi)
+                    rows["n_in_window"].append(len(win))
+                    rows["l1_energy"].append(int(np.abs(win).sum()))
+                    rows["zero_crossings"].append(
+                        int((neg[:-1] != neg[1:]).sum())
+                    )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(feature_batches, schema=out_schema)

@@ -268,3 +268,32 @@ def test_bmp_roundtrip_and_malformed_payloads():
     bad_bpp = bytearray(payload)
     bad_bpp[28] = 8
     assert decode_bmp(bytes(bad_bpp)) == (None, None, None)
+
+
+def test_audio_features_match_numpy_recompute(spark):
+    """q_audio_features recomputed independently in numpy from the
+    synthesis law for a sample of docs: window partition is total and
+    ordered, L1/zero-crossing sums exact."""
+    import numpy as np
+
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        AUDIO_WINDOW,
+        q_audio_features,
+        wav_geometry,
+    )
+
+    out = {}
+    for r in q_audio_features(spark, SF_DIR).collect():
+        out.setdefault(r.media_id, {})[r.window_idx] = r
+    assert out, "no feature rows"
+    for doc_id in list(out)[:25]:
+        _, n, seed = wav_geometry(doc_id)
+        s = ((seed + 37 * np.arange(n, dtype=np.int64)) % 65536) - 32768
+        wins = out[doc_id]
+        assert sorted(wins) == list(range((n + AUDIO_WINDOW - 1) // AUDIO_WINDOW))
+        assert sum(w.n_in_window for w in wins.values()) == n
+        for wi, row in wins.items():
+            win = s[wi * AUDIO_WINDOW : (wi + 1) * AUDIO_WINDOW]
+            neg = win < 0
+            assert row.l1_energy == int(np.abs(win).sum())
+            assert row.zero_crossings == int((neg[:-1] != neg[1:]).sum())
