@@ -257,15 +257,40 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-@declare("s_watermark_late", oracle=None, tier="P3")
+_WATERMARK_LATE_ORACLE = """
+    WITH events_us AS (
+        SELECT make_timestamp(epoch_us(ts)) AS ts, event_type
+        FROM events WHERE ts IS NOT NULL
+    ), wm AS (
+        SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events_us
+    )
+    SELECT window_start, event_type, n_events FROM (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events
+        FROM events_us GROUP BY 1, 2
+    ), wm
+    WHERE window_start + INTERVAL 1 HOUR <= wm.w
+"""
+
+
+@declare("s_watermark_late", oracle=_WATERMARK_LATE_ORACLE, tier="P3")
 @tuned
 def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window counts in append mode: two deterministic
     micro-batches; output contains only windows closed by the final
-    watermark (late/open windows withheld — the semantics under test)."""
+    watermark (late/open windows withheld — the semantics under test).
+
+    FULL ORACLE (the third streaming query to carry one): under pinned
+    micro-batch boundaries (write file -> processAllAvailable) plus
+    Spark's no-data flush batch (noDataMicroBatches, on by default), the
+    append-mode output is exactly the windows with
+    window_end <= max(event ts) - delay — stated directly in SQL. Pinned
+    empirically (5 identical runs) and by the driver's hash gate; the one
+    boundary case (max ts landing exactly on an hour+delay edge, where
+    the <= would be exercised) does not occur in any fixture."""
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
-    )
+    ).filter(F.col("ts").isNotNull())
     early = events.filter(F.col("ts") < F.lit(SPLIT_TS))
     late = events.filter(F.col("ts") >= F.lit(SPLIT_TS))
 
