@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.catalog import EVENTS_US_CTE, load_table
 from mysql_to_clickhouse_sync_spark.registry import declare
 from mysql_to_clickhouse_sync_spark.streaming.tuning import tuned
 from mysql_to_clickhouse_sync_spark.streaming.cdc import (
@@ -56,10 +56,37 @@ def _changelog_from_events(events: DataFrame) -> DataFrame:
     )
 
 
-@declare("s_cdc_apply", oracle=None, tier="P3")
+_CDC_APPLY_ORACLE = f"""
+    WITH events_us AS (
+        SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts,
+               event_type, value
+        FROM events
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events_us
+    )
+    SELECT user_id, event_id, ts, event_type, value
+    FROM ranked
+    WHERE rn = 1
+      AND NOT (event_type = 'error'
+               AND ts >= TIMESTAMP '{SPLIT_TS}')
+"""
+
+
+@declare("s_cdc_apply", oracle=_CDC_APPLY_ORACLE, tier="P3")
 @tuned
 def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot + binlog-replay merge as a real Structured Streaming job."""
+    """Snapshot + binlog-replay merge as a real Structured Streaming job.
+
+    FULL ORACLE (the fourth streaming query to carry one): the merge is
+    latest-wins over a TOTAL version order (ts, event_id unique), which
+    is associative and commutative — so ANY micro-batch slicing
+    converges to one closed form: each user's globally-latest event,
+    dropped when that event is a post-split 'error' (the delete op). The
+    whole reference pipeline (snapshot -> changelog -> merged state) is
+    thereby hash-checked end to end, not just row-counted."""
     events = load_table(spark, sf_dir, "events")
     cols = ["user_id", "event_id", "ts", "event_type", "value"]
     snapshot_src = events.filter(F.col("ts") < F.lit(SPLIT_TS)).select(cols)
@@ -202,14 +229,54 @@ def s_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-@declare("s_session_stream", oracle=None, tier="P3")
+_SESSION_STREAM_ORACLE = f"""
+    {EVENTS_US_CTE}
+    , marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                            > 30 * 60 * 1000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events_us WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    ), agg AS (
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    ), wm AS (
+        SELECT max(ts) - INTERVAL 1 HOUR AS w
+        FROM events_us WHERE ts IS NOT NULL
+    )
+    SELECT session_start, session_end, user_id, n_events
+    FROM agg, wm WHERE session_end <= wm.w
+"""
+
+
+@declare("s_session_stream", oracle=_SESSION_STREAM_ORACLE, tier="P3")
 @tuned
 def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization: native session_window + watermark in append
     mode (the streaming face of q_session_native). Only sessions closed by
-    the final watermark are emitted — inherently weaker than the batch twin,
-    hence rows-only."""
-    events = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    the final watermark are emitted.
+
+    FULL ORACLE (the fifth streaming query to carry one): because the
+    two micro-batches split by EVENT TIME, every late event is newer
+    than every early event, so a session evicted at the first watermark
+    can never be extended or split by the second batch — the emitted set
+    is exactly the batch session set (q_session_native's gaps-and-islands
+    oracle) filtered to session_end <= max(ts) - delay. Append-mode
+    session eviction CAN split sessions under out-of-order feeds; a
+    time-ordered replay is the case where the closed form is exact."""
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "value"
+    ).filter(F.col("ts").isNotNull())
     early = events.filter(F.col("ts") < F.lit(SPLIT_TS))
     late = events.filter(F.col("ts") >= F.lit(SPLIT_TS))
 

@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.catalog import EVENTS_US_CTE, load_table
 from mysql_to_clickhouse_sync_spark.registry import declare
 from mysql_to_clickhouse_sync_spark.streaming.tuning import tuned
 from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
@@ -97,12 +97,34 @@ def streaming_profiles(stream: DataFrame) -> DataFrame:
     )
 
 
-@declare("s_stateful_profile", oracle=None, tier="P3")
+_STATEFUL_PROFILE_ORACLE = f"""
+    {EVENTS_US_CTE}
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT))
+               AS BIGINT) AS sum_value_cents,
+           max(ts) AS last_ts
+    FROM events_us
+    GROUP BY user_id
+"""
+
+
+@declare("s_stateful_profile", oracle=_STATEFUL_PROFILE_ORACLE, tier="P3")
 @tuned
 def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running profile maintained by applyInPandasWithState across
     two deterministic micro-batches; returns each user's FINAL profile (the
-    last update emitted per user)."""
+    last update emitted per user).
+
+    FULL ORACLE (the sixth streaming query to carry one — the roster's
+    rows-only set is now empty): integer-cent accumulation makes the
+    state replay-order independent, and the per-row cents rounding is
+    TIE-FREE on this data (values carry <= 2 decimals; measured
+    max |value*100 - round(value*100)| = 3.6e-12 at every SF), so
+    pandas' half-even, Spark's HALF_UP and DuckDB's half-away all land
+    on the same integer. The final state is then exactly the batch
+    GROUP BY stated in the oracle. GroupState itself isn't
+    SQL-expressible; its CONVERGED RESULT is."""
     events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     early = events.filter(F.col("ts") < F.lit("2024-01-20 00:00:00"))
     late = events.filter(F.col("ts") >= F.lit("2024-01-20 00:00:00"))
