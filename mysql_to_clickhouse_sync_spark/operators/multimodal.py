@@ -1136,3 +1136,94 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(feature_batches, schema=out_schema)
+
+
+# --- Video motion curve (decode -> temporal feature) ------------------------
+
+def _video_motion_oracle() -> str:
+    """Closed-form twin over the synthesis law
+    pixel_f(i) = (seed + 7*f + 31*i) % 256 — enumerates every pixel of
+    every consecutive frame pair in SQL, never touching the bytes."""
+    return """
+    WITH geom AS (
+        SELECT doc_id,
+               8 + doc_id % 9 AS w,
+               6 + doc_id % 5 AS h,
+               3 + doc_id % 6 AS nf,
+               doc_id % 251 AS seed
+        FROM documents WHERE doc_id % 3 = 2
+    ), px AS (
+        SELECT doc_id, seed, nf,
+               unnest(generate_series(0, 3 * w * h - 1)) AS i
+        FROM geom
+    ), fr AS (
+        SELECT doc_id, seed, i,
+               unnest(generate_series(1, nf - 1)) AS f
+        FROM px
+    )
+    SELECT doc_id AS media_id, f AS frame_idx,
+           CAST(SUM(abs(((seed + 7 * f + 31 * i) % 256)
+                        - ((seed + 7 * (f - 1) + 31 * i) % 256)))
+               AS BIGINT) AS l1_delta
+    FROM fr
+    GROUP BY doc_id, f
+    """
+
+
+@declare("q_video_motion", oracle=_video_motion_oracle(), tier="P2")
+def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video MOTION CURVE through the real codec: decode every video
+    document's actual AVI bytes (RIFF walk, stride-stripped raster), then
+    emit the inter-frame L1 pixel delta per consecutive frame pair — the
+    shot-boundary-detection primitive, and the temporal complement to
+    q_frame_sample's per-frame checksums (the video analog of
+    q_audio_features). The oracle enumerates every pixel of every frame
+    pair from the synthesis law, so a decoder that mis-walks frames,
+    mis-strides rows, or includes padding bytes cannot hash-match.
+
+    Scale notes (100 TB of video): one mapInPandas pass, ZERO shuffle —
+    deltas are computed frame-to-frame inside each media row's decoded
+    payload, and the emitted curve is ~20 bytes per frame pair
+    regardless of resolution. Payload-bytes-driven partition sizing, as
+    with every media kernel here."""
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ensure_package_shipped(spark)
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", LongType(), False),
+            StructField("l1_delta", LongType(), False),
+        ]
+    )
+
+    def motion_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            rows: dict[str, list] = {k.name: [] for k in out_schema.fields}
+            for doc_id in batch["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 3 != 2:  # video rows only
+                    continue
+                payload = encode_avi(*avi_geometry(doc_id))
+                prev = None
+                for idx, frame in avi_frames(payload, every_n=1):
+                    cur = np.frombuffer(frame, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    if prev is not None:
+                        rows["media_id"].append(doc_id)
+                        rows["frame_idx"].append(idx)
+                        rows["l1_delta"].append(
+                            int(np.abs(cur - prev).sum())
+                        )
+                    prev = cur
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(motion_batches, schema=out_schema)

@@ -297,3 +297,27 @@ def test_audio_features_match_numpy_recompute(spark):
             neg = win < 0
             assert row.l1_energy == int(np.abs(win).sum())
             assert row.zero_crossings == int((neg[:-1] != neg[1:]).sum())
+
+
+def test_video_motion_matches_numpy_recompute(spark):
+    """q_video_motion recomputed from the synthesis law: every consecutive
+    frame pair present, L1 deltas exact, non-video docs absent."""
+    import numpy as np
+
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        avi_geometry,
+        q_video_motion,
+    )
+
+    out = {}
+    for r in q_video_motion(spark, SF_DIR).collect():
+        out.setdefault(r.media_id, {})[r.frame_idx] = r.l1_delta
+    assert out and all(d % 3 == 2 for d in out)
+    for doc_id in list(out)[:20]:
+        w, h, nf, seed = avi_geometry(doc_id)
+        i = np.arange(3 * w * h, dtype=np.int64)
+        assert sorted(out[doc_id]) == list(range(1, nf))
+        for f in range(1, nf):
+            cur = (seed + 7 * f + 31 * i) % 256
+            prev = (seed + 7 * (f - 1) + 31 * i) % 256
+            assert out[doc_id][f] == int(np.abs(cur - prev).sum())
