@@ -359,7 +359,11 @@ def minhash_lsh_candidates(
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_cand_cte(where: str = "", cols: str = "doc_id") -> str:
+    """The MinHash-LSH candidate chain (sig -> banded -> bands -> cand)
+    as CTEs appended to _shingled_cte_prefix — the ONE SQL statement of
+    the banding scheme, shared by the q_minhash_dedup and q_dedup_recall
+    oracles."""
     rows_per_band = NUM_HASHES // NUM_BANDS
     base = f"({_md5_hash64_sql('s')} % {MINHASH_P})"
     mh_exprs = ",\n               ".join(
@@ -382,7 +386,7 @@ def _minhash_oracle() -> str:
     )
     sig_list = "[" + ", ".join(f"mh{j}" for j in range(NUM_HASHES)) + "]"
     return f"""
-    {_shingled_cte_prefix()}
+    {_shingled_cte_prefix(cols=cols, where=where)}
     , sig AS (
         SELECT doc_id, {mh_exprs}
         FROM shingled
@@ -396,7 +400,12 @@ def _minhash_oracle() -> str:
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.bucket = b.bucket
          AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    {_minhash_cand_cte()}
     SELECT doc_a, doc_b,
            CAST(list_sum(list_transform(list_zip(sa.siglist, sb.siglist),
                     p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
@@ -1413,3 +1422,83 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cap prunes nothing at test scale — the planted-boilerplate unit
     test (tests/test_containment.py) is what exercises it."""
     return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+
+# --- MinHash-LSH recall audit (the dedup stack audits itself) ---------------
+
+TRUE_JACCARD = 0.5  # ground-truth near-dup bar for the recall audit
+RECALL_SUBSET = 500  # covers every planted dup at the driver\'s sf0.01
+
+
+def _dedup_recall_oracle() -> str:
+    jac = """CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"""
+    return f"""
+    {_minhash_cand_cte(where=f" WHERE doc_id < {RECALL_SUBSET}",
+                       cols="doc_id, lang")}
+    , truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
+        FROM shingled a JOIN shingled b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE {jac} >= {TRUE_JACCARD}
+    )
+    SELECT t.doc_a, t.doc_b, t.jaccard,
+           c.doc_a IS NOT NULL AS candidate
+    FROM truth t LEFT JOIN cand c
+      ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    """
+
+
+@declare("q_dedup_recall", oracle=_dedup_recall_oracle(), tier="P1")
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup stack audits itself — q_ann_recall's honesty loop applied
+    to MinHash-LSH: every ground-truth near-dup pair (same-lang Jaccard >=
+    0.5 on the bounded subset) is marked with whether the banded LSH
+    candidate generator surfaced it. Both the truth side and the candidate
+    side run under ONE oracle, so the published recall is itself
+    hash-verified. The Jaccard threshold test is a division of identical
+    integers — bitwise engine-portable.
+
+    Scale notes: the truth side is the deliberately bounded ground-truth
+    twin (doc_id < RECALL_SUBSET=500, sized to cover every planted\n    dup at the driver's correctness SF); the candidate
+    side is the production banded equi-join restricted to the same
+    subset (banding is per-document, so subset candidates equal
+    full-corpus candidates filtered to the subset). Production recall
+    audits sample exactly like this."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < RECALL_SUBSET)
+    sh = bounded.select(
+        "doc_id", "lang", word_shingles(F.col("text")).alias("sh")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        F.col("sh").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    )
+    truth = (
+        a.join(b, (a.lang == b.lang_b) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= TRUE_JACCARD)
+    )
+    cands = minhash_lsh_candidates(bounded).select(
+        "doc_a", "doc_b", F.lit(True).alias("cand_hit")
+    )
+    return (
+        truth.join(cands, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.coalesce("cand_hit", F.lit(False)).alias("candidate"),
+        )
+    )
