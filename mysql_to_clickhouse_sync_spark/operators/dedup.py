@@ -1502,3 +1502,53 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cand_hit", F.lit(False)).alias("candidate"),
         )
     )
+
+
+def _dedup_precision_oracle() -> str:
+    jac = """CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"""
+    return f"""
+    {_minhash_cand_cte(where=f" WHERE doc_id < {RECALL_SUBSET}",
+                       cols="doc_id, lang")}
+    SELECT c.doc_a, c.doc_b, {jac} AS jaccard,
+           {jac} >= {TRUE_JACCARD} AS is_true_dup
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    """
+
+
+@declare("q_dedup_precision", oracle=_dedup_precision_oracle(), tier="P1")
+def q_dedup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The precision complement to q_dedup_recall: every LSH candidate
+    pair on the bounded subset is re-scored with its TRUE Jaccard and
+    marked against the ground-truth bar — what fraction of the banded
+    join's output is real (the cost side of the band dial, where recall
+    is the benefit side). Same single-oracle construction: candidates
+    and their true scores are hash-verified together.
+
+    Scale notes: exact re-scoring of candidates is the production
+    post-filter every LSH pipeline runs (dedup.py's banded paths all
+    do); this query is that stage with the verdict column kept."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounded = docs.filter(F.col("doc_id") < RECALL_SUBSET)
+    sh = bounded.select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")
+    )
+    cands = minhash_lsh_candidates(bounded).select("doc_a", "doc_b")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jac.alias("jaccard"),
+            (jac >= TRUE_JACCARD).alias("is_true_dup"),
+        )
+    )
