@@ -1428,7 +1428,7 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash-LSH recall audit (the dedup stack audits itself) ---------------
 
 TRUE_JACCARD = 0.5  # ground-truth near-dup bar for the recall audit
-RECALL_SUBSET = 500  # covers every planted dup at the driver\'s sf0.01
+RECALL_SUBSET = 500  # covers every planted dup at the driver's sf0.01
 
 
 def _dedup_recall_oracle() -> str:
@@ -1461,7 +1461,8 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers — bitwise engine-portable.
 
     Scale notes: the truth side is the deliberately bounded ground-truth
-    twin (doc_id < RECALL_SUBSET=500, sized to cover every planted\n    dup at the driver's correctness SF); the candidate
+    twin (doc_id < RECALL_SUBSET=500, sized to cover every planted
+    dup at the driver's correctness SF); the candidate
     side is the production banded equi-join restricted to the same
     subset (banding is per-document, so subset candidates equal
     full-corpus candidates filtered to the subset). Production recall

@@ -1034,8 +1034,6 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AUDIO_WINDOW = 32  # samples per analysis window
 
-_WAV_RATE_SQL = "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END"
-
 
 def _audio_features_oracle() -> str:
     """Closed-form twin: re-derives every sample from the synthesis law

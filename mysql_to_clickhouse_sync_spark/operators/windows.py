@@ -98,7 +98,7 @@ def q_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {EVENTS_US_CTE}
     , marked AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
                          OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
                     THEN 1 ELSE 0 END AS is_new
@@ -106,7 +106,7 @@ def q_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts, value,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM marked
     )

@@ -57,15 +57,13 @@ def _changelog_from_events(events: DataFrame) -> DataFrame:
 
 
 _CDC_APPLY_ORACLE = f"""
-    WITH events_us AS (
-        SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts,
-               event_type, value
-        FROM events
-    ), ranked AS (
-        SELECT *, row_number() OVER (
+    {EVENTS_US_CTE}
+    , ranked AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (
                    PARTITION BY user_id
                    ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events_us
+        FROM events_us WHERE ts IS NOT NULL
     )
     SELECT user_id, event_id, ts, event_type, value
     FROM ranked
@@ -87,7 +85,11 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped when that event is a post-split 'error' (the delete op). The
     whole reference pipeline (snapshot -> changelog -> merged state) is
     thereby hash-checked end to end, not just row-counted."""
-    events = load_table(spark, sf_dir, "events")
+    # NULL-ts contract pin (same as the sibling streams): a NULL ts
+    # would slip both slice filters while the oracle ranked it.
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     cols = ["user_id", "event_id", "ts", "event_type", "value"]
     snapshot_src = events.filter(F.col("ts") < F.lit(SPLIT_TS)).select(cols)
     # The snapshot state: latest row per user at the split point (what the
@@ -232,7 +234,7 @@ def s_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_STREAM_ORACLE = f"""
     {EVENTS_US_CTE}
     , marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
                          OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
                             > 30 * 60 * 1000
@@ -241,7 +243,7 @@ _SESSION_STREAM_ORACLE = f"""
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM marked
     ), agg AS (
@@ -251,7 +253,9 @@ _SESSION_STREAM_ORACLE = f"""
                CAST(count(*) AS BIGINT) AS n_events
         FROM sessions GROUP BY user_id, session_id
     ), wm AS (
-        SELECT max(ts) - INTERVAL 1 HOUR AS w
+        -- ms-floored like Spark's EventTimeStats (see _WATERMARK_LATE_ORACLE)
+        SELECT make_timestamp(epoch_ms(max(ts)) * 1000)
+               - INTERVAL 1 HOUR AS w
         FROM events_us WHERE ts IS NOT NULL
     )
     SELECT session_start, session_end, user_id, n_events
@@ -324,17 +328,20 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-_WATERMARK_LATE_ORACLE = """
-    WITH events_us AS (
-        SELECT make_timestamp(epoch_us(ts)) AS ts, event_type
-        FROM events WHERE ts IS NOT NULL
-    ), wm AS (
-        SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events_us
+# The watermark mirrors Spark exactly: EventTimeStats tracks max event
+# time FLOORED TO MILLISECONDS, so the oracle floors too before
+# subtracting the delay (make_timestamp(epoch_ms(..)*1000)).
+_WATERMARK_LATE_ORACLE = f"""
+    {EVENTS_US_CTE}
+    , wm AS (
+        SELECT make_timestamp(epoch_ms(max(ts)) * 1000)
+               - INTERVAL 1 HOUR AS w
+        FROM events_us WHERE ts IS NOT NULL
     )
     SELECT window_start, event_type, n_events FROM (
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events
-        FROM events_us GROUP BY 1, 2
+        FROM events_us WHERE ts IS NOT NULL GROUP BY 1, 2
     ), wm
     WHERE window_start + INTERVAL 1 HOUR <= wm.w
 """

@@ -105,6 +105,7 @@ _STATEFUL_PROFILE_ORACLE = f"""
                AS BIGINT) AS sum_value_cents,
            max(ts) AS last_ts
     FROM events_us
+    WHERE ts IS NOT NULL
     GROUP BY user_id
 """
 
@@ -125,7 +126,12 @@ def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the same integer. The final state is then exactly the batch
     GROUP BY stated in the oracle. GroupState itself isn't
     SQL-expressible; its CONVERGED RESULT is."""
-    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # NULL-ts contract pin, as in every sibling stream.
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .filter(F.col("ts").isNotNull())
+    )
     early = events.filter(F.col("ts") < F.lit("2024-01-20 00:00:00"))
     late = events.filter(F.col("ts") >= F.lit("2024-01-20 00:00:00"))
 
