@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.functions.lsh_guard import cap_buckets
 from mysql_to_clickhouse_sync_spark.registry import declare
 
 KMEANS_K = 8
@@ -698,8 +699,24 @@ def dot_int(a: Column, b: Column) -> Column:
     return _vec_dot(a, b).cast("bigint")
 
 
-def _semdedup_oracle() -> str:
-    dot = _DOT_SQL.format(a="a.qv", b="b.qv")
+# The guard cap for the DECLARED guarded variant: the mean cluster size
+# n // K. Data-proportional (like K itself), so it tracks any corpus; on
+# the fixtures it BITES (several clusters sit above the mean at every SF),
+# so the exclusion semantics are actually exercised by the oracle compare —
+# the same bites-on-the-fixture rationale as dedup.GUARD_CAP. Production
+# dials this to a multiple of SEMDEDUP_TARGET_CLUSTER (e.g. 10x) so only
+# genuinely degenerate clusters — dense near-identical blobs, exactly the
+# regions SemDeDup exists to clean — are routed to the audit table.
+_SEMDEDUP_CAP_SQL = (
+    f"(SELECT count(*) // greatest({KMEANS_K}, "
+    f"count(*) // {SEMDEDUP_TARGET_CLUSTER}) FROM qv)"
+)
+
+
+def _semdedup_cte() -> str:
+    """Kmeans chain + dynamic-K assignment, ending in ``asg (vec_id, qv,
+    cid, nn)`` — the SQL twin of _semdedup_assignment, shared by all three
+    SemDeDup oracles."""
     k_expr = (
         f"(SELECT greatest({KMEANS_K}, "
         f"count(*) // {SEMDEDUP_TARGET_CLUSTER}) FROM qv)"
@@ -716,16 +733,29 @@ def _semdedup_oracle() -> str:
                        ORDER BY {_DIST_SQL.format(a='v.qv', b='c.cvec')},
                                 c.cid) AS rn
             FROM qv v CROSS JOIN cent_{KMEANS_ITERS} c) WHERE rn = 1
-    ), cand AS (
+    )"""
+
+
+def _semdedup_pair_sql(src: str) -> str:
+    """cand + dups CTE text over pair source ``src`` (asg or kept): the
+    min-earlier-near-neighbor per vector, pure BIGINT threshold."""
+    dot = _DOT_SQL.format(a="a.qv", b="b.qv")
+    return f"""cand AS (
         SELECT a.vec_id AS v, b.vec_id AS w, a.nn AS na, b.nn AS nb,
                {dot} AS dp
-        FROM asg a JOIN asg b ON b.cid = a.cid AND b.vec_id < a.vec_id
+        FROM {src} a JOIN {src} b ON b.cid = a.cid AND b.vec_id < a.vec_id
     ), dups AS (
         SELECT v, MIN(w) AS dup_of FROM cand
         WHERE dp > 0
           AND dp * dp * {SEMDEDUP_DEN_SQ} >= {SEMDEDUP_NUM_SQ} * na * nb
         GROUP BY v
-    )
+    )"""
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    {_semdedup_cte()}
+    , {_semdedup_pair_sql('asg')}
     SELECT q.vec_id, q.cid AS cluster_id,
            d.dup_of IS NOT NULL AS is_dup, d.dup_of
     FROM asg q LEFT JOIN dups d ON d.v = q.vec_id
@@ -760,6 +790,27 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     would flip to an exploded broadcast-join table; the iteration body is
     unchanged. Nothing here re-reads the corpus twice thanks to the k-row
     centroid checkpoint."""
+    asg, _n, _k = _semdedup_assignment(spark, sf_dir)
+    dups = _semdedup_dups(asg)
+    return (
+        asg.join(dups, asg.vec_id == dups.a_id, "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
+def _semdedup_assignment(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int, int]:
+    """Shared SemDeDup front half: dynamic-K k-means assignment as a
+    checkpointed ``(vec_id, qv, cid, nn)`` frame, plus (n, k). The
+    checkpoint matters — the frame feeds three consumers (both pair-join
+    sides and the final left join), and without the lineage cut the n*K
+    scoring subtree would re-run per consumer."""
     qv = _quantized(spark, sf_dir)
     n = qv.count()  # one scalar agg, like the reference's MIN/MAX bounds
     k = max(KMEANS_K, n // SEMDEDUP_TARGET_CLUSTER)
@@ -769,9 +820,6 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted HOF scan dominate (measured crossover well under 200).
     assign = _assign if k <= 32 else _assign_joined
     cents = kmeans_fit(qv, k=k, assign=assign)
-    # Materialize the assignment ONCE: the frame feeds three consumers
-    # (both pair-join sides and the final left join), and without the
-    # lineage cut the n*K scoring subtree would re-run per consumer.
     asg = (
         assign(qv, cents)
         .select(
@@ -782,13 +830,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    a = asg.select(
+    return asg, n, k
+
+
+def _semdedup_dups(src: DataFrame) -> DataFrame:
+    """Within-cluster pair join over ``src`` (full or guard-capped
+    assignment) -> one (a_id, dup_of) row per duplicate: the MIN earlier
+    same-cluster vector with cosine >= 0.30 on the integer grid."""
+    a = src.select(
         F.col("vec_id").alias("a_id"),
         F.col("qv").alias("a_qv"),
         "cid",
         F.col("nn").alias("na"),
     )
-    b = asg.select(
+    b = src.select(
         F.col("vec_id").alias("b_id"),
         F.col("qv").alias("b_qv"),
         F.col("cid").alias("b_cid"),
@@ -800,7 +855,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (8.7 s vs 81 s on 6.7M pairs). In the assignment plan the reverse
     # holds -- see _assign_joined. Values are identical either way.
     dp = dot_int(F.col("a_qv"), F.col("b_qv"))
-    dups = (
+    return (
         a.join(b, (a.cid == b.b_cid) & (b.b_id < a.a_id))
         .select("a_id", "b_id", "na", "nb", dp.alias("dp"))
         .filter(
@@ -813,12 +868,88 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a_id")
         .agg(F.min("b_id").alias("dup_of"))
     )
+
+
+def _semdedup_guarded_oracle() -> str:
+    return f"""
+    {_semdedup_cte()}
+    , sized AS (
+        SELECT cid, count(*) AS cluster_n FROM asg GROUP BY cid
+    ), kept AS (
+        SELECT a.* FROM asg a JOIN sized s USING (cid)
+        WHERE s.cluster_n <= {_SEMDEDUP_CAP_SQL}
+    ), {_semdedup_pair_sql('kept')}
+    SELECT q.vec_id, q.cid AS cluster_id,
+           d.dup_of IS NOT NULL AS is_dup, d.dup_of,
+           s.cluster_n > {_SEMDEDUP_CAP_SQL} AS cluster_capped
+    FROM asg q
+    JOIN sized s USING (cid)
+    LEFT JOIN dups d ON d.v = q.vec_id
+    """
+
+
+@declare("q_semantic_guarded", oracle=_semdedup_guarded_oracle(), tier="P2")
+def q_semantic_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_semantic_dedup with the degenerate-cluster guard ARMED — the same
+    lsh_guard.cap_buckets treatment every banded candidate path already
+    has, closing SemDeDup's one quadratic escape hatch: dynamic K bounds
+    the AVERAGE cluster at ~SEMDEDUP_TARGET_CLUSTER vectors, but a hot
+    cluster of near-identical embeddings (precisely the corpus region
+    SemDeDup exists to clean) collapses into one cell and goes quadratic
+    with no cap. Clusters above the cap (mean cluster size n//K — bites on
+    the fixture so the exclusion is oracle-exercised; production dials to
+    ~10x the target size) are excluded from the pair join and flagged
+    ``cluster_capped`` per vector, so the pipeline degrades explicitly —
+    capped clusters route to exact dedup (one hash shuffle collapses a
+    near-identical blob) instead of melting the pair join. The oracle
+    re-implements the identical exclusion relationally, so the guard's
+    SEMANTICS — not just its existence — are hash-verified cross-engine.
+
+    Scale notes (100 TB): the guard costs one map-side-combinable count
+    per cid and a broadcast anti-join against the <= K-row oversize set —
+    strictly cheaper than a single hot cluster's self-join. Worst-case
+    pair work is now sum(min(n_c, cap)^2) <= n*cap, linear in the corpus
+    for fixed cap. Stress: tools/hot_cluster_stress.py plants a
+    near-identical blob 40x the mean cluster size and measures guarded vs
+    unguarded candidate counts and wall time."""
+    asg, n, k = _semdedup_assignment(spark, sf_dir)
+    kept, dropped = cap_buckets(asg, ["cid"], n // k)
+    dups = _semdedup_dups(kept)
+    capped = dropped.select("cid", F.lit(True).alias("cluster_capped"))
     return (
-        asg.join(dups, asg.vec_id == dups.a_id, "left")
+        asg.join(F.broadcast(capped), "cid", "left")
+        .join(dups, asg.vec_id == dups.a_id, "left")
         .select(
             "vec_id",
             F.col("cid").alias("cluster_id"),
             F.col("dup_of").isNotNull().alias("is_dup"),
             "dup_of",
+            F.coalesce("cluster_capped", F.lit(False)).alias(
+                "cluster_capped"
+            ),
         )
+    )
+
+
+@declare(
+    "q_semantic_cluster_audit",
+    oracle=f"""
+    {_semdedup_cte()}
+    SELECT cid AS cluster_id, count(*) AS cluster_n
+    FROM asg GROUP BY cid
+    HAVING count(*) > {_SEMDEDUP_CAP_SQL}
+    """,
+    tier="P2",
+)
+def q_semantic_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dropped-cluster accounting for q_semantic_guarded: one row per
+    capped cluster with its size — q_lsh_bucket_audit's role for the
+    SemDeDup guard. At 100 TB this table is what routes degenerate
+    near-identical blobs to exact dedup instead of silently losing them
+    (or silently melting on them)."""
+    asg, n, k = _semdedup_assignment(spark, sf_dir)
+    _, dropped = cap_buckets(asg.select("vec_id", "cid"), ["cid"], n // k)
+    return dropped.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("bucket_n").alias("cluster_n"),
     )

@@ -243,3 +243,84 @@ def test_assign_kernels_are_bitwise_interchangeable(spark):
         r.vec_id: (r.cid, r.d) for r in _assign_joined(qv, cents).collect()
     }
     assert packed == joined  # exact double equality, every vector
+
+
+def _plant_hot_corpus(spark, out_dir: str, n_blob: int = 300, n_bg: int = 100):
+    """Synthesize an embeddings fixture with a degenerate semantic blob:
+    ``n_blob`` near-identical vectors (pairwise cosine ~1.0) plus ``n_bg``
+    spread background vectors. With dynamic K the blob collapses into one
+    cluster far above the guard cap — exactly the SemDeDup failure mode."""
+    import math
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    rows = []
+    for i in range(n_blob):
+        # near-identical: tiny per-vector jitter on one dimension
+        v = [0.5] * 64
+        v[i % 64] += 1e-3 * (1 + i % 5)
+        rows.append((i, [float(x) for x in v], 0))
+    for i in range(n_bg):
+        # spread: deterministic pseudo-random directions, far from the blob
+        v = [math.sin(0.7 * i + 1.3 * d) for d in range(64)]
+        rows.append((10_000 + i, [float(x) for x in v], 1))
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/embeddings.parquet")
+
+
+def test_semantic_guard_caps_planted_hot_cluster(spark, tmp_path):
+    """The guard must neutralize a planted near-identical blob: the blob's
+    cluster lands in the audit table, its vectors are flagged
+    cluster_capped with no dup evaluation, and the remaining pair join is
+    bounded by n*cap instead of blob^2."""
+    from mysql_to_clickhouse_sync_spark.operators.kmeans import (
+        KMEANS_K,
+        q_semantic_cluster_audit,
+        q_semantic_guarded,
+    )
+
+    _plant_hot_corpus(spark, str(tmp_path))
+    n = 400
+    cap = n // KMEANS_K  # 50: dynamic K floors at 8 for this corpus size
+
+    audit = q_semantic_cluster_audit(spark, str(tmp_path)).collect()
+    assert audit, "planted blob must trip the guard"
+    # the blob cluster (>= 300 members) is among the capped clusters
+    assert max(r.cluster_n for r in audit) >= 300
+    assert all(r.cluster_n > cap for r in audit)
+
+    out = q_semantic_guarded(spark, str(tmp_path)).collect()
+    assert len(out) == n  # total partition: capped vectors still present
+    capped_rows = [r for r in out if r.cluster_capped]
+    assert len(capped_rows) >= 300
+    # capped clusters are excluded from dup evaluation — explicit recall
+    # trade, never silent work
+    assert all(not r.is_dup and r.dup_of is None for r in capped_rows)
+    # the blob (vec_id < 300) is overwhelmingly inside capped clusters
+    blob_capped = sum(1 for r in capped_rows if r.vec_id < 300)
+    assert blob_capped >= 300
+
+    # guarded pair work is bounded: sum over KEPT clusters of n_c^2
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+    capped_cids = {r.cluster_id for r in audit}
+    kept_pairs = sum(
+        s * (s - 1) // 2 for c, s in sizes.items() if c not in capped_cids
+    )
+    assert kept_pairs <= n * cap  # linear bound, vs ~45k pairs unguarded
