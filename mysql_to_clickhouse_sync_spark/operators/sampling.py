@@ -226,7 +226,7 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH weighted AS (
         SELECT doc_id, source, n_chars,
-               (CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4) + 1
+               (TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4) + 1
                    AS weight
         FROM documents
     ), wsum AS (
@@ -281,8 +281,18 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "n_chars",
+        # try_cast on BOTH engines (ADVICE r3): a digitless source makes
+        # regexp_extract return '', which ANSI-mode Spark CAST and DuckDB
+        # CAST both throw on — try_cast degrades it to NULL weight / NULL
+        # budget / zero keeps identically (pinned in test_robust_sampling).
         (
-            (F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4) + 1
+            (
+                F.expr(
+                    "try_cast(regexp_extract(source, '(\\\\d+)', 1) AS int)"
+                )
+                % 4
+            )
+            + 1
         ).alias("weight"),
     )
     wsum = (
@@ -309,7 +319,12 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("weight").alias("weight"),
         F.any_value("src_budget").cast("bigint").alias("src_budget"),
         F.count("*").alias("n_docs"),
-        F.sum(kept.cast("bigint")).alias("n_kept"),
+        # when/otherwise, not a bare boolean cast: a NULL-budget source
+        # makes `kept` NULL per row, and sum over all-NULL is NULL while
+        # the oracle's CASE yields 0 — the otherwise(0) matches the CASE.
+        F.sum(F.when(kept, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_kept"),
         F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
         .cast("bigint")
         .alias("chars_kept"),

@@ -70,3 +70,47 @@ def test_balanced_sample_equal_quota_per_lang(spark):
         r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
     )
     assert q == min_cnt
+
+
+def test_domain_mixture_digitless_source_yields_null_weight(spark, tmp_path):
+    """ADVICE r3: a source with NO digits must produce NULL weight on BOTH
+    engines — Spark's int cast returns NULL, and the oracle's TRY_CAST
+    (not CAST, which DuckDB errors on for '') matches it — so the admission
+    math degrades to NULL src_budget / zero keeps instead of crashing or
+    diverging."""
+    import duckdb
+
+    from mysql_to_clickhouse_sync_spark.operators.sampling import (
+        q_domain_mixture,
+    )
+    from mysql_to_clickhouse_sync_spark.registry import REGISTRY
+
+    rows = [
+        (1, "src1", 100),
+        (2, "src1", 50),
+        (3, "webcrawl", 80),  # digitless: weight must be NULL, not a crash
+        (4, "src2", 60),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars int"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        r.source: r for r in q_domain_mixture(spark, str(tmp_path)).collect()
+    }
+    assert out["webcrawl"].weight is None
+    assert out["webcrawl"].src_budget is None
+    assert out["webcrawl"].n_kept == 0  # c <= NULL admits nothing
+    assert out["src1"].weight == 2 and out["src2"].weight == 3
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: r for r in con.sql(REGISTRY["q_domain_mixture"].oracle).fetchall()
+    }
+    assert oracle["webcrawl"][1] is None  # weight
+    assert oracle["webcrawl"][4] == 0  # n_kept
+    assert oracle["src1"][1] == 2 and oracle["src2"][1] == 3

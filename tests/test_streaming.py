@@ -96,3 +96,55 @@ def test_topk_stream_equals_batch_topk(spark):
     got = {tuple(map(str, r)) for r in out.collect()}
     want = {tuple(map(str, r)) for r in expected.collect()}
     assert got == want and len(got) > 0
+
+
+def test_watermark_boundary_event_pins_lte_convention(spark, tmp_path):
+    """ADVICE r3: the s_watermark_late / s_session_stream closed-form
+    oracles emit windows with window_end <= floor_ms(max ts) - delay; the
+    fixtures never land max ts exactly on a window_end + delay edge, so
+    the <= (vs <) choice was unverified. Plant that event: max ts
+    11:00:00.000 with a 1 h delay puts the watermark at exactly 10:00:00 —
+    the [9:00,10:00) window's end. Spark's append-mode eviction DOES emit
+    it (observed: StateStoreSave evicts window_end <= watermark), so <=
+    is the verified convention, not an assumption."""
+    import datetime
+    import os
+
+    t = datetime.datetime
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    b1 = spark.createDataFrame(
+        [(1, t(2024, 1, 1, 9, 10), "a", 1.0), (2, t(2024, 1, 1, 9, 50), "a", 1.0)],
+        schema,
+    )
+    # the boundary event: exactly window_end (10:00) + delay (1 h)
+    b2 = spark.createDataFrame([(3, t(2024, 1, 1, 11, 0, 0), "a", 1.0)], schema)
+    agg = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("ws"), "event_type", "n")
+    )
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_boundary")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(in_dir)
+        query.processAllAvailable()
+        rows = spark.table("wm_boundary").collect()
+    finally:
+        query.stop()
+    # window_end == watermark -> EMITTED (the <= side); 11:00 stays open
+    assert sorted((r.ws, r.event_type, r.n) for r in rows) == [
+        (t(2024, 1, 1, 9, 0), "a", 2)
+    ]
