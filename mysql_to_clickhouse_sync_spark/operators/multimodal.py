@@ -16,10 +16,14 @@ RIFF chunk walker (container validation, per-frame stride handling,
 declared-vs-actual frame-count check); `avi_frames` extracts sampled
 raw frames for frame_sample. `q_image_decode` / `q_audio_decode` /
 `q_video_decode` prove all three round trips against closed-form
-oracles that never see the bytes. COMPRESSED formats (JPEG/MP3/H.264)
-still need PIL/ffmpeg, which are not in this container — a compressed
-codec drops into the same decode slot; the Spark-side plumbing (schema,
-batch iteration, partitioning, UDF signatures) is format-agnostic.
+oracles that never see the bytes. COMPRESSED image — `encode_png` /
+`decode_png` is a real ENTROPY-CODED codec (stdlib zlib DEFLATE + the
+full five-filter scanline reconstruction, CRC-verified chunk walk),
+proven by `q_png_decode` and dispatched from decode_media by signature
+sniff. Other compressed formats (JPEG/MP3/H.264) still need PIL/ffmpeg,
+which are not in this container — each drops into the same decode slot;
+the Spark-side plumbing (schema, batch iteration, partitioning, UDF
+signatures) is format-agnostic.
 
 The fixtures carry no binary table, so `media_table` synthesizes one
 deterministically from `documents` (text bytes as payload, media_type cycled
@@ -107,7 +111,12 @@ def decode_media(media: DataFrame) -> DataFrame:
             for t, p in zip(batch["media_type"], batch["payload"]):
                 n = len(p) if p is not None else None
                 if t == "image":
-                    w, h, _ = decode_bmp(p)
+                    # Format sniff by magic bytes: compressed PNG and
+                    # uncompressed BMP share the image slot.
+                    if p is not None and p[:8] == _PNG_SIG:
+                        w, h, _, _ = decode_png(p)
+                    else:
+                        w, h, _ = decode_bmp(p)
                     decoded.append((n, w, h, None))
                 elif t == "audio":
                     sr, ns, _ = decode_wav(p)
@@ -311,6 +320,265 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "width", "height", "n_bytes", "pix_sum"],
+            )
+
+    return encoded.mapInPandas(decode_batches, schema=decoded_schema)
+
+
+# --- Real COMPRESSED image codec: PNG, pure stdlib zlib + numpy ------------
+#
+# The one unproven link in round 3 was decode under an ENTROPY-CODED
+# format (BMP/WAV/DIB are all uncompressed). PNG needs only stdlib zlib
+# for the DEFLATE stream; the scanline filter pipeline (None/Sub/Up/
+# Average/Paeth prediction, byte arithmetic mod 256) is implemented here
+# for real, and the encoder deliberately CYCLES filter types per row so
+# every corpus exercises all five reconstruction paths.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_BPP = 3  # 8-bit RGB, color type 2
+
+
+def png_geometry(doc_id: int) -> tuple[int, int, int]:
+    """Deterministic (width, height, pixel seed) for the synthetic PNG
+    corpus — the closed form the oracle re-derives independently."""
+    return 5 + doc_id % 11, 3 + doc_id % 6, doc_id % 251
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a, b, c):
+    """Vectorized Paeth predictor (PNG spec §9.4): nearest of left/up/
+    upper-left to p = a + b - c, ties broken left, up, upper-left."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(width: int, height: int, seed: int) -> bytes:
+    """A VALID 8-bit RGB PNG whose raster byte i is (seed + 31*i) % 256 —
+    the same pixel law as encode_bmp, now under DEFLATE. Row r is
+    filtered with type (r + seed) % 5, so None/Sub/Up/Average/Paeth all
+    occur; CRCs are real; one IDAT chunk."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    bpp = _PNG_BPP
+    pix = (
+        ((seed + 31 * np.arange(bpp * width * height, dtype=np.int64)) % 256)
+        .reshape(height, bpp * width)
+    )
+    raw = bytearray()
+    prev = np.zeros(bpp * width, dtype=np.int64)
+    for r in range(height):
+        cur = pix[r]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+        ft = (r + seed) % 5
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prev
+        elif ft == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            filt = cur - _paeth_vec(left, prev, ul)
+        raw.append(ft)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes | None):
+    """Parse an 8-bit RGB PNG for real: signature, chunk walk with CRC32
+    verification, IHDR validation, IDAT concatenation, zlib inflate, and
+    per-scanline UNFILTERING (all five filter types, byte math mod 256
+    against already-reconstructed neighbors). Returns (width, height,
+    n_filter_kinds, pix_sum); malformed payloads return NULLs (the
+    quarantine pattern, not an abort). n_filter_kinds = distinct filter
+    bytes seen — a decoder that skips the filter column can't report it."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    bad = (None, None, None, None)
+    if payload is None or len(payload) < 8 or payload[:8] != _PNG_SIG:
+        return bad
+    width = height = None
+    idat = bytearray()
+    saw_iend = False
+    pos, end = 8, len(payload)
+    try:
+        while pos + 8 <= end:
+            (length,) = struct.unpack_from(">I", payload, pos)
+            typ = payload[pos + 4 : pos + 8]
+            if pos + 12 + length > end:
+                return bad
+            data = payload[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                return bad
+            if typ == b"IHDR":
+                width, height, depth, ctype, comp, filt, inter = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+                if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                    return bad
+            elif typ == b"IDAT":
+                idat.extend(data)
+            elif typ == b"IEND":
+                saw_iend = True
+                break
+            pos += 12 + length
+        if not width or not height or not idat or not saw_iend:
+            return bad
+        raw = zlib.decompress(bytes(idat))
+    except Exception:
+        return bad
+    bpp = _PNG_BPP
+    rowlen = bpp * width
+    if len(raw) != height * (rowlen + 1):
+        return bad
+    prev = [0] * rowlen
+    total = 0
+    kinds = set()
+    for r in range(height):
+        row = raw[r * (rowlen + 1) : (r + 1) * (rowlen + 1)]
+        ft, filt = row[0], row[1:]
+        if ft > 4:
+            return bad
+        kinds.add(ft)
+        cur = [0] * rowlen
+        for i in range(rowlen):
+            a = cur[i - bpp] if i >= bpp else 0  # left (reconstructed)
+            b = prev[i]  # up
+            c = prev[i - bpp] if i >= bpp else 0  # upper-left
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            cur[i] = (filt[i] + pred) % 256
+        total += int(np.sum(cur, dtype=np.int64))
+        prev = cur
+    return (width, height, len(kinds), total)
+
+
+@declare(
+    "q_png_decode",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id AS media_id,
+               5 + doc_id % 11 AS width,
+               3 + doc_id % 6 AS height,
+               doc_id % 251 AS seed
+        FROM documents
+    )
+    SELECT media_id, width, height,
+           CAST(least(height, 5) AS INTEGER) AS n_filter_kinds,
+           CAST(list_sum(list_transform(
+                    generate_series(0, 3 * width * height - 1),
+                    i -> (seed + 31 * i) % 256)) AS BIGINT) AS pix_sum
+    FROM geo
+    """,
+    tier="P1",
+)
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, end to end: synthesize a valid PNG
+    per document (Arrow-batched), then recover the pixels through the
+    full inflate-and-unfilter pipeline inside mapInPandas. The oracle
+    never sees the bytes: it recomputes width/height/pixel checksum from
+    the closed-form law, plus the distinct-filter count least(height, 5)
+    — the encoder cycles filter type (r + seed) % 5 per row, so a decoder
+    that mishandles ANY of None/Sub/Up/Average/Paeth (or skips the filter
+    column, or inflates wrongly) cannot hash-match. This closes round 3's
+    'no entropy-coded format proven' gap with zero new dependencies
+    (stdlib zlib). File size is NOT closed-form under DEFLATE — by
+    design; the checksum columns are the portable shadow of the bytes."""
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ensure_package_shipped(spark)
+
+    def encode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            payloads = [
+                encode_png(*png_geometry(int(d))) for d in batch["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": batch["doc_id"].values, "payload": payloads}
+            )
+
+    encoded_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+    encoded = docs.mapInPandas(encode_batches, schema=encoded_schema)
+
+    decoded_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("n_filter_kinds", IntegerType(), True),
+            StructField("pix_sum", LongType(), True),
+        ]
+    )
+
+    def decode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                w, h, k, s = decode_png(payload)
+                rows.append((mid, w, h, k, s))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_filter_kinds",
+                    "pix_sum",
+                ],
             )
 
     return encoded.mapInPandas(decode_batches, schema=decoded_schema)
@@ -600,7 +868,11 @@ def real_media_table(docs: DataFrame) -> DataFrame:
                 d = int(d)
                 t = MEDIA_TYPES[d % 3]
                 if t == "image":
-                    p = encode_bmp(*bmp_geometry(d))
+                    # Alternate BMP / PNG (same geometry law) so the
+                    # decode_media signature sniff is exercised on every
+                    # corpus — compressed and uncompressed side by side.
+                    enc = encode_bmp if (d // 3) % 2 == 0 else encode_png
+                    p = enc(*bmp_geometry(d))
                 elif t == "audio":
                     p = encode_wav(*wav_geometry(d))
                 else:
