@@ -140,3 +140,81 @@ def test_batch_slicing_invisible_in_state(spark, tmp_path):
     sink_b.apply(events.filter(F.col("event_id") % 3 == 1), 1)
     sink_b.apply(events.filter(F.col("event_id") % 3 == 2), 2)
     assert _readout_rows(sink_a) == _readout_rows(sink_b)
+
+
+def test_torn_generation_without_manifest_is_garbage(spark, tmp_path):
+    """Crash window A (VERDICT r3 #4): die AFTER the state parquet lands
+    but BEFORE the _APPLIED manifest is written. The torn generation must
+    be invisible to readers (pointer still old), and redelivery must
+    overwrite the garbage dir and converge exactly once."""
+    import os
+
+    events = _events(spark)
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    state = str(tmp_path / "state")
+    sink = StateSink(spark, state)
+    sink.apply(half1, 0)
+    after_b0 = _readout_rows(sink)
+
+    # construct the exact aftermath: data written, no manifest, no flip
+    from mysql_to_clickhouse_sync_spark.streaming.matview import (
+        _partial_states,
+        merge_states,
+    )
+
+    cur = spark.read.parquet(os.path.join(state, "gen-0-0", "data"))
+    merged = merge_states(cur, _partial_states(half2))
+    torn = os.path.join(state, "gen-1-1")
+    merged.write.mode("overwrite").parquet(os.path.join(torn, "data"))
+    assert not os.path.exists(os.path.join(torn, "_APPLIED"))
+
+    # reader: still the committed batch-0 state, torn gen invisible
+    sink_r = StateSink(spark, state)
+    assert _readout_rows(sink_r) == after_b0
+    # redelivery overwrites the garbage and commits exactly once
+    sink_r.apply(half2, 1)
+    clean = StateSink(spark, str(tmp_path / "clean"))
+    clean.apply(half1, 0)
+    clean.apply(half2, 1)
+    assert _readout_rows(sink_r) == _readout_rows(clean)
+
+
+def test_complete_unpublished_generation_is_not_believed(spark, tmp_path):
+    """Crash window B: die AFTER the new generation is complete (data AND
+    manifest listing the batch) but BEFORE the pointer flip. The manifest
+    in the unpublished generation MUST NOT make redelivery skip the batch
+    — only the pointed-to generation's manifest counts; a sink that
+    globbed manifests would drop the batch here (loss, the dual of the
+    double-count)."""
+    import os
+
+    events = _events(spark)
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    state = str(tmp_path / "state")
+    sink = StateSink(spark, state)
+    sink.apply(half1, 0)
+
+    from mysql_to_clickhouse_sync_spark.streaming.matview import (
+        _partial_states,
+        merge_states,
+    )
+
+    cur = spark.read.parquet(os.path.join(state, "gen-0-0", "data"))
+    merged = merge_states(cur, _partial_states(half2))
+    unpub = os.path.join(state, "gen-1-1")
+    merged.write.mode("overwrite").parquet(os.path.join(unpub, "data"))
+    with open(os.path.join(unpub, "_APPLIED"), "w") as fh:
+        fh.write("0\n1\n")
+    # pointer untouched: batch 1 is NOT committed
+
+    sink_r = StateSink(spark, state)
+    sink_r.apply(half2, 1)  # must merge (from the OLD state), not skip
+    clean = StateSink(spark, str(tmp_path / "clean"))
+    clean.apply(half1, 0)
+    clean.apply(half2, 1)
+    assert _readout_rows(sink_r) == _readout_rows(clean)
+    # and a further redelivery after the real commit is a no-op
+    sink_r.apply(half2, 1)
+    assert _readout_rows(sink_r) == _readout_rows(clean)
