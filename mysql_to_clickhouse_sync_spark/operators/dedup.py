@@ -36,6 +36,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mysql_to_clickhouse_sync_spark.catalog import EVENTS_US_CTE, load_table
+from mysql_to_clickhouse_sync_spark.functions.lsh_guard import (
+    DEFAULT_MAX_BUCKET,
+)
 from mysql_to_clickhouse_sync_spark.registry import declare
 
 NUM_HASHES = 8
@@ -563,7 +566,7 @@ def simhash_banded_pairs(
     sh: DataFrame,
     max_hamming: int = SIMHASH_MAX_HAMMING,
     bits: int = SIMHASH_BITS,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs from a (doc_id, lang, simhash) table via pigeonhole
     banding — the 100 TB plan. Candidates come from an EQUI-join on
@@ -573,7 +576,15 @@ def simhash_banded_pairs(
     Candidates are deduped, re-joined to the fingerprints, and exact-hamming
     re-scored. Recall is exact (see SIMHASH_CHUNKS note), so the result set
     is identical to the all-pairs join — which stays only as the bounded
-    ground-truth twin q_simhash_exact."""
+    ground-truth twin q_simhash_exact.
+
+    The guard DEFAULTS ON (max_bucket=DEFAULT_MAX_BUCKET) as of round 4:
+    the (lang, chunk, value) keys concentrate under language skew, and the
+    measured 25x 90%-en corpus melted unguarded (52k-doc hot cell, 186M
+    candidates, 317 s) while cap=500 held 939k candidates / 3.9 s — see
+    tools/lang_skew_stress.py and PLANS.md. The oracle-exact declared
+    queries pass max_bucket=None explicitly (the fixture's buckets are all
+    tiny, so their uncapped oracles stay the honest contract)."""
     chunks = max_hamming + 1
     chunk_cols = [
         F.shiftright(F.col("simhash"), start).bitwiseAND(
@@ -630,7 +641,10 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle hash-matches while the plan stays bucket-bounded at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     sh = simhash_table(docs, extra_cols=("lang",)).cache()
-    return simhash_banded_pairs(sh)
+    # max_bucket=None: this query's oracle states the UNCAPPED result;
+    # the guarded default is the library path (q_simhash_guarded pins the
+    # capped semantics under its own oracle).
+    return simhash_banded_pairs(sh, max_bucket=None)
 
 
 def _simhash_exact_oracle() -> str:
@@ -1027,7 +1041,9 @@ def q_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text")
     )
     sh = simhash_table(reps, extra_cols=("lang",)).cache()
-    pairs = simhash_banded_pairs(sh).join(
+    # max_bucket=None: the oracle states the uncapped stage-2 result (and
+    # stage 1 has already collapsed the replica mass that melts buckets).
+    pairs = simhash_banded_pairs(sh, max_bucket=None).join(
         sh.select(F.col("doc_id").alias("doc_a"), "lang"), "doc_a"
     )
     pair_docs = pairs.select("lang", F.col("doc_a").alias("d")).union(

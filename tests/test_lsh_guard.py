@@ -71,7 +71,7 @@ def test_minhash_guard_drops_planted_bucket(spark):
 def test_simhash_guard_drops_planted_bucket(spark):
     docs = _docs(spark)
     sh = simhash_table(docs, extra_cols=("lang",)).cache()
-    unguarded = simhash_banded_pairs(sh).count()
+    unguarded = simhash_banded_pairs(sh, max_bucket=None).count()
     guarded = simhash_banded_pairs(sh, max_bucket=CAP).count()
     assert unguarded >= PLANTED * (PLANTED - 1) // 2
     assert guarded <= PLANTED
@@ -110,3 +110,18 @@ def test_zero_vectors_excluded_not_crash(spark):
     emb = spark.createDataFrame(rows)
     got = banded_neardup_pairs(emb, threshold=-2.0).collect()
     assert {(r.vec_a, r.vec_b) for r in got} == {(100, 101)}
+
+
+def test_simhash_guard_default_is_armed():
+    """Round-4 pin (lang-skew stress): the library default for the simhash
+    banded path is the ARMED guard — the measured 90%-one-language corpus
+    melts uncapped (52k-doc hot cell, 186M candidates) while cap=500 keeps
+    the join bounded. Oracle-exact declared queries opt out explicitly."""
+    import inspect
+
+    from mysql_to_clickhouse_sync_spark.functions.lsh_guard import (
+        DEFAULT_MAX_BUCKET,
+    )
+
+    sig = inspect.signature(simhash_banded_pairs)
+    assert sig.parameters["max_bucket"].default == DEFAULT_MAX_BUCKET
