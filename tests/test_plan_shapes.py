@@ -143,3 +143,26 @@ def test_token_budget_one_exchange_serves_window_and_agg(spark):
     p = _plan(spark, "q_token_budget_sample")
     assert p.count("Exchange (") == 1, p
     assert p.count("Window (") == 1, p
+
+
+def test_semantic_guarded_equi_join_and_broadcast_guard(spark):
+    # q_semantic_guarded: the within-cluster pair join stays an equi-join
+    # on cid (never cartesian), and the guard's two joins — the anti-join
+    # against the oversize-cluster set and the capped-flag attach — are
+    # BROADCAST (the set is <= K rows by construction).
+    p = _plan(spark, "q_semantic_guarded")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "LeftAnti" in p
+
+
+def test_kmeans_pp_no_cartesian_and_broadcast_assignment(spark):
+    # q_kmeans_pp: the seeding pipeline runs eagerly (localCheckpointed
+    # constant-size frames), so the returned plan is just the assignment —
+    # which must be the same 1-row packed-centroid broadcast as q_kmeans
+    # (BroadcastNestedLoopJoin against ONE row is the packed kernel, not a
+    # pair enumeration), never a shuffled cartesian.
+    p = _plan(spark, "q_kmeans_pp")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert _plan(spark, "q_kmeans").count("Join") == p.count("Join")
