@@ -1569,3 +1569,68 @@ def q_dedup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             (jac >= TRUE_JACCARD).alias("is_true_dup"),
         )
     )
+
+
+def _editdist_oracle() -> str:
+    # DuckDB's levenshtein counts BYTES where Spark counts CHARS, so the
+    # distance runs on the [a-z0-9 ] normalization (bytes == chars there)
+    # — the same canonical form the exact-dedup fingerprint uses.
+    norm = "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')"
+    return f"""
+    {_minhash_cand_cte()}
+    , norm AS (
+        SELECT doc_id, {norm} AS t FROM documents
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+           CAST((greatest(len(a.t), len(b.t), 1)
+                 - levenshtein(a.t, b.t)) * 10000
+                // greatest(len(a.t), len(b.t), 1) AS BIGINT) AS sim_bp
+    FROM cand c
+    JOIN norm a ON a.doc_id = c.doc_a
+    JOIN norm b ON b.doc_id = c.doc_b
+    """
+
+
+@declare("q_editdist_rescore", oracle=_editdist_oracle(), tier="P1")
+def q_editdist_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance re-scoring of the MinHash-LSH candidates — the
+    third exact post-filter lens after true-Jaccard (q_dedup_precision)
+    and hamming (q_simhash_dedup's re-score): per candidate pair, the
+    Levenshtein distance over canonical [a-z0-9 ] text plus a relative
+    similarity in integer basis points, (max_len - dist) * 10000 //
+    max_len — all-integer so the threshold crossing is engine-exact.
+    Distance runs on the ASCII normalization because DuckDB's levenshtein
+    counts bytes while Spark's counts characters; on that alphabet they
+    are the same function (pinned in tests/test_dedup_modules.py).
+
+    Scale notes (100 TB): Levenshtein is O(len_a * len_b) PER PAIR — it
+    can only ever run as a candidate post-filter, never a generator; here
+    it touches exactly the banded join's output (guard-bounded at scale),
+    joined to one skinny (doc_id, norm_text) projection. This is the
+    production shape of fuzzy-dedup verification (candidates from LSH,
+    verdicts from the exact measure)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "").alias("t"),
+    )
+    cands = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    a = norm.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = norm.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    dist = F.levenshtein("ta", "tb")
+    mx = F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("bigint").alias("edit_dist"),
+            F.expr(
+                "CAST((greatest(length(ta), length(tb), 1)"
+                " - levenshtein(ta, tb)) * 10000"
+                " div greatest(length(ta), length(tb), 1) AS BIGINT)"
+            ).alias("sim_bp"),
+        )
+    )

@@ -107,3 +107,29 @@ def test_band_length_dial_is_monotone(spark):
     }
     assert long <= short
     assert len(long) < len(short)  # the dial actually bites on this data
+
+
+def test_editdist_normalization_pins_engine_portability(spark):
+    """Why q_editdist_rescore normalizes to [a-z0-9 ] before measuring:
+    DuckDB's levenshtein counts BYTES, Spark's counts CHARACTERS — they
+    genuinely diverge on multibyte text, and agree exactly once the
+    ASCII normalization removes the multibyte alphabet."""
+    import duckdb
+
+    raw_duck = duckdb.sql(
+        "SELECT levenshtein('héllo', 'hello')"
+    ).fetchone()[0]
+    raw_spark = spark.sql(
+        "SELECT levenshtein('héllo', 'hello')"
+    ).collect()[0][0]
+    assert raw_duck == 2 and raw_spark == 1  # the divergence is real
+
+    norm = "regexp_replace(lower('héllo'), '[^a-z0-9 ]', '')"
+    duck_norm = duckdb.sql(
+        f"SELECT levenshtein(regexp_replace(lower('héllo'),"
+        f" '[^a-z0-9 ]', '', 'g'), 'hello')"
+    ).fetchone()[0]
+    spark_norm = spark.sql(
+        f"SELECT levenshtein({norm}, 'hello')"
+    ).collect()[0][0]
+    assert duck_norm == spark_norm == 1  # hllo vs hello, both engines
