@@ -39,6 +39,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.functions.lsh_guard import (
+    DEFAULT_MAX_BUCKET,
+)
 from mysql_to_clickhouse_sync_spark.registry import declare
 
 TOPK_SUBSET = 1500  # vec_id bound for the brute-force pair queries
@@ -184,7 +187,7 @@ def banded_neardup_pairs(
     threshold: float = NEARDUP_THRESHOLD,
     n_bands: int = NEARDUP_BANDS,
     band_bits: int = NEARDUP_BAND_BITS,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Parameterized banded sign-LSH near-dup: the (n_bands, band_bits)
     pair IS the recall/cost dial. Longer bands (more bits) require more
@@ -200,7 +203,14 @@ def banded_neardup_pairs(
     Zero-norm vectors are excluded up front: their cosine is undefined
     (ANSI division by zero at rescore time), they can never legitimately
     cross a similarity threshold, and at scale they all collapse into one
-    degenerate bucket — route them to exact dedup instead."""
+    degenerate bucket — route them to exact dedup instead.
+
+    The bucket guard DEFAULTS ON as of round 4: the (label, band, bucket)
+    key carries the 10-ary label, and the measured 25x 90%-one-label
+    corpus put 1.04B analytic pairs in the uncapped join — enough that
+    the distinct-shuffle SPILL FILLED THE DISK before any timing could
+    finish — vs 13.4k candidates / 9.4 s at cap 500 (PLANS.md round-4
+    table). Oracle-exact declared queries opt out with max_bucket=None."""
     emb = with_norm(emb).filter(F.col("norm") > 0)
     banded = emb.select(
         "vec_id",
@@ -325,7 +335,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical semantics as the OR-of-bands theta join — results must match
     pair for pair (the exact fold-based cosine is bitwise engine-identical).
     """
-    return banded_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+    # max_bucket=None: the oracle states the UNCAPPED result (fixture
+    # cells are tiny); the armed default is the library path.
+    return banded_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), max_bucket=None
+    )
 
 
 def cosine_pandas_pairs(pairs: DataFrame) -> DataFrame:

@@ -94,7 +94,7 @@ def test_embedding_guard_drops_degenerate_bucket(spark):
     emb = spark.createDataFrame(planted + normal)
     # threshold=-2 so the candidate enumeration itself (the melt the guard
     # stops) is visible in the counts, not masked by the score filter
-    unguarded = banded_neardup_pairs(emb, threshold=-2.0).count()
+    unguarded = banded_neardup_pairs(emb, threshold=-2.0, max_bucket=None).count()
     guarded = banded_neardup_pairs(emb, threshold=-2.0, max_bucket=CAP).count()
     assert unguarded >= PLANTED * (PLANTED - 1) // 2
     assert guarded <= PLANTED
@@ -124,4 +124,19 @@ def test_simhash_guard_default_is_armed():
     )
 
     sig = inspect.signature(simhash_banded_pairs)
+    assert sig.parameters["max_bucket"].default == DEFAULT_MAX_BUCKET
+
+
+def test_embedding_guard_default_is_armed():
+    """Round-4 pin (label-skew stress): the embedding sign-LSH band key
+    carries the low-cardinality label, and the 25x 90%-one-label corpus
+    put 1.04B pairs in the uncapped join (disk-filling spill); the
+    library default is therefore the ARMED guard, like simhash."""
+    import inspect
+
+    from mysql_to_clickhouse_sync_spark.functions.lsh_guard import (
+        DEFAULT_MAX_BUCKET,
+    )
+
+    sig = inspect.signature(banded_neardup_pairs)
     assert sig.parameters["max_bucket"].default == DEFAULT_MAX_BUCKET
