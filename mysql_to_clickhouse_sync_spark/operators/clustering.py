@@ -153,7 +153,10 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepable cluster. Not declared — the recursive oracle over LSH pairs
     re-derives the whole MinHash pipeline; covered by unit test instead."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.5)
+    # max_bucket=None: oracle-exact (uncapped) candidate set.
+    pairs = minhash_lsh_candidates(docs, max_bucket=None).filter(
+        F.col("est_jaccard") >= 0.5
+    )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -214,7 +217,7 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output."""
     docs = load_table(spark, sf_dir, "documents")
     edges = (
-        minhash_lsh_candidates(docs)
+        minhash_lsh_candidates(docs, max_bucket=None)
         .filter(F.col("est_jaccard") >= SURVIVOR_JACCARD)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .localCheckpoint(eager=True)  # candidates feed every CC round

@@ -52,7 +52,7 @@ def _docs(spark):
 
 def test_minhash_guard_drops_planted_bucket(spark):
     docs = _docs(spark)
-    unguarded = minhash_lsh_candidates(docs).count()
+    unguarded = minhash_lsh_candidates(docs, max_bucket=None).count()
     guarded_df = minhash_lsh_candidates(docs, max_bucket=CAP)
     guarded = guarded_df.count()
     # the planted class alone is PLANTED*(PLANTED-1)/2 pairs
@@ -139,4 +139,18 @@ def test_embedding_guard_default_is_armed():
     )
 
     sig = inspect.signature(banded_neardup_pairs)
+    assert sig.parameters["max_bucket"].default == DEFAULT_MAX_BUCKET
+
+
+def test_minhash_guard_default_is_armed():
+    """Round-4 pin: minhash band hashes resist language skew (measured),
+    but bucket size is linear in boilerplate-class size, so the library
+    default is the armed guard here too; oracle-exact queries opt out."""
+    import inspect
+
+    from mysql_to_clickhouse_sync_spark.functions.lsh_guard import (
+        DEFAULT_MAX_BUCKET,
+    )
+
+    sig = inspect.signature(minhash_lsh_candidates)
     assert sig.parameters["max_bucket"].default == DEFAULT_MAX_BUCKET
