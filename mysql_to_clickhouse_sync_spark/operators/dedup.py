@@ -285,6 +285,33 @@ def minhash_signatures_table(
     )
 
 
+def minhash_band_table(
+    sigs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """(doc_id, band_idx, bucket) banding table from a signature frame —
+    the shared front half of candidate generation and bucket auditing."""
+    rows_per_band = num_hashes // num_bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                *[
+                    F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast(
+                        "string"
+                    )
+                    for r in range(rows_per_band)
+                ],
+            ).cast("binary")
+        )
+        for b in range(num_bands)
+    ]
+    return sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bucket")
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -308,27 +335,10 @@ def minhash_lsh_candidates(
     class at corpus scale is a 10^12-pair cell unless exact dedup ran
     first (the ladder) or the cap bites. Oracle-exact declared queries
     pass max_bucket=None explicitly."""
-    rows_per_band = num_hashes // num_bands
     # The signature table feeds three plan branches (banding + both sides of
     # the agreement join) — cache it so the md5 pass runs once.
     sigs = minhash_signatures_table(docs, id_col, text_col, num_hashes).cache()
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "_",
-                *[
-                    F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast(
-                        "string"
-                    )
-                    for r in range(rows_per_band)
-                ],
-            ).cast("binary")
-        )
-        for b in range(num_bands)
-    ]
-    bands = sigs.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "bucket")
-    )
+    bands = minhash_band_table(sigs, num_hashes, num_bands)
     if max_bucket is not None:
         from mysql_to_clickhouse_sync_spark.functions.lsh_guard import cap_buckets
 
@@ -1646,3 +1656,77 @@ def q_editdist_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim_bp"),
         )
     )
+
+
+# Cap for the DECLARED minhash guard twins: the fixture's band buckets
+# top out at 3-13 members, so cap=2 is what makes the exclusion
+# semantics actually fire under the oracle compare at EVERY SF (the
+# GUARD_CAP=8 rationale, one notch tighter for the smaller buckets).
+MINHASH_AUDIT_CAP = 2
+
+
+def _minhash_guarded_oracle() -> str:
+    return f"""
+    {_minhash_cand_cte()}
+    , sized AS (
+        SELECT band_idx, bucket, count(*) AS n
+        FROM bands GROUP BY band_idx, bucket
+    ), kept AS (
+        SELECT b.doc_id, b.band_idx, b.bucket
+        FROM bands b JOIN sized s
+          ON b.band_idx = s.band_idx AND b.bucket = s.bucket
+        WHERE s.n <= {MINHASH_AUDIT_CAP}
+    ), gcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(list_sum(list_transform(list_zip(sa.siglist, sb.siglist),
+                    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+               / {NUM_HASHES} AS est_jaccard
+    FROM gcand
+    JOIN banded sa ON sa.doc_id = doc_a
+    JOIN banded sb ON sb.doc_id = doc_b
+    """
+
+
+@declare("q_minhash_guarded", oracle=_minhash_guarded_oracle(), tier="P1")
+def q_minhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_minhash_dedup with the bucket guard ARMED at a cap that bites on
+    the fixture (MINHASH_AUDIT_CAP=2): band buckets above the cap are
+    excluded from candidate generation, and the oracle re-implements the
+    identical exclusion relationally — completing the guarded/audit twin
+    surface for all three banded generators (simhash had it since round
+    3, embedding sign-LSH gets its audit below). Production runs the
+    DEFAULT_MAX_BUCKET cap this module's generators now default to."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, max_bucket=MINHASH_AUDIT_CAP)
+
+
+@declare(
+    "q_minhash_bucket_audit",
+    oracle=f"""
+    {_minhash_cand_cte()}
+    SELECT band_idx, bucket, count(*) AS bucket_n
+    FROM bands GROUP BY band_idx, bucket
+    HAVING count(*) > {MINHASH_AUDIT_CAP}
+    """,
+    tier="P1",
+)
+def q_minhash_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dropped-bucket accounting for q_minhash_guarded — one row per
+    excluded band bucket with its size, q_lsh_bucket_audit's role for the
+    MinHash generator. At 100 TB this table is the boilerplate-class
+    detector: a bucket the cap drops is (overwhelmingly) one equivalence
+    class of near-identical text that exact dedup collapses cheaply."""
+    from mysql_to_clickhouse_sync_spark.functions.lsh_guard import cap_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_table(docs, "doc_id", "text", NUM_HASHES)
+    bands = minhash_band_table(sigs)
+    _, dropped = cap_buckets(
+        bands, ["band_idx", "bucket"], MINHASH_AUDIT_CAP
+    )
+    return dropped.select("band_idx", "bucket", F.col("bucket_n"))

@@ -456,3 +456,116 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= ANN_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# Cap for the DECLARED embedding-guard twins: fixture cells top out at
+# 9-27 members across SFs, so cap=6 makes the exclusion fire under the
+# oracle compare everywhere (MINHASH_AUDIT_CAP / GUARD_CAP rationale).
+EMB_AUDIT_CAP = 6
+
+_EMB_BANDS_UNION = "\n        UNION ALL\n        ".join(
+    f"SELECT vec_id, label, {b} AS band,"
+    f" ({_band_sql('embedding', b)}) AS bucket FROM nz"
+    for b in range(NEARDUP_BANDS)
+)
+
+
+def _emb_guarded_oracle() -> str:
+    return f"""
+    WITH normed AS (
+        SELECT vec_id, label, embedding, {_NORM_SQL} AS norm
+        FROM embeddings
+    ), nz AS (
+        SELECT * FROM normed WHERE norm > 0
+    ), bands AS (
+        {_EMB_BANDS_UNION}
+    ), sized AS (
+        SELECT label, band, bucket, count(*) AS n
+        FROM bands GROUP BY label, band, bucket
+    ), kept AS (
+        SELECT b.vec_id, b.label, b.band, b.bucket
+        FROM bands b JOIN sized s
+          ON b.label = s.label AND b.band = s.band AND b.bucket = s.bucket
+        WHERE s.n <= {EMB_AUDIT_CAP}
+    ), gcand AS (
+        SELECT DISTINCT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM kept a JOIN kept b
+          ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    )
+    SELECT c.label, c.vec_a, c.vec_b,
+           {_DOT_SQL.format(a='na.embedding', b='nb.embedding')}
+               / (na.norm * nb.norm) AS cosine
+    FROM gcand c
+    JOIN nz na ON na.vec_id = c.vec_a
+    JOIN nz nb ON nb.vec_id = c.vec_b
+    WHERE {_DOT_SQL.format(a='na.embedding', b='nb.embedding')}
+          / (na.norm * nb.norm) >= {NEARDUP_THRESHOLD}
+    """
+
+
+@declare("q_embedding_guarded", oracle=_emb_guarded_oracle(), tier="P2")
+def q_embedding_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_embedding_neardup with the bucket guard ARMED at a cap that
+    bites on the fixture (EMB_AUDIT_CAP=6): (label, band, bucket) cells
+    above the cap are excluded from candidate generation, oracle
+    re-implementing the identical exclusion — the guarded twin the
+    label-skew stress made mandatory (uncapped, a 90%-one-label 25x
+    corpus generated 1.04B pairs and died in spill; PLANS.md)."""
+    return banded_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), max_bucket=EMB_AUDIT_CAP
+    )
+
+
+@declare(
+    "q_embedding_bucket_audit",
+    oracle=f"""
+    WITH normed AS (
+        SELECT vec_id, label, embedding, {_NORM_SQL} AS norm
+        FROM embeddings
+    ), nz AS (
+        SELECT * FROM normed WHERE norm > 0
+    ), bands AS (
+        {_EMB_BANDS_UNION}
+    )
+    SELECT label, band, bucket, count(*) AS bucket_n
+    FROM bands GROUP BY label, band, bucket
+    HAVING count(*) > {EMB_AUDIT_CAP}
+    """,
+    tier="P2",
+)
+def q_embedding_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped-cell accounting for q_embedding_guarded: one row per
+    excluded (label, band, bucket) cell with its size — the third and
+    last generator's audit table (simhash: q_lsh_bucket_audit, minhash:
+    q_minhash_bucket_audit). Zero-norm vectors are excluded first,
+    mirroring banded_neardup_pairs."""
+    from mysql_to_clickhouse_sync_spark.functions.lsh_guard import cap_buckets
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("norm") > 0
+    )
+    banded = emb.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bucket(
+                            F.col("embedding"), b, NEARDUP_BAND_BITS
+                        ).alias("bucket"),
+                    )
+                    for b in range(NEARDUP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    _, dropped = cap_buckets(banded, ["label", "band", "bucket"], EMB_AUDIT_CAP)
+    return dropped.select("label", "band", "bucket", "bucket_n")
