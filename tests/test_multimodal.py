@@ -374,3 +374,65 @@ def test_decode_media_sniffs_png_vs_bmp(spark):
     for mid, r in out.items():
         w, h, _ = bmp_geometry(mid)
         assert (r.width, r.height) == (w, h), mid
+
+
+def test_png_roundtrip_property():
+    """Property: encode->decode is the identity on (width, height, seed)
+    across the whole parameter space (every filter type, odd widths where
+    the bpp offset matters, heights below and above the 5-filter cycle)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=255),
+    )
+    def roundtrip(w, h, seed):
+        got_w, got_h, kinds, pix = decode_png(encode_png(w, h, seed))
+        assert (got_w, got_h) == (w, h)
+        assert kinds == min(h, 5)
+        assert pix == sum((seed + 31 * i) % 256 for i in range(3 * w * h))
+
+    roundtrip()
+
+
+def test_png_decoder_never_raises_on_mangled_input():
+    """Property: the decoder QUARANTINES, never crashes — any truncation
+    and any single-byte corruption of a valid PNG either round-trips (the
+    flip missed every load-bearing byte) or returns the NULL tuple."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(9, 7, 123)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.integers(min_value=0, max_value=len(good)))
+    def truncate(k):
+        out = decode_png(good[:k])
+        assert out == (None, None, None, None) or out[0] == 9
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(good) - 1),
+        st.integers(min_value=1, max_value=255),
+    )
+    def corrupt(pos, delta):
+        mangled = bytearray(good)
+        mangled[pos] = (mangled[pos] + delta) % 256
+        out = decode_png(bytes(mangled))  # must not raise
+        assert len(out) == 4
+
+    truncate()
+    corrupt()
