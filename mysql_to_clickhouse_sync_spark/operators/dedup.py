@@ -1730,3 +1730,66 @@ def q_minhash_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands, ["band_idx", "bucket"], MINHASH_AUDIT_CAP
     )
     return dropped.select("band_idx", "bucket", F.col("bucket_n"))
+
+
+def _consensus_oracle() -> str:
+    # Each member oracle is a self-contained WITH..SELECT; nesting them as
+    # CTE bodies keeps their internal CTE names scoped (no collisions).
+    return f"""
+    WITH mh AS (
+        {_minhash_oracle()}
+    ), sh AS (
+        {_simhash_oracle()}
+    ), ed AS (
+        {_editdist_oracle()}
+    )
+    SELECT coalesce(mh.doc_a, sh.doc_a, ed.doc_a) AS doc_a,
+           coalesce(mh.doc_b, sh.doc_b, ed.doc_b) AS doc_b,
+           mh.est_jaccard,
+           sh.hamming,
+           ed.sim_bp,
+           CAST((CASE WHEN mh.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN sh.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN ed.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_signals
+    FROM mh
+    FULL OUTER JOIN sh ON sh.doc_a = mh.doc_a AND sh.doc_b = mh.doc_b
+    FULL OUTER JOIN ed ON ed.doc_a = coalesce(mh.doc_a, sh.doc_a)
+                      AND ed.doc_b = coalesce(mh.doc_b, sh.doc_b)
+    """
+
+
+@declare("q_dedup_consensus", oracle=_consensus_oracle(), tier="P1")
+def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble near-dup ledger: the three TEXT signals — MinHash-LSH
+    candidates (est_jaccard), banded SimHash (hamming <= 4), and the
+    Levenshtein re-score of the LSH candidates (sim_bp) — full-outer
+    merged per (doc_a, doc_b) with a signal count. This is the decision
+    table a curation run thresholds (e.g. remove at n_signals >= 2):
+    signals fail differently (shingle Jaccard misses word-order edits
+    simhash catches; simhash misses short texts minhash catches), and
+    the consensus is the standard precision lever over any single one.
+
+    Scale notes (100 TB): each member is its own guarded banded plan;
+    the merge is two keyed full-outer joins over CANDIDATE PAIR sets
+    (outputs, orders of magnitude smaller than the corpus), shuffled on
+    the same (doc_a, doc_b) key — one exchange reused across both joins."""
+    mh = q_minhash_dedup(spark, sf_dir)
+    sh = q_simhash_dedup(spark, sf_dir)
+    ed = q_editdist_rescore(spark, sf_dir).select("doc_a", "doc_b", "sim_bp")
+    joined = mh.join(sh, ["doc_a", "doc_b"], "full_outer").join(
+        ed, ["doc_a", "doc_b"], "full_outer"
+    )
+    n_signals = (
+        F.when(F.col("est_jaccard").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("hamming").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("sim_bp").isNotNull(), 1).otherwise(0)
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "hamming",
+        "sim_bp",
+        n_signals.cast("bigint").alias("n_signals"),
+    )
