@@ -1770,20 +1770,41 @@ def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash catches; simhash misses short texts minhash catches), and
     the consensus is the standard precision lever over any single one.
 
-    Scale notes (100 TB): each member is its own guarded banded plan;
-    the merge is two keyed full-outer joins over CANDIDATE PAIR sets
-    (outputs, orders of magnitude smaller than the corpus), shuffled on
-    the same (doc_a, doc_b) key — one exchange reused across both joins."""
-    mh = q_minhash_dedup(spark, sf_dir)
-    sh = q_simhash_dedup(spark, sf_dir)
-    ed = q_editdist_rescore(spark, sf_dir).select("doc_a", "doc_b", "sim_bp")
-    joined = mh.join(sh, ["doc_a", "doc_b"], "full_outer").join(
-        ed, ["doc_a", "doc_b"], "full_outer"
+    Scale notes (100 TB): the Levenshtein member's pair set IS the
+    MinHash candidate set (it re-scores those candidates), so the plan
+    computes the signature/banding chain ONCE and attaches sim_bp to the
+    minhash pairs directly — the oracle's third outer join is a no-op by
+    construction and only the simhash merge is a real full-outer join,
+    keyed on (doc_a, doc_b) over candidate-pair outputs (orders of
+    magnitude smaller than the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mh = minhash_lsh_candidates(docs, max_bucket=None)
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "").alias("t"),
     )
+    a = norm.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = norm.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    med = (
+        mh.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.expr(
+                "CAST((greatest(length(ta), length(tb), 1)"
+                " - levenshtein(ta, tb)) * 10000"
+                " div greatest(length(ta), length(tb), 1) AS BIGINT)"
+            ).alias("sim_bp"),
+        )
+    )
+    sh = q_simhash_dedup(spark, sf_dir)
+    joined = med.join(sh, ["doc_a", "doc_b"], "full_outer")
+    # est_jaccard and sim_bp are present together (one member pair set).
     n_signals = (
-        F.when(F.col("est_jaccard").isNotNull(), 1).otherwise(0)
+        F.when(F.col("est_jaccard").isNotNull(), 2).otherwise(0)
         + F.when(F.col("hamming").isNotNull(), 1).otherwise(0)
-        + F.when(F.col("sim_bp").isNotNull(), 1).otherwise(0)
     )
     return joined.select(
         "doc_a",
