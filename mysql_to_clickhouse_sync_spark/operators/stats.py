@@ -217,3 +217,83 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("outlier_cents"),
     )
+
+
+@declare(
+    "q_corr_pearson",
+    oracle="""
+    WITH sums AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+               sum(CAST(l_discount AS DECIMAL(18,6))) AS sy,
+               sum(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))
+                        AS DECIMAL(18,4))) AS sxx,
+               sum(CAST(CAST(l_discount AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))
+                        AS DECIMAL(18,4))) AS syy,
+               sum(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))
+                        AS DECIMAL(18,4))) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sy AS DOUBLE) / n) / (n - 1) AS DOUBLE)
+               AS covar_samp,
+           CAST((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sy AS DOUBLE) / n)
+                / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE) / n)
+                       * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                          * CAST(sy AS DOUBLE) / n)) AS DOUBLE)
+               AS corr_qty_disc
+    FROM sums
+    WHERE n > 1
+    """,
+    tier="P2",
+)
+def q_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance of (l_quantity,
+    l_discount) per return flag — the two-column completion of
+    q_stats_moments, by the same engine-portable recipe: EXACT decimal
+    power/cross sums (order-free, associative), float math only on the
+    final exact scalars in one fixed textual order. The built-in
+    corr()/covar_samp() merge partial moments in partition order and are
+    not run-deterministic, let alone engine-portable. Bounds: products
+    at scale 4 keep every unscaled sum below 2^53 through ~sf10 (qty <=
+    50, disc <= 0.1), so the decimal->double casts are correctly rounded
+    on both engines. One map-side-combined shuffle on the 3-value flag."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    x6 = F.col("l_quantity").cast("decimal(18,6)")
+    y6 = F.col("l_discount").cast("decimal(18,6)")
+    x2 = F.col("l_quantity").cast("decimal(12,2)")
+    y2 = F.col("l_discount").cast("decimal(12,2)")
+    sums = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x6).alias("sx"),
+        F.sum(y6).alias("sy"),
+        F.sum((x2 * x2).cast("decimal(18,4)")).alias("sxx"),
+        F.sum((y2 * y2).cast("decimal(18,4)")).alias("syy"),
+        F.sum((x2 * y2).cast("decimal(18,4)")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_num = sxy - sx * sy / n
+    return sums.filter(n > 1).select(
+        "l_returnflag",
+        "n",
+        (cov_num / (n - F.lit(1))).cast("double").alias("covar_samp"),
+        (
+            cov_num
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        )
+        .cast("double")
+        .alias("corr_qty_disc"),
+    )
