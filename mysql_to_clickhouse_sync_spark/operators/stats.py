@@ -297,3 +297,92 @@ def q_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("corr_qty_disc"),
     )
+
+
+@declare(
+    "q_linreg_trend",
+    oracle="""
+    WITH sums AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(datediff('day',
+                        (SELECT min(CAST(l_shipdate AS DATE)) FROM lineitem),
+                        CAST(l_shipdate AS DATE)) AS BIGINT)) AS sx,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT)) AS sy,
+               sum(CAST(datediff('day',
+                        (SELECT min(CAST(l_shipdate AS DATE)) FROM lineitem),
+                        CAST(l_shipdate AS DATE)) AS BIGINT)
+                   * CAST(datediff('day',
+                        (SELECT min(CAST(l_shipdate AS DATE)) FROM lineitem),
+                        CAST(l_shipdate AS DATE)) AS BIGINT)) AS sxx,
+               sum(CAST(datediff('day',
+                        (SELECT min(CAST(l_shipdate AS DATE)) FROM lineitem),
+                        CAST(l_shipdate AS DATE)) AS BIGINT)
+                   * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                          AS BIGINT)) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, slope_cents_per_day,
+           CAST((CAST(sy AS DOUBLE) - slope_cents_per_day
+                 * CAST(sx AS DOUBLE)) / n AS DOUBLE) AS intercept_cents
+    FROM (
+        SELECT l_returnflag, n, sx, sy,
+               CAST((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sy AS DOUBLE))
+                    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sx AS DOUBLE)) AS DOUBLE)
+                   AS slope_cents_per_day
+        FROM sums
+        WHERE n > 1
+    )
+    """,
+    tier="P2",
+)
+def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend: slope and intercept of extended price (exact
+    integer CENTS) against ship day, the 'is this metric drifting' primitive.
+    Numeric conditioning comes from the REFERENCE'S OWN pattern — one
+    driver-side MIN scalar (mysql_to_clickhouse_sync.py:163's bounds
+    query) recenters x to small day offsets (0..~2500), so every sum is
+    an exact BIGINT (sxy <= ~8e17 at 30M rows) and the closed-form
+    slope/intercept touch floats only on final exact scalars in one
+    fixed textual order: bit-identical across engines, unlike the
+    built-in regr_slope's merge-order-dependent partial moments.
+    Scale: one scalar agg + one map-side-combined shuffle on the 3-value
+    flag; the day-offset BIGINT bound holds to ~1e9 rows, past which x
+    recenters per partition-range or the sums go decimal."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    m = lineitem.agg(
+        F.min(F.col("l_shipdate").cast("date"))
+    ).collect()[0][0]
+    x = F.datediff(F.col("l_shipdate").cast("date"), F.lit(m)).cast("bigint")
+    y = F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    sums = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = ((n * sxy - sx * sy) / (n * sxx - sx * sx)).cast("double")
+    with_slope = sums.filter(n > 1).select(
+        "l_returnflag", "n", "sx", "sy",
+        slope.alias("slope_cents_per_day"),
+    )
+    return with_slope.select(
+        "l_returnflag",
+        "n",
+        "slope_cents_per_day",
+        (
+            (F.col("sy").cast("double")
+             - F.col("slope_cents_per_day") * F.col("sx").cast("double"))
+            / F.col("n")
+        ).cast("double").alias("intercept_cents"),
+    )
