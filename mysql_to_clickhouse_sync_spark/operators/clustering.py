@@ -252,3 +252,122 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+# --- Fixed-point PageRank over the near-dup graph ---------------------------
+
+PAGERANK_ITERS = 3
+PR_UNIT = 1_000_000  # rank micro-units: integer arithmetic end to end
+PR_BASE = 150_000  # (1 - d) * UNIT at damping d = 0.85
+PR_EDGE_JACCARD = 0.5  # same edge bar as dedup_clusters_minhash
+
+
+def _pagerank_oracle() -> str:
+    rounds = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        prev = f"r_{i - 1}"
+        rounds.append(
+            f"""
+    , s_{i} AS MATERIALIZED (
+        SELECT e.dst AS doc_id, SUM({prev}.r // d.deg) AS c
+        FROM sym e
+        JOIN {prev} ON {prev}.doc_id = e.src
+        JOIN deg d ON d.doc_id = e.src
+        GROUP BY e.dst
+    ), r_{i} AS MATERIALIZED (
+        SELECT n.doc_id,
+               {PR_BASE} + (85 * COALESCE(s.c, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN s_{i} s ON s.doc_id = n.doc_id
+    )"""
+        )
+    return f"""
+    WITH mh AS (
+        {_minhash_oracle()}
+    ), nodes AS MATERIALIZED (
+        SELECT doc_id FROM documents
+    ), edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM mh
+        WHERE est_jaccard >= {PR_EDGE_JACCARD}
+    ), sym AS MATERIALIZED (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), deg AS MATERIALIZED (
+        SELECT src AS doc_id, count(*) AS deg FROM sym GROUP BY src
+    ), r_0 AS MATERIALIZED (
+        SELECT doc_id, {PR_UNIT} AS r FROM nodes
+    )
+    {''.join(rounds)}
+    SELECT n.doc_id,
+           CAST(r.r AS BIGINT) AS rank_micro,
+           CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree
+    FROM nodes n
+    JOIN r_{PAGERANK_ITERS} r ON r.doc_id = n.doc_id
+    LEFT JOIN deg d ON d.doc_id = n.doc_id
+    """
+
+
+@declare("q_pagerank", oracle=_pagerank_oracle(), tier="P1")
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-POINT PageRank (damping 0.85, 3 power iterations) over the
+    MinHash near-dup graph — the centrality complement to connected
+    components: within a dup cluster, rank concentrates on the most-
+    connected representative (a principled survivor pick), and across the
+    corpus it scores how 'template-like' a document's neighborhood is.
+
+    Engine parity is the point: float PageRank sums r/deg in partition
+    order and can never hash-match, so ranks are INTEGER MICRO-UNITS with
+    floor-divided contributions (r // deg, then (85 * S) // 100) — every
+    operation exact and associative, the same trick as the repo's integer
+    cents/micros money sums. The oracle unrolls the three Jacobi rounds
+    as MATERIALIZED CTEs (the chained-CTE 2^k inlining trap).
+
+    Scale notes (100 TB): per iteration ONE shuffle — contributions are
+    map-side (r // deg on the rank frame, broadcast-or-colocated deg),
+    then a sum keyed on dst; the rank frame is localCheckpointed per
+    round (constant plan depth, clustering.py's pattern). Total cost is
+    ITERS * one keyed aggregation over the EDGE table — the textbook
+    distributed PageRank shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    # max_bucket=None: oracle-exact (uncapped) candidate set.
+    pairs = minhash_lsh_candidates(docs, max_bucket=None).filter(
+        F.col("est_jaccard") >= PR_EDGE_JACCARD
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = docs.select("doc_id")
+    ranks = nodes.select("doc_id", F.lit(PR_UNIT).cast("bigint").alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            ranks.join(deg, ranks.doc_id == deg.src)
+            .select("doc_id", F.expr("r div deg").alias("c"))
+            .join(sym, F.col("doc_id") == sym.src)
+            .select(F.col("dst"), "c")
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("sc"))
+        ranks = (
+            nodes.join(s, nodes.doc_id == s.dst, "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr("85 * coalesce(sc, 0) div 100")
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.join(deg, ranks.doc_id == deg.src, "left")
+        .select(
+            "doc_id",
+            F.col("r").alias("rank_micro"),
+            F.coalesce("deg", F.lit(0)).cast("bigint").alias("degree"),
+        )
+    )

@@ -92,3 +92,53 @@ def test_minhash_cluster_integration(spark):
     }
     assert comp[0] == comp[1] == comp[2] == 0
     assert comp[3] == 3
+
+
+def test_pagerank_exact_recompute_and_invariants(spark):
+    """Recompute the fixed-point PageRank in pure Python from the same
+    edge set and require EXACT equality (the integer spec has one right
+    answer); spot invariants: isolated docs keep the closed-form rank
+    150000 + 850000*... = base-only chain, and ranks are positive."""
+    from mysql_to_clickhouse_sync_spark.operators.clustering import (
+        PAGERANK_ITERS,
+        PR_BASE,
+        PR_EDGE_JACCARD,
+        PR_UNIT,
+        q_pagerank,
+    )
+    from mysql_to_clickhouse_sync_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from pyspark.sql import functions as F
+
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_lsh_candidates(docs, max_bucket=None).filter(
+        F.col("est_jaccard") >= PR_EDGE_JACCARD
+    )
+    sym = set()
+    for r in pairs.collect():
+        sym.add((r.doc_a, r.doc_b))
+        sym.add((r.doc_b, r.doc_a))
+    nodes = [r.doc_id for r in docs.select("doc_id").collect()]
+    deg = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: PR_UNIT for v in nodes}
+    for _ in range(PAGERANK_ITERS):
+        contrib = {}
+        for s, d in sym:
+            contrib[d] = contrib.get(d, 0) + rank[s] // deg[s]
+        rank = {v: PR_BASE + (85 * contrib.get(v, 0)) // 100 for v in nodes}
+
+    got = {r.doc_id: (r.rank_micro, r.degree) for r in
+           q_pagerank(spark, SF_DIR).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == (rank[v], deg.get(v, 0)), v
+    # isolated nodes: rank settles to the damped base-only fixed chain
+    iso = [v for v in nodes if deg.get(v, 0) == 0]
+    assert iso and all(got[v][0] == PR_BASE for v in iso)
+    assert all(r > 0 for r, _ in got.values())
