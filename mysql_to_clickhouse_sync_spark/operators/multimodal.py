@@ -1497,3 +1497,146 @@ def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(motion_batches, schema=out_schema)
+
+
+# --- Audio spectrum (windowed DFT band energy, integer-exact) ---------------
+
+SPEC_BANDS = (1, 2, 4, 8)  # DFT bins over the 32-sample window
+SPEC_SCALE = 1_000_000  # cos/sin quantized to integer millionths
+
+# The basis table is computed ONCE here and embedded as integer literals
+# in BOTH engines' plans — so no libm difference (JVM Math.cos vs C
+# libm) can ever split the hash. With |sample| <= 32768 and |coef| <=
+# 1e6, each 32-term correlation sum is <= 1.05e12: exact in int64 AND
+# below 2^53, so the final energy doubles are bit-identical too.
+import math as _math  # noqa: E402
+
+_SPEC_COS = {
+    k: [
+        round(_math.cos(2 * _math.pi * k * j / AUDIO_WINDOW) * SPEC_SCALE)
+        for j in range(AUDIO_WINDOW)
+    ]
+    for k in SPEC_BANDS
+}
+_SPEC_SIN = {
+    k: [
+        round(_math.sin(2 * _math.pi * k * j / AUDIO_WINDOW) * SPEC_SCALE)
+        for j in range(AUDIO_WINDOW)
+    ]
+    for k in SPEC_BANDS
+}
+
+
+def _audio_spectrum_oracle() -> str:
+    rows = ",\n              ".join(
+        f"({k}, {_SPEC_COS[k]}, {_SPEC_SIN[k]})" for k in SPEC_BANDS
+    )
+    samp = f"(((seed + 37 * (w * {AUDIO_WINDOW} + j)) % 65536) - 32768)"
+    return f"""
+    WITH geom AS (
+        SELECT doc_id,
+               50 + doc_id % 211 AS n_samples,
+               doc_id % 60000 AS seed
+        FROM documents
+    ), windows AS (
+        SELECT doc_id, seed,
+               unnest(generate_series(0, n_samples // {AUDIO_WINDOW} - 1))
+                   AS w
+        FROM geom
+    ), ctab AS (
+        SELECT * FROM (VALUES
+              {rows}
+        ) AS t(band, cv, sv)
+    ), sums AS (
+        SELECT doc_id, w, band,
+               list_sum(list_transform(generate_series(0, {AUDIO_WINDOW - 1}),
+                   j -> {samp} * cv[j + 1])) AS sc,
+               list_sum(list_transform(generate_series(0, {AUDIO_WINDOW - 1}),
+                   j -> {samp} * sv[j + 1])) AS ss
+        FROM windows CROSS JOIN ctab
+    )
+    SELECT doc_id AS media_id, w AS window_idx, band,
+           CAST(sc AS BIGINT) AS spec_real,
+           CAST(ss AS BIGINT) AS spec_imag,
+           CAST(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) AS DOUBLE)
+               AS energy
+    FROM sums
+    """
+
+
+@declare("q_audio_spectrum", oracle=_audio_spectrum_oracle(), tier="P2")
+def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed SPECTRAL band energy through the real WAV codec — the DSP
+    step beyond q_audio_features' time-domain stats: per full 32-sample
+    window, the DFT correlation against bins k in {1,2,4,8} (the dominant
+    low-frequency bands a silence/music/speech gate thresholds). The
+    cos/sin basis is quantized to integer millionths and embedded as the
+    SAME literals in both engines (libm differences can't split the
+    hash); correlations are exact int64 sums (order-free, <= 1.05e12),
+    so even the squared-energy doubles are bit-identical.
+
+    Scale notes: shuffle-free mapInPandas, identical shape to
+    q_audio_features — the per-window int64 dot against a 4x32 constant
+    table is a numpy matmul per media row; emitted rows are fixed-size
+    regardless of media size."""
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ensure_package_shipped(spark)
+
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("window_idx", LongType(), False),
+            StructField("band", IntegerType(), False),
+            StructField("spec_real", LongType(), False),
+            StructField("spec_imag", LongType(), False),
+            StructField("energy", DoubleType(), False),
+        ]
+    )
+
+    def spectrum_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        cos_t = np.array(
+            [_SPEC_COS[k] for k in SPEC_BANDS], dtype=np.int64
+        )
+        sin_t = np.array(
+            [_SPEC_SIN[k] for k in SPEC_BANDS], dtype=np.int64
+        )
+        for batch in batches:
+            rows: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for doc_id in batch["doc_id"]:
+                doc_id = int(doc_id)
+                payload = encode_wav(*wav_geometry(doc_id))
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    n = w.getnframes()
+                    data = np.frombuffer(
+                        w.readframes(n), dtype="<i2"
+                    ).astype(np.int64)
+                for wi in range(n // AUDIO_WINDOW):
+                    win = data[wi * AUDIO_WINDOW : (wi + 1) * AUDIO_WINDOW]
+                    sc = cos_t @ win  # exact int64: |sum| <= 1.05e12
+                    ss = sin_t @ win
+                    for bi, k in enumerate(SPEC_BANDS):
+                        rows["media_id"].append(doc_id)
+                        rows["window_idx"].append(wi)
+                        rows["band"].append(k)
+                        rows["spec_real"].append(int(sc[bi]))
+                        rows["spec_imag"].append(int(ss[bi]))
+                        rows["energy"].append(
+                            float(sc[bi]) * float(sc[bi])
+                            + float(ss[bi]) * float(ss[bi])
+                        )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(spectrum_batches, schema=out_schema)
