@@ -418,6 +418,19 @@ def decode_png(payload: bytes | None):
     n_filter_kinds, pix_sum); malformed payloads return NULLs (the
     quarantine pattern, not an abort). n_filter_kinds = distinct filter
     bytes seen — a decoder that skips the filter column can't report it."""
+    w, h, kinds, pixels = decode_png_pixels(payload)
+    if w is None:
+        return (None, None, None, None)
+    import numpy as np
+
+    return (w, h, kinds, int(np.sum(pixels, dtype=np.int64)))
+
+
+def decode_png_pixels(payload: bytes | None):
+    """The pixel-bearing core of decode_png: returns (width, height,
+    n_filter_kinds, pixels) where pixels is the height x (3*width)
+    uint8 raster with filters undone — shared by decode_png's checksum
+    and the block-transform feature kernels. Malformed -> all NULLs."""
     import struct
     import zlib
 
@@ -462,7 +475,7 @@ def decode_png(payload: bytes | None):
     if len(raw) != height * (rowlen + 1):
         return bad
     prev = [0] * rowlen
-    total = 0
+    out_rows = []
     kinds = set()
     for r in range(height):
         row = raw[r * (rowlen + 1) : (r + 1) * (rowlen + 1)]
@@ -488,9 +501,14 @@ def decode_png(payload: bytes | None):
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
             cur[i] = (filt[i] + pred) % 256
-        total += int(np.sum(cur, dtype=np.int64))
+        out_rows.append(cur)
         prev = cur
-    return (width, height, len(kinds), total)
+    return (
+        width,
+        height,
+        len(kinds),
+        np.array(out_rows, dtype=np.uint8),
+    )
 
 
 @declare(
@@ -1640,3 +1658,135 @@ def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(spectrum_batches, schema=out_schema)
+
+
+# --- Image block DCT (JPEG's core transform), through the real PNG codec ----
+
+DCT_N = 4  # block size: the fixture PNGs are 5..15 x 3..8, so 4x4 blocks
+DCT_SCALE = 1_000  # basis quantized to integer thousandths
+
+# Quantized DCT-II basis, computed once and embedded as identical
+# literals in both engines (the q_audio_spectrum trick): B[u][x] =
+# round(cos(pi*(2x+1)*u/(2N)) * SCALE). With pixels <= 255 and two
+# basis factors <= 1e3 each, a 4x4 block coefficient is <= 16 * 255 *
+# 1e6 ~ 4.1e9 — exact int64, below 2^53.
+_DCT_B = [
+    [
+        round(_math.cos(_math.pi * (2 * x + 1) * u / (2 * DCT_N)) * DCT_SCALE)
+        for x in range(DCT_N)
+    ]
+    for u in range(DCT_N)
+]
+
+
+def _image_dct_oracle() -> str:
+    coefs = ",\n              ".join(
+        f"({u}, {v}, {_DCT_B[u]}, {_DCT_B[v]})"
+        for u in range(2)
+        for v in range(2)
+    )
+    # green channel of pixel (row, col): raster byte 3*(row*w + col) + 1
+    pix = (
+        f"((seed + 31 * (3 * ((bi * {DCT_N} + t // {DCT_N}) * width"
+        f" + bj * {DCT_N} + t % {DCT_N}) + 1)) % 256)"
+    )
+    return f"""
+    WITH geo AS (
+        SELECT doc_id AS media_id,
+               5 + doc_id % 11 AS width,
+               3 + doc_id % 6 AS height,
+               doc_id % 251 AS seed
+        FROM documents
+    ), blocks AS (
+        SELECT media_id, width, seed, bi.bi, bj.bj
+        FROM geo
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(0, height // {DCT_N} - 1)) AS bi
+        ) bi
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(0, width // {DCT_N} - 1)) AS bj
+        ) bj
+    ), ctab AS (
+        SELECT * FROM (VALUES
+              {coefs}
+        ) AS t(u, v, bu, bv)
+    )
+    SELECT media_id, bi AS block_row, bj AS block_col, u, v,
+           CAST(list_sum(list_transform(
+                    generate_series(0, {DCT_N * DCT_N - 1}),
+                    t -> {pix} * bu[t // {DCT_N} + 1]
+                         * bv[t % {DCT_N} + 1])) AS BIGINT) AS coef
+    FROM blocks CROSS JOIN ctab
+    """
+
+
+@declare("q_image_dct", oracle=_image_dct_oracle(), tier="P2")
+def q_image_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-transform image features THROUGH the entropy-coded codec:
+    each doc's PNG is decoded for real (inflate + unfilter), the green
+    channel is tiled into 4x4 blocks, and each block's low-frequency
+    DCT-II coefficients (u, v in {0,1}^2 — the JPEG pipeline's energy-
+    compaction corner) are computed against the integer-quantized basis.
+    Coefficients are exact order-free int64 sums (16 terms <= 4.1e9), so
+    the whole decode -> transform path hash-matches the closed-form
+    oracle that never sees a byte. A decoder that mis-unfilters ANY row
+    shifts every block it touches — pix_sum-level bugs that cancel in a
+    checksum cannot cancel across positioned basis products.
+
+    Scale notes: shuffle-free mapInPandas (q_audio_spectrum's shape);
+    per block the DCT is two small integer matmuls against a broadcast
+    constant table; emitted rows are fixed-size."""
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ensure_package_shipped(spark)
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("block_row", IntegerType(), False),
+            StructField("block_col", IntegerType(), False),
+            StructField("u", IntegerType(), False),
+            StructField("v", IntegerType(), False),
+            StructField("coef", LongType(), False),
+        ]
+    )
+
+    def dct_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        b = np.array(_DCT_B, dtype=np.int64)  # N x N
+        for batch in batches:
+            rows: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for doc_id in batch["doc_id"]:
+                doc_id = int(doc_id)
+                w, h, seed = png_geometry(doc_id)
+                gw, gh, _, pixels = decode_png_pixels(
+                    encode_png(w, h, seed)
+                )
+                assert (gw, gh) == (w, h)
+                # green channel as an h x w int64 grid
+                green = pixels.reshape(h, 3 * w)[:, 1::3].astype(np.int64)
+                for bi in range(h // DCT_N):
+                    for bj in range(w // DCT_N):
+                        blk = green[
+                            bi * DCT_N : (bi + 1) * DCT_N,
+                            bj * DCT_N : (bj + 1) * DCT_N,
+                        ]
+                        # S = B_u . blk . B_v^T restricted to u,v < 2;
+                        # all-integer matmuls, exact
+                        s = b @ blk @ b.T
+                        for u in range(2):
+                            for v in range(2):
+                                rows["media_id"].append(doc_id)
+                                rows["block_row"].append(bi)
+                                rows["block_col"].append(bj)
+                                rows["u"].append(u)
+                                rows["v"].append(v)
+                                rows["coef"].append(int(s[u, v]))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(dct_batches, schema=out_schema)
