@@ -193,3 +193,97 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def _bpe_encode_oracle() -> str:
+    rounds = "".join(_bpe_round_sql(r) for r in range(1, BPE_MERGES + 1))
+    return f"""
+    WITH {_WORDS_SQL}
+    {rounds}
+    SELECT word, freq,
+           CAST(len(string_split(trim(seq, '·'), '··')) AS BIGINT)
+               AS n_tokens,
+           array_to_string(string_split(trim(seq, '·'), '··'), ' ')
+               AS tokens
+    FROM w_{BPE_MERGES}
+    """
+
+
+@declare("q_bpe_encode", oracle=_bpe_encode_oracle(), tier="P1")
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inference half of q_bpe_train: every vocabulary word's FINAL
+    segmentation after the learned merges are applied in order — token
+    count and the space-joined token sequence per word, the lookup table
+    a tokenizer service ships. Same training loop, output taken from the
+    converged word table instead of the merge ledger.
+
+    Scale notes: identical loop cost to q_bpe_train; applying a FROZEN
+    merge table to a new corpus is the same replace chain as a map-only
+    pass over its word table (no counting rounds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+                    " ",
+                )
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(BPE_VOCAB)
+    )
+    w = words.select(
+        "word",
+        "freq",
+        F.expr(
+            "'·' || array_join(transform(sequence(1, length(word)),"
+            " i -> substr(word, i, 1)), '··') || '·'"
+        ).alias("seq"),
+    ).localCheckpoint(eager=True)
+    for _ in range(BPE_MERGES):
+        pairs = (
+            w.select(
+                "freq",
+                F.expr("split(trim(BOTH '·' FROM seq), '··')").alias("toks"),
+            )
+            .filter(F.expr("size(toks) >= 2"))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1),"
+                        " i -> concat(element_at(toks, i), ' ',"
+                        " element_at(toks, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), "pair").limit(1)
+        w = (
+            w.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "freq",
+                F.expr(
+                    "replace(seq, '·' || replace(pair, ' ', '··') || '·',"
+                    " '·' || replace(pair, ' ', '') || '·')"
+                ).alias("seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w.select(
+        "word",
+        "freq",
+        F.expr(
+            "CAST(size(split(trim(BOTH '·' FROM seq), '··')) AS BIGINT)"
+        ).alias("n_tokens"),
+        F.expr(
+            "array_join(split(trim(BOTH '·' FROM seq), '··'), ' ')"
+        ).alias("tokens"),
+    )
