@@ -108,13 +108,14 @@ def _bpe_oracle() -> str:
     """
 
 
-@declare("q_bpe_train", oracle=_bpe_oracle(), tier="P1")
-def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train {BPE_MERGES} BPE merges on the corpus vocabulary and return
-    the learned merge table (merge_round, pair, merged, pair_count) — the
-    tokenizer-training step of a data pipeline, hash-verified against the
-    oracle's unrolled rounds. See the module docstring for the framing
-    trick that makes the merge a single engine-portable string replace."""
+
+def _bpe_loop(spark: SparkSession, sf_dir: str):
+    """The shared training loop: returns (converged word frame, list of
+    per-round 1-row best frames). ONE implementation on the Python side,
+    mirroring the ONE SQL implementation (_WORDS_SQL/_bpe_round_sql) —
+    q_bpe_train reads the merge ledger, q_bpe_encode the word table, and
+    any change to the loop (tie-breaks, the sequence(1,0)-descends
+    guard) stays bitwise-shared by construction."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(
@@ -135,17 +136,18 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         "freq",
         F.expr(
-            "'·' || array_join(transform(sequence(1, length(word)),"
-            " i -> substr(word, i, 1)), '··') || '·'"
+            "'\u00b7' || array_join(transform(sequence(1, length(word)),"
+            " i -> substr(word, i, 1)), '\u00b7\u00b7') || '\u00b7'"
         ).alias("seq"),
     ).localCheckpoint(eager=True)
-
-    merges = []
-    for r in range(1, BPE_MERGES + 1):
+    bests = []
+    for _ in range(BPE_MERGES):
         pairs = (
             w.select(
                 "freq",
-                F.expr("split(trim(BOTH '·' FROM seq), '··')").alias("toks"),
+                F.expr(
+                    "split(trim(BOTH '\u00b7' FROM seq), '\u00b7\u00b7')"
+                ).alias("toks"),
             )
             # single-token words carry no pairs; also keeps the sequence()
             # bound ascending (Spark's sequence(1, 0) DESCENDS, unlike
@@ -169,26 +171,40 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .localCheckpoint(eager=True)
         )
-        merges.append(
-            best.select(
-                F.lit(r).alias("merge_round"),
-                "pair",
-                F.expr("replace(pair, ' ', '')").alias("merged"),
-                F.col("c").alias("pair_count"),
-            )
-        )
+        bests.append(best)
         w = (
             w.crossJoin(F.broadcast(best))
             .select(
                 "word",
                 "freq",
                 F.expr(
-                    "replace(seq, '·' || replace(pair, ' ', '··') || '·',"
-                    " '·' || replace(pair, ' ', '') || '·')"
+                    "replace(seq, '\u00b7' || replace(pair, ' ',"
+                    " '\u00b7\u00b7') || '\u00b7',"
+                    " '\u00b7' || replace(pair, ' ', '') || '\u00b7')"
                 ).alias("seq"),
             )
             .localCheckpoint(eager=True)
         )
+    return w, bests
+
+
+@declare("q_bpe_train", oracle=_bpe_oracle(), tier="P1")
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE_MERGES merges on the corpus vocabulary and return the
+    learned merge table (merge_round, pair, merged, pair_count) — the
+    tokenizer-training step of a data pipeline, hash-verified against the
+    oracle's unrolled rounds. See the module docstring for the framing
+    trick that makes the merge a single engine-portable string replace."""
+    _, bests = _bpe_loop(spark, sf_dir)
+    merges = [
+        best.select(
+            F.lit(r).alias("merge_round"),
+            "pair",
+            F.expr("replace(pair, ' ', '')").alias("merged"),
+            F.col("c").alias("pair_count"),
+        )
+        for r, best in enumerate(bests, start=1)
+    ]
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -220,70 +236,16 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: identical loop cost to q_bpe_train; applying a FROZEN
     merge table to a new corpus is the same replace chain as a map-only
     pass over its word table (no counting rounds)."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(
-            F.explode(
-                F.split(
-                    F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
-                    " ",
-                )
-            ).alias("word")
-        )
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").cast("bigint").alias("freq"))
-        .orderBy(F.col("freq").desc(), "word")
-        .limit(BPE_VOCAB)
-    )
-    w = words.select(
-        "word",
-        "freq",
-        F.expr(
-            "'·' || array_join(transform(sequence(1, length(word)),"
-            " i -> substr(word, i, 1)), '··') || '·'"
-        ).alias("seq"),
-    ).localCheckpoint(eager=True)
-    for _ in range(BPE_MERGES):
-        pairs = (
-            w.select(
-                "freq",
-                F.expr("split(trim(BOTH '·' FROM seq), '··')").alias("toks"),
-            )
-            .filter(F.expr("size(toks) >= 2"))
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(toks) - 1),"
-                        " i -> concat(element_at(toks, i), ' ',"
-                        " element_at(toks, i + 1)))"
-                    )
-                ).alias("pair"),
-            )
-            .groupBy("pair")
-            .agg(F.sum("freq").cast("bigint").alias("c"))
-        )
-        best = pairs.orderBy(F.col("c").desc(), "pair").limit(1)
-        w = (
-            w.crossJoin(F.broadcast(best))
-            .select(
-                "word",
-                "freq",
-                F.expr(
-                    "replace(seq, '·' || replace(pair, ' ', '··') || '·',"
-                    " '·' || replace(pair, ' ', '') || '·')"
-                ).alias("seq"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    w, _ = _bpe_loop(spark, sf_dir)
     return w.select(
         "word",
         "freq",
         F.expr(
-            "CAST(size(split(trim(BOTH '·' FROM seq), '··')) AS BIGINT)"
+            "CAST(size(split(trim(BOTH '\u00b7' FROM seq),"
+            " '\u00b7\u00b7')) AS BIGINT)"
         ).alias("n_tokens"),
         F.expr(
-            "array_join(split(trim(BOTH '·' FROM seq), '··'), ' ')"
+            "array_join(split(trim(BOTH '\u00b7' FROM seq),"
+            " '\u00b7\u00b7'), ' ')"
         ).alias("tokens"),
     )

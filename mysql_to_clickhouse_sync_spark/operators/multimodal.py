@@ -467,7 +467,15 @@ def decode_png_pixels(payload: bytes | None):
             pos += 12 + length
         if not width or not height or not idat or not saw_iend:
             return bad
-        raw = zlib.decompress(bytes(idat))
+        # Bound the inflate by the size IHDR promises (+1 to detect
+        # overshoot): a crafted tiny IDAT with a ~1000x zlib ratio would
+        # otherwise allocate gigabytes BEFORE the length check below —
+        # the quarantine contract means bombs return NULLs, not OOM.
+        expected = height * (_PNG_BPP * width + 1)
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
+        if len(raw) > expected or d.unconsumed_tail or not d.eof:
+            return bad
     except Exception:
         return bad
     bpp = _PNG_BPP

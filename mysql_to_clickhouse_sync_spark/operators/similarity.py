@@ -182,6 +182,40 @@ def band_bucket(
     return out
 
 
+def embedding_band_table(
+    emb: DataFrame,
+    n_bands: int = NEARDUP_BANDS,
+    band_bits: int = NEARDUP_BAND_BITS,
+) -> DataFrame:
+    """(vec_id, label, band, bucket) sign-LSH banding table over a
+    NORM-FILTERED embedding frame — the shared front half of candidate
+    generation (banded_neardup_pairs) and bucket auditing
+    (q_embedding_bucket_audit), so the audit always reports exactly the
+    cells the guard drops (minhash_band_table's role for this family)."""
+    return emb.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bucket(F.col("embedding"), b, band_bits).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
 def banded_neardup_pairs(
     emb: DataFrame,
     threshold: float = NEARDUP_THRESHOLD,
@@ -212,28 +246,7 @@ def banded_neardup_pairs(
     finish — vs 13.4k candidates / 9.4 s at cap 500 (PLANS.md round-4
     table). Oracle-exact declared queries opt out with max_bucket=None."""
     emb = with_norm(emb).filter(F.col("norm") > 0)
-    banded = emb.select(
-        "vec_id",
-        "label",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_bucket(F.col("embedding"), b, band_bits).alias(
-                            "bucket"
-                        ),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
-        "vec_id",
-        "label",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
-    )
+    banded = embedding_band_table(emb, n_bands, band_bits)
     if max_bucket is not None:
         # degenerate-bucket guard (e.g. all-zero vectors collapsing into one
         # cell): see functions/lsh_guard — None keeps oracle parity for the
@@ -545,27 +558,6 @@ def q_embedding_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = with_norm(load_table(spark, sf_dir, "embeddings")).filter(
         F.col("norm") > 0
     )
-    banded = emb.select(
-        "vec_id",
-        "label",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_bucket(
-                            F.col("embedding"), b, NEARDUP_BAND_BITS
-                        ).alias("bucket"),
-                    )
-                    for b in range(NEARDUP_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
-        "vec_id",
-        "label",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
-    )
+    banded = embedding_band_table(emb)
     _, dropped = cap_buckets(banded, ["label", "band", "bucket"], EMB_AUDIT_CAP)
     return dropped.select("label", "band", "bucket", "bucket_n")

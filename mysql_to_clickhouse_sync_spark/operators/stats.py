@@ -243,12 +243,17 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
                  * CAST(sy AS DOUBLE) / n) / (n - 1) AS DOUBLE)
                AS covar_samp,
-           CAST((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
-                 * CAST(sy AS DOUBLE) / n)
-                / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                        * CAST(sx AS DOUBLE) / n)
-                       * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
-                          * CAST(sy AS DOUBLE) / n)) AS DOUBLE)
+           CAST(CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                           * CAST(sx AS DOUBLE) / n)
+                          * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                             * CAST(sy AS DOUBLE) / n) > 0
+                THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                      * CAST(sy AS DOUBLE) / n)
+                     / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                             * CAST(sx AS DOUBLE) / n)
+                            * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                               * CAST(sy AS DOUBLE) / n))
+                ELSE NULL END AS DOUBLE)
                AS corr_qty_disc
     FROM sums
     WHERE n > 1
@@ -286,14 +291,17 @@ def q_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
     syy = F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
     cov_num = sxy - sx * sy / n
+    # Degenerate-group guard (review r4): a constant-x or constant-y
+    # group makes the variance product 0, and Spark 4 ANSI THROWS on
+    # double division by zero where DuckDB yields NULL — the condition
+    # is computed on bit-identical doubles, so both engines take the
+    # same branch and emit NULL together.
+    var_prod = (sxx - sx * sx / n) * (syy - sy * sy / n)
     return sums.filter(n > 1).select(
         "l_returnflag",
         "n",
         (cov_num / (n - F.lit(1))).cast("double").alias("covar_samp"),
-        (
-            cov_num
-            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
-        )
+        F.when(var_prod > 0, cov_num / F.sqrt(var_prod))
         .cast("double")
         .alias("corr_qty_disc"),
     )
@@ -329,10 +337,13 @@ def q_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * CAST(sx AS DOUBLE)) / n AS DOUBLE) AS intercept_cents
     FROM (
         SELECT l_returnflag, n, sx, sy,
-               CAST((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
-                     * CAST(sy AS DOUBLE))
-                    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                       * CAST(sx AS DOUBLE)) AS DOUBLE)
+               CAST(CASE WHEN n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                              * CAST(sx AS DOUBLE) > 0
+                    THEN (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * CAST(sy AS DOUBLE))
+                         / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                            * CAST(sx AS DOUBLE))
+                    ELSE NULL END AS DOUBLE)
                    AS slope_cents_per_day
         FROM sums
         WHERE n > 1
@@ -371,7 +382,15 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy = F.col("sy").cast("double")
     sxx = F.col("sxx").cast("double")
     sxy = F.col("sxy").cast("double")
-    slope = ((n * sxy - sx * sy) / (n * sxx - sx * sx)).cast("double")
+    # Degenerate-group guard (review r4): constant-x groups zero the
+    # denominator; ANSI Spark throws on double /0 where DuckDB yields
+    # NULL — the NULL branch is taken identically on both engines (the
+    # condition compares bit-identical doubles). Intercept goes NULL by
+    # propagation.
+    den = n * sxx - sx * sx
+    slope = (
+        F.when(den > 0, (n * sxy - sx * sy) / den)
+    ).cast("double")
     with_slope = sums.filter(n > 1).select(
         "l_returnflag", "n", "sx", "sy",
         slope.alias("slope_cents_per_day"),

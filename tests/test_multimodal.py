@@ -436,3 +436,32 @@ def test_png_decoder_never_raises_on_mangled_input():
 
     truncate()
     corrupt()
+
+
+def test_png_decompression_bomb_quarantines():
+    """Review r4: a tiny IDAT that INFLATES to far more than IHDR promises
+    (a zip bomb) must quarantine via the bounded decompress — never
+    allocate the full payload. Also: trailing compressed garbage after
+    the promised bytes quarantines."""
+    import struct
+    import zlib
+
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png,
+    )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0)  # promises 64 B
+    bomb = sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" * 50_000_000, 9)  # ~48 KB compressed
+    ) + _png_chunk(b"IEND", b"")
+    assert len(bomb) < 100_000  # the attack payload is small...
+    assert decode_png(bomb) == (None, None, None, None)  # ...and inert
+
+    # exact-size output followed by extra compressed bytes: also rejected
+    rowbytes = b"\x00" * (3 * 5 + 1) * 4
+    padded = sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", zlib.compress(rowbytes + b"X" * 1000)
+    ) + _png_chunk(b"IEND", b"")
+    assert decode_png(padded) == (None, None, None, None)

@@ -114,3 +114,57 @@ def test_domain_mixture_digitless_source_yields_null_weight(spark, tmp_path):
     assert oracle["webcrawl"][1] is None  # weight
     assert oracle["webcrawl"][4] == 0  # n_kept
     assert oracle["src1"][1] == 2 and oracle["src2"][1] == 3
+
+
+def test_corr_and_linreg_degenerate_groups_yield_null_both_engines(
+    spark, tmp_path
+):
+    """Review r4: a constant-x / constant-y group must produce NULL corr
+    and slope on BOTH engines, not an ANSI DIVIDE_BY_ZERO crash on the
+    Spark side against a quiet NULL in DuckDB."""
+    import datetime
+
+    import duckdb
+
+    from mysql_to_clickhouse_sync_spark.operators.stats import (
+        q_corr_pearson,
+        q_linreg_trend,
+    )
+    from mysql_to_clickhouse_sync_spark.registry import REGISTRY
+
+    t = datetime.datetime
+    rows = [
+        # group A: constant discount AND single ship date (degenerate)
+        (1, 10.0, 0.05, 100.0, "A", t(2024, 1, 1)),
+        (2, 20.0, 0.05, 200.0, "A", t(2024, 1, 1)),
+        # group N: dispersed (healthy)
+        (3, 10.0, 0.02, 100.0, "N", t(2024, 1, 1)),
+        (4, 30.0, 0.08, 300.0, "N", t(2024, 3, 1)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_quantity double, l_discount double,"
+        " l_extendedprice double, l_returnflag string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    corr = {r.l_returnflag: r for r in q_corr_pearson(spark, str(tmp_path)).collect()}
+    assert corr["A"].corr_qty_disc is None  # constant y -> NULL, no crash
+    assert corr["A"].covar_samp == 0.0
+    assert corr["N"].corr_qty_disc is not None
+
+    lin = {r.l_returnflag: r for r in q_linreg_trend(spark, str(tmp_path)).collect()}
+    assert lin["A"].slope_cents_per_day is None  # constant x
+    assert lin["A"].intercept_cents is None  # NULL propagation
+    assert lin["N"].slope_cents_per_day is not None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    o_corr = {r[0]: r for r in con.sql(REGISTRY["q_corr_pearson"].oracle).fetchall()}
+    assert o_corr["A"][3] is None and o_corr["N"][3] is not None
+    o_lin = {r[0]: r for r in con.sql(REGISTRY["q_linreg_trend"].oracle).fetchall()}
+    assert o_lin["A"][2] is None and o_lin["A"][3] is None
+    assert o_lin["N"][2] is not None

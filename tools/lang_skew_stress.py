@@ -84,9 +84,9 @@ def main() -> int:
         DEFAULT_MAX_BUCKET,
     )
     from mysql_to_clickhouse_sync_spark.operators.dedup import (
-        NUM_BANDS,
         NUM_HASHES,
         _simhash_chunk_bounds,
+        minhash_band_table,
         minhash_lsh_candidates,
         minhash_signatures_table,
         simhash_banded_pairs,
@@ -106,26 +106,10 @@ def main() -> int:
     )
 
     # --- MinHash bands (keys carry no lang — skew enters via content) -----
-    rows_per_band = NUM_HASHES // NUM_BANDS
+    # the PRODUCTION banding (minhash_band_table), so these measurements
+    # describe exactly the scheme the guard sees
     sigs = minhash_signatures_table(docs, "doc_id", "text", NUM_HASHES)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "_",
-                *[
-                    F.element_at(
-                        F.col("sig"), b * rows_per_band + r + 1
-                    ).cast("string")
-                    for r in range(rows_per_band)
-                ],
-            ).cast("binary")
-        )
-        for b in range(NUM_BANDS)
-    ]
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "bucket"),
-    ).cache()
+    bands = minhash_band_table(sigs).cache()
     row, top = bucket_stats(bands, ["band_idx", "bucket"])
     print(
         f"minhash buckets: {row.n_buckets:,}, max={row.max_n}, "
