@@ -1801,10 +1801,15 @@ def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = q_simhash_dedup(spark, sf_dir)
     joined = med.join(sh, ["doc_a", "doc_b"], "full_outer")
-    # est_jaccard and sim_bp are present together (one member pair set).
+    # Three independent presence checks, structurally mirroring the
+    # oracle's three CASE clauses (review r5): est_jaccard and sim_bp
+    # happen to share one pair set today, but counting sim_bp on its
+    # own means a future threshold/guard on either member cannot
+    # silently desync the signal count from the oracle.
     n_signals = (
-        F.when(F.col("est_jaccard").isNotNull(), 2).otherwise(0)
+        F.when(F.col("est_jaccard").isNotNull(), 1).otherwise(0)
         + F.when(F.col("hamming").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("sim_bp").isNotNull(), 1).otherwise(0)
     )
     return joined.select(
         "doc_a",

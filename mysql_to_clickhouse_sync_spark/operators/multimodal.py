@@ -482,41 +482,54 @@ def decode_png_pixels(payload: bytes | None):
     rowlen = bpp * width
     if len(raw) != height * (rowlen + 1):
         return bad
-    prev = [0] * rowlen
-    out_rows = []
+    # Unfiltering is the decode hot path (review r5): None/Up are whole-
+    # row numpy ops (uint8 addition wraps mod 256 natively) and Sub is a
+    # per-channel cumulative sum mod 256; only Average/Paeth — whose
+    # left-dependency is nonlinear — keep the sequential per-byte loop.
+    rawa = np.frombuffer(raw, dtype=np.uint8).reshape(height, rowlen + 1)
+    prev = np.zeros(rowlen, dtype=np.uint8)
+    out_rows = np.empty((height, rowlen), dtype=np.uint8)
     kinds = set()
     for r in range(height):
-        row = raw[r * (rowlen + 1) : (r + 1) * (rowlen + 1)]
-        ft, filt = row[0], row[1:]
+        ft = int(rawa[r, 0])
         if ft > 4:
             return bad
         kinds.add(ft)
-        cur = [0] * rowlen
-        for i in range(rowlen):
-            a = cur[i - bpp] if i >= bpp else 0  # left (reconstructed)
-            b = prev[i]  # up
-            c = prev[i - bpp] if i >= bpp else 0  # upper-left
-            if ft == 0:
-                pred = 0
-            elif ft == 1:
-                pred = a
-            elif ft == 2:
-                pred = b
-            elif ft == 3:
-                pred = (a + b) // 2
-            else:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-            cur[i] = (filt[i] + pred) % 256
-        out_rows.append(cur)
+        filt = rawa[r, 1:]
+        if ft == 0:
+            cur = filt.copy()
+        elif ft == 2:
+            cur = filt + prev
+        elif ft == 1:
+            cur = (
+                (np.cumsum(filt.reshape(width, bpp), axis=0, dtype=np.int64)
+                 % 256)
+                .astype(np.uint8)
+                .reshape(rowlen)
+            )
+        else:
+            fl = filt.tolist()
+            pl = prev.tolist()
+            cl = [0] * rowlen
+            for i in range(rowlen):
+                a = cl[i - bpp] if i >= bpp else 0  # left (reconstructed)
+                b = pl[i]  # up
+                if ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = pl[i - bpp] if i >= bpp else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                cl[i] = (fl[i] + pred) & 255
+            cur = np.array(cl, dtype=np.uint8)
+        out_rows[r] = cur
         prev = cur
-    return (
-        width,
-        height,
-        len(kinds),
-        np.array(out_rows, dtype=np.uint8),
-    )
+    return (width, height, len(kinds), out_rows)
 
 
 @declare(

@@ -244,9 +244,9 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * CAST(sy AS DOUBLE) / n) / (n - 1) AS DOUBLE)
                AS covar_samp,
            CAST(CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                           * CAST(sx AS DOUBLE) / n)
-                          * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
-                             * CAST(sy AS DOUBLE) / n) > 0
+                           * CAST(sx AS DOUBLE) / n) > 0
+                      AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                           * CAST(sy AS DOUBLE) / n) > 0
                 THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
                       * CAST(sy AS DOUBLE) / n)
                      / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
@@ -291,17 +291,20 @@ def q_corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
     syy = F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
     cov_num = sxy - sx * sy / n
-    # Degenerate-group guard (review r4): a constant-x or constant-y
-    # group makes the variance product 0, and Spark 4 ANSI THROWS on
-    # double division by zero where DuckDB yields NULL — the condition
-    # is computed on bit-identical doubles, so both engines take the
-    # same branch and emit NULL together.
-    var_prod = (sxx - sx * sx / n) * (syy - sy * sy / n)
+    # Degenerate-group guard (review r4/r5): a constant-x or constant-y
+    # group makes its variance 0, and Spark 4 ANSI THROWS on double
+    # division by zero where DuckDB yields NULL. Each variance is
+    # guarded SEPARATELY (not via their product — float rounding can
+    # make both slightly negative and the product spuriously positive,
+    # emitting a meaningless |r|>1); the conditions are computed on
+    # bit-identical doubles so both engines take the same branch.
+    var_x = sxx - sx * sx / n
+    var_y = syy - sy * sy / n
     return sums.filter(n > 1).select(
         "l_returnflag",
         "n",
         (cov_num / (n - F.lit(1))).cast("double").alias("covar_samp"),
-        F.when(var_prod > 0, cov_num / F.sqrt(var_prod))
+        F.when((var_x > 0) & (var_y > 0), cov_num / F.sqrt(var_x * var_y))
         .cast("double")
         .alias("corr_qty_disc"),
     )

@@ -81,7 +81,9 @@ def test_minhash_cluster_integration(spark):
     )
     from pyspark.sql import functions as F
 
-    pairs = minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.5)
+    pairs = minhash_lsh_candidates(docs, max_bucket=None).filter(
+        F.col("est_jaccard") >= 0.5
+    )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )

@@ -34,7 +34,7 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     docs = _docs(spark)
     pairs = {
         (r.doc_a, r.doc_b): r.est_jaccard
-        for r in minhash_lsh_candidates(docs).collect()
+        for r in minhash_lsh_candidates(docs, max_bucket=None).collect()
     }
     # Exact-after-normalization copy: all bands collide, agreement 1.0.
     assert pairs.get((0, 2)) == 1.0
@@ -99,11 +99,11 @@ def test_band_length_dial_is_monotone(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     short = {
         (r.label, r.vec_a, r.vec_b)
-        for r in banded_neardup_pairs(emb, n_bands=16, band_bits=4).collect()
+        for r in banded_neardup_pairs(emb, n_bands=16, band_bits=4, max_bucket=None).collect()
     }
     long = {
         (r.label, r.vec_a, r.vec_b)
-        for r in banded_neardup_pairs(emb, n_bands=8, band_bits=8).collect()
+        for r in banded_neardup_pairs(emb, n_bands=8, band_bits=8, max_bucket=None).collect()
     }
     assert long <= short
     assert len(long) < len(short)  # the dial actually bites on this data
