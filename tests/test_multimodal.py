@@ -465,3 +465,143 @@ def test_png_decompression_bomb_quarantines():
         b"IDAT", zlib.compress(rowbytes + b"X" * 1000)
     ) + _png_chunk(b"IEND", b"")
     assert decode_png(padded) == (None, None, None, None)
+
+
+def test_jpeg_codec_roundtrip_against_law():
+    """The JPEG path is a REAL Huffman-entropy-coded codec: encode from
+    the coefficient-domain law, decode through marker walk + canonical
+    Huffman + dequant + integer IDCT, and land exactly on the law's
+    dequantized-coefficient and reconstructed-pixel sums (computed here
+    independently, not through the codec)."""
+    import numpy as np
+
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        _JPEG_G,
+        _JPEG_OFF,
+        _JPEG_QC_ZZ,
+        _JPEG_QL_ZZ,
+        _JPEG_S,
+        _JPEG_ZZ,
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_block_coefs,
+        jpeg_geometry,
+    )
+
+    g = np.array(_JPEG_G, dtype=np.int64)
+    s2 = _JPEG_S * _JPEG_S
+    shift = (128 + _JPEG_OFF) * s2 + s2 // 2
+    for d in (0, 1, 5, 7, 42, 113, 250, 254):
+        w, h, seed = jpeg_geometry(d)
+        nb = (w // 8) * (h // 8)
+        expected = []
+        for c in range(3):
+            q = _JPEG_QL_ZZ if c == 0 else _JPEG_QC_ZZ
+            cs = ps = 0
+            for b in range(nb):
+                qz = jpeg_block_coefs(seed, c, b)
+                fnat = np.zeros((8, 8), dtype=np.int64)
+                for z in range(64):
+                    if qz[z]:
+                        fnat[_JPEG_ZZ[z] // 8, _JPEG_ZZ[z] % 8] = qz[z] * q[z]
+                cs += int(fnat.sum())
+                pix = (g.T @ fnat @ g + shift) // s2 - _JPEG_OFF
+                ps += int(np.clip(pix, 0, 255).sum())
+            expected.append((nb, cs, ps))
+        assert decode_jpeg(encode_jpeg(w, h, seed)) == (w, h, 3, expected)
+
+
+def test_jpeg_bitstream_is_wellformed():
+    """Structural properties of the emitted JFIF stream: SOI/EOI
+    framing, all required segments present in order, and NO un-stuffed
+    0xFF inside the entropy-coded data (every 0xFF is followed by 0x00
+    until the final EOI)."""
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        encode_jpeg,
+        jpeg_geometry,
+    )
+
+    for d in (3, 11, 77, 200):
+        p = encode_jpeg(*jpeg_geometry(d))
+        assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+        for marker in (b"\xff\xe0", b"\xff\xdb", b"\xff\xc0",
+                       b"\xff\xc4", b"\xff\xda"):
+            assert marker in p, marker
+        sos = p.index(b"\xff\xda")
+        scan = p[sos + 14 : -2]  # SOS segment is 2 (marker) + 12 bytes
+        i = 0
+        while i < len(scan):
+            if scan[i] == 0xFF:
+                assert i + 1 < len(scan) and scan[i + 1] == 0x00, i
+                i += 2
+            else:
+                i += 1
+
+
+def test_jpeg_decoder_never_raises_on_mangled_input():
+    """Property: truncations and single-byte corruptions of a valid
+    JPEG either decode (the flip missed every load-bearing byte — JPEG
+    has no CRC, so entropy-data flips CAN yield plausible garbage) or
+    quarantine to the NULL tuple; the decoder never raises. Structural
+    mangles (bad SOI, non-baseline SOF, DRI) must quarantine."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_geometry,
+    )
+
+    good = encode_jpeg(*jpeg_geometry(7))
+    w0 = jpeg_geometry(7)[0]
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.integers(min_value=0, max_value=len(good)))
+    def truncate(k):
+        out = decode_jpeg(good[:k])
+        assert out == (None, None, None, None) or out[0] == w0
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(good) - 1),
+        st.integers(min_value=1, max_value=255),
+    )
+    def corrupt(pos, delta):
+        mangled = bytearray(good)
+        mangled[pos] = (mangled[pos] + delta) % 256
+        out = decode_jpeg(bytes(mangled))  # must not raise
+        assert len(out) == 4
+
+    truncate()
+    corrupt()
+
+    assert decode_jpeg(None) == (None, None, None, None)
+    assert decode_jpeg(b"\x00" * 32) == (None, None, None, None)
+    # progressive SOF2 instead of baseline SOF0 -> reject, not mis-decode
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg(prog) == (None, None, None, None)
+    # DRI (restart intervals) is outside the baseline subset -> reject
+    dri = good[:2] + b"\xff\xdd\x00\x04\x00\x08" + good[2:]
+    assert decode_jpeg(dri) == (None, None, None, None)
+
+
+def test_decode_media_sniffs_jpeg(spark):
+    """decode_media's image slot dispatches FFD8 payloads through the
+    real JPEG decoder and recovers the geometry law."""
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        encode_jpeg,
+        jpeg_geometry,
+    )
+
+    rows = [
+        (int(d), "image", encode_jpeg(*jpeg_geometry(int(d))))
+        for d in (0, 4, 10)
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_media(media).collect()}
+    for d, _, _ in rows:
+        w, h, _ = jpeg_geometry(d)
+        assert (out[d].width, out[d].height) == (w, h)
