@@ -125,6 +125,87 @@ def clickhouse_ddl(
     return "\n".join(lines)
 
 
+# Safe in-place widenings ClickHouse applies without rewriting parts:
+# integer rank growth, float32 -> float64, and decimal precision growth
+# at the SAME scale (values re-encode losslessly). Everything else is a
+# rewrite (or a semantic change) and must be a deliberate migration,
+# not an automatic drift step — we raise instead of guessing.
+_INT_RANK = {ByteType: 1, ShortType: 2, IntegerType: 3, LongType: 4}
+
+
+def _is_widening(old: DataType, new: DataType) -> bool:
+    if old == new:
+        return True
+    ro = _INT_RANK.get(type(old))
+    rn = _INT_RANK.get(type(new))
+    if ro is not None and rn is not None:
+        return rn >= ro
+    if isinstance(old, FloatType) and isinstance(new, DoubleType):
+        return True
+    if isinstance(old, DecimalType) and isinstance(new, DecimalType):
+        return new.scale == old.scale and new.precision >= old.precision
+    return False
+
+
+def alter_table_ddl(
+    old: StructType,
+    new: StructType,
+    table: str,
+    *,
+    database: str | None = None,
+) -> list[str]:
+    """`ALTER TABLE` statements bringing a ClickHouse table created from
+    `old` up to `new` — the TARGET-side half of CDC schema drift (the
+    data side is streaming/evolution.py s_cdc_schema_drift: the widest
+    schema parses every wire generation; this emits the DDL that makes
+    the target accept it). Reference contrast: the tool assumes source
+    and target already agree (SURVEY §1.2, mysql_to_clickhouse_sync.py:
+    76) and a drifted upstream surfaces as a runtime insert error —
+    here the drift becomes explicit, idempotent DDL.
+
+    Semantics: added columns are emitted as `ADD COLUMN IF NOT EXISTS`
+    (idempotent under at-least-once replay), ALWAYS Nullable — rows
+    serialized before the upstream ALTER carry no value, so the target
+    type must admit NULL regardless of the new upstream nullability —
+    and positioned with AFTER/FIRST to mirror upstream column order.
+    In-place-safe type changes (int widening, float32→float64, decimal
+    precision growth at equal scale, non-null→Nullable) become `MODIFY
+    COLUMN`; any other change raises ValueError rather than guessing a
+    lossy migration. Columns dropped upstream are LEFT IN PLACE:
+    inserts that omit them fill defaults, and dropping data is never an
+    automatic side effect. Returns [] when schemas already agree (the
+    no-op case callers can log-and-skip)."""
+    qualified = f"`{database}`.`{table}`" if database else f"`{table}`"
+    old_fields = {f.name: f for f in old.fields}
+    stmts: list[str] = []
+    prev: str | None = None
+    for f in new.fields:
+        have = old_fields.get(f.name)
+        if have is None:
+            ctype = clickhouse_type(f.dataType, True)
+            pos = f" AFTER `{prev}`" if prev is not None else " FIRST"
+            stmts.append(
+                f"ALTER TABLE {qualified} ADD COLUMN IF NOT EXISTS"
+                f" `{f.name}` {ctype}{pos}"
+            )
+        elif (have.dataType, have.nullable) != (f.dataType, f.nullable):
+            if not _is_widening(have.dataType, f.dataType) or (
+                have.nullable and not f.nullable
+            ):
+                raise ValueError(
+                    f"non-widening drift on column {f.name!r}: "
+                    f"{have.dataType}/{have.nullable} -> "
+                    f"{f.dataType}/{f.nullable}"
+                )
+            nullable = have.nullable or f.nullable
+            stmts.append(
+                f"ALTER TABLE {qualified} MODIFY COLUMN"
+                f" `{f.name}` {clickhouse_type(f.dataType, nullable)}"
+            )
+        prev = f.name
+    return stmts
+
+
 def snapshot_ddl(schema: StructType, table: str, rowid: str, **kw) -> str:
     """Bulk-snapshot target: append-only MergeTree ordered by the same
     auto-increment key the reference chunks on (S:163)."""

@@ -9,6 +9,15 @@ with the WIDEST (current) payload schema; `from_json` leaves absent
 fields NULL, so pre-ALTER rows flow through the SAME versioned merge with
 NULL in the new column, and the final state is exact.
 
+The TARGET side of the same drift is sinks/ddl.py `alter_table_ddl`:
+an old-vs-new StructType diff rendered as idempotent `ALTER TABLE …
+ADD COLUMN IF NOT EXISTS` / safe `MODIFY COLUMN` ClickHouse DDL.
+s_cdc_schema_drift emits and logs those statements at the moment the
+wide generation appears, so a live sink would widen the table before
+the first post-ALTER insert (execution needs a live ClickHouse, which
+this sandbox lacks — the statements are generated and unit-tested,
+never faked).
+
 This is the streaming twin of the batch q_schema_drift
 (operators/normalize.py): there the two extracts union by name; here the
 two wire generations interleave through one parser + one CDC merge, and
@@ -18,6 +27,7 @@ column populated iff the winning row post-dates the ALTER).
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import tempfile
@@ -27,6 +37,7 @@ from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_sync_spark.catalog import EVENTS_US_CTE, load_table
 from mysql_to_clickhouse_sync_spark.registry import declare
+from mysql_to_clickhouse_sync_spark.sinks.ddl import alter_table_ddl
 from mysql_to_clickhouse_sync_spark.sources.binlog import (
     FILE_COL,
     POS_COL,
@@ -39,6 +50,8 @@ from mysql_to_clickhouse_sync_spark.streaming.cdc import (
     live_rows,
 )
 from mysql_to_clickhouse_sync_spark.streaming.tuning import tuned
+
+_LOG = logging.getLogger(__name__)
 
 ALTER_TS = "2024-01-20 00:00:00"  # the moment the upstream ALTER lands
 _V1_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
@@ -104,7 +117,14 @@ def s_cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query = stream.start()
         query.processAllAvailable()
-        # the ALTER lands; generation 2 carries the new column
+        # The ALTER lands. Target-side half first: emit the idempotent
+        # ClickHouse DDL that widens the sink table (logged here; a
+        # live deployment would execute it before the next insert).
+        for stmt in alter_table_ddl(
+            events.select(*_V1_COLS).schema, wide_schema, "events_cdc"
+        ):
+            _LOG.info("schema drift DDL: %s", stmt)
+        # generation 2 carries the new column
         to_debezium_envelopes(
             v2.select(*_V2_COLS), _V2_COLS, F.lit(False)
         ).coalesce(1).write.mode("append").text(in_dir)

@@ -104,3 +104,96 @@ def test_partition_by_clause(spark):
     assert "PARTITION BY toYYYYMM(o_orderdate)" in ddl
     # PARTITION BY precedes ORDER BY in CH DDL.
     assert ddl.index("PARTITION BY") < ddl.index("ORDER BY")
+
+
+def _st(*fields):
+    from pyspark.sql.types import IntegerType
+
+    types = {
+        "int": IntegerType(),
+        "long": LongType(),
+        "float": FloatType(),
+        "str": StringType(),
+        "dec": DecimalType(12, 2),
+        "dec_wide": DecimalType(18, 2),
+    }
+    return StructType(
+        [StructField(n, types[t], nullable) for n, t, nullable in fields]
+    )
+
+
+def test_alter_ddl_add_column_is_nullable_idempotent_positioned():
+    from mysql_to_clickhouse_sync_spark.sinks.ddl import alter_table_ddl
+
+    old = _st(("a", "long", False), ("b", "str", True))
+    new = _st(
+        ("a", "long", False),
+        ("b", "str", True),
+        ("props", "str", False),  # upstream non-null — target must be
+    )  # Nullable anyway: pre-ALTER rows carry no value
+    stmts = alter_table_ddl(old, new, "events_cdc")
+    assert stmts == [
+        "ALTER TABLE `events_cdc` ADD COLUMN IF NOT EXISTS"
+        " `props` Nullable(String) AFTER `b`"
+    ]
+    # new leading column -> FIRST; database qualification honored
+    new2 = _st(("z", "int", True), ("a", "long", False), ("b", "str", True))
+    stmts2 = alter_table_ddl(old, new2, "t", database="db")
+    assert stmts2 == [
+        "ALTER TABLE `db`.`t` ADD COLUMN IF NOT EXISTS"
+        " `z` Nullable(Int32) FIRST"
+    ]
+
+
+def test_alter_ddl_widen_and_noop():
+    from mysql_to_clickhouse_sync_spark.sinks.ddl import alter_table_ddl
+
+    old = _st(("a", "int", False), ("p", "dec", True), ("x", "float", True))
+    # no drift -> no statements (callers log-and-skip)
+    assert alter_table_ddl(old, old, "t") == []
+    # int widening + decimal precision growth at equal scale
+    new = _st(("a", "long", False), ("p", "dec_wide", True), ("x", "float", True))
+    stmts = alter_table_ddl(old, new, "t")
+    assert stmts == [
+        "ALTER TABLE `t` MODIFY COLUMN `a` Int64",
+        "ALTER TABLE `t` MODIFY COLUMN `p` Nullable(Decimal(18, 2))",
+    ]
+    # non-null -> nullable is a safe MODIFY
+    loosened = _st(("a", "int", True), ("p", "dec", True), ("x", "float", True))
+    assert alter_table_ddl(old, loosened, "t") == [
+        "ALTER TABLE `t` MODIFY COLUMN `a` Nullable(Int32)"
+    ]
+    # dropped upstream column: left in place, no statement
+    assert alter_table_ddl(old, _st(("a", "int", False), ("p", "dec", True)), "t") == []
+
+
+def test_alter_ddl_refuses_lossy_changes():
+    from mysql_to_clickhouse_sync_spark.sinks.ddl import alter_table_ddl
+
+    old = _st(("a", "long", False), ("s", "str", True))
+    with pytest.raises(ValueError):  # narrowing int
+        alter_table_ddl(old, _st(("a", "int", False), ("s", "str", True)), "t")
+    with pytest.raises(ValueError):  # type swap
+        alter_table_ddl(old, _st(("a", "long", False), ("s", "long", True)), "t")
+    with pytest.raises(ValueError):  # nullable -> non-null
+        alter_table_ddl(old, _st(("a", "long", False), ("s", "str", False)), "t")
+
+
+def test_alter_ddl_matches_drift_stream_schemas(spark):
+    """The exact diff s_cdc_schema_drift logs: v1 events schema vs the
+    wide (post-ALTER) schema yields one Nullable props ADD COLUMN."""
+    from mysql_to_clickhouse_sync_spark.sinks.ddl import alter_table_ddl
+    from mysql_to_clickhouse_sync_spark.streaming.evolution import (
+        _V1_COLS,
+        _V2_COLS,
+    )
+
+    events = load_table(spark, SF, "events")
+    stmts = alter_table_ddl(
+        events.select(*_V1_COLS).schema,
+        events.select(*_V2_COLS).schema,
+        "events_cdc",
+    )
+    assert len(stmts) == 1
+    assert "ADD COLUMN IF NOT EXISTS `props` Nullable(String)" in stmts[0]
+    assert stmts[0].endswith("AFTER `value`")
