@@ -379,7 +379,9 @@ def minhash_lsh_candidates(
     )
 
 
-def _minhash_cand_cte(where: str = "", cols: str = "doc_id") -> str:
+def _minhash_cand_cte(
+    where: str = "", cols: str = "doc_id", source: str = "documents"
+) -> str:
     """The MinHash-LSH candidate chain (sig -> banded -> bands -> cand)
     as CTEs appended to _shingled_cte_prefix — the ONE SQL statement of
     the banding scheme, shared by the q_minhash_dedup and q_dedup_recall
@@ -406,7 +408,7 @@ def _minhash_cand_cte(where: str = "", cols: str = "doc_id") -> str:
     )
     sig_list = "[" + ", ".join(f"mh{j}" for j in range(NUM_HASHES)) + "]"
     return f"""
-    {_shingled_cte_prefix(cols=cols, where=where)}
+    {_shingled_cte_prefix(cols=cols, where=where, source=source)}
     , sig AS (
         SELECT doc_id, {mh_exprs}
         FROM shingled

@@ -61,6 +61,7 @@ def _load_all_modules() -> None:
         json_ops,
         kmeans,
         multimodal,
+        neardup_pipeline,
         normalize,
         packing,
         profiling,

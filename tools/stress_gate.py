@@ -275,6 +275,42 @@ def main() -> int:
     gate.check("embedding wall", dt <= args.wall, f"{dt:.1f}s <= {args.wall}s")
     emb.unpersist()
 
+    # --- Stage 2b: the composed pipeline at PRODUCTION caps ---------------
+    # q_neardup_pipeline's library form with DEFAULT_MAX_BUCKET on a dir
+    # carrying BOTH skew corpora — the end-to-end melt check: every
+    # generator runs in ladder order; exact reps collapse the verbatim
+    # replica mass first, so even the hot simhash cells deflate.
+    print("stage 2b: neardup_pipeline at production caps on skew corpora ...")
+    from mysql_to_clickhouse_sync_spark.operators.neardup_pipeline import (
+        neardup_pipeline,
+    )
+
+    import os
+
+    os.makedirs(args.out + "/pipe", exist_ok=True)
+    for src, dst in (
+        (f"{args.out}/docs/documents.parquet", "documents.parquet"),
+        (f"{args.out}/emb/embeddings.parquet", "embeddings.parquet"),
+    ):
+        tgt = f"{args.out}/pipe/{dst}"
+        if not os.path.exists(tgt):
+            shutil.copytree(src, tgt)
+    t0 = time.time()
+    ledger = {
+        r.stage: r for r in neardup_pipeline(spark, args.out + "/pipe").collect()
+    }
+    dt = time.time() - t0
+    gate.check(
+        "pipeline completes all four stages",
+        set(ledger) == {"exact", "minhash", "simhash", "embedding"}
+        and ledger["exact"].n_out > 0,
+        f"stages {sorted(ledger)} in {dt:.1f}s; "
+        f"exact removed {ledger.get('exact') and ledger['exact'].n_out:,}",
+    )
+    gate.check(
+        "pipeline wall", dt <= 2 * args.wall, f"{dt:.1f}s <= {2 * args.wall}s"
+    )
+
     # --- Stage 3: planted-blob embeddings (SemDeDup guarded path) ---------
     print(f"stage 3: planted blob ({blob}/{blob_n}) SemDeDup guarded ...")
     from mysql_to_clickhouse_sync_spark.operators.kmeans import (
