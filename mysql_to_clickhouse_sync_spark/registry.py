@@ -78,6 +78,7 @@ def _load_all_modules() -> None:
         timeseries,
         tpch,
         udtf_ops,
+        unigram,
         validation,
         versioning,
         windows,

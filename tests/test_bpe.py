@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
+
 
 def _merges_for(spark, tmp_path, rows, n=3):
     import mysql_to_clickhouse_sync_spark.operators.bpe as bpe
@@ -69,3 +71,41 @@ def test_bpe_multichar_token_cannot_false_match(spark, tmp_path):
     # llll -> (ll)(ll) [leftmost-greedy], ll -> (ll): r2 best = 'll ll'
     # with count 2 — a false in-token match would corrupt the sequences
     assert got[1] == (2, "ll ll", "llll", 2)
+
+
+def test_unigram_lm_segmentations_are_valid(spark):
+    """Every output row's segmentation must concatenate back to its word,
+    use only pieces from the bounded lattice (single chars + <=2-char
+    bigrams), and carry the DP-consistent integer score."""
+    from mysql_to_clickhouse_sync_spark.operators.unigram import (
+        UNI_MAXW,
+        UNI_VOCAB,
+        q_unigram_lm,
+    )
+
+    rows = q_unigram_lm(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= UNI_VOCAB
+    for r in rows:
+        pieces = r.seg.split(" ")
+        assert "".join(pieces) == r.word, r
+        assert all(1 <= len(p) <= 2 for p in pieces), r
+        assert r.n_pieces == len(pieces)
+        assert len(r.word) <= UNI_MAXW
+        # multi-char words must be segmentable and scored
+        assert r.score is not None
+
+
+def test_unigram_viterbi_prefers_learned_bigrams(spark):
+    """The fixed-point Viterbi must actually exploit the bigram lattice:
+    on this corpus at least one word segments through a 2-char piece
+    (an all-singles output would mean the pair scores never win)."""
+    from mysql_to_clickhouse_sync_spark.operators.unigram import (
+        q_unigram_lm,
+    )
+
+    rows = q_unigram_lm(spark, SF_DIR).collect()
+    assert any(
+        any(len(p) == 2 for p in r.seg.split(" "))
+        for r in rows
+        if len(r.word) >= 2
+    )
