@@ -166,3 +166,32 @@ def test_kmeans_pp_no_cartesian_and_broadcast_assignment(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p
     assert _plan(spark, "q_kmeans").count("Join") == p.count("Join")
+
+
+def test_neardup_pipeline_guards_armed_and_no_all_pairs(spark):
+    """The composed pipeline keeps every stage's scale shape: three
+    armed guards (broadcast anti-joins against the oversize-key sets),
+    banded equi-joins only (a theta-only join would surface as a
+    non-broadcast cartesian), and 1-row broadcast NLJs for the ledger
+    assembly."""
+    p = _plan(spark, "q_neardup_pipeline")
+    assert p.count("LeftAnti") >= 3, "a generator lost its bucket guard"
+    assert "CartesianProduct" not in p
+
+
+def test_unigram_dp_is_single_pipeline_no_join_per_position(spark):
+    """The Viterbi DP must stay ONE projection chain over a broadcast
+    map column — a join-per-position refactor (24+ joins) would show up
+    as a forest of SortMergeJoins."""
+    p = _plan(spark, "q_unigram_lm")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_jpeg_decode_is_shuffle_free_mapinpandas(spark):
+    """Codec queries are map-only: one scan, one Python stage, no
+    exchange anywhere (q_png_decode's pinned shape)."""
+    for name in ("q_jpeg_decode", "q_png_decode"):
+        p = _plan(spark, name)
+        assert "Exchange" not in p, name
+        assert "FlatMapGroupsInPandas" in p or "MapInPandas" in p, name
