@@ -1512,11 +1512,10 @@ def encode_wav(sample_rate: int, n_samples: int, seed: int) -> bytes:
     return buf.getvalue()
 
 
-def decode_wav(payload: bytes | None):
-    """Parse a 16-bit mono PCM WAV: returns (sample_rate, n_samples,
-    amp_sum) where amp_sum is the signed sum of all samples — an
-    endianness or width mistake cannot produce the right checksum.
-    Malformed payloads return NULLs (quarantine, not abort)."""
+def _decode_wav_parts(payload: bytes | None):
+    """(sample_rate, int64 sample array) of a 16-bit mono PCM WAV, or
+    (None, None) — the shared parse behind decode_wav's checksum and
+    the codec consumers (audio_codecs mu-law) that need the samples."""
     import io
     import wave
 
@@ -1528,21 +1527,37 @@ def decode_wav(payload: bytes | None):
         or payload[:4] != b"RIFF"
         or payload[8:12] != b"WAVE"
     ):
-        return (None, None, None)
+        return (None, None)
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
             if w.getnchannels() != 1 or w.getsampwidth() != 2:
-                return (None, None, None)
+                return (None, None)
             rate, n = w.getframerate(), w.getnframes()
             data = np.frombuffer(w.readframes(n), dtype="<i2")
     # wave/chunk raise bare RuntimeError on corrupt chunk-size fields
     # (found by the quarantine fuzz test) and ValueError/OSError on other
     # malformed structures — all quarantine, none abort.
     except (wave.Error, EOFError, RuntimeError, ValueError, OSError):
-        return (None, None, None)
+        return (None, None)
     if len(data) != n:
+        return (None, None)
+    return (rate, data.astype(np.int64))
+
+
+def decode_wav_samples(payload: bytes | None):
+    """int64 sample array of a valid 16-bit mono PCM WAV, else None."""
+    return _decode_wav_parts(payload)[1]
+
+
+def decode_wav(payload: bytes | None):
+    """Parse a 16-bit mono PCM WAV: returns (sample_rate, n_samples,
+    amp_sum) where amp_sum is the signed sum of all samples — an
+    endianness or width mistake cannot produce the right checksum.
+    Malformed payloads return NULLs (quarantine, not abort)."""
+    rate, data = _decode_wav_parts(payload)
+    if rate is None:
         return (None, None, None)
-    return (rate, n, int(data.astype(np.int64).sum()))
+    return (rate, len(data), int(data.sum()))
 
 
 def real_media_table(docs: DataFrame) -> DataFrame:

@@ -49,6 +49,7 @@ def _load_all_modules() -> None:
         aggregates,
         analytics,
         asof,
+        audio_codecs,
         behavior,
         bpe,
         clickhouse,

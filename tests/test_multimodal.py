@@ -605,3 +605,67 @@ def test_decode_media_sniffs_jpeg(spark):
     for d, _, _ in rows:
         w, h, _ = jpeg_geometry(d)
         assert (out[d].width, out[d].height) == (w, h)
+
+
+def test_mulaw_codec_known_values_and_error_bound():
+    """G.711 spot checks: silence maps to code 0xFF and decodes to 0;
+    positive/negative symmetry; quantization error bounded by the
+    segment step (amplitude/16 + bias slack) across the int16 range."""
+    import numpy as np
+
+    from mysql_to_clickhouse_sync_spark.operators.audio_codecs import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    assert mulaw_encode(np.array([0]))[0] == 0xFF
+    assert mulaw_decode(np.array([0xFF]))[0] == 0
+    x = np.arange(-32768, 32768, 17, dtype=np.int64)
+    rec = mulaw_decode(mulaw_encode(x))
+    assert (np.sign(rec) == np.sign(np.clip(x, -32635, 32635))).all()
+    err = np.abs(rec - np.clip(x, -32635, 32635))
+    assert (err <= np.maximum(np.abs(x) // 16, 32)).all()
+
+
+def test_adpcm_wav_roundtrip_and_quarantine():
+    """The fmt-0x11 WAV is REAL: RIFF walk, fmt validation, nibble
+    unpacking, adaptive state machine — and the decode equals an
+    independent run of the shared transition function. Structural
+    mangles quarantine; the decoder never raises on truncations or
+    single-byte corruptions."""
+    from mysql_to_clickhouse_sync_spark.operators.audio_codecs import (
+        adpcm_geometry,
+        adpcm_step,
+        decode_adpcm_wav,
+        encode_adpcm_wav,
+    )
+
+    for d in (0, 3, 42, 254):
+        n, p0, ns = adpcm_geometry(d)
+        payload = encode_adpcm_wav(n, p0, ns)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        pred, sidx = p0, 0
+        s = mn = mx = p0
+        for i in range(1, n + 1):
+            pred, sidx = adpcm_step(pred, sidx, (ns + 7 * i) % 16)
+            s += pred
+            mn = min(mn, pred)
+            mx = max(mx, pred)
+        assert decode_adpcm_wav(payload) == (n + 1, s, mn, mx)
+
+    good = encode_adpcm_wav(*adpcm_geometry(7))
+    assert decode_adpcm_wav(None) == (None, None, None, None)
+    assert decode_adpcm_wav(b"not a wav") == (None, None, None, None)
+    for k in range(len(good)):
+        out = decode_adpcm_wav(good[:k])  # must not raise
+        assert out == (None, None, None, None)
+    for pos in range(len(good)):
+        mangled = bytearray(good)
+        mangled[pos] ^= 0x55
+        out = decode_adpcm_wav(bytes(mangled))  # must not raise
+        assert len(out) == 4
+    # PCM fmt tag instead of 0x11 -> reject, not mis-decode
+    pcm = bytearray(good)
+    tag_at = good.index(b"fmt ") + 8
+    pcm[tag_at] = 0x01
+    assert decode_adpcm_wav(bytes(pcm)) == (None, None, None, None)
