@@ -669,3 +669,40 @@ def test_adpcm_wav_roundtrip_and_quarantine():
     tag_at = good.index(b"fmt ") + 8
     pcm[tag_at] = 0x01
     assert decode_adpcm_wav(bytes(pcm)) == (None, None, None, None)
+
+
+def test_mjpeg_avi_roundtrip_and_quarantine():
+    """The MJPEG AVI is a real container of real JPEGs: every frame
+    decodes through the full baseline pipeline and the aggregate equals
+    per-frame decode_jpeg sums computed independently; handler/fourcc
+    swaps, truncation, and frame-count lies all quarantine."""
+    import struct
+
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_mjpeg_avi,
+        encode_jpeg,
+        encode_mjpeg_avi,
+        mjpeg_geometry,
+    )
+
+    for d in (0, 1, 7, 42, 254):
+        w, h, nf, seed = mjpeg_geometry(d)
+        payload = encode_mjpeg_avi(w, h, nf, seed)
+        cs = ps = 0
+        for f in range(nf):
+            _, _, _, per = decode_jpeg(encode_jpeg(w, h, (seed + 11 * f) % 251))
+            for _, c, p in per:
+                cs += c
+                ps += p
+        assert decode_mjpeg_avi(payload) == (w, h, nf, cs, ps)
+
+    good = encode_mjpeg_avi(*mjpeg_geometry(9))
+    assert decode_mjpeg_avi(None)[0] is None
+    assert decode_mjpeg_avi(good[:-11])[0] is None
+    assert decode_mjpeg_avi(good.replace(b"MJPG", b"DIB ", 1))[0] is None
+    # corrupting any single frame's entropy framing quarantines the file
+    sos = good.index(b"\xff\xda")
+    broken = bytearray(good)
+    broken[sos + 1] = 0x00
+    assert decode_mjpeg_avi(bytes(broken))[0] is None
