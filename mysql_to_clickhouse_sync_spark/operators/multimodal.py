@@ -118,6 +118,8 @@ def decode_media(media: DataFrame) -> DataFrame:
                         w, h, _, _ = decode_png(p)
                     elif p is not None and p[:2] == b"\xff\xd8":
                         w, h, _, _ = decode_jpeg(p)
+                    elif p is not None and p[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h, _, _, _ = decode_gif(p)
                     else:
                         w, h, _ = decode_bmp(p)
                     decoded.append((n, w, h, None))
@@ -2751,6 +2753,367 @@ def q_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "height",
                     "n_frames",
                     "coef_sum",
+                    "pix_sum",
+                ],
+            )
+
+    return docs.mapInPandas(batches, schema=out_schema)
+
+
+# --- Real compressed image codec #3: GIF87a (LZW) --------------------------
+#
+# Completes the entropy-coding family coverage: DEFLATE (PNG,
+# multimodal.py `decode_png`), Huffman run/size (JPEG, `decode_jpeg`),
+# and now LZW — the third classic compressed-image coding, with a
+# genuinely different decoder shape (adaptive dictionary shared
+# implicitly between encoder and decoder, variable code width, CLEAR
+# resets, the KwKwK first-use edge case). No reference cite — the
+# reference (mysql_to_clickhouse_sync) has no media path; this is the
+# builder's-brief multimodal mandate. Pure stdlib: GIF needs no
+# external library at all.
+#
+# Synthesis law (the closed form the oracle re-derives): pixel i of a
+# width x height frame is palette index (seed + 7*i) % P with
+# P in {4, 8, 16} colors; palette entry j channel c (c = 0,1,2) is
+# (37*j + 11*c + seed) % 256. The encoder LZW-compresses exactly that
+# index stream into a valid GIF87a (real logical-screen descriptor,
+# global color table, image descriptor, sub-block framing, trailer);
+# the decoder re-derives the indices through real LZW — so idx_sum and
+# the palette-resolved pix_sum are closed forms that a decoder with a
+# broken dictionary, wrong code-width schedule, or skipped CLEAR
+# handling cannot reproduce.
+
+_GIF_MAX_CODE = 4096  # 12-bit LZW ceiling (GIF spec)
+_GIF_FORCED_CLEAR = 50  # encoder emits CLEAR every 50 symbols so every
+#                         payload exercises dictionary-reset handling
+
+
+def gif_geometry(doc_id: int) -> tuple[int, int, int, int]:
+    """Deterministic (width, height, palette_bits, seed) for the
+    synthetic GIF corpus. palette_bits in {2,3,4} -> 4/8/16 colors, so
+    the LZW minimum code size varies across the corpus."""
+    return 6 + doc_id % 13, 4 + doc_id % 7, 2 + doc_id % 3, doc_id % 241
+
+
+def _gif_palette(pbits: int, seed: int) -> bytes:
+    out = bytearray()
+    for j in range(1 << pbits):
+        for c in range(3):
+            out.append((37 * j + 11 * c + seed) % 256)
+    return bytes(out)
+
+
+class _GifBitWriter:
+    """LSB-first bit packer (GIF's bitstream convention, opposite of
+    JPEG's MSB-first)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+        return bytes(self.buf)
+
+
+def _gif_lzw_compress(indices: list[int], mcs: int) -> bytes:
+    """Real GIF LZW: dictionary of (prefix_code, symbol) -> code, CLEAR
+    emitted up front, every _GIF_FORCED_CLEAR symbols, and at the
+    4096-code ceiling; code width grows when next_code reaches
+    2**width (max 12); terminated by EOI."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    w = _GifBitWriter()
+
+    def reset() -> tuple[dict, int, int]:
+        return {}, eoi + 1, mcs + 1
+
+    table, next_code, width = reset()
+    w.put(clear, width)
+    cur = None
+    since_clear = 0
+    for sym in indices:
+        if cur is None:
+            cur = sym
+            continue
+        if (cur, sym) in table:
+            cur = table[(cur, sym)]
+            continue
+        w.put(cur, width)
+        table[(cur, sym)] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        cur = sym
+        since_clear += 1
+        if next_code == _GIF_MAX_CODE or since_clear >= _GIF_FORCED_CLEAR:
+            w.put(clear, width)
+            table, next_code, width = reset()
+            since_clear = 0
+    if cur is not None:
+        w.put(cur, width)
+    w.put(eoi, width)
+    return w.done()
+
+
+def encode_gif(width: int, height: int, pbits: int, seed: int) -> bytes:
+    """A VALID GIF87a: header, logical screen descriptor with a global
+    color table of 2**pbits entries, one non-interlaced image
+    descriptor, LZW-compressed pixel indices in <=255-byte sub-blocks,
+    trailer."""
+    import struct
+
+    n = width * height
+    pal_size = 1 << pbits
+    indices = [(seed + 7 * i) % pal_size for i in range(n)]
+    packed = 0x80 | ((pbits - 1) << 4) | (pbits - 1)
+    out = bytearray()
+    out += b"GIF87a"
+    out += struct.pack("<HHBBB", width, height, packed, 0, 0)
+    out += _gif_palette(pbits, seed)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    mcs = pbits  # minimum code size (>= 2 because pbits >= 2)
+    out.append(mcs)
+    data = _gif_lzw_compress(indices, mcs)
+    for off in range(0, len(data), 255):
+        block = data[off : off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes | None):
+    """Parse a GIF87a/89a for real: signature, logical-screen descriptor,
+    global color table, sub-block reassembly, and full LZW decode —
+    variable code width with the standard growth schedule, CLEAR table
+    resets, EOI, and the KwKwK (code == next_code) first-use case.
+    Returns (width, height, n_colors, idx_sum, pix_sum); any malformed
+    payload returns NULLs (quarantine, never an abort). Decode is
+    bounded by the pixel count the descriptor promises — a crafted
+    stream yielding more than width*height indices quarantines instead
+    of allocating (the PNG bomb-bound contract, LZW edition)."""
+    import struct
+
+    bad = (None, None, None, None, None)
+    try:
+        if payload is None or len(payload) < 13:
+            return bad
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return bad
+        width, height, packed, _bg, _aspect = struct.unpack_from(
+            "<HHBBB", payload, 6
+        )
+        if width == 0 or height == 0 or not packed & 0x80:
+            return bad
+        pbits = (packed & 0x07) + 1
+        pal_size = 1 << pbits
+        pos = 13
+        if pos + 3 * pal_size > len(payload):
+            return bad
+        palette = payload[pos : pos + 3 * pal_size]
+        pos += 3 * pal_size
+        # Block walk: extensions skipped for real (sub-block chain), one
+        # image descriptor expected, trailer required.
+        while True:
+            if pos >= len(payload):
+                return bad
+            marker = payload[pos]
+            pos += 1
+            if marker == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while True:
+                    if pos >= len(payload):
+                        return bad
+                    blen = payload[pos]
+                    pos += 1 + blen
+                    if blen == 0:
+                        break
+            elif marker == 0x2C:
+                break
+            else:
+                return bad
+        if pos + 9 > len(payload):
+            return bad
+        left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        # Local color tables and interlacing are outside the declared
+        # corpus law — reject rather than mis-decode.
+        if left or top or iw != width or ih != height or ipacked & 0xC0:
+            return bad
+        mcs = payload[pos]
+        pos += 1
+        if mcs < 2 or mcs > 8:
+            return bad
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                return bad
+            blen = payload[pos]
+            pos += 1
+            if blen == 0:
+                break
+            if pos + blen > len(payload):
+                return bad
+            data += payload[pos : pos + blen]
+            pos += blen
+        if pos >= len(payload) or payload[pos] != 0x3B:
+            return bad
+
+        clear = 1 << mcs
+        eoi = clear + 1
+        expected = width * height
+        out: list[int] = []
+        # LZW decode, LSB-first bitstream.
+        acc = 0
+        nbits = 0
+        dpos = 0
+        table: list[bytes] = []
+        code_width = 0
+        prev: bytes | None = None
+
+        def reset_table() -> None:
+            nonlocal table, code_width, prev
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_width = mcs + 1
+            prev = None
+
+        reset_table()
+        finished = False
+        while not finished:
+            while nbits < code_width:
+                if dpos >= len(data):
+                    return bad  # ran out before EOI
+                acc |= data[dpos] << nbits
+                nbits += 8
+                dpos += 1
+            code = acc & ((1 << code_width) - 1)
+            acc >>= code_width
+            nbits -= code_width
+            if code == clear:
+                reset_table()
+                continue
+            if code == eoi:
+                finished = True
+                continue
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                return bad  # code beyond dictionary: corrupt stream
+            if any(s >= pal_size for s in entry):
+                return bad
+            out.extend(entry)
+            if len(out) > expected:
+                return bad  # over-long stream: bomb-bound quarantine
+            if prev is not None and len(table) < _GIF_MAX_CODE:
+                table.append(prev + entry[:1])
+                # The decoder's dictionary lags the encoder's by one
+                # entry (the encoder defines a code in the same step it
+                # emits the previous one), so the width grows one entry
+                # EARLY relative to the encoder's 2**width rule — the
+                # classic LZW off-by-one every GIF decoder must get
+                # right.
+                if len(table) == (1 << code_width) - 1 and code_width < 12:
+                    code_width += 1
+            prev = entry
+        if len(out) != expected:
+            return bad
+        idx_sum = sum(out)
+        rgb = [
+            palette[3 * j] + palette[3 * j + 1] + palette[3 * j + 2]
+            for j in range(pal_size)
+        ]
+        pix_sum = sum(rgb[s] for s in out)
+        return (width, height, pal_size, idx_sum, pix_sum)
+    except Exception:
+        return bad
+
+
+@declare(
+    "q_gif_decode",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id AS media_id,
+               6 + doc_id % 13 AS width,
+               4 + doc_id % 7 AS height,
+               CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS pal,
+               doc_id % 241 AS seed
+        FROM documents
+    )
+    SELECT media_id, width, height,
+           CAST(pal AS INTEGER) AS n_colors,
+           CAST(list_sum(list_transform(
+                    generate_series(0, width * height - 1),
+                    i -> (seed + 7 * i) % pal)) AS BIGINT) AS idx_sum,
+           CAST(list_sum(list_transform(
+                    generate_series(0, width * height - 1),
+                    i -> ((37 * ((seed + 7 * i) % pal) + seed) % 256)
+                       + ((37 * ((seed + 7 * i) % pal) + 11 + seed) % 256)
+                       + ((37 * ((seed + 7 * i) % pal) + 22 + seed) % 256)
+           )) AS BIGINT) AS pix_sum
+    FROM geo
+    """,
+    tier="P1",
+)
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW decode end to end: synthesize a valid GIF87a per document
+    (Arrow-batched), then recover the pixel indices through full LZW —
+    adaptive dictionary, variable code width, forced CLEAR resets every
+    50 symbols, EOI — inside mapInPandas. The oracle never sees the
+    bytes: it recomputes the index checksum and the palette-resolved
+    pixel checksum from the closed-form law, so a decoder with a wrong
+    code-width schedule, mishandled CLEAR, or broken KwKwK case cannot
+    hash-match. Third entropy-coded image family after DEFLATE (PNG) and
+    Huffman (JPEG); the palette indirection makes pix_sum additionally
+    verify the color-table walk."""
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ensure_package_shipped(spark)
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("n_colors", IntegerType(), True),
+            StructField("idx_sum", LongType(), True),
+            StructField("pix_sum", LongType(), True),
+        ]
+    )
+
+    def batches(
+        bt: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in bt:
+            rows = []
+            for d in batch["doc_id"]:
+                d = int(d)
+                payload = encode_gif(*gif_geometry(d))
+                w, h, nc, isum, psum = decode_gif(payload)
+                rows.append((d, w, h, nc, isum, psum))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_colors",
+                    "idx_sum",
                     "pix_sum",
                 ],
             )

@@ -706,3 +706,184 @@ def test_mjpeg_avi_roundtrip_and_quarantine():
     broken = bytearray(good)
     broken[sos + 1] = 0x00
     assert decode_mjpeg_avi(bytes(broken))[0] is None
+
+
+def test_gif_codec_roundtrip_and_quarantine():
+    """The GIF path is a REAL LZW codec: adaptive dictionary, variable
+    code width, forced CLEAR resets; junk, truncation, and structural
+    damage quarantine to NULLs."""
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+        gif_geometry,
+    )
+
+    for d in (0, 1, 7, 42, 113, 254):
+        w, h, pb, seed = gif_geometry(d)
+        pal = 1 << pb
+        payload = encode_gif(w, h, pb, seed)
+        assert payload[:6] == b"GIF87a" and payload[-1:] == b"\x3b"
+        got = decode_gif(payload)
+        n = w * h
+        exp_idx = sum((seed + 7 * i) % pal for i in range(n))
+        exp_pix = sum(
+            ((37 * ((seed + 7 * i) % pal) + 11 * c + seed) % 256)
+            for i in range(n)
+            for c in range(3)
+        )
+        assert got == (w, h, pal, exp_idx, exp_pix)
+
+    good = encode_gif(6, 5, 3, 9)
+    nulls = (None, None, None, None, None)
+    assert decode_gif(None) == nulls
+    assert decode_gif(b"not a gif") == nulls
+    assert decode_gif(good[:-2]) == nulls  # missing trailer
+    assert decode_gif(good[:20]) == nulls  # truncated mid-palette
+
+
+def test_gif_roundtrip_property():
+    """Property: encode->decode is the identity across the parameter
+    space — every palette size, widths/heights crossing the forced-CLEAR
+    boundary, and seeds exercising different dictionary shapes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=30),
+        st.integers(min_value=1, max_value=14),
+        st.integers(min_value=2, max_value=4),
+        st.integers(min_value=0, max_value=240),
+    )
+    def roundtrip(w, h, pb, seed):
+        pal = 1 << pb
+        got = decode_gif(encode_gif(w, h, pb, seed))
+        n = w * h
+        exp_idx = sum((seed + 7 * i) % pal for i in range(n))
+        exp_pix = sum(
+            ((37 * ((seed + 7 * i) % pal) + 11 * c + seed) % 256)
+            for i in range(n)
+            for c in range(3)
+        )
+        assert got == (w, h, pal, exp_idx, exp_pix)
+
+    roundtrip()
+
+
+def test_gif_deep_code_width_growth(monkeypatch):
+    """With the forced CLEAR suppressed, a large frame grows the
+    dictionary through every code width up to the 12-bit ceiling and
+    the natural 4096-entry reset — the encoder/decoder width schedules
+    (which differ by the classic one-entry decoder lag) must stay in
+    lockstep the whole way."""
+    import mysql_to_clickhouse_sync_spark.operators.multimodal as M
+
+    monkeypatch.setattr(M, "_GIF_FORCED_CLEAR", 1 << 30)
+    w, h, pb, seed = 251, 97, 4, 77
+    pal = 1 << pb
+    got = M.decode_gif(M.encode_gif(w, h, pb, seed))
+    n = w * h
+    exp_idx = sum((seed + 7 * i) % pal for i in range(n))
+    assert got[:4] == (w, h, pal, exp_idx)
+
+
+def test_gif_kwkwk_and_overlong_quarantine():
+    """The KwKwK case (code == next undefined code, produced by runs
+    like 0,0,0,...) decodes correctly; a compressed stream yielding MORE
+    pixels than the descriptor promises quarantines (the LZW edition of
+    the PNG bomb bound)."""
+    import struct
+
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        _gif_lzw_compress,
+        _gif_palette,
+        decode_gif,
+    )
+
+    def container(w, h, pbits, indices):
+        packed = 0x80 | ((pbits - 1) << 4) | (pbits - 1)
+        out = bytearray(b"GIF87a")
+        out += struct.pack("<HHBBB", w, h, packed, 0, 0)
+        out += _gif_palette(pbits, 0)
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(pbits)
+        data = _gif_lzw_compress(indices, pbits)
+        for off in range(0, len(data), 255):
+            block = data[off : off + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    # constant run: the second emitted code is always the just-defined
+    # one -> KwKwK on the decoder side
+    w, h = 5, 2
+    payload = container(w, h, 2, [0] * (w * h))
+    got = decode_gif(payload)
+    pal3 = sum((37 * 0 + 11 * c + 0) % 256 for c in range(3))
+    assert got == (w, h, 4, 0, w * h * pal3)
+
+    # same stream, but the descriptor promises FEWER pixels
+    overlong = container(3, 2, 2, [0] * (w * h))
+    assert decode_gif(overlong) == (None, None, None, None, None)
+
+
+def test_gif_decoder_never_raises_on_mangled_input():
+    """Property: any truncation and any single-byte corruption of a
+    valid GIF either decodes (the flip missed every load-bearing byte —
+    GIF has no CRC) or returns the NULL tuple; it never raises."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    good = encode_gif(9, 7, 3, 123)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.integers(min_value=0, max_value=len(good)))
+    def truncate(k):
+        out = decode_gif(good[:k])
+        assert out == (None, None, None, None, None) or out[0] == 9
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(good) - 1),
+        st.integers(min_value=1, max_value=255),
+    )
+    def corrupt(pos, delta):
+        mangled = bytearray(good)
+        mangled[pos] = (mangled[pos] + delta) % 256
+        out = decode_gif(bytes(mangled))  # must not raise
+        assert len(out) == 5
+
+    truncate()
+    corrupt()
+
+
+def test_decode_media_sniffs_gif(spark):
+    """decode_media's image slot dispatches GIF87a payloads through the
+    real LZW decoder and recovers the geometry law."""
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        encode_gif,
+        gif_geometry,
+    )
+
+    rows = [
+        (int(d), "image", encode_gif(*gif_geometry(int(d))))
+        for d in (0, 4, 10)
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_media(media).collect()}
+    for d, _, _ in rows:
+        w, h, _, _ = gif_geometry(d)
+        assert (out[d].width, out[d].height) == (w, h)
