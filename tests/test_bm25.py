@@ -1,0 +1,84 @@
+"""BM25 + fixed-point log2 kernel tests.
+
+The interesting contract is engine parity WITHOUT libm: the Q8 log2
+must be (a) accurate enough to rank, (b) bitwise identical between the
+Spark expression tree and the DuckDB CTE chain, because both are the
+same integer program.
+"""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_fixed_log2_q8_accuracy(spark):
+    from mysql_to_clickhouse_sync_spark.operators.text import (
+        with_fixed_log2_q8,
+    )
+
+    xs = [1, 2, 3, 5, 7, 100, 1023, 1024, 1025, 10**6, 10**9, 2**40 + 12345]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {
+        r.x: r.lq8 for r in with_fixed_log2_q8(df, "x", "lq8").collect()
+    }
+    for x in xs:
+        assert abs(got[x] / 256 - math.log2(x)) < 1 / 64, x
+
+
+def test_fixed_log2_q8_engine_parity(spark):
+    """The DuckDB CTE chain and the Spark column chain are the same
+    integer program — every value over a dense + spread probe set must
+    agree EXACTLY, not approximately."""
+    from mysql_to_clickhouse_sync_spark.operators.text import (
+        _fixed_log2_q8_sql,
+        with_fixed_log2_q8,
+    )
+
+    xs = list(range(1, 300)) + [2**k + d for k in range(9, 45, 5) for d in (-1, 0, 1)]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got_spark = {
+        r.x: r.lq8 for r in with_fixed_log2_q8(df, "x", "lq8").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE probe AS SELECT unnest(?::BIGINT[]) AS x", [xs]
+    )
+    sql = f"WITH {_fixed_log2_q8_sql('probe')} SELECT x, lq8 FROM lg"
+    got_duck = dict(con.execute(sql).fetchall())
+    assert got_spark == got_duck
+
+
+def test_bm25_ranking_sanity(spark):
+    """Rare terms outrank common terms at equal tf; higher tf raises the
+    score within a term; scores are positive (Lucene idf form)."""
+    from tests.conftest import SF_DIR
+
+    from mysql_to_clickhouse_sync_spark.operators.text import q_bm25
+
+    rows = q_bm25(spark, SF_DIR).collect()
+    assert rows, "corpus must contain the query terms"
+    by_term = {}
+    for r in rows:
+        assert r.score_milli > 0
+        by_term.setdefault(r.token, []).append(r)
+    # 'dup' is the rare term (df ~5% of docs) — its best score must beat
+    # every common term's best score.
+    assert "dup" in by_term
+    best_dup = max(r.score_milli for r in by_term["dup"])
+    for t, rs in by_term.items():
+        if t != "dup":
+            assert best_dup > max(r.score_milli for r in rs), t
+    # within a term, score is monotone in tf at fixed dl: compare two
+    # rows with equal dl via re-derivation — weaker but engine-level:
+    # max tf row must score >= min tf row when dl equal is not
+    # guaranteed, so just check the df ordering is reflected in idf:
+    # every dup score with tf=1 beats every tf=1 score of common terms.
+    dup1 = [r.score_milli for r in by_term["dup"] if r.tf == 1]
+    if dup1:
+        for t, rs in by_term.items():
+            if t != "dup":
+                common1 = [r.score_milli for r in rs if r.tf == 1]
+                if common1:
+                    assert min(dup1) > max(common1), t
