@@ -78,6 +78,7 @@ def _load_all_modules() -> None:
         text,
         timeseries,
         tpch,
+        wordpiece,
         udtf_ops,
         unigram,
         validation,
