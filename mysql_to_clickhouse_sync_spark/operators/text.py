@@ -753,3 +753,192 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score_milli"),
         )
     )
+
+
+# --- Shannon character entropy (Q8 fixed point) -----------------------------
+
+ENTROPY_SCALE = 1000  # entropy reported in exact milli-bits
+
+
+def _char_entropy_oracle() -> str:
+    return f"""
+    WITH chars AS (
+        SELECT doc_id, substr(text, i, 1) AS ch
+        FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+        WHERE length(text) > 0
+    ), cc AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        FROM chars GROUP BY doc_id, ch
+    ), args AS (
+        SELECT DISTINCT c AS x FROM cc
+        UNION
+        SELECT DISTINCT sum(c) FROM cc GROUP BY doc_id
+    ),
+    {{LOG2}},
+    perdoc AS (
+        SELECT cc.doc_id,
+               CAST(sum(cc.c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(cc.c * lc.lq8) AS BIGINT) AS sum_clq8
+        FROM cc JOIN lg lc ON lc.x = cc.c
+        GROUP BY cc.doc_id
+    )
+    SELECT perdoc.doc_id, n, n_distinct,
+           CAST((n * ln_.lq8 - sum_clq8) * {ENTROPY_SCALE}
+                // (256 * n) AS BIGINT) AS entropy_milli
+    FROM perdoc JOIN lg ln_ ON ln_.x = perdoc.n
+    """
+
+
+@declare(
+    "q_char_entropy",
+    oracle=_char_entropy_oracle().replace("{LOG2}", _fixed_log2_q8_sql("args")),
+    tier="P2",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy in milli-bits — the classic
+    corpus-quality signal (natural text sits near 4–4.5 bits/char;
+    boilerplate, padding, and degenerate repetition fall well below).
+    H = log2(n) - (1/n) * sum c_i*log2(c_i), computed ENTIRELY in BIGINT
+    via the Q8 fixed-point log2 kernel (`with_fixed_log2_q8`), so both
+    engines agree bitwise where libm would not:
+    entropy_milli = (n*L(n) - sum c_i*L(c_i)) * 1000 // (256 * n).
+
+    Scale notes: the char explode is map-side (length(text) rows per
+    doc), counts are one (doc_id, ch)-keyed map-side-combined shuffle,
+    and the log2 kernel is 17 scalar integer expressions applied
+    per-row inside whole-stage codegen — no joins, no Python, no
+    doubles. The oracle computes L once over DISTINCT counts and joins;
+    same function, different (equally exact) shape."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)),"
+                   " i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cc = with_fixed_log2_q8(cc, "c", "lc_q8")
+    perdoc = cc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(F.expr("c * lc_q8")).cast("bigint").alias("sum_clq8"),
+    )
+    perdoc = with_fixed_log2_q8(perdoc, "n", "ln_q8")
+    return perdoc.select(
+        "doc_id",
+        "n",
+        "n_distinct",
+        F.expr(
+            f"CAST((n * ln_q8 - sum_clq8) * {ENTROPY_SCALE}"
+            f" div (256 * n) AS BIGINT)"
+        ).alias("entropy_milli"),
+    )
+
+
+# --- PPMI word association (Q8 fixed point) ---------------------------------
+
+PPMI_MIN_COUNT = 5  # bigram support floor — prunes the long tail up front
+
+
+def _ppmi_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ), bi AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+    ), bc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+        FROM bi GROUP BY w1, w2
+    ), lc AS (
+        SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM bc GROUP BY w1
+    ), rc AS (
+        SELECT w2, CAST(sum(c_xy) AS BIGINT) AS c_y FROM bc GROUP BY w2
+    ), nb AS (
+        SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bc
+    ), pruned AS (
+        SELECT bc.w1, bc.w2, bc.c_xy, lc.c_x, rc.c_y, nb.n_bi
+        FROM bc JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN nb
+        WHERE bc.c_xy >= {PPMI_MIN_COUNT}
+    ), args AS (
+        SELECT DISTINCT n_bi * c_xy AS x FROM pruned
+        UNION
+        SELECT DISTINCT c_x * c_y FROM pruned
+    ),
+    {{LOG2}}
+    SELECT w1, w2, c_xy, c_x, c_y,
+           CAST(greatest(0, ln_.lq8 - ld.lq8) AS BIGINT) AS ppmi_q8
+    FROM pruned
+    JOIN lg ln_ ON ln_.x = pruned.n_bi * pruned.c_xy
+    JOIN lg ld ON ld.x = pruned.c_x * pruned.c_y
+    """
+
+
+@declare(
+    "q_ppmi",
+    oracle=_ppmi_oracle().replace("{LOG2}", _fixed_log2_q8_sql("args")),
+    tier="P2",
+)
+def q_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive pointwise mutual information over adjacent word bigrams
+    — the word-association table word2vec-era embeddings implicitly
+    factorize (Levy & Goldberg 2014). PMI(x,y) = log2(N*c_xy/(c_x*c_y))
+    with directional margins (x as left word, y as right word), clamped
+    at zero, in Q8 fixed point: ppmi_q8 = max(0, L(N*c_xy) - L(c_x*c_y))
+    — pure BIGINT end to end (products stay below 2^63 through ~10x sf1;
+    the log2 kernel normalizes by shifting, so magnitude is safe).
+
+    Scale notes: bigram counting is one (w1, w2)-keyed map-side-combined
+    shuffle; margins re-aggregate the COUNT table (type cardinality, not
+    occurrence volume); the support floor prunes before any join; the
+    two margin joins are token-keyed equi-joins (broadcastable when the
+    vocabulary fits, shuffle joins otherwise). The log2 kernel is
+    applied per-row in codegen — no libm, no Python."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower("text")), r"\s+").alias("w"),
+    ).filter(F.expr("size(w) >= 2"))
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) AS w1,"
+                " element_at(w, i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_xy"))
+    lc = bc.groupBy("w1").agg(F.sum("c_xy").cast("bigint").alias("c_x"))
+    rc = bc.groupBy("w2").agg(F.sum("c_xy").cast("bigint").alias("c_y"))
+    nb = bc.agg(F.sum("c_xy").cast("bigint").alias("n_bi"))
+    pruned = (
+        bc.filter(F.col("c_xy") >= PPMI_MIN_COUNT)
+        .join(lc, "w1")
+        .join(rc, "w2")
+        .crossJoin(F.broadcast(nb))
+    )
+    d = with_fixed_log2_q8(
+        pruned.withColumn("x", F.expr("n_bi * c_xy")), "x", "l_num"
+    )
+    d = with_fixed_log2_q8(
+        d.withColumn("x", F.expr("c_x * c_y")), "x", "l_den"
+    )
+    return d.select(
+        "w1",
+        "w2",
+        "c_xy",
+        "c_x",
+        "c_y",
+        F.expr("CAST(greatest(0, l_num - l_den) AS BIGINT)").alias("ppmi_q8"),
+    )

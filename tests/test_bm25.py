@@ -82,3 +82,76 @@ def test_bm25_ranking_sanity(spark):
                 common1 = [r.score_milli for r in rs if r.tf == 1]
                 if common1:
                     assert min(dup1) > max(common1), t
+
+
+def test_char_entropy_extremes(spark):
+    """Constant text has zero entropy; a string of n distinct chars has
+    exactly log2(n) bits (in Q8 milli-bit units, up to kernel error)."""
+    from mysql_to_clickhouse_sync_spark.operators.text import (
+        with_fixed_log2_q8,
+    )
+    from pyspark.sql import functions as F
+
+    # Reuse the same expression pipeline on a local frame, mirroring
+    # q_char_entropy's math on controlled inputs.
+    rows = [(1, "aaaaaaaa"), (2, "abcdefgh"), (3, "aabb")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)),"
+                " i -> substring(text, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cc = with_fixed_log2_q8(cc, "c", "lc_q8")
+    perdoc = cc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.expr("c * lc_q8")).cast("bigint").alias("s"),
+    )
+    perdoc = with_fixed_log2_q8(perdoc, "n", "ln_q8")
+    got = {
+        r.doc_id: r.e
+        for r in perdoc.select(
+            "doc_id",
+            F.expr("CAST((n * ln_q8 - s) * 1000 div (256 * n) AS BIGINT)").alias(
+                "e"
+            ),
+        ).collect()
+    }
+    assert got[1] == 0  # constant -> zero bits
+    assert abs(got[2] - 3000) <= 20  # 8 distinct chars -> 3 bits
+    assert abs(got[3] - 1000) <= 20  # two 2-char classes -> 1 bit
+
+
+def test_ppmi_matches_float_reference(spark):
+    """Margins are consistent contingency sums, and ppmi_q8/256 tracks
+    the float PMI (recomputed with the corpus bigram total) within the
+    kernel's error bound plus the zero clamp."""
+    import math
+
+    from tests.conftest import SF_DIR
+
+    from mysql_to_clickhouse_sync_spark.operators.text import q_ppmi
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+
+    rows = q_ppmi(spark, SF_DIR).collect()
+    assert rows
+    docs = load_table(spark, SF_DIR, "documents")
+    n_bi = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(F.expr("size(split(trim(lower(text)), '\\\\s+')) - 1").alias("k"))
+        .filter(F.col("k") >= 1)
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    for r in rows:
+        assert r.c_xy <= r.c_x and r.c_xy <= r.c_y
+        true_pmi = math.log2(n_bi * r.c_xy / (r.c_x * r.c_y))
+        assert abs(r.ppmi_q8 / 256 - max(0.0, true_pmi)) < 0.02 + abs(
+            min(0.0, true_pmi)
+        ), (r, true_pmi)
