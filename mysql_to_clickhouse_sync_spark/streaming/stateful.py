@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -171,6 +172,161 @@ def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             all_updates.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+        return final
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# --- Streaming near-dup admission (MinHash-LSH bucket state) ----------------
+
+BUCKET_STATE_SCHEMA = StructType(
+    [StructField("min_id", LongType(), False)]
+)
+
+
+def admit_bucket(
+    key: tuple[Any, ...],
+    batches: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Per-(band, bucket) admission state: a band emission is FRESH iff
+    no smaller doc_id has ever produced this bucket — previous batches
+    via GroupState, the current batch via its own minimum (the feed is
+    doc_id-ordered across batches, so batch order == id order)."""
+    import pandas as pd
+
+    prev = state.get[0] if state.exists else None
+    ids: list[int] = []
+    for batch in batches:
+        ids.extend(int(v) for v in batch["doc_id"])
+    bmin = min(ids)
+    fresh = [prev is None and i == bmin for i in ids]
+    state.update((bmin if prev is None else min(prev, bmin),))
+    yield pd.DataFrame({"doc_id": ids, "fresh": fresh})
+
+
+def _minhash_stream_oracle() -> str:
+    from mysql_to_clickhouse_sync_spark.operators.dedup import (
+        _minhash_cand_cte,
+    )
+
+    return f"""
+    {_minhash_cand_cte()}
+    , bmin AS (
+        SELECT band_idx, bucket, min(doc_id) AS m
+        FROM bands GROUP BY band_idx, bucket
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bands,
+           CAST(sum(CASE WHEN b.doc_id = m.m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_owned_bands,
+           (count(*) = sum(CASE WHEN b.doc_id = m.m THEN 1 ELSE 0 END))
+               AS admitted
+    FROM bands b
+    JOIN bmin m ON m.band_idx = b.band_idx AND m.bucket = b.bucket
+    GROUP BY b.doc_id
+    """
+
+
+@declare("s_minhash_stream", oracle=_minhash_stream_oracle(), tier="P3")
+@tuned
+def s_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup admission — the online half of the MinHash-LSH
+    dedup family: documents arrive in doc_id order, their LSH band
+    buckets hit a per-bucket GroupState, and a document is ADMITTED iff
+    every one of its bands lands in a bucket no earlier document has
+    produced. This is the shape a continuous-crawl ingest pipeline
+    needs (admit-or-drop each new document against everything already
+    accepted) without re-scanning the corpus: state is one BIGINT per
+    bucket, the stream shuffles once on (band_idx, bucket), and the
+    decision is a batch-local per-doc AND over NUM_BANDS flags.
+
+    FULL ORACLE: the bucket-state law is deliberately order-
+    independent — "fresh iff no SMALLER doc_id ever produced the
+    bucket" — so the converged result is exactly the batch per-bucket
+    argmin stated relationally (bands joined to bucket minima), reusing
+    the shared _minhash_cand_cte banding SQL. The signature/banding
+    parity Spark-vs-DuckDB is already pinned by q_minhash_dedup; what
+    this query adds to the contract is the STATE machinery: admission
+    flags must survive the micro-batch boundary (bucket seen in batch 1
+    must veto a batch-2 doc via GroupState, not via batch-local data).
+
+    Scale notes: state size = number of distinct buckets (bounded by
+    corpus bands, ~NUM_BANDS per admitted doc), keyed exactly like the
+    batch LSH shuffle; RocksDB state store holds it off-heap at real
+    scale. The degenerate-bucket guard story carries over: a hot bucket
+    here costs one state row + per-arrival rejection, NOT a quadratic
+    join — streaming admission is inherently guarded."""
+    from mysql_to_clickhouse_sync_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_signatures_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bands = minhash_band_table(minhash_signatures_table(docs)).select(
+        "doc_id", F.col("band_idx").cast("long").alias("band_idx"), "bucket"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2  # scalar bounds: the reference's
+    # own MIN/MAX chunking pattern (S:163)
+    early = bands.filter(F.col("doc_id") <= split)
+    late = bands.filter(F.col("doc_id") > split)
+
+    workdir = tempfile.mkdtemp(prefix="minhash_stream_")
+    in_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(bands.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    ensure_package_shipped(spark)
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("fresh", BooleanType(), False),
+        ]
+    )
+    flags = stream.groupBy("band_idx", "bucket").applyInPandasWithState(
+        admit_bucket,
+        outputStructType=out_schema,
+        stateStructType=BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"minhash_admit_{abs(hash(workdir)) % 10**9}"
+    query = None
+    try:
+        early.coalesce(1).write.mode("append").parquet(in_dir)
+        query = (
+            flags.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(in_dir)
+        query.processAllAvailable()
+        fresh_flags = spark.table(sink)
+        final = (
+            fresh_flags.groupBy("doc_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_bands"),
+                F.sum(F.when(F.col("fresh"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_owned_bands"),
+            )
+            .withColumn(
+                "admitted", F.col("n_bands") == F.col("n_owned_bands")
+            )
             .localCheckpoint(eager=True)
         )
         return final

@@ -148,3 +148,54 @@ def test_watermark_boundary_event_pins_lte_convention(spark, tmp_path):
     assert sorted((r.ws, r.event_type, r.n) for r in rows) == [
         (t(2024, 1, 1, 9, 0), "a", 2)
     ]
+
+
+def test_minhash_stream_matches_batch_law_and_crosses_batches(spark):
+    """s_minhash_stream's admission flags equal the batch per-bucket
+    argmin law computed directly, AND at least one veto crosses the
+    micro-batch boundary (a batch-2 doc rejected purely by GroupState
+    from batch 1) — the property that distinguishes real state from
+    batch-local dedup."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+    from mysql_to_clickhouse_sync_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_signatures_table,
+    )
+    from mysql_to_clickhouse_sync_spark.streaming.stateful import (
+        s_minhash_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {r.doc_id: r for r in s_minhash_stream(spark, SF_DIR).collect()}
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    bands = minhash_band_table(minhash_signatures_table(docs))
+    bmin = bands.groupBy("band_idx", "bucket").agg(
+        F.min("doc_id").alias("m")
+    )
+    law = (
+        bands.join(bmin, ["band_idx", "bucket"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bands"),
+            F.sum(F.when(F.col("doc_id") == F.col("m"), 1).otherwise(0)).alias(
+                "owned"
+            ),
+        )
+        .collect()
+    )
+    assert len(law) == len(got)
+    rejected_late = 0
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    for r in law:
+        g = got[r.doc_id]
+        assert (g.n_bands, g.n_owned_bands) == (r.n_bands, r.owned), r.doc_id
+        assert g.admitted == (r.n_bands == r.owned)
+        if r.doc_id > split and not (r.n_bands == r.owned):
+            rejected_late += 1
+    # the corpus carries verbatim dup pairs spanning the split, so the
+    # cross-batch veto must actually fire
+    assert rejected_late > 0
