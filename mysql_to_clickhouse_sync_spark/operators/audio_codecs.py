@@ -425,3 +425,264 @@ def q_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(batches, schema=out_schema)
+
+
+# --- Lossless predictive audio: FLAC-style fixed predictors + Rice coding --
+#
+# The fourth entropy-coding family in the engine, after DEFLATE (PNG),
+# Huffman run/size (JPEG) and LZW (GIF): Golomb-Rice residual coding —
+# the coder inside FLAC/Shorten/ALAC — preceded by FLAC's fixed linear
+# predictors (orders 0..2, warmup samples stored raw, per-block order
+# and Rice parameter chosen by deterministic integer rules). The codec
+# is LOSSLESS, so the decoded sample checksum is a closed form of the
+# synthesis law — the oracle never sees the bitstream. Container,
+# bit-level layout and parameter rules are this engine's own (spec-
+# inspired, not bit-compatible with FLAC; documented inline).
+
+_FLAC_MAGIC = b"fLaCx"  # deliberately NOT real-FLAC compatible
+_FLAC_BLOCK = 64
+_FLAC_MAX_K = 14
+_FLAC_MAX_U = 1 << 20  # bomb bound on any decoded zigzag residual
+
+
+def flac_geometry(doc_id: int) -> tuple[int, int]:
+    """(n_samples, seed) for the synthetic lossless-audio corpus."""
+    return 240 + doc_id % 200, doc_id % 251
+
+
+def _flac_sample(seed: int, i: int) -> int:
+    """The synthesis law (mirrored literally in the oracle): per-block
+    alternation between clean linear ramps (second difference ~0 ->
+    order 2 wins) and quadratic-noise ramps (order 1 wins), with short
+    tail blocks falling to order 0 — all three fixed predictors are
+    exercised across the corpus (pinned by test)."""
+    slope = 3 + (i // _FLAC_BLOCK) % 5
+    noisy = (i // _FLAC_BLOCK) % 2
+    return ((seed * 7 + slope * i + ((i * i) % 31) * noisy) % 256) - 128
+
+
+class _MsbBitWriter:
+    """MSB-first bit packer (JPEG's convention; GIF's writer is the
+    LSB-first sibling)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, width: int) -> None:
+        for b in range(width - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> b) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def align(self) -> None:
+        if self.nbits:
+            self.buf.append(self.acc << (8 - self.nbits))
+            self.acc = 0
+            self.nbits = 0
+
+
+def _zigzag(r: int) -> int:
+    return (r << 1) if r >= 0 else (-r << 1) - 1
+
+
+def encode_flac(n: int, seed: int) -> bytes:
+    """Encode n law-samples: per 64-sample block, pick the fixed
+    predictor order 0..2 minimizing sum |residual| (tie -> lower
+    order), store warmup samples raw (int16 via the bit writer), Rice-
+    code the rest with k = bit_length(mean_abs) capped at 14, and
+    byte-align after every block."""
+    import struct
+
+    samples = [_flac_sample(seed, i) for i in range(n)]
+    w = _MsbBitWriter()
+    out = bytearray()
+    out += _FLAC_MAGIC + struct.pack("<IH", n, _FLAC_BLOCK)
+    for bs in range(0, n, _FLAC_BLOCK):
+        blk = samples[bs : bs + _FLAC_BLOCK]
+        cands = []
+        for order in (0, 1, 2):
+            if len(blk) <= order:
+                continue
+            if order == 0:
+                res = blk[:]
+            elif order == 1:
+                res = [blk[i] - blk[i - 1] for i in range(1, len(blk))]
+            else:
+                res = [
+                    blk[i] - 2 * blk[i - 1] + blk[i - 2]
+                    for i in range(2, len(blk))
+                ]
+            cands.append((sum(abs(r) for r in res), order, res))
+        _, order, res = min(cands)  # tie -> lower order (tuple order)
+        mean_abs = (sum(abs(r) for r in res)) // max(1, len(res))
+        k = min(_FLAC_MAX_K, mean_abs.bit_length())
+        w.put((order << 4) | k, 8)
+        for s in blk[:order]:
+            w.put(s & 0xFFFF, 16)
+        for r in res:
+            u = _zigzag(r)
+            q = u >> k
+            for _ in range(q):
+                w.put(1, 1)
+            w.put(0, 1)
+            w.put(u & ((1 << k) - 1), k)
+        w.align()
+    out += bytes(w.buf)
+    return bytes(out)
+
+
+def decode_flac(payload: bytes | None):
+    """Real bitstream decode: magic + header walk, per-block order/k
+    byte, raw warmup, Rice residual decode (unary run bounded by the
+    remaining bits AND the zigzag bomb bound), predictor undo, per-
+    block byte realignment, exact end-of-stream check. Returns
+    (n_samples, n_blocks, sample_sum); malformed -> NULLs."""
+    import struct
+
+    bad = (None, None, None)
+    try:
+        if payload is None or len(payload) < 11:
+            return bad
+        if payload[:5] != _FLAC_MAGIC:
+            return bad
+        n, block = struct.unpack_from("<IH", payload, 5)
+        if n == 0 or block != _FLAC_BLOCK or n > 10**7:
+            return bad
+        data = payload[11:]
+        bitpos = 0
+        total_bits = 8 * len(data)
+
+        def read(width: int):
+            nonlocal bitpos
+            if bitpos + width > total_bits:
+                return None
+            v = 0
+            for _ in range(width):
+                v = (v << 1) | (
+                    (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                )
+                bitpos += 1
+            return v
+
+        out_sum = 0
+        n_blocks = 0
+        done = 0
+        while done < n:
+            blk_len = min(_FLAC_BLOCK, n - done)
+            hdr = read(8)
+            if hdr is None:
+                return bad
+            order, k = hdr >> 4, hdr & 0x0F
+            if order > 2 or k > _FLAC_MAX_K or blk_len <= order:
+                return bad
+            prev: list[int] = []
+            for _ in range(order):
+                v = read(16)
+                if v is None:
+                    return bad
+                if v >= 0x8000:
+                    v -= 0x10000
+                prev.append(v)
+                out_sum += v
+            for _ in range(blk_len - order):
+                q = 0
+                while True:
+                    b = read(1)
+                    if b is None:
+                        return bad
+                    if b == 0:
+                        break
+                    q += 1
+                    if (q << k) >= _FLAC_MAX_U:
+                        return bad  # unary bomb
+                rem = read(k) if k else 0
+                if rem is None:
+                    return bad
+                u = (q << k) | rem
+                r = (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+                if order == 0:
+                    s = r
+                elif order == 1:
+                    s = r + prev[-1]
+                else:
+                    s = r + 2 * prev[-1] - prev[-2]
+                prev.append(s)
+                out_sum += s
+            bitpos = (bitpos + 7) & ~7  # block byte alignment
+            done += blk_len
+            n_blocks += 1
+        if bitpos != total_bits:
+            return bad  # trailing garbage
+        return (n, n_blocks, out_sum)
+    except Exception:
+        return bad
+
+
+def _flac_oracle() -> str:
+    return f"""
+    WITH geo AS (
+        SELECT doc_id AS media_id,
+               240 + doc_id % 200 AS n,
+               doc_id % 251 AS seed
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST((n + {_FLAC_BLOCK} - 1) // {_FLAC_BLOCK} AS INTEGER)
+               AS n_blocks,
+           CAST(list_sum(list_transform(
+                    generate_series(0, n - 1),
+                    i -> ((seed * 7 + (3 + (i // {_FLAC_BLOCK}) % 5) * i
+                           + ((i * i) % 31) * ((i // {_FLAC_BLOCK}) % 2))
+                          % 256) - 128
+           )) AS BIGINT) AS sample_sum
+    FROM geo
+    """
+
+
+@declare("q_flac_decode", oracle=_flac_oracle(), tier="P2")
+def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Golomb-Rice decode end to end: synthesize each document's
+    lossless predictive-audio payload (Arrow-batched), then recover the
+    samples through the full bitstream walk — per-block fixed-predictor
+    order/Rice-k header, raw warmup, unary+binary Rice residuals,
+    predictor undo, block realignment — inside mapInPandas. Lossless
+    means the oracle is a pure closed form of the synthesis law; a
+    decoder with a broken unary run, wrong zigzag, misaligned block, or
+    bad predictor undo cannot hash-match. Fourth entropy-coding family
+    (Rice) after DEFLATE/Huffman/LZW; same shuffle-free scale shape as
+    q_png_decode."""
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ensure_package_shipped(spark)
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_samples", IntegerType(), True),
+            StructField("n_blocks", IntegerType(), True),
+            StructField("sample_sum", LongType(), True),
+        ]
+    )
+
+    def batches(bt: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in bt:
+            rows = []
+            for d in batch["doc_id"]:
+                d = int(d)
+                n, seed = flac_geometry(d)
+                ns, nb, ssum = decode_flac(encode_flac(n, seed))
+                rows.append((d, ns, nb, ssum))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "n_blocks", "sample_sum"]
+            )
+
+    return docs.mapInPandas(batches, schema=out_schema)

@@ -887,3 +887,95 @@ def test_decode_media_sniffs_gif(spark):
     for d, _, _ in rows:
         w, h, _, _ = gif_geometry(d)
         assert (out[d].width, out[d].height) == (w, h)
+
+
+def test_flac_rice_roundtrip_and_quarantine():
+    """The Rice-coded predictive audio codec is lossless (decode
+    recovers the exact law-sample checksum), COMPRESSES vs raw 16-bit,
+    and quarantines all malformed input without raising."""
+    from mysql_to_clickhouse_sync_spark.operators.audio_codecs import (
+        _FLAC_BLOCK,
+        _flac_sample,
+        decode_flac,
+        encode_flac,
+        flac_geometry,
+    )
+
+    for d in (0, 1, 7, 42, 113, 254):
+        n, seed = flac_geometry(d)
+        payload = encode_flac(n, seed)
+        got = decode_flac(payload)
+        assert got == (
+            n,
+            (n + _FLAC_BLOCK - 1) // _FLAC_BLOCK,
+            sum(_flac_sample(seed, i) for i in range(n)),
+        )
+        assert len(payload) < 2 * n  # beats raw int16
+
+    good = encode_flac(*flac_geometry(3))
+    assert decode_flac(None) == (None, None, None)
+    assert decode_flac(b"not flac") == (None, None, None)
+    for cut in range(len(good)):
+        assert decode_flac(good[:cut]) == (None, None, None), cut
+
+
+def test_flac_decoder_never_raises_on_mangled_input():
+    """Any single-byte corruption either quarantines or decodes to SOME
+    triple — never an exception (unary runs and residuals are bomb-
+    bounded, block alignment and end-of-stream are checked)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_to_clickhouse_sync_spark.operators.audio_codecs import (
+        decode_flac,
+        encode_flac,
+    )
+
+    good = encode_flac(300, 77)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(good) - 1),
+        st.integers(min_value=1, max_value=255),
+    )
+    def corrupt(pos, delta):
+        mangled = bytearray(good)
+        mangled[pos] = (mangled[pos] + delta) % 256
+        out = decode_flac(bytes(mangled))  # must not raise
+        assert len(out) == 3
+
+    corrupt()
+
+
+def test_flac_blocks_use_multiple_predictor_orders():
+    """The synthesis law must actually exercise more than one fixed
+    predictor order across the corpus — otherwise the order field is
+    dead code and the test corpus proves less than it claims."""
+    from mysql_to_clickhouse_sync_spark.operators.audio_codecs import (
+        _FLAC_BLOCK,
+        _flac_sample,
+        flac_geometry,
+    )
+
+    orders = set()
+    for d in range(40):
+        n, seed = flac_geometry(d)
+        samples = [_flac_sample(seed, i) for i in range(n)]
+        for bs in range(0, n, _FLAC_BLOCK):
+            blk = samples[bs : bs + _FLAC_BLOCK]
+            cands = []
+            for order in (0, 1, 2):
+                if len(blk) <= order:
+                    continue
+                if order == 0:
+                    res = blk
+                elif order == 1:
+                    res = [blk[i] - blk[i - 1] for i in range(1, len(blk))]
+                else:
+                    res = [
+                        blk[i] - 2 * blk[i - 1] + blk[i - 2]
+                        for i in range(2, len(blk))
+                    ]
+                cands.append((sum(abs(r) for r in res), order))
+            orders.add(min(cands)[1])
+    assert orders == {0, 1, 2}, orders
