@@ -561,3 +561,136 @@ def q_embedding_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = embedding_band_table(emb)
     _, dropped = cap_buckets(banded, ["label", "band", "bucket"], EMB_AUDIT_CAP)
     return dropped.select("label", "band", "bucket", "bucket_n")
+
+
+# --- Hybrid retrieval: reciprocal rank fusion (BM25 + vector) ---------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_TOPN = 50  # per-modality candidate depth
+RRF_SCALE = 1000000  # fused score in exact micro-units
+
+
+def _rrf_oracle() -> str:
+    from mysql_to_clickhouse_sync_spark.operators.text import _bm25_oracle
+
+    return f"""
+    WITH bm AS ({_bm25_oracle()}
+    ), lex_doc AS (
+        SELECT doc_id, CAST(sum(score_milli) AS BIGINT) AS lex_score
+        FROM bm GROUP BY doc_id
+    ), lex_top AS (
+        SELECT doc_id, lex_score FROM lex_doc
+        ORDER BY lex_score DESC, doc_id LIMIT {RRF_TOPN}
+    ), lex_rank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY lex_score DESC, doc_id)
+                   AS rank_lex
+        FROM lex_top
+    ), qv AS (
+        SELECT embedding AS qe,
+               {_NORM_SQL} AS qnorm
+        FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+        SELECT e.vec_id AS doc_id,
+               {_DOT_SQL.format(a='e.embedding', b='qv.qe')}
+                   / ({_NORM_SQL.format(a='e.embedding', b='e.embedding')}
+                      * qv.qnorm) AS cosine
+        FROM embeddings e CROSS JOIN qv
+        WHERE e.vec_id <> 0
+    ), vec_top AS (
+        SELECT doc_id, cosine FROM scored
+        ORDER BY cosine DESC, doc_id LIMIT {RRF_TOPN}
+    ), vec_rank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank_vec
+        FROM vec_top
+    )
+    SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           CAST(l.rank_lex AS BIGINT) AS rank_lex,
+           CAST(v.rank_vec AS BIGINT) AS rank_vec,
+           CAST(coalesce({RRF_SCALE} // ({RRF_K} + l.rank_lex), 0)
+                + coalesce({RRF_SCALE} // ({RRF_K} + v.rank_vec), 0)
+               AS BIGINT) AS rrf_micro
+    FROM lex_rank l FULL OUTER JOIN vec_rank v ON l.doc_id = v.doc_id
+    """
+
+
+@declare("q_rrf", oracle=_rrf_oracle(), tier="P2")
+def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion (Cormack et al. 2009)
+    — the standard way a RAG data pipeline merges a lexical and a
+    vector ranking without score calibration: rrf(d) = sum over lists
+    of 1/(60 + rank_d), here in exact integer micro-units so the fusion
+    is engine-portable (1000000 div (60 + rank); every rank comes from
+    a row_number over a total order).
+
+    Lexical list: q_bm25's per-(doc, term) scores summed per doc.
+    Vector list: query-by-example cosine against vec_id 0's embedding
+    (the id spaces align: document i carries embedding i), using the
+    shared left-fold dot product so the doubles are bitwise identical.
+
+    Scale notes: each modality prunes to its global top-RRF_TOPN with
+    orderBy().limit() (TakeOrdered — one reduce, no global sort), so
+    the row_number windows and the full-outer fusion join run on
+    RRF_TOPN-row frames regardless of corpus size. At 100 TB the only
+    heavy stages are the two underlying scorers, each already
+    scale-shaped (BM25: token-keyed aggregates; cosine: map-only scan
+    against one broadcast query vector)."""
+    from mysql_to_clickhouse_sync_spark.operators.text import q_bm25
+
+    lex_doc = (
+        q_bm25(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("score_milli").cast("bigint").alias("lex_score"))
+    )
+    lex_top = lex_doc.orderBy(F.col("lex_score").desc(), "doc_id").limit(
+        RRF_TOPN
+    )
+    lex_rank = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("lex_score").desc(), "doc_id"))
+        .alias("rank_lex"),
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = with_norm(emb.filter(F.col("vec_id") == 0)).select(
+        F.col("embedding").alias("qe"), F.col("norm").alias("qnorm")
+    )
+    scored = (
+        with_norm(emb.filter(F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                dot(F.col("embedding"), F.col("qe"))
+                / (F.col("norm") * F.col("qnorm"))
+            ).alias("cosine"),
+        )
+    )
+    vec_top = scored.orderBy(F.col("cosine").desc(), "doc_id").limit(RRF_TOPN)
+    vec_rank = vec_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), "doc_id"))
+        .alias("rank_vec"),
+    )
+
+    return (
+        lex_rank.join(vec_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("rank_lex").cast("bigint").alias("rank_lex"),
+            F.col("rank_vec").cast("bigint").alias("rank_vec"),
+            (
+                F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_lex)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_vec)"), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_micro"),
+        )
+    )

@@ -155,3 +155,35 @@ def test_ppmi_matches_float_reference(spark):
         assert abs(r.ppmi_q8 / 256 - max(0.0, true_pmi)) < 0.02 + abs(
             min(0.0, true_pmi)
         ), (r, true_pmi)
+
+
+def test_rrf_fusion_consistency(spark):
+    """Fused scores recompute exactly from the emitted ranks; ranks are
+    dense 1..TOPN per modality; at least one doc appears in both lists
+    (otherwise fusion is vacuous on this corpus)."""
+    from tests.conftest import SF_DIR
+
+    from mysql_to_clickhouse_sync_spark.operators.similarity import (
+        RRF_K,
+        RRF_SCALE,
+        RRF_TOPN,
+        q_rrf,
+    )
+
+    rows = q_rrf(spark, SF_DIR).collect()
+    assert rows
+    lex_ranks = sorted(r.rank_lex for r in rows if r.rank_lex is not None)
+    vec_ranks = sorted(r.rank_vec for r in rows if r.rank_vec is not None)
+    assert lex_ranks == list(range(1, len(lex_ranks) + 1))
+    assert vec_ranks == list(range(1, RRF_TOPN + 1))
+    both = 0
+    for r in rows:
+        expect = 0
+        if r.rank_lex is not None:
+            expect += RRF_SCALE // (RRF_K + r.rank_lex)
+        if r.rank_vec is not None:
+            expect += RRF_SCALE // (RRF_K + r.rank_vec)
+        assert r.rrf_micro == expect
+        if r.rank_lex is not None and r.rank_vec is not None:
+            both += 1
+    assert both >= 1
