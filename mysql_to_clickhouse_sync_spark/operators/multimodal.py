@@ -3119,3 +3119,204 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(batches, schema=out_schema)
+
+
+# --- Entropy-coding family #5: adaptive arithmetic (range) coding ----------
+#
+# The carryless byte-renormalizing range coder (Subbotin's construction,
+# the coder family inside JPEG2000/AV1/LZMA) with an adaptive order-0
+# frequency model — the one entropy-coding family where encoder and
+# decoder must maintain IDENTICAL evolving model state, unlike the
+# static tables of Huffman/Rice or the dictionary of LZW. Round-trip
+# symmetry is exact: the decoder performs the same renormalization
+# sequence as the encoder, consuming one byte per byte emitted (plus
+# the 4-byte code preload matching the 4-byte flush), so a valid
+# payload decodes with ZERO slack bytes — the strictest end-of-stream
+# check of the codec suite.
+
+_RC_TOP = 1 << 24
+_RC_BOT = 1 << 16
+_RC_MASK = 0xFFFFFFFF
+_RC_MAGIC = b"RC1"
+_RC_MAX_N = 1 << 20  # bomb bound
+
+
+def range_geometry(doc_id: int) -> tuple[int, int, int]:
+    """(n_symbols, alphabet_size, seed). The symbol law is SKEWED
+    (square-then-scale), so the adaptive model genuinely compresses —
+    pinned by test at ~2x under 4 bits/symbol."""
+    return 200 + doc_id % 300, 16, doc_id % 251
+
+
+def _range_symbol(seed: int, i: int) -> int:
+    x = (seed + 3 * i + (i * i) % 13) % 16
+    return (x * x * x * x) // 4096
+
+
+def _rc_renorm(low: int, rng: int):
+    """Shared renormalization test: returns (emit_byte?, low, rng) per
+    step; the caller loops while emit is needed."""
+    if ((low ^ (low + rng)) & _RC_MASK) < _RC_TOP:
+        return True, low, rng
+    if rng < _RC_BOT:
+        rng = (-low) & (_RC_BOT - 1)
+        if rng == 0:
+            rng = _RC_BOT - 1
+        return True, low, rng
+    return False, low, rng
+
+
+def encode_range(n: int, nsym: int, seed: int) -> bytes:
+    """Adaptive range-encode the law symbols into a framed payload."""
+    import struct
+
+    counts = [1] * nsym
+    tot = nsym
+    low, rng = 0, _RC_MASK
+    body = bytearray()
+    for i in range(n):
+        s = _range_symbol(seed, i)
+        cum = sum(counts[:s])
+        r = rng // tot
+        low = (low + r * cum) & _RC_MASK
+        rng = r * counts[s]
+        while True:
+            emit, low, rng = _rc_renorm(low, rng)
+            if not emit:
+                break
+            body.append((low >> 24) & 0xFF)
+            low = (low << 8) & _RC_MASK
+            rng = (rng << 8) & _RC_MASK
+        counts[s] += 1
+        tot += 1
+    for _ in range(4):
+        body.append((low >> 24) & 0xFF)
+        low = (low << 8) & _RC_MASK
+    return _RC_MAGIC + struct.pack("<IB", n, nsym) + bytes(body)
+
+
+def decode_range(payload: bytes | None):
+    """Real range decode: framed header, 4-byte code preload, per-symbol
+    interval narrowing with the SAME adaptive model the encoder ran,
+    byte-symmetric renormalization, zero-slack end check. Returns
+    (n_syms, n_alphabet, sym_sum); malformed -> NULLs."""
+    import struct
+
+    bad = (None, None, None)
+    try:
+        if payload is None or len(payload) < 12:
+            return bad
+        if payload[: len(_RC_MAGIC)] != _RC_MAGIC:
+            return bad
+        n, nsym = struct.unpack_from("<IB", payload, len(_RC_MAGIC))
+        if n == 0 or n > _RC_MAX_N or nsym < 2 or nsym > 64:
+            return bad
+        data = payload[len(_RC_MAGIC) + 5 :]
+        counts = [1] * nsym
+        tot = nsym
+        low, rng = 0, _RC_MASK
+        pos = 0
+        code = 0
+        for _ in range(4):
+            if pos >= len(data):
+                return bad
+            code = ((code << 8) | data[pos]) & _RC_MASK
+            pos += 1
+        sym_sum = 0
+        for _ in range(n):
+            r = rng // tot
+            val = ((code - low) & _RC_MASK) // r
+            if val >= tot:
+                val = tot - 1
+            cum = 0
+            s = 0
+            while cum + counts[s] <= val:
+                cum += counts[s]
+                s += 1
+            low = (low + r * cum) & _RC_MASK
+            rng = r * counts[s]
+            while True:
+                emit, low, rng = _rc_renorm(low, rng)
+                if not emit:
+                    break
+                if pos >= len(data):
+                    return bad
+                code = ((code << 8) | data[pos]) & _RC_MASK
+                pos += 1
+                low = (low << 8) & _RC_MASK
+                rng = (rng << 8) & _RC_MASK
+            counts[s] += 1
+            tot += 1
+            sym_sum += s
+        if pos != len(data):
+            return bad  # zero-slack: any trailing byte is corruption
+        return (n, nsym, sym_sum)
+    except Exception:
+        return bad
+
+
+@declare(
+    "q_range_decode",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id AS media_id,
+               200 + doc_id % 300 AS n,
+               doc_id % 251 AS seed
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(n AS INTEGER) AS n_syms,
+           CAST(16 AS INTEGER) AS n_alphabet,
+           CAST(list_sum(list_transform(
+                    generate_series(0, n - 1),
+                    i -> (((seed + 3 * i + (i * i) % 13) % 16)
+                          * ((seed + 3 * i + (i * i) % 13) % 16)
+                          * ((seed + 3 * i + (i * i) % 13) % 16)
+                          * ((seed + 3 * i + (i * i) % 13) % 16)) // 4096
+           )) AS BIGINT) AS sym_sum
+    FROM geo
+    """,
+    tier="P2",
+)
+def q_range_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL adaptive arithmetic decode end to end: range-encode each
+    document's skewed symbol stream, then recover it through the full
+    carryless range decoder — interval narrowing, byte-symmetric
+    renormalization, and the adaptive frequency model that must stay in
+    lockstep with the encoder's — inside mapInPandas. Fifth entropy-
+    coding family (after DEFLATE, Huffman, LZW, Rice) and the only one
+    with evolving model state; the oracle recomputes the symbol
+    checksum from the closed-form law, so a decoder whose model drifts
+    by one count anywhere in the stream diverges immediately and cannot
+    hash-match. Shuffle-free mapInPandas, the q_png_decode scale
+    shape."""
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ensure_package_shipped(spark)
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("n_syms", IntegerType(), True),
+            StructField("n_alphabet", IntegerType(), True),
+            StructField("sym_sum", LongType(), True),
+        ]
+    )
+
+    def batches(bt: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in bt:
+            rows = []
+            for d in batch["doc_id"]:
+                d = int(d)
+                n, nsym, seed = range_geometry(d)
+                ns, na, ssum = decode_range(encode_range(n, nsym, seed))
+                rows.append((d, ns, na, ssum))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_syms", "n_alphabet", "sym_sum"],
+            )
+
+    return docs.mapInPandas(batches, schema=out_schema)

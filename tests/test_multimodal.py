@@ -979,3 +979,62 @@ def test_flac_blocks_use_multiple_predictor_orders():
                 cands.append((sum(abs(r) for r in res), order))
             orders.add(min(cands)[1])
     assert orders == {0, 1, 2}, orders
+
+
+def test_range_coder_roundtrip_compression_and_quarantine():
+    """The adaptive range coder is exact (decode recovers the law
+    checksum with the model in lockstep), genuinely compresses the
+    skewed stream below 4-bit raw packing, enforces zero-slack
+    end-of-stream, and quarantines every truncation."""
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        _range_symbol,
+        decode_range,
+        encode_range,
+        range_geometry,
+    )
+
+    for d in (0, 1, 7, 42, 113, 254):
+        n, nsym, seed = range_geometry(d)
+        payload = encode_range(n, nsym, seed)
+        assert decode_range(payload) == (
+            n,
+            nsym,
+            sum(_range_symbol(seed, i) for i in range(n)),
+        )
+        assert len(payload) - 8 < (n + 1) // 2  # beats raw nibble packing
+
+    good = encode_range(*range_geometry(9))
+    assert decode_range(None) == (None, None, None)
+    assert decode_range(b"not rc") == (None, None, None)
+    assert decode_range(good + b"\x00") == (None, None, None)  # zero slack
+    for cut in range(len(good)):
+        assert decode_range(good[:cut]) == (None, None, None), cut
+
+
+def test_range_decoder_never_raises_on_mangled_input():
+    """Single-byte corruptions either quarantine or decode to SOME
+    triple — never an exception; the adaptive model makes most flips
+    visibly derail the stream (pos mismatch -> zero-slack quarantine)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        decode_range,
+        encode_range,
+        range_geometry,
+    )
+
+    good = encode_range(*range_geometry(21))
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(good) - 1),
+        st.integers(min_value=1, max_value=255),
+    )
+    def corrupt(pos, delta):
+        mangled = bytearray(good)
+        mangled[pos] = (mangled[pos] + delta) % 256
+        out = decode_range(bytes(mangled))
+        assert len(out) == 3
+
+    corrupt()
