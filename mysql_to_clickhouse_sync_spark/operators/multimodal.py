@@ -2829,17 +2829,48 @@ class _GifBitWriter:
 def _gif_lzw_compress(indices: list[int], mcs: int) -> bytes:
     """Real GIF LZW: dictionary of (prefix_code, symbol) -> code, CLEAR
     emitted up front, every _GIF_FORCED_CLEAR symbols, and at the
-    4096-code ceiling; code width grows when next_code reaches
-    2**width (max 12); terminated by EOI."""
+    4096-code ceiling; terminated by EOI.
+
+    Code width: the encoder SIMULATES the decoder's dictionary growth
+    (which lags its own by one entry and makes no entry for the final
+    data code before EOI) and emits every code at the width the decoder
+    will expect. A local rule on the encoder's own next_code cannot be
+    correct at both the per-code boundary AND the EOI tail — hypothesis
+    found the tail case (final decoder add landing exactly on
+    2**width - 1 bumps the decoder's width while a next_code rule keeps
+    the encoder's); the simulation is exact by construction (pinned by
+    an exhaustive small-geometry sweep in tests)."""
     clear = 1 << mcs
     eoi = clear + 1
     w = _GifBitWriter()
 
-    def reset() -> tuple[dict, int, int]:
-        return {}, eoi + 1, mcs + 1
+    table: dict = {}
+    next_code = eoi + 1
+    # decoder-state simulation: table length, width, first-since-reset
+    dlen = clear + 2
+    dw = mcs + 1
+    first = True
 
-    table, next_code, width = reset()
-    w.put(clear, width)
+    def emit_data(code: int) -> None:
+        nonlocal dlen, dw, first
+        w.put(code, dw)
+        if first:
+            first = False
+        else:
+            dlen += 1
+            if dlen == (1 << dw) - 1 and dw < 12:
+                dw += 1
+
+    def emit_reset() -> None:
+        nonlocal table, next_code, dlen, dw, first
+        w.put(clear, dw)
+        table = {}
+        next_code = eoi + 1
+        dlen = clear + 2
+        dw = mcs + 1
+        first = True
+
+    emit_reset()
     cur = None
     since_clear = 0
     for sym in indices:
@@ -2849,20 +2880,17 @@ def _gif_lzw_compress(indices: list[int], mcs: int) -> bytes:
         if (cur, sym) in table:
             cur = table[(cur, sym)]
             continue
-        w.put(cur, width)
+        emit_data(cur)
         table[(cur, sym)] = next_code
         next_code += 1
-        if next_code == (1 << width) and width < 12:
-            width += 1
         cur = sym
         since_clear += 1
         if next_code == _GIF_MAX_CODE or since_clear >= _GIF_FORCED_CLEAR:
-            w.put(clear, width)
-            table, next_code, width = reset()
+            emit_reset()
             since_clear = 0
     if cur is not None:
-        w.put(cur, width)
-    w.put(eoi, width)
+        emit_data(cur)
+    w.put(eoi, dw)
     return w.done()
 
 

@@ -694,3 +694,163 @@ def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rrf_micro"),
         )
     )
+
+
+# --- Ranking evaluation: NDCG over the fused ranking ------------------------
+
+NDCG_K = 20
+NDCG_SCALE = 1000000  # per-position gains in exact micro-units
+
+
+def _ndcg_oracle() -> str:
+    from mysql_to_clickhouse_sync_spark.operators.text import (
+        TFIDF_MIN_LEN,
+        _fixed_log2_q8_sql,
+    )
+    from mysql_to_clickhouse_sync_spark.operators.text import BM25_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH rrf AS ({_rrf_oracle()}
+    ), ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS pos
+        FROM rrf
+    ), topk AS (
+        SELECT doc_id, pos FROM ranked WHERE pos <= {NDCG_K}
+    ), rel AS (
+        SELECT doc_id, CAST(count(DISTINCT token) AS BIGINT) AS rel
+        FROM (
+            SELECT doc_id, unnest(string_split_regex(lower(text),
+                       '[^a-z]+')) AS token
+            FROM documents
+        )
+        WHERE length(token) >= {TFIDF_MIN_LEN} AND token IN ({terms})
+        GROUP BY doc_id
+    ), graded AS (
+        SELECT t.pos, t.doc_id, coalesce(r.rel, 0) AS rel
+        FROM topk t LEFT JOIN rel r ON r.doc_id = t.doc_id
+    ), ideal AS (
+        SELECT row_number() OVER (ORDER BY rel DESC, doc_id) AS pos,
+               rel
+        FROM graded
+    ), args AS (
+        SELECT DISTINCT pos + 1 AS x FROM graded
+    ),
+    {_fixed_log2_q8_sql('args')},
+    dcg AS (
+        SELECT g.pos, g.doc_id, g.rel,
+               CAST(g.rel * {NDCG_SCALE} * 256 // lg.lq8 AS BIGINT) AS gain,
+               CAST(sum(g.rel * {NDCG_SCALE} * 256 // lg.lq8)
+                    OVER (ORDER BY g.pos) AS BIGINT) AS dcg_cum
+        FROM graded g JOIN lg ON lg.x = g.pos + 1
+    ), idcg AS (
+        SELECT i.pos,
+               CAST(sum(i.rel * {NDCG_SCALE} * 256 // lg.lq8)
+                    OVER (ORDER BY i.pos) AS BIGINT) AS idcg_cum
+        FROM ideal i JOIN lg ON lg.x = i.pos + 1
+    )
+    SELECT d.pos, d.doc_id, d.rel, d.gain, d.dcg_cum,
+           CAST(CASE WHEN i.idcg_cum > 0
+                THEN d.dcg_cum * 1000 // i.idcg_cum ELSE 0 END AS BIGINT)
+               AS ndcg_milli
+    FROM dcg d JOIN idcg i ON i.pos = d.pos
+    """
+
+
+@declare("q_ndcg", oracle=_ndcg_oracle(), tier="P2")
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@20 evaluation of the q_rrf hybrid ranking — the retrieval
+    loop closed end to end: rank (BM25), rank (vector), fuse (RRF),
+    EVALUATE. Graded relevance is the count of distinct query terms a
+    document contains (0..4, a signal independent of either ranker's
+    scores); discounts 1/log2(pos + 1) run through the Q8 fixed-point
+    log2 kernel so every gain, cumulative DCG, ideal DCG and
+    ndcg_milli is exact BIGINT on both engines. Emitting all K
+    positions (not one scalar) makes the hash check pin the whole
+    discount curve.
+
+    Scale notes: the ranking is already pruned to RRF_TOPN rows by
+    q_rrf, so every window here runs on a constant-size frame; the
+    relevance grade is one token-keyed semi-aggregation over the corpus
+    (map-side combined). Evaluation cost is independent of corpus
+    size."""
+    from mysql_to_clickhouse_sync_spark.operators.text import (
+        BM25_TERMS,
+        TFIDF_MIN_LEN,
+        with_fixed_log2_q8,
+    )
+
+    rrf = q_rrf(spark, sf_dir)
+    ranked = rrf.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf_micro").desc(), "doc_id"))
+        .alias("pos"),
+    ).filter(F.col("pos") <= NDCG_K)
+
+    docs = load_table(spark, sf_dir, "documents")
+    rel = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("token"),
+        )
+        .filter(
+            (F.length("token") >= TFIDF_MIN_LEN)
+            & F.col("token").isin(*BM25_TERMS)
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("token").cast("bigint").alias("rel"))
+    )
+    graded = (
+        ranked.join(rel, "doc_id", "left")
+        .select("pos", "doc_id", F.coalesce("rel", F.lit(0)).alias("rel"))
+    )
+    graded = with_fixed_log2_q8(
+        graded.withColumn("x", F.expr("pos + 1")), "x", "lq8"
+    )
+    wpos = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    dcg = graded.select(
+        "pos",
+        "doc_id",
+        "rel",
+        F.expr(f"CAST(rel * {NDCG_SCALE} * 256 div lq8 AS BIGINT)").alias(
+            "gain"
+        ),
+        F.sum(F.expr(f"rel * {NDCG_SCALE} * 256 div lq8"))
+        .over(wpos)
+        .cast("bigint")
+        .alias("dcg_cum"),
+    )
+    ideal = graded.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("rel").desc(), "doc_id"))
+        .alias("pos"),
+        "rel",
+    )
+    ideal = with_fixed_log2_q8(
+        ideal.withColumn("x", F.expr("pos + 1")), "x", "lq8"
+    )
+    idcg = ideal.select(
+        "pos",
+        F.sum(F.expr(f"rel * {NDCG_SCALE} * 256 div lq8"))
+        .over(wpos)
+        .cast("bigint")
+        .alias("idcg_cum"),
+    )
+    return (
+        dcg.join(idcg, "pos")
+        .select(
+            "pos",
+            "doc_id",
+            "rel",
+            "gain",
+            "dcg_cum",
+            F.expr(
+                "CAST(CASE WHEN idcg_cum > 0"
+                " THEN dcg_cum * 1000 div idcg_cum ELSE 0 END AS BIGINT)"
+            ).alias("ndcg_milli"),
+        )
+    )

@@ -583,7 +583,11 @@ def with_fixed_log2_q8(df: DataFrame, xcol: str, out: str) -> DataFrame:
     identical by construction. Max error vs true 256*log2 is < 1.0
     (measured 0.004 log2 units over 1..2^40). Mirrored CTE-for-CTE by
     `_fixed_log2_q8_sql`; keep the two in lockstep."""
-    d = df.withColumn("_e", (F.length(F.bin(F.col(xcol))) - 1).cast("long"))
+    # _x: the input widened to BIGINT first — an INT input (e.g. a
+    # row_number position) would keep shiftleft/_m*_m in 32-bit and
+    # overflow under ANSI mode.
+    d = df.withColumn("_x", F.col(xcol).cast("long"))
+    d = d.withColumn("_e", (F.length(F.bin(F.col("_x"))) - 1).cast("long"))
     # Normalize the mantissa to [2^29, 2^30) by SHIFTING, not by
     # multiply-then-divide — x * 2^29 overflows BIGINT for x >= 2^34,
     # while a single shift is exact at any magnitude (right shift ==
@@ -591,8 +595,8 @@ def with_fixed_log2_q8(df: DataFrame, xcol: str, out: str) -> DataFrame:
     d = d.withColumn(
         "_m",
         F.expr(
-            f"CASE WHEN _e <= 29 THEN shiftleft({xcol}, cast(29 - _e as int))"
-            f" ELSE shiftright({xcol}, cast(_e - 29 as int)) END"
+            "CASE WHEN _e <= 29 THEN shiftleft(_x, cast(29 - _e as int))"
+            " ELSE shiftright(_x, cast(_e - 29 as int)) END"
         ),
     )
     d = d.withColumn("_f", F.lit(0).cast("long"))
@@ -606,7 +610,7 @@ def with_fixed_log2_q8(df: DataFrame, xcol: str, out: str) -> DataFrame:
             "_m", F.expr(f"CASE WHEN _t >= {_LOG2_FULL} THEN _t div 2 ELSE _t END")
         )
     return d.withColumn(out, F.expr("_e * 256 + _f")).drop(
-        "_e", "_m", "_f", "_t"
+        "_x", "_e", "_m", "_f", "_t"
     )
 
 

@@ -78,6 +78,7 @@ def _load_all_modules() -> None:
         text,
         timeseries,
         tpch,
+        tscodec,
         wordpiece,
         udtf_ops,
         unigram,

@@ -187,3 +187,39 @@ def test_rrf_fusion_consistency(spark):
         if r.rank_lex is not None and r.rank_vec is not None:
             both += 1
     assert both >= 1
+
+
+def test_ndcg_curve_properties(spark):
+    """NDCG invariants: 20 positions, gains recompute from (rel, pos)
+    via the kernel, dcg_cum is the running sum, ndcg in [0, 1000], and
+    the ideal ordering bounds the achieved one (ndcg <= 1000 with
+    equality iff the fused ranking is rel-sorted at that prefix)."""
+    from tests.conftest import SF_DIR
+
+    from mysql_to_clickhouse_sync_spark.operators.similarity import (
+        NDCG_K,
+        NDCG_SCALE,
+        q_ndcg,
+    )
+
+    rows = sorted(q_ndcg(spark, SF_DIR).collect(), key=lambda r: r.pos)
+    assert [r.pos for r in rows] == list(range(1, NDCG_K + 1))
+
+    def lq8(x):
+        e = x.bit_length() - 1
+        m = (x << (29 - e)) if e <= 29 else (x >> (e - 29))
+        f = 0
+        for _ in range(8):
+            t = (m * m) >> 29
+            if t >= (1 << 30):
+                f, m = f * 2 + 1, t >> 1
+            else:
+                f, m = f * 2, t
+        return e * 256 + f
+
+    run = 0
+    for r in rows:
+        assert r.gain == r.rel * NDCG_SCALE * 256 // lq8(r.pos + 1)
+        run += r.gain
+        assert r.dcg_cum == run
+        assert 0 <= r.ndcg_milli <= 1000

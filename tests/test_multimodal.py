@@ -1038,3 +1038,120 @@ def test_range_decoder_never_raises_on_mangled_input():
         assert len(out) == 3
 
     corrupt()
+
+
+def test_timeseries_codec_roundtrip_compression_quarantine():
+    """DoubleDelta + Gorilla: exact round trip of both bit-streams,
+    ~15x compression vs raw 16 B/point on the near-regular law, and
+    full truncation quarantine."""
+    from mysql_to_clickhouse_sync_spark.operators.tscodec import (
+        _float_scaled,
+        _ts_value,
+        decode_timeseries,
+        encode_timeseries,
+        ts_geometry,
+    )
+
+    for d in (0, 1, 7, 42, 113, 254):
+        n, seed = ts_geometry(d)
+        payload = encode_timeseries(n, seed)
+        assert decode_timeseries(payload) == (
+            n,
+            sum(_ts_value(seed, i) for i in range(n)),
+            sum(_float_scaled(seed, i) for i in range(n)),
+        )
+        assert len(payload) - 7 < 2 * n  # >= 8x under raw 16 B/point
+
+    good = encode_timeseries(*ts_geometry(9))
+    assert decode_timeseries(None) == (None, None, None)
+    assert decode_timeseries(b"nope") == (None, None, None)
+    for cut in range(len(good)):
+        assert decode_timeseries(good[:cut]) == (None, None, None), cut
+
+
+def test_timeseries_law_exercises_all_paths():
+    """The timestamp law must hit the dd==0 fast path, at least one
+    small class and the escape class; the float law must hit the
+    identical, window-reuse and new-window branches — otherwise parts
+    of both decoders are dead code under test."""
+    import struct
+
+    from mysql_to_clickhouse_sync_spark.operators.tscodec import (
+        _float_scaled,
+        _ts_value,
+        ts_geometry,
+        _zz,
+    )
+
+    n, seed = ts_geometry(3)
+    ts = [_ts_value(seed, i) for i in range(n)]
+    deltas = [ts[i] - ts[i - 1] for i in range(1, n)]
+    dds = [deltas[0]] + [
+        deltas[i] - deltas[i - 1] for i in range(1, len(deltas))
+    ]
+    classes = set()
+    for dd in dds:
+        if dd == 0:
+            classes.add(0)
+        else:
+            u = _zz(dd)
+            classes.add(
+                7 if u < 128 else (9 if u < 512 else (12 if u < 4096 else 64))
+            )
+    assert 0 in classes and 64 in classes and (7 in classes or 9 in classes)
+
+    bits = [
+        struct.unpack("<Q", struct.pack("<d", _float_scaled(seed, i) / 8.0))[0]
+        for i in range(n)
+    ]
+    xors = [bits[i] ^ bits[i - 1] for i in range(1, n)]
+    assert any(x == 0 for x in xors)
+    assert any(x != 0 for x in xors)
+
+
+def test_timeseries_mangle_never_raises():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_to_clickhouse_sync_spark.operators.tscodec import (
+        decode_timeseries,
+        encode_timeseries,
+        ts_geometry,
+    )
+
+    good = encode_timeseries(*ts_geometry(21))
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(good) - 1),
+        st.integers(min_value=1, max_value=255),
+    )
+    def corrupt(pos, delta):
+        mangled = bytearray(good)
+        mangled[pos] = (mangled[pos] + delta) % 256
+        out = decode_timeseries(bytes(mangled))
+        assert len(out) == 3
+
+    corrupt()
+
+
+def test_gif_width_schedule_exhaustive_small_geometries():
+    """Regression pin for the LZW width-schedule tail corner (the final
+    decoder dictionary add landing exactly on 2**w - 1 right before
+    EOI): every small geometry round-trips. This sweep caught the
+    encoder's local next_code rule diverging from the decoder at the
+    EOI boundary; the encoder now simulates the decoder's schedule."""
+    from mysql_to_clickhouse_sync_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    for w in range(1, 8):
+        for h in range(1, 8):
+            for pb in (2, 3, 4):
+                for seed in (0, 3, 77, 240):
+                    pal = 1 << pb
+                    got = decode_gif(encode_gif(w, h, pb, seed))
+                    n = w * h
+                    exp = sum((seed + 7 * i) % pal for i in range(n))
+                    assert got[:4] == (w, h, pal, exp), (w, h, pb, seed)
