@@ -61,6 +61,7 @@ def _load_all_modules() -> None:
         joins,
         json_ops,
         kmeans,
+        mlscore,
         multimodal,
         neardup_pipeline,
         normalize,
