@@ -368,11 +368,14 @@ LQ_LEN_CAP = 2000  # chars at which the length feature saturates
 _LQ_OFF = 10_000  # positivity offset so truncating div == floor div
 
 
-def _logistic_oracle() -> str:
+def milli_feats_sql(cols: str) -> str:
+    """Oracle CTE body for the shared integer milli-feature extraction
+    (saturated length, alpha/stopword/digit ratios) with `cols` passed
+    through — the exact mirror of `milli_features`. Shared by
+    q_logistic_quality and the stump trainer (operators/trees.py)."""
     toks = _TOKEN_COUNT_SQL.format(col="text")
     return f"""
-    WITH feats AS (
-        SELECT doc_id,
+        SELECT {cols},
                least(n_chars, {LQ_LEN_CAP}) * 1000 // {LQ_LEN_CAP}
                    AS len_milli,
                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
@@ -383,6 +386,45 @@ def _logistic_oracle() -> str:
                     AS BIGINT) * 1000 // length(text) AS digit_milli
         FROM documents
         WHERE length(trim(text)) > 0
+    """
+
+
+def milli_features(docs: DataFrame, **extra: F.Column) -> DataFrame:
+    """doc_id + any named extra columns + the four exact integer
+    milli-features. Ratio features stay on integer `div` (never double
+    division + cast — that would not mirror DuckDB's `//`). Mirrored by
+    `milli_feats_sql`; keep in lockstep."""
+    text = F.col("text")
+    alpha_n = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    digit_n = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    stop_n = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(_EN_STOPWORDS), 0)
+    )
+    return docs.select(
+        "doc_id",
+        *[c.alias(name) for name, c in extra.items()],
+        F.expr(
+            f"least(n_chars, {LQ_LEN_CAP}) * 1000 div {LQ_LEN_CAP}"
+        ).alias("len_milli"),
+        (alpha_n.cast("long") * 1000).alias("_an"),
+        (stop_n.cast("long") * 1000).alias("_sn"),
+        (digit_n.cast("long") * 1000).alias("_dn"),
+        F.length(text).cast("long").alias("_tl"),
+        token_count(text).alias("_tk"),
+    ).select(
+        "doc_id",
+        *extra.keys(),
+        "len_milli",
+        F.expr("_an div _tl").alias("alpha_milli"),
+        F.expr("_sn div _tk").alias("stop_milli"),
+        F.expr("_dn div _tl").alias("digit_milli"),
+    )
+
+
+def _logistic_oracle() -> str:
+    return f"""
+    WITH feats AS (
+        {milli_feats_sql('doc_id')}
     ), zz AS (
         SELECT *,
                (({LQ_BIAS} + {LQ_W_LEN} * len_milli
@@ -423,31 +465,7 @@ def q_logistic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
-    text = F.col("text")
-    alpha_n = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
-    digit_n = F.length(F.regexp_replace(text, "[^0-9]", ""))
-    stop_n = F.size(
-        F.regexp_extract_all(F.lower(text), F.lit(_EN_STOPWORDS), 0)
-    )
-    # Ratio features stay on integer `div` (never double division + cast —
-    # that would not mirror DuckDB's `//`).
-    feats = docs.select(
-        "doc_id",
-        F.expr(
-            f"least(n_chars, {LQ_LEN_CAP}) * 1000 div {LQ_LEN_CAP}"
-        ).alias("len_milli"),
-        (alpha_n.cast("long") * 1000).alias("_an"),
-        (stop_n.cast("long") * 1000).alias("_sn"),
-        (digit_n.cast("long") * 1000).alias("_dn"),
-        F.length(text).cast("long").alias("_tl"),
-        token_count(text).alias("_tk"),
-    ).select(
-        "doc_id",
-        "len_milli",
-        F.expr("_an div _tl").alias("alpha_milli"),
-        F.expr("_sn div _tk").alias("stop_milli"),
-        F.expr("_dn div _tl").alias("digit_milli"),
-    )
+    feats = milli_features(docs)
     zz = feats.withColumn(
         "z_q8",
         F.expr(

@@ -79,6 +79,7 @@ def _load_all_modules() -> None:
         text,
         timeseries,
         tpch,
+        trees,
         tscodec,
         wordpiece,
         udtf_ops,
