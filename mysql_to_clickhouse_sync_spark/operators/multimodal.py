@@ -3348,3 +3348,324 @@ def q_range_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(batches, schema=out_schema)
+
+
+# --- Real compressed image codec #4: TIFF 6.0 LZW (early change) ------------
+#
+# The SAME dictionary coder as GIF (family #3) under the OTHER public
+# bitstream contract — the classic pair every codec suite must keep
+# straight (TIFF 6.0 spec §13; GIF87a appendix F):
+#   * bits pack MSB-first (GIF packs LSB-first),
+#   * the code width grows one entry EARLIER ("early change"): the
+#     decoder widens at table length 2^w - 2 where GIF's decoder-lag
+#     rule widens at 2^w - 1,
+#   * Clear = 256 / EOI = 257 fixed (GIF derives them from the palette
+#     depth), table capped at 4094 with a mandatory Clear,
+#   * TIFF's Predictor tag 2 (horizontal differencing) transforms the
+#     pixel bytes before coding — the decoder must cumsum mod 256 per
+#     row after LZW or every pixel after column 0 is wrong.
+# The pixel law carries a multiplicative-hash noise term so every
+# document's dictionary provably crosses the 511 early-change boundary
+# (pinned by test); the 11/12-bit widths and the 4094 cap reset are
+# pinned by the round-trip unit tests on long random data.
+
+_TIFF_CLEAR = 256
+_TIFF_EOI = 257
+_TIFF_TABLE_CAP = 4094  # spec: emit CLEAR at 4094 (early change reserves top)
+
+
+def tiff_geometry(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, seed) — sized so the LZW dictionary crosses the
+    9->10 bit early-change boundary in every document."""
+    return 36 + doc_id % 24, 40 + doc_id % 20, doc_id % 233
+
+
+def _tiff_pixel(seed: int, x: int, y: int) -> int:
+    """Gray law: affine ramp + multiplicative-hash noise nibble (exact
+    integer closed form for the oracle; the noise keeps the predictor
+    residuals varied enough to grow the dictionary)."""
+    return (
+        seed + 7 * x + 13 * y + ((x + 3 * y + seed) * 2654435761 // 256) % 16
+    ) % 256
+
+
+def _tiff_lzw_compress(data: bytes) -> bytes:
+    """TIFF-variant LZW: MSB-first, early change, Clear/EOI at 256/257,
+    table capped at 4094 with a mandatory Clear."""
+    from mysql_to_clickhouse_sync_spark.operators.audio_codecs import (
+        _MsbBitWriter,
+    )
+
+    w = _MsbBitWriter()
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(256)}
+
+    width = 9
+    w.put(_TIFF_CLEAR, width)
+    table = fresh()
+    next_code = 258
+    cur = b""
+    for bb in data:
+        b1 = bytes([bb])
+        nxt = cur + b1
+        if nxt in table:
+            cur = nxt
+            continue
+        w.put(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        # EARLY CHANGE: widen while ONE slot remains at this width (the
+        # GIF encoder widens one entry later, at 2^w).
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        cur = b1
+        if next_code >= _TIFF_TABLE_CAP:
+            w.put(table[cur], width)
+            w.put(_TIFF_CLEAR, width)
+            table = fresh()
+            next_code = 258
+            width = 9
+            cur = b""
+    if cur:
+        w.put(table[cur], width)
+    w.put(_TIFF_EOI, width)
+    # byte-align the tail (sub-byte padding only; the decoder enforces
+    # that no FULL byte remains after EOI)
+    w.align()
+    return bytes(w.buf)
+
+
+def _tiff_lzw_decompress(data: bytes, max_out: int):
+    """Real TIFF LZW decode; None on any malformed stream. Bounded by
+    `max_out` (bomb-bound contract, early-change edition)."""
+    big = int.from_bytes(data, "big")
+    total = 8 * len(data)
+    pos = 0
+
+    def read(width: int):
+        nonlocal pos
+        if pos + width > total:
+            return None
+        v = (big >> (total - pos - width)) & ((1 << width) - 1)
+        pos += width
+        return v
+
+    def fresh() -> list[bytes]:
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    table = fresh()
+    width = 9
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        code = read(width)
+        if code is None:
+            return None  # ran out before EOI
+        if code == _TIFF_CLEAR:
+            table = fresh()
+            width = 9
+            prev = None
+            continue
+        if code == _TIFF_EOI:
+            break
+        if code < len(table) and (code < 256 or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            return None
+        out += entry
+        if len(out) > max_out:
+            return None  # over-long stream: bomb-bound quarantine
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        # EARLY CHANGE, decoder side: widen at 2^w - 2 — ONE entry
+        # earlier than decode_gif's decoder-lag rule at 2^w - 1.
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+    if total - pos >= 8:
+        return None  # a full trailing byte after EOI: not padding
+    return bytes(out)
+
+
+def encode_tiff(width: int, height: int, seed: int) -> bytes:
+    """A VALID little-endian TIFF 6.0: header, one LZW strip with
+    Predictor 2 (per-row horizontal differencing mod 256), and a real
+    IFD (width/length/bits/compression/photometric/strip fields +
+    predictor) placed after the strip."""
+    import struct
+
+    raw = bytearray()
+    for y in range(height):
+        for x in range(width):
+            p = _tiff_pixel(seed, x, y)
+            raw.append(
+                p if x == 0 else (p - _tiff_pixel(seed, x - 1, y)) % 256
+            )
+    strip = _tiff_lzw_compress(bytes(raw))
+    strip_offset = 8
+    ifd_offset = 8 + len(strip)
+    entries = [
+        (256, 3, width),  # ImageWidth
+        (257, 3, height),  # ImageLength
+        (258, 3, 8),  # BitsPerSample
+        (259, 3, 5),  # Compression = LZW
+        (262, 3, 1),  # Photometric = BlackIsZero
+        (273, 4, strip_offset),  # StripOffsets
+        (277, 3, 1),  # SamplesPerPixel
+        (278, 3, height),  # RowsPerStrip
+        (279, 4, len(strip)),  # StripByteCounts
+        (317, 3, 2),  # Predictor = horizontal differencing
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, val in entries:
+        if typ == 4:
+            ifd += struct.pack("<HHII", tag, typ, 1, val)
+        else:  # SHORT value sits in the low half of the value field
+            ifd += struct.pack("<HHIHH", tag, typ, 1, val, 0)
+    ifd += struct.pack("<I", 0)
+    return b"II*\x00" + struct.pack("<I", ifd_offset) + strip + ifd
+
+
+def decode_tiff(payload: bytes | None):
+    """Parse a TIFF for real: byte-order header ('II' or 'MM'), IFD
+    walk, tag extraction with SHORT/LONG value-field handling, single
+    LZW strip decode (early-change schedule), predictor-2 undo.
+    Returns (width, height, n_px, pix_sum); malformed -> NULLs
+    (quarantine, never an abort)."""
+    import struct
+
+    bad = (None, None, None, None)
+    try:
+        if payload is None or len(payload) < 8:
+            return bad
+        if payload[:2] == b"II":
+            e = "<"
+        elif payload[:2] == b"MM":
+            e = ">"
+        else:
+            return bad
+        (magic,) = struct.unpack_from(e + "H", payload, 2)
+        if magic != 42:
+            return bad
+        (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+        if ifd_off + 2 > len(payload):
+            return bad
+        (n_ent,) = struct.unpack_from(e + "H", payload, ifd_off)
+        if ifd_off + 2 + 12 * n_ent + 4 > len(payload):
+            return bad
+        tags: dict[int, int] = {}
+        for k in range(n_ent):
+            base = ifd_off + 2 + 12 * k
+            tag, typ, cnt = struct.unpack_from(e + "HHI", payload, base)
+            if cnt != 1:
+                return bad  # single-strip single-value corpus law
+            if typ == 3:  # SHORT in the leading half of the value field
+                (val,) = struct.unpack_from(e + "H", payload, base + 8)
+            elif typ == 4:
+                (val,) = struct.unpack_from(e + "I", payload, base + 8)
+            else:
+                return bad
+            tags[tag] = val
+        width = tags.get(256, 0)
+        height = tags.get(257, 0)
+        if width == 0 or height == 0:
+            return bad
+        if tags.get(258, 1) != 8 or tags.get(277, 1) != 1:
+            return bad
+        if tags.get(259) != 5 or tags.get(262, 1) > 1:
+            return bad
+        pred = tags.get(317, 1)
+        if pred not in (1, 2):
+            return bad
+        off, cnt = tags.get(273), tags.get(279)
+        if off is None or cnt is None or off + cnt > len(payload):
+            return bad
+        raw = _tiff_lzw_decompress(payload[off : off + cnt], width * height)
+        if raw is None or len(raw) != width * height:
+            return bad
+        if pred == 2:
+            px = bytearray(raw)
+            for y in range(height):
+                base = y * width
+                acc = px[base]
+                for x in range(1, width):
+                    acc = (acc + px[base + x]) % 256
+                    px[base + x] = acc
+            raw = bytes(px)
+        return (width, height, width * height, sum(raw))
+    except Exception:
+        return bad
+
+
+@declare(
+    "q_tiff_decode",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id AS media_id,
+               36 + doc_id % 24 AS width,
+               40 + doc_id % 20 AS height,
+               doc_id % 233 AS seed
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(width * height AS BIGINT) AS n_px,
+           CAST(list_sum(list_transform(
+                    generate_series(0, width * height - 1),
+                    i -> (seed + 7 * (i % width) + 13 * (i // width)
+                          + ((i % width + 3 * (i // width) + seed)
+                             * 2654435761 // 256) % 16) % 256
+           )) AS BIGINT) AS pix_sum
+    FROM geo
+    """,
+    tier="P1",
+)
+def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF 6.0 LZW decode end to end: synthesize a valid
+    little-endian TIFF per document (IFD, predictor-2 differencing, LZW
+    strip), then recover the pixels through the full early-change LZW
+    walk + predictor undo inside mapInPandas. The oracle never sees the
+    bytes — it recomputes pix_sum from the closed-form pixel law, so a
+    decoder with the GIF width schedule (off by ONE dictionary entry),
+    the wrong bit order, or a skipped predictor pass cannot hash-match.
+    Fourth compressed-image family variant; the deliberate contrast
+    with q_gif_decode (same coder, opposite bitstream contract) is the
+    regression net for the two classic LZW off-by-ones.
+
+    Scale notes: shuffle-free mapInPandas over doc_id (the
+    q_png_decode shape); per-image work bounded by the geometry law."""
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ensure_package_shipped(spark)
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("n_px", LongType(), True),
+            StructField("pix_sum", LongType(), True),
+        ]
+    )
+
+    def batches(bt: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in bt:
+            rows = []
+            for d in batch["doc_id"]:
+                d = int(d)
+                w, h, seed = tiff_geometry(d)
+                ww, hh, npx, psum = decode_tiff(encode_tiff(w, h, seed))
+                rows.append((d, ww, hh, npx, psum))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_px", "pix_sum"],
+            )
+
+    return docs.mapInPandas(batches, schema=out_schema)
