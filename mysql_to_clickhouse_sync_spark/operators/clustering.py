@@ -371,3 +371,224 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("deg", F.lit(0)).cast("bigint").alias("degree"),
         )
     )
+
+
+# --- Triangle counting / local clustering coefficient -----------------------
+
+TRI_EDGE_JACCARD = 0.5  # same edge bar as q_pagerank / dedup_clusters_minhash
+
+
+def _triangle_oracle() -> str:
+    return f"""
+    WITH mh AS (
+        {_minhash_oracle()}
+    ), edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM mh
+        WHERE est_jaccard >= {TRI_EDGE_JACCARD}
+    ), tri AS MATERIALIZED (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), mem AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ), sym AS MATERIALIZED (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), deg AS (
+        SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY src
+    ), cnt AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS tri FROM mem
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(deg.deg, 0) AS BIGINT) AS degree,
+           CAST(COALESCE(cnt.tri, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN COALESCE(deg.deg, 0) >= 2
+                THEN (2000 * COALESCE(cnt.tri, 0))
+                     // (deg.deg * (deg.deg - 1))
+                ELSE 0 END AS BIGINT) AS clustering_milli
+    FROM documents d
+    LEFT JOIN deg ON deg.doc_id = d.doc_id
+    LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+    """
+
+
+@declare("q_triangle_count", oracle=_triangle_oracle(), tier="P1")
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle membership + local clustering coefficient
+    over the MinHash near-dup graph — the density diagnostic that
+    separates tight template clusters (every pair similar: coefficient
+    near 1) from hub-and-spoke false-positive stars (a bucket collision
+    links many docs through one center: coefficient near 0). The
+    standard survivorship/graph-quality signal after candidate
+    generation. Coefficient = 2*T/(deg*(deg-1)) in exact integer
+    milli-units (2000*T floor-divided — engine-identical).
+
+    Triangles enumerate with the canonical oriented-wedge plan: edges
+    kept as (src < dst), wedges a<b<c from one self-join, closed by a
+    second join probing the (a, c) edge — each triangle counted exactly
+    once, no orientation double-count.
+
+    Scale notes: two equi-joins on the EDGE table; wedge volume is
+    sum-of-squared-degrees, which the armed LSH bucket caps bound at
+    the source (a degree-capped graph cannot produce a quadratic wedge
+    blow-up; this declared form consumes the oracle-exact uncapped
+    edges, same contract split as q_pagerank). Per-node tallies are one
+    map-side-combined shuffle of 3 rows per triangle."""
+    docs = load_table(spark, sf_dir, "documents")
+    # max_bucket=None: oracle-exact (uncapped) candidate set.
+    pairs = minhash_lsh_candidates(docs, max_bucket=None).filter(
+        F.col("est_jaccard") >= TRI_EDGE_JACCARD
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    mem = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    cnt = mem.groupBy("doc_id").agg(F.count("*").cast("long").alias("tri"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    nodes = docs.select("doc_id")
+    return (
+        nodes.join(deg, nodes.doc_id == deg.src, "left")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("tri", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(deg, 0) >= 2"
+                " THEN (2000 * coalesce(tri, 0))"
+                " div (deg * (deg - 1))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("clustering_milli"),
+        )
+    )
+
+
+# --- Semi-supervised label propagation --------------------------------------
+
+LP_SEED_MOD = 5  # doc_id % 5 == 0 -> seeded with its lang label
+LP_ROUNDS = 2
+
+
+def _label_prop_oracle() -> str:
+    rounds = []
+    for r in range(1, LP_ROUNDS + 1):
+        prev = f"l_{r - 1}"
+        rounds.append(
+            f"""
+    , v_{r} AS MATERIALIZED (
+        SELECT s.dst AS doc_id, l.lab, count(*) AS c
+        FROM sym s JOIN {prev} l ON l.doc_id = s.src
+        GROUP BY s.dst, l.lab
+    ), p_{r} AS MATERIALIZED (
+        SELECT doc_id, lab FROM (
+            SELECT doc_id, lab, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY c DESC, lab) AS rn
+            FROM v_{r}
+        ) WHERE rn = 1
+    ), l_{r} AS MATERIALIZED (
+        SELECT doc_id, lab FROM l_0
+        UNION ALL
+        SELECT p.doc_id, p.lab
+        FROM p_{r} p JOIN nodes n ON n.doc_id = p.doc_id AND NOT n.seeded
+    )"""
+        )
+    return f"""
+    WITH mh AS (
+        {_minhash_oracle()}
+    ), edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM mh
+        WHERE est_jaccard >= {TRI_EDGE_JACCARD}
+    ), sym AS MATERIALIZED (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), nodes AS MATERIALIZED (
+        SELECT doc_id, lang, (doc_id % {LP_SEED_MOD} = 0) AS seeded
+        FROM documents
+    ), l_0 AS MATERIALIZED (
+        SELECT doc_id, lang AS lab FROM nodes WHERE seeded
+    )
+    {''.join(rounds)}
+    SELECT n.doc_id, l.lab AS lp_label, n.seeded
+    FROM nodes n LEFT JOIN l_{LP_ROUNDS} l ON l.doc_id = n.doc_id
+    """
+
+
+@declare("q_label_prop", oracle=_label_prop_oracle(), tier="P1")
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the near-dup graph: 20% of
+    documents (doc_id % 5 == 0) are seeded with their lang label; for
+    two rounds every unseeded node adopts the MAJORITY label among its
+    labeled neighbors (deterministic tie-break: higher count, then
+    lexicographically smallest label), recomputed fresh each round from
+    the fixed seeds. The standard cheap-label-expansion move of a
+    curation pipeline (propagate scarce human labels through the
+    duplicate graph before training a classifier — near-dups share
+    labels almost surely). lp_label stays NULL for nodes with no
+    labeled neighbor within two hops.
+
+    Scale notes: per round one (dst, label)-keyed map-side-combined
+    shuffle + one per-node window over its distinct neighbor labels —
+    the PageRank cost shape. Rounds unroll as MATERIALIZED CTEs in the
+    oracle (the chained-CTE 2^k inlining trap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # max_bucket=None: oracle-exact (uncapped) candidate set.
+    pairs = minhash_lsh_candidates(docs, max_bucket=None).filter(
+        F.col("est_jaccard") >= TRI_EDGE_JACCARD
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = docs.select(
+        "doc_id", "lang", (F.col("doc_id") % LP_SEED_MOD == 0).alias("seeded")
+    )
+    seeds = nodes.filter("seeded").select("doc_id", F.col("lang").alias("lab"))
+    labels = seeds
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(LP_ROUNDS):
+        votes = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        picked = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "lab")
+        )
+        labels = seeds.unionAll(
+            picked.join(
+                nodes.filter(~F.col("seeded")).select("doc_id"), "doc_id"
+            )
+        ).localCheckpoint(eager=True)
+    return (
+        nodes.join(labels, "doc_id", "left")
+        .select("doc_id", F.col("lab").alias("lp_label"), "seeded")
+    )
