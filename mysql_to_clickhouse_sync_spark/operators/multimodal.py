@@ -3669,3 +3669,125 @@ def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(batches, schema=out_schema)
+
+
+# --- Haar wavelet (JPEG2000's transform family), through the PNG codec ------
+#
+# The SECOND block-transform family through the entropy-coded decode
+# path: q_image_dct runs JPEG's DCT-II; this runs the (unnormalized)
+# 2D Haar lifting step — JPEG2000/CDF's transform family — whose
+# butterflies are PURE integer adds/subtracts, so no quantized basis is
+# even needed: every coefficient is exact by construction. Per 2x2 cell
+# (a b / c d): LL = a+b+c+d, LH = a-b+c-d, HL = a+b-c-d, HH = a-b-c+d.
+
+
+def _haar_green_pix_sql() -> str:
+    # green channel of pixel (row, col): raster byte 3*(row*w + col) + 1
+    # — the same PNG pixel law as _image_dct_oracle.
+    return "((seed + 31 * (3 * (({r}) * width + ({c})) + 1)) % 256)"
+
+
+def _haar_oracle() -> str:
+    p = _haar_green_pix_sql()
+    a = p.format(r="2 * ci", c="2 * cj")
+    b = p.format(r="2 * ci", c="2 * cj + 1")
+    c = p.format(r="2 * ci + 1", c="2 * cj")
+    d = p.format(r="2 * ci + 1", c="2 * cj + 1")
+    return f"""
+    WITH geo AS (
+        SELECT doc_id AS media_id,
+               5 + doc_id % 11 AS width,
+               3 + doc_id % 6 AS height,
+               doc_id % 251 AS seed
+        FROM documents
+    ), cells AS (
+        SELECT media_id, width, seed, ci.ci, cj.cj
+        FROM geo
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(0, height // 2 - 1)) AS ci
+        ) ci
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(0, width // 2 - 1)) AS cj
+        ) cj
+    ), quads AS (
+        SELECT media_id, ci, cj,
+               {a} AS a, {b} AS b, {c} AS c, {d} AS d
+        FROM cells
+    )
+    SELECT media_id,
+           CAST(ci AS INTEGER) AS cell_row,
+           CAST(cj AS INTEGER) AS cell_col,
+           CAST(a + b + c + d AS BIGINT) AS ll,
+           CAST(a - b + c - d AS BIGINT) AS lh,
+           CAST(a + b - c - d AS BIGINT) AS hl,
+           CAST(a - b - c + d AS BIGINT) AS hh
+    FROM quads
+    """
+
+
+@declare("q_haar_wavelet", oracle=_haar_oracle(), tier="P2")
+def q_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-level 2D Haar transform THROUGH the real PNG decode — the
+    JPEG2000-family counterpart to q_image_dct's DCT: each document's
+    PNG is inflated + unfiltered for real, the green channel is tiled
+    into 2x2 cells, and each cell's four subband coefficients (LL
+    energy, LH/HL edges, HH diagonal detail) come out of the integer
+    Haar butterfly — adds and subtracts only, exact by construction,
+    no quantized basis table. Positioned coefficients give the same
+    unfilter-regression property as the DCT query: a row shifted by a
+    broken Paeth/Up filter flips signs in LH/HL and cannot hash-match.
+
+    Scale notes: shuffle-free mapInPandas (the q_image_dct shape); the
+    butterfly is four vectorized numpy adds over strided views."""
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ensure_package_shipped(spark)
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("cell_row", IntegerType(), False),
+            StructField("cell_col", IntegerType(), False),
+            StructField("ll", LongType(), False),
+            StructField("lh", LongType(), False),
+            StructField("hl", LongType(), False),
+            StructField("hh", LongType(), False),
+        ]
+    )
+
+    def haar_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            rows: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for doc_id in batch["doc_id"]:
+                doc_id = int(doc_id)
+                w, h, seed = png_geometry(doc_id)
+                gw, gh, _, pixels = decode_png_pixels(encode_png(w, h, seed))
+                assert (gw, gh) == (w, h)
+                green = pixels.reshape(h, 3 * w)[:, 1::3].astype(np.int64)
+                ch, cw = h // 2, w // 2
+                a = green[0 : 2 * ch : 2, 0 : 2 * cw : 2]
+                b = green[0 : 2 * ch : 2, 1 : 2 * cw : 2]
+                c = green[1 : 2 * ch : 2, 0 : 2 * cw : 2]
+                d = green[1 : 2 * ch : 2, 1 : 2 * cw : 2]
+                ll = a + b + c + d
+                lh = a - b + c - d
+                hl = a + b - c - d
+                hh = a - b - c + d
+                for ci in range(ch):
+                    for cj in range(cw):
+                        rows["media_id"].append(doc_id)
+                        rows["cell_row"].append(ci)
+                        rows["cell_col"].append(cj)
+                        rows["ll"].append(int(ll[ci, cj]))
+                        rows["lh"].append(int(lh[ci, cj]))
+                        rows["hl"].append(int(hl[ci, cj]))
+                        rows["hh"].append(int(hh[ci, cj]))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(haar_batches, schema=out_schema)

@@ -408,3 +408,78 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n")
         ).cast("double").alias("intercept_cents"),
     )
+
+
+# --- Chi-square association (lang x source contingency) ---------------------
+
+
+@declare(
+    "q_chi2_assoc",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ), marg AS (
+        SELECT lang, source, o,
+               CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS r,
+               CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS c,
+               CAST(sum(o) OVER () AS BIGINT) AS n
+        FROM cells
+    )
+    SELECT lang, source, o,
+           CAST(r * c * 1000 // n AS BIGINT) AS e_milli,
+           CAST(floor((CAST(n * o - r * c AS DOUBLE)
+                 * CAST(n * o - r * c AS DOUBLE) * 1000000.0)
+                / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+                AS BIGINT) AS term_micro
+    FROM marg
+    """,
+    tier="P2",
+)
+def q_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square association between lang and source — the
+    standard contingency diagnostic of a curation pipeline (is a source
+    language-skewed? is a split leaking a language?). Per-cell output so
+    the analyst sees WHICH cells drive the statistic; the global
+    chi-square is the exact integer sum of term_micro.
+
+    Parity contract: observed/expected stay integer (e_milli = r*c*1000
+    floor-div n); each cell's term (nO - rc)^2 / (n*r*c) crosses into
+    DOUBLE — but only as one mirrored left-associated expression of
+    identical integer operands, computed PER CELL (never summed as
+    floats), then FLOORED before the integer cast (DuckDB's
+    double->BIGINT cast rounds where Spark's truncates — floor makes
+    the double integral first, so both casts are exact), and both
+    engines agree bitwise. n*o and r*c stay below 2^53 for any fixture scale (n, o,
+    r, c are document counts).
+
+    Scale notes: one (lang, source) map-side-combined shuffle; the
+    windows run over the cell table (cardinality = |langs| x |sources|,
+    independent of corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    w_lang = Window.partitionBy("lang")
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    marg = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(w_lang).cast("long").alias("r"),
+        F.sum("o").over(w_src).cast("long").alias("c"),
+        F.sum("o").over(w_all).cast("long").alias("n"),
+    )
+    return marg.select(
+        "lang",
+        "source",
+        "o",
+        F.expr("CAST(r * c * 1000 div n AS BIGINT)").alias("e_milli"),
+        F.expr(
+            "CAST(floor((CAST(n * o - r * c AS DOUBLE)"
+            " * CAST(n * o - r * c AS DOUBLE) * 1000000.0)"
+            " / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("term_micro"),
+    )
