@@ -3194,16 +3194,15 @@ def _rc_renorm(low: int, rng: int):
     return False, low, rng
 
 
-def encode_range(n: int, nsym: int, seed: int) -> bytes:
-    """Adaptive range-encode the law symbols into a framed payload."""
-    import struct
-
+def _rc_encode_syms(syms, nsym: int) -> bytes:
+    """Adaptive order-0 range-encode a symbol sequence (body bytes only
+    — no framing). Shared by q_range_decode and the BWT stack
+    (operators/bwt.py), which coats it over MTF+RLE output."""
     counts = [1] * nsym
     tot = nsym
     low, rng = 0, _RC_MASK
     body = bytearray()
-    for i in range(n):
-        s = _range_symbol(seed, i)
+    for s in syms:
         cum = sum(counts[:s])
         r = rng // tot
         low = (low + r * cum) & _RC_MASK
@@ -3220,7 +3219,60 @@ def encode_range(n: int, nsym: int, seed: int) -> bytes:
     for _ in range(4):
         body.append((low >> 24) & 0xFF)
         low = (low << 8) & _RC_MASK
-    return _RC_MAGIC + struct.pack("<IB", n, nsym) + bytes(body)
+    return bytes(body)
+
+
+def _rc_decode_syms(data: bytes, n: int, nsym: int):
+    """Real range decode of `n` symbols from `data` with the SAME
+    adaptive model the encoder ran; byte-symmetric renormalization and
+    the zero-slack end check. Returns the symbol list or None."""
+    counts = [1] * nsym
+    tot = nsym
+    low, rng = 0, _RC_MASK
+    pos = 0
+    code = 0
+    for _ in range(4):
+        if pos >= len(data):
+            return None
+        code = ((code << 8) | data[pos]) & _RC_MASK
+        pos += 1
+    out = []
+    for _ in range(n):
+        r = rng // tot
+        val = ((code - low) & _RC_MASK) // r
+        if val >= tot:
+            val = tot - 1
+        cum = 0
+        s = 0
+        while cum + counts[s] <= val:
+            cum += counts[s]
+            s += 1
+        low = (low + r * cum) & _RC_MASK
+        rng = r * counts[s]
+        while True:
+            emit, low, rng = _rc_renorm(low, rng)
+            if not emit:
+                break
+            if pos >= len(data):
+                return None
+            code = ((code << 8) | data[pos]) & _RC_MASK
+            pos += 1
+            low = (low << 8) & _RC_MASK
+            rng = (rng << 8) & _RC_MASK
+        counts[s] += 1
+        tot += 1
+        out.append(s)
+    if pos != len(data):
+        return None  # zero-slack: any trailing byte is corruption
+    return out
+
+
+def encode_range(n: int, nsym: int, seed: int) -> bytes:
+    """Adaptive range-encode the law symbols into a framed payload."""
+    import struct
+
+    body = _rc_encode_syms((_range_symbol(seed, i) for i in range(n)), nsym)
+    return _RC_MAGIC + struct.pack("<IB", n, nsym) + body
 
 
 def decode_range(payload: bytes | None):
@@ -3240,45 +3292,10 @@ def decode_range(payload: bytes | None):
         if n == 0 or n > _RC_MAX_N or nsym < 2 or nsym > 64:
             return bad
         data = payload[len(_RC_MAGIC) + 5 :]
-        counts = [1] * nsym
-        tot = nsym
-        low, rng = 0, _RC_MASK
-        pos = 0
-        code = 0
-        for _ in range(4):
-            if pos >= len(data):
-                return bad
-            code = ((code << 8) | data[pos]) & _RC_MASK
-            pos += 1
-        sym_sum = 0
-        for _ in range(n):
-            r = rng // tot
-            val = ((code - low) & _RC_MASK) // r
-            if val >= tot:
-                val = tot - 1
-            cum = 0
-            s = 0
-            while cum + counts[s] <= val:
-                cum += counts[s]
-                s += 1
-            low = (low + r * cum) & _RC_MASK
-            rng = r * counts[s]
-            while True:
-                emit, low, rng = _rc_renorm(low, rng)
-                if not emit:
-                    break
-                if pos >= len(data):
-                    return bad
-                code = ((code << 8) | data[pos]) & _RC_MASK
-                pos += 1
-                low = (low << 8) & _RC_MASK
-                rng = (rng << 8) & _RC_MASK
-            counts[s] += 1
-            tot += 1
-            sym_sum += s
-        if pos != len(data):
-            return bad  # zero-slack: any trailing byte is corruption
-        return (n, nsym, sym_sum)
+        syms = _rc_decode_syms(data, n, nsym)
+        if syms is None:
+            return bad
+        return (n, nsym, sum(syms))
     except Exception:
         return bad
 
@@ -3791,3 +3808,233 @@ def q_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(haar_batches, schema=out_schema)
+
+
+# --- Real compressed image codec #5: QOI ------------------------------------
+#
+# The "Quite OK Image" format (qoiformat.org, public one-page spec) —
+# the one modern image coding built on a MECHANISM none of the other
+# families use: a 64-entry running color cache addressed by the pixel
+# hash (3r+5g+7b+11a) % 64, combined with byte-tagged delta ops. Five
+# op kinds (RUN / INDEX / DIFF / LUMA / RGB), each with its own
+# wrap-around arithmetic; the pixel law is tuned so EVERY document's
+# stream provably exercises all five (pinned by test) — a decoder with
+# a wrong hash multiplier, a mis-biased delta, or an off-by-one run
+# length cannot hash-match the closed-form oracle.
+
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def qoi_geometry(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, seed)."""
+    return 24 + doc_id % 16, 16 + doc_id % 12, doc_id % 199
+
+
+def _qoi_pixel(seed: int, i: int) -> tuple[int, int, int]:
+    """RGB law: run plateaus (i %% 23 < 7 collapses j), +1 ramps
+    (DIFF), group steps every 13 (LUMA), 41-wraps (RGB), recurring
+    colors (INDEX). Exact integer closed form for the oracle."""
+    j = i - (i % 23) if i % 23 < 7 else i
+    r = (seed + (j % 41) + 7 * ((j // 13) % 4)) % 256
+    g = (seed * 3 + (j % 41) + 5 * ((j // 13) % 4)) % 256
+    b = (seed * 5 + (j % 41)) % 256
+    return (r, g, b)
+
+
+def encode_qoi(width: int, height: int, seed: int) -> bytes:
+    """A VALID QOI image of the pixel law: real header, greedy op
+    selection per the spec's precedence (RUN > INDEX > DIFF > LUMA >
+    RGB), 8-byte end marker."""
+    import struct
+
+    out = bytearray(b"qoif" + struct.pack(">IIBB", width, height, 3, 0))
+    cache = [(0, 0, 0, 255)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for i in range(width * height):
+        r, g, b = _qoi_pixel(seed, i)
+        px = (r, g, b, 255)
+        if px == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        h = (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+        if cache[h] == px:
+            out.append(h)
+        else:
+            dr = (r - prev[0] + 128) % 256 - 128
+            dg = (g - prev[1] + 128) % 256 - 128
+            db = (b - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7:
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes([0xFE, r, g, b])
+        cache[h] = px
+        prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def decode_qoi(payload: bytes | None):
+    """Real QOI decode: header, all five op kinds with spec wrap-around
+    arithmetic, running hash cache, strict end marker. Returns (width,
+    height, n_px, pix_sum); malformed -> NULLs. Bounded by the header's
+    pixel count (bomb-bound contract, run-length edition)."""
+    import struct
+
+    bad = (None, None, None, None)
+    try:
+        if payload is None or len(payload) < 22:
+            return bad
+        if payload[:4] != b"qoif":
+            return bad
+        w, h, ch, cs = struct.unpack_from(">IIBB", payload, 4)
+        if ch != 3 or cs != 0 or w == 0 or h == 0 or w * h > 1 << 22:
+            return bad
+        cache = [(0, 0, 0, 255)] * 64
+        prev = (0, 0, 0, 255)
+        n = w * h
+        pos = 14
+        got = 0
+        psum = 0
+        while got < n:
+            if pos >= len(payload) - 8:
+                return bad
+            b0 = payload[pos]
+            pos += 1
+            if b0 == 0xFE:
+                if pos + 3 > len(payload) - 8:
+                    return bad
+                r, g, b = payload[pos : pos + 3]
+                pos += 3
+                px = (r, g, b, 255)
+            elif b0 == 0xFF:
+                return bad  # RGBA op outside the 3-channel corpus law
+            else:
+                tag = b0 >> 6
+                if tag == 0:
+                    px = cache[b0 & 0x3F]
+                elif tag == 1:
+                    dr = ((b0 >> 4) & 3) - 2
+                    dg = ((b0 >> 2) & 3) - 2
+                    db = (b0 & 3) - 2
+                    px = (
+                        (prev[0] + dr) % 256,
+                        (prev[1] + dg) % 256,
+                        (prev[2] + db) % 256,
+                        255,
+                    )
+                elif tag == 2:
+                    if pos + 1 > len(payload) - 8:
+                        return bad
+                    dg = (b0 & 0x3F) - 32
+                    b1 = payload[pos]
+                    pos += 1
+                    dr = dg + ((b1 >> 4) & 0xF) - 8
+                    db = dg + (b1 & 0xF) - 8
+                    px = (
+                        (prev[0] + dr) % 256,
+                        (prev[1] + dg) % 256,
+                        (prev[2] + db) % 256,
+                        255,
+                    )
+                else:
+                    run = (b0 & 0x3F) + 1
+                    if run > 62 or got + run > n:
+                        return bad
+                    psum += (prev[0] + prev[1] + prev[2]) * run
+                    got += run
+                    continue
+            hh = (px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64
+            cache[hh] = px
+            prev = px
+            psum += px[0] + px[1] + px[2]
+            got += 1
+        if payload[pos:] != _QOI_END:
+            return bad  # zero-slack: exactly the end marker must remain
+        return (w, h, n, psum)
+    except Exception:
+        return bad
+
+
+@declare(
+    "q_qoi_decode",
+    oracle="""
+    WITH geo AS (
+        SELECT doc_id AS media_id,
+               24 + doc_id % 16 AS width,
+               16 + doc_id % 12 AS height,
+               doc_id % 199 AS seed
+        FROM documents
+    ), px AS (
+        SELECT media_id, width, height,
+               CASE WHEN i % 23 < 7 THEN i - (i % 23) ELSE i END AS j,
+               seed
+        FROM geo, unnest(generate_series(0, width * height - 1)) AS t(i)
+    )
+    SELECT media_id,
+           CAST(max(width) AS INTEGER) AS width,
+           CAST(max(height) AS INTEGER) AS height,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(
+               (seed + (j % 41) + 7 * ((j // 13) % 4)) % 256
+               + (seed * 3 + (j % 41) + 5 * ((j // 13) % 4)) % 256
+               + (seed * 5 + (j % 41)) % 256
+           ) AS BIGINT) AS pix_sum
+    FROM px GROUP BY media_id
+    """,
+    tier="P1",
+)
+def q_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI decode end to end (the fifth compressed-image family,
+    and the only one built on a running hash-addressed color cache):
+    synthesize a valid QOI per document, decode it through all five op
+    kinds, and hash-match the closed-form pixel law the oracle computes
+    without seeing a byte. The law forces RUN, INDEX, DIFF, LUMA and
+    RGB ops in EVERY document (pinned in tests/test_qoi.py), so a
+    wrong cache multiplier, delta bias, or run bound cannot pass.
+    ~3x compression vs raw RGB on the law (pinned).
+
+    Scale notes: shuffle-free mapInPandas over doc_id (the
+    q_png_decode shape); per-image work bounded by the geometry law."""
+    from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ensure_package_shipped(spark)
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("n_px", LongType(), True),
+            StructField("pix_sum", LongType(), True),
+        ]
+    )
+
+    def batches(bt: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in bt:
+            rows = []
+            for d in batch["doc_id"]:
+                d = int(d)
+                w, h, seed = qoi_geometry(d)
+                ww, hh, npx, psum = decode_qoi(encode_qoi(w, h, seed))
+                rows.append((d, ww, hh, npx, psum))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_px", "pix_sum"],
+            )
+
+    return docs.mapInPandas(batches, schema=out_schema)

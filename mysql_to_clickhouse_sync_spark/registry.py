@@ -52,6 +52,7 @@ def _load_all_modules() -> None:
         audio_codecs,
         behavior,
         bpe,
+        bwt,
         clickhouse,
         clustering,
         curation,
