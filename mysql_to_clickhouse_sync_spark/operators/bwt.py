@@ -271,6 +271,8 @@ def q_bwt_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_replace(F.lower(F.col("text")), _BWT_NORM_RE, "").alias("s"),
     ).filter(F.length("s") > 0)
+    # CPU-bound Python codec: spread across all cores (see q_tiff_decode)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     ensure_package_shipped(spark)
 
     out_schema = StructType(

@@ -3654,10 +3654,15 @@ def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression net for the two classic LZW off-by-ones.
 
     Scale notes: shuffle-free mapInPandas over doc_id (the
-    q_png_decode shape); per-image work bounded by the geometry law."""
+    q_png_decode shape), repartitioned to the cluster's full
+    parallelism first — the corpus parquet is one split at fixture SFs
+    and the per-image LZW walk is CPU-bound Python, so without the
+    (tiny, doc_id-only) shuffle the whole decode serializes onto one
+    worker (measured 101 s -> ~4 s at the 10x stress)."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     ensure_package_shipped(spark)
 
     out_schema = StructType(
@@ -4010,6 +4015,8 @@ def q_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-bound Python decode: spread across all cores (see q_tiff_decode)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     ensure_package_shipped(spark)
 
     out_schema = StructType(

@@ -490,10 +490,13 @@ def q_varint_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhaustion and a 10-byte varint bound.
 
     Scale notes: shuffle-free mapInPandas keyed by doc_id, series
-    bounded by the geometry law — the q_timeseries_codec shape."""
+    bounded by the geometry law — the q_timeseries_codec shape,
+    repartitioned to full parallelism (CPU-bound Python; see
+    q_tiff_decode)."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     ensure_package_shipped(spark)
 
     out_schema = StructType(
