@@ -189,9 +189,15 @@ def test_unigram_dp_is_single_pipeline_no_join_per_position(spark):
 
 
 def test_jpeg_decode_is_shuffle_free_mapinpandas(spark):
-    """Codec queries are map-only: one scan, one Python stage, no
-    exchange anywhere (q_png_decode's pinned shape)."""
+    """Codec queries are map-dominated: one scan, ONE deliberate
+    round-robin exchange that spreads the doc_ids across cores (the
+    corpus parquet is a single split at fixture SFs; without it the
+    CPU-bound Python decode serializes onto one worker — measured
+    101 s -> 11 s at the 10x stress), then the Python stage. The
+    exchange moves ids only, never decoded payloads, and there must be
+    exactly one."""
     for name in ("q_jpeg_decode", "q_png_decode"):
         p = _plan(spark, name)
-        assert "Exchange" not in p, name
+        assert p.count("Exchange") == 1, name
+        assert "roundrobin" in p.lower() or "RoundRobin" in p, name
         assert "FlatMapGroupsInPandas" in p or "MapInPandas" in p, name
