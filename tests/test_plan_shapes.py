@@ -198,6 +198,6 @@ def test_jpeg_decode_is_shuffle_free_mapinpandas(spark):
     exactly one."""
     for name in ("q_jpeg_decode", "q_png_decode"):
         p = _plan(spark, name)
-        assert p.count("Exchange") == 1, name
-        assert "roundrobin" in p.lower() or "RoundRobin" in p, name
+        assert p.count("+- Exchange") == 1, name
+        assert "roundrobin" in p.lower(), name
         assert "FlatMapGroupsInPandas" in p or "MapInPandas" in p, name
