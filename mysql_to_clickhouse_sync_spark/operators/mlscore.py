@@ -421,10 +421,12 @@ def milli_features(docs: DataFrame, **extra: F.Column) -> DataFrame:
     )
 
 
-def _logistic_oracle() -> str:
-    return f"""
-    WITH feats AS (
-        {milli_feats_sql('doc_id')}
+def logistic_cte() -> str:
+    """Oracle CTE chain ending in `scored` (doc_id, lang, features,
+    z_q8, p_milli, keep) — shared by q_logistic_quality and the
+    streaming quality gate (streaming/stateful.py s_quality_stream)."""
+    return f"""feats AS (
+        {milli_feats_sql('doc_id, lang')}
     ), zz AS (
         SELECT *,
                (({LQ_BIAS} + {LQ_W_LEN} * len_milli
@@ -435,16 +437,28 @@ def _logistic_oracle() -> str:
     ), eargs AS (
         SELECT DISTINCT abs(z_q8) AS x FROM zz
     ),
-    {_fixed_exp2_q30_sql('eargs', negative=True)}
-    SELECT zz.doc_id, len_milli, alpha_milli, stop_milli, digit_milli, z_q8,
-           CAST(CASE WHEN z_q8 >= 0
-                THEN {1000 * EXP2_ONE} // ({EXP2_ONE} + eg.w)
-                ELSE (1000 * eg.w) // ({EXP2_ONE} + eg.w) END AS BIGINT)
-               AS p_milli,
-           CASE WHEN z_q8 >= 0
-                THEN {1000 * EXP2_ONE} // ({EXP2_ONE} + eg.w)
-                ELSE (1000 * eg.w) // ({EXP2_ONE} + eg.w) END >= 500 AS keep
-    FROM zz JOIN eg ON eg.x = abs(zz.z_q8)
+    {_fixed_exp2_q30_sql('eargs', negative=True)},
+    scored AS (
+        SELECT zz.doc_id, zz.lang,
+               len_milli, alpha_milli, stop_milli, digit_milli, z_q8,
+               CAST(CASE WHEN z_q8 >= 0
+                    THEN {1000 * EXP2_ONE} // ({EXP2_ONE} + eg.w)
+                    ELSE (1000 * eg.w) // ({EXP2_ONE} + eg.w) END AS BIGINT)
+                   AS p_milli,
+               CASE WHEN z_q8 >= 0
+                    THEN {1000 * EXP2_ONE} // ({EXP2_ONE} + eg.w)
+                    ELSE (1000 * eg.w) // ({EXP2_ONE} + eg.w) END >= 500
+                   AS keep
+        FROM zz JOIN eg ON eg.x = abs(zz.z_q8)
+    )"""
+
+
+def _logistic_oracle() -> str:
+    return f"""
+    WITH {logistic_cte()}
+    SELECT doc_id, len_milli, alpha_milli, stop_milli, digit_milli, z_q8,
+           p_milli, keep
+    FROM scored
     """
 
 
@@ -465,7 +479,15 @@ def q_logistic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
-    feats = milli_features(docs)
+    return logistic_scored(docs).drop("lang")
+
+
+def logistic_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, features, z_q8, p_milli, keep) for a documents
+    frame — pure stateless column expressions, so it runs unchanged on
+    batch AND streaming DataFrames (s_quality_stream scores arrivals
+    with exactly this chain). Mirrored by `logistic_cte`."""
+    feats = milli_features(docs, lang=F.col("lang"))
     zz = feats.withColumn(
         "z_q8",
         F.expr(
@@ -483,6 +505,7 @@ def q_logistic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return zz.select(
         "doc_id",
+        "lang",
         "len_milli",
         "alpha_milli",
         "stop_milli",

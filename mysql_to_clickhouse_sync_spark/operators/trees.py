@@ -56,66 +56,75 @@ GINI_SCALE = 1_000_000  # impurities reported in exact micro-units
 _TARGET_SQL = "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)"
 
 
-def _stump_sql() -> str:
-    """Shared oracle CTE chain: milli-features -> stacked (feat, val, y)
-    -> (feat, bucket) histogram -> cumulative split stats -> per-feature
-    Gini-argmin stump table `best`."""
+def _stump_sql(pred: str = "TRUE", tag: str = "") -> str:
+    """Shared oracle CTE chain: milli-features (restricted to `pred` —
+    the training fold) -> stacked (feat, val, y) -> (feat, bucket)
+    histogram -> cumulative split stats -> per-feature Gini-argmin
+    stump table `best{tag}`. `tag` suffixes every CTE so two folds'
+    chains coexist in one WITH (q_stump_cv)."""
     stacked = "\n            UNION ALL\n            ".join(
-        f"SELECT doc_id, y, '{f}' AS feat, {f} AS val FROM feats"
+        f"SELECT doc_id, y, '{f}' AS feat, {f} AS val FROM feats{tag}"
         for f in STUMP_FEATURES
     )
     return f"""
-    feats AS (
+    feats{tag} AS (
+        SELECT * FROM (
         {milli_feats_sql(f"doc_id, {_TARGET_SQL} AS y")}
-    ), stacked AS (
+        ) WHERE {pred}
+    ), stacked{tag} AS (
             {stacked}
-    ), hist AS (
+    ), hist{tag} AS (
         SELECT feat, val // {STUMP_BUCKET} AS b,
                CAST(count(*) AS BIGINT) AS n_b,
                CAST(sum(y) AS BIGINT) AS p_b
-        FROM stacked GROUP BY feat, b
-    ), tot AS (
+        FROM stacked{tag} GROUP BY feat, b
+    ), tot{tag} AS (
         SELECT feat, CAST(sum(n_b) AS BIGINT) AS n,
                CAST(sum(p_b) AS BIGINT) AS p
-        FROM hist GROUP BY feat
-    ), cum AS (
+        FROM hist{tag} GROUP BY feat
+    ), cum{tag} AS (
         SELECT feat, b,
                CAST(sum(n_b) OVER w AS BIGINT) AS n_l,
                CAST(sum(p_b) OVER w AS BIGINT) AS p_l
-        FROM hist
+        FROM hist{tag}
         WINDOW w AS (PARTITION BY feat ORDER BY b)
-    ), cand AS (
-        SELECT cum.feat, (b + 1) * {STUMP_BUCKET} AS thr,
+    ), cand{tag} AS (
+        SELECT cum{tag}.feat, (b + 1) * {STUMP_BUCKET} AS thr,
                n_l, p_l, n - n_l AS n_r, p - p_l AS p_r, n, p
-        FROM cum JOIN tot USING (feat)
+        FROM cum{tag} JOIN tot{tag} USING (feat)
         WHERE n_l < n
-    ), scored AS (
+    ), scored{tag} AS (
         SELECT feat, thr, n_l, p_l, n_r, p_r,
                (((2000 * p_l * (n_l - p_l)) // n_l
                  + (2000 * p_r * (n_r - p_r)) // n_r) * 1000) // n
                    AS imp_micro,
                (((2000 * p * (n - p)) // n) * 1000) // n AS root_micro
-        FROM cand
-    ), best AS (
+        FROM cand{tag}
+    ), best{tag} AS (
         SELECT feat, thr, n_l, p_l, n_r, p_r, imp_micro,
                root_micro - imp_micro AS gain_micro
         FROM (
             SELECT *, row_number() OVER (
                        PARTITION BY feat
                        ORDER BY imp_micro, thr) AS rn
-            FROM scored
+            FROM scored{tag}
         )
         WHERE rn = 1
     )
     """
 
 
-def _stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark mirror of `_stump_sql` through `best`."""
+def _stumps(
+    spark: SparkSession, sf_dir: str, pred: str | None = None
+) -> DataFrame:
+    """Spark mirror of `_stump_sql` through `best`; `pred` (a doc_id
+    predicate) restricts the training fold."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
     feats = milli_features(docs, y=F.expr(_TARGET_SQL))
+    if pred is not None:
+        feats = feats.filter(pred)
     pairs = ", ".join(f"'{f}', {f}" for f in STUMP_FEATURES)
     stacked = feats.selectExpr(
         "doc_id",
@@ -267,3 +276,110 @@ def q_stump_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("v") > half).alias("pred_en"),
         ((F.sum("v") > half) == (F.max("y") == 1)).alias("correct"),
     )
+
+
+# --- 2-fold cross-validated stump evaluation --------------------------------
+
+CV_FOLDS = (("a", "doc_id % 2 = 0"), ("b", "doc_id % 2 = 1"))
+
+
+def _stump_cv_oracle() -> str:
+    chains = ",".join(
+        _stump_sql(pred=pred, tag=f"_{tag}") for tag, pred in CV_FOLDS
+    )
+    evals = []
+    for (tag, _), (otag, _) in zip(CV_FOLDS, reversed(CV_FOLDS)):
+        evals.append(
+            f"""
+    , votes_{tag} AS (
+        SELECT s.doc_id, s.y,
+               CASE WHEN (CASE WHEN s.val < b.thr
+                          THEN 2 * b.p_l > b.n_l
+                          ELSE 2 * b.p_r > b.n_r END)
+                    THEN 1 ELSE 0 END AS v
+        FROM stacked_{otag} s JOIN best_{tag} b USING (feat)
+    ), perdoc_{tag} AS (
+        SELECT doc_id, max(y) AS y,
+               sum(v) > {len(STUMP_FEATURES) // 2} AS pred_en
+        FROM votes_{tag} GROUP BY doc_id
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"""
+    SELECT '{tag}' AS fold,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN pred_en = (y = 1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN pred_en = (y = 1) THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS acc_milli
+    FROM perdoc_{tag}"""
+        for tag, _ in CV_FOLDS
+    )
+    return f"WITH {chains} {''.join(evals)} {finals}"
+
+
+@declare("q_stump_cv", oracle=_stump_cv_oracle(), tier="P1")
+def q_stump_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-fold cross-validated stump-ensemble evaluation — the honest
+    generalization estimate the in-sample q_stump_ensemble audit can't
+    give: train the per-feature stumps on the even doc_ids, score the
+    odd ones (and vice versa), and report held-out accuracy per fold in
+    exact milli-units. Train/eval never touch the same document, so
+    acc_milli is the number a curation pipeline would actually trust
+    before deploying the label model.
+
+    Scale notes: two histogram trainings (each one map-side-combined
+    (feat, bucket) shuffle over half the corpus) + two broadcast-model
+    scoring passes — the q_stump_train / q_stump_ensemble shapes, twice.
+    Output is two rows."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    feats = milli_features(docs, y=F.expr(_TARGET_SQL))
+    pairs = ", ".join(f"'{f}', {f}" for f in STUMP_FEATURES)
+    stacked = feats.selectExpr(
+        "doc_id",
+        "y",
+        f"stack({len(STUMP_FEATURES)}, {pairs}) AS (feat, val)",
+    )
+    half = len(STUMP_FEATURES) // 2
+    folds = []
+    for (tag, train_pred), (_, eval_pred) in zip(
+        CV_FOLDS, reversed(CV_FOLDS)
+    ):
+        best = _stumps(spark, sf_dir, pred=train_pred).select(
+            "feat", "thr", "n_l", "p_l", "n_r", "p_r"
+        )
+        votes = stacked.filter(eval_pred).join(
+            F.broadcast(best), "feat"
+        ).select(
+            "doc_id",
+            "y",
+            F.expr(
+                "CASE WHEN (CASE WHEN val < thr"
+                " THEN 2 * p_l > n_l ELSE 2 * p_r > n_r END)"
+                " THEN 1 ELSE 0 END"
+            ).alias("v"),
+        )
+        perdoc = votes.groupBy("doc_id").agg(
+            F.max("y").alias("y"),
+            (F.sum("v") > half).alias("pred_en"),
+        )
+        folds.append(
+            perdoc.agg(
+                F.lit(tag).alias("fold"),
+                F.count("*").cast("long").alias("n_eval"),
+                F.sum(
+                    F.when(
+                        F.col("pred_en") == (F.col("y") == 1), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_correct"),
+                F.expr(
+                    "CAST(sum(CASE WHEN pred_en = (y = 1) THEN 1 ELSE 0 END)"
+                    " * 1000 div count(*) AS BIGINT)"
+                ).alias("acc_milli"),
+            )
+        )
+    return folds[0].unionAll(folds[1])

@@ -26,6 +26,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -326,6 +327,158 @@ def s_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn(
                 "admitted", F.col("n_bands") == F.col("n_owned_bands")
+            )
+            .localCheckpoint(eager=True)
+        )
+        return final
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# --- Streaming learned quality gate (per-lang admission counters) -----------
+
+QUALITY_STATE_SCHEMA = StructType(
+    [
+        StructField("n_seen", LongType(), False),
+        StructField("n_kept", LongType(), False),
+        StructField("sum_p_milli", LongType(), False),
+    ]
+)
+
+QUALITY_OUT_SCHEMA = StructType(
+    [
+        StructField("lang", StringType(), False),
+        StructField("n_seen", LongType(), False),
+        StructField("n_kept", LongType(), False),
+        StructField("sum_p_milli", LongType(), False),
+    ]
+)
+
+
+def update_quality_gate(
+    key: tuple[Any, ...],
+    batches: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Per-lang running admission counters: arrivals were scored by the
+    stateless logistic chain on the stream; the state is three exact
+    integers, so the converged totals are replay-order independent."""
+    import pandas as pd
+
+    n, kept, sp = state.get if state.exists else (0, 0, 0)
+    for batch in batches:
+        n += len(batch)
+        kept += int(batch["keep"].sum())
+        sp += int(batch["p_milli"].sum())
+    state.update((n, kept, sp))
+    yield pd.DataFrame(
+        {
+            "lang": [key[0]],
+            "n_seen": [n],
+            "n_kept": [kept],
+            "sum_p_milli": [sp],
+        }
+    )
+
+
+def _quality_stream_oracle() -> str:
+    from mysql_to_clickhouse_sync_spark.operators.mlscore import logistic_cte
+
+    return f"""
+    WITH {logistic_cte()}
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_seen,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(p_milli) AS BIGINT) AS sum_p_milli,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000 // count(*)
+                AS BIGINT) AS kept_ratio_milli
+    FROM scored
+    GROUP BY lang
+    """
+
+
+@declare("s_quality_stream", oracle=_quality_stream_oracle(), tier="P3")
+@tuned
+def s_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING learned quality gate — the online half of
+    q_logistic_quality: documents arrive in two micro-batches, each is
+    scored ON THE STREAM by the same stateless column chain (milli
+    features + fixed-point exp2 sigmoid — `logistic_scored` runs
+    unchanged on a streaming DataFrame, which is the point: the Q8
+    kernel is plain codegen, so batch and streaming scoring cannot
+    diverge), and per-lang GroupState keeps running (seen, kept, sum_p)
+    admission counters — the live acceptance-rate dashboard a curation
+    ingest pipeline watches for drift.
+
+    FULL ORACLE: the counters are exact integer sums, replay-order
+    independent, so the converged state equals the batch GROUP BY over
+    the shared `logistic_cte` relation. What the streaming form adds to
+    the contract is the state boundary: batch-1 counts must survive
+    into batch 2 via GroupState.
+
+    Scale notes: state is three BIGINTs per lang (a handful of keys);
+    one lang-keyed shuffle per micro-batch; scoring stays map-side in
+    whole-stage codegen before the shuffle."""
+    from mysql_to_clickhouse_sync_spark.operators.mlscore import (
+        logistic_scored,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "lang", "text", "n_chars")
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2  # the reference's MIN/MAX chunking
+    early = docs.filter(F.col("doc_id") <= split)
+    late = docs.filter(F.col("doc_id") > split)
+
+    workdir = tempfile.mkdtemp(prefix="quality_stream_")
+    in_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    ensure_package_shipped(spark)
+    scored = logistic_scored(stream).select("lang", "p_milli", "keep")
+    counters = scored.groupBy("lang").applyInPandasWithState(
+        update_quality_gate,
+        outputStructType=QUALITY_OUT_SCHEMA,
+        stateStructType=QUALITY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"quality_gate_{abs(hash(workdir)) % 10**9}"
+    query = None
+    try:
+        early.coalesce(1).write.mode("append").parquet(in_dir)
+        query = (
+            counters.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(in_dir)
+        query.processAllAvailable()
+        from pyspark.sql.window import Window
+
+        updates = spark.table(sink)
+        w = Window.partitionBy("lang").orderBy(F.col("n_seen").desc())
+        final = (
+            updates.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .withColumn(
+                "kept_ratio_milli", F.expr("n_kept * 1000 div n_seen")
             )
             .localCheckpoint(eager=True)
         )

