@@ -1,0 +1,584 @@
+"""Model-evaluation operators — the measurement half of the learned-filter
+loop (train in operators/trees.py, score in operators/mlscore.py, EVALUATE
+here). A curation pipeline that deploys a quality model without AUC / PR /
+distribution-shift numbers is flying blind; these are the four standard
+evaluation shapes, each exact-integer so the DuckDB oracle matches bitwise:
+
+  * q_auc_roc      — per-source ROC AUC of the logistic quality score
+                     against y = (lang = 'en'), via the Mann-Whitney
+                     rank-sum identity (exact, ties averaged).
+  * q_pr_curve     — the full precision/recall/F1 sweep over every
+                     distinct score threshold (cumulative confusion
+                     counts from one window pass).
+  * q_ks_2samp     — two-sample Kolmogorov-Smirnov distance between the
+                     en and non-en score distributions (drift / shift
+                     detection between corpus slices).
+  * q_naive_bayes  — multinomial Naive Bayes language classifier over
+                     bucketed integer milli-features, trained and scored
+                     in the same query on the Q8 log2 kernel (the third
+                     classifier family next to the logistic model and the
+                     histogram stumps).
+  * q_knn_classify — k-NN majority-vote classification over the
+                     embeddings table on exact integer grid dots (the
+                     deferred-decision classifier; also the exactness
+                     baseline the ANN paths are audited against).
+
+Exactness recipes (all pinned in tests/test_mleval.py):
+  - AUC via ranks: with groups of tied scores, the average rank of a tie
+    group of size c starting after cb rows is (2*cb + c + 1)/2 — so
+    2*sum_of_positive_ranks = sum over groups of p*(2*cb + c + 1) stays
+    in BIGINT, and auc_micro = (2R - npos*(npos+1)) * 1e6 //
+    (2*npos*nneg). BIGINT-safe up to ~3e6 rows per AUC group; beyond
+    that route the two products through DECIMAL(38,0) (documented, not
+    needed at any fixture scale).
+  - KS via cross-multiplied CDFs: |cum1*n2 - cum2*n1| <= n1*n2 needs no
+    division until the final max row.
+  - Naive Bayes log-probabilities run every count through the fixed
+    log2 kernel (operators/text.py), so scores are Q8 BIGINTs on both
+    engines; Laplace +1 smoothing over a dense class x feature x bucket
+    grid keeps zero cells well-defined.
+
+The reference (mysql_to_clickhouse_sync) has no evaluation of any kind
+(SURVEY.md §2.8); these are north-star pipeline extensions.
+
+Scale notes: AUC/PR/KS aggregate to a per-score-group table whose size is
+bounded by the score grid (<= 1001 thresholds for p_milli, ~spread of z_q8
+for the others) — the windows run over those tiny tables, never over raw
+rows, so each query is scan -> map -> one map-side-combined shuffle ->
+tiny-table windows. Naive Bayes' model is a 320-row broadcast. The kNN
+declared form restricts queries to a fixed panel (vec_id % KNN_STRIDE) so
+cost is panel x corpus, linear in the corpus; the unrestricted production
+path is the IVF/LSH ANN family (operators/ivf.py, similarity.py) with
+q_ann_recall auditing against this exact baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.operators.mlscore import (
+    SM_GRID,
+    logistic_cte,
+    logistic_scored,
+    milli_feats_sql,
+    milli_features,
+)
+from mysql_to_clickhouse_sync_spark.operators.text import (
+    _fixed_log2_q8_sql,
+    with_fixed_log2_q8,
+)
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+EVAL_SCALE = 1_000_000  # rates reported in exact integer micro-units
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, z_q8, p_milli, y) — the logistic quality score
+    joined back to the document's source, with y = (lang='en') as the
+    shared binary target of the evaluation family."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    sc = logistic_scored(docs).select(
+        "doc_id",
+        "z_q8",
+        "p_milli",
+        F.expr("CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    return sc.join(docs.select("doc_id", "source"), "doc_id")
+
+
+_SCORED_J = """
+    j AS (
+        SELECT d.source, s.z_q8, s.p_milli,
+               CAST(CASE WHEN s.lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+        FROM scored s JOIN documents d USING (doc_id)
+    )"""
+
+
+# --- q_auc_roc ---------------------------------------------------------------
+
+
+def _auc_oracle() -> str:
+    return f"""
+    WITH {logistic_cte()},
+    {_SCORED_J},
+    g AS (
+        SELECT source, z_q8, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(y) AS BIGINT) AS p
+        FROM j GROUP BY source, z_q8
+    ), cw AS (
+        SELECT *, COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY z_q8
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM g
+    ), a AS (
+        SELECT source,
+               CAST(sum(p * (2 * cb + c + 1)) AS BIGINT) AS r2,
+               CAST(sum(p) AS BIGINT) AS npos,
+               CAST(sum(c) AS BIGINT) AS n
+        FROM cw GROUP BY source
+    )
+    SELECT source, npos AS n_pos, (n - npos) AS n_neg,
+           CAST((r2 - npos * (npos + 1)) * {EVAL_SCALE}
+                // (2 * npos * (n - npos)) AS BIGINT) AS auc_micro,
+           CAST(2 * ((r2 - npos * (npos + 1)) * {EVAL_SCALE}
+                // (2 * npos * (n - npos))) - {EVAL_SCALE} AS BIGINT)
+               AS gini_micro
+    FROM a WHERE npos > 0 AND n - npos > 0
+    """
+
+
+@declare("q_auc_roc", oracle=_auc_oracle(), tier="P1")
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC AUC of the logistic quality score against
+    y = (lang='en') — the Mann-Whitney rank-sum identity
+    AUC = (R_pos - npos(npos+1)/2) / (npos*nneg), with tied scores
+    carrying their average rank. Grouping scores first makes the rank
+    sum exact in BIGINT (see module docstring), so auc_micro and
+    gini_micro (= 2*AUC - 1) are bitwise engine-identical. Sources where
+    either class is empty are excluded (AUC is undefined there).
+
+    Scale notes: the logistic score is pure map; ranks come from ONE
+    (source, z_q8)-keyed map-side-combined shuffle into a per-source
+    score histogram, and the window/final agg run over that histogram
+    (bounded by the score grid, not the corpus). Linear at 100 TB."""
+    d = _scored_docs(spark, sf_dir)
+    g = d.groupBy("source", "z_q8").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("z_q8")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn("cb", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    a = g.groupBy("source").agg(
+        F.sum(F.expr("p * (2 * cb + c + 1)")).cast("long").alias("r2"),
+        F.sum("p").cast("long").alias("npos"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    auc = F.expr(
+        f"(r2 - npos * (npos + 1)) * {EVAL_SCALE}"
+        f" div (2 * npos * (n - npos))"
+    )
+    return (
+        a.filter((F.col("npos") > 0) & (F.col("n") - F.col("npos") > 0))
+        .select(
+            "source",
+            F.col("npos").alias("n_pos"),
+            (F.col("n") - F.col("npos")).alias("n_neg"),
+            auc.alias("auc_micro"),
+            (F.lit(2) * auc - EVAL_SCALE).cast("long").alias("gini_micro"),
+        )
+    )
+
+
+# --- q_pr_curve --------------------------------------------------------------
+
+
+def _pr_oracle() -> str:
+    return f"""
+    WITH {logistic_cte()},
+    {_SCORED_J},
+    g AS (
+        SELECT p_milli, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(y) AS BIGINT) AS p
+        FROM j GROUP BY p_milli
+    ), cw AS (
+        SELECT p_milli,
+               CAST(SUM(p) OVER (ORDER BY p_milli DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS tp,
+               CAST(SUM(c - p) OVER (ORDER BY p_milli DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS fp,
+               CAST(SUM(p) OVER () AS BIGINT) AS pos
+        FROM g
+    )
+    SELECT p_milli AS threshold_milli, tp, fp,
+           CAST(tp * {EVAL_SCALE} // (tp + fp) AS BIGINT) AS precision_micro,
+           CAST(tp * {EVAL_SCALE} // pos AS BIGINT) AS recall_micro,
+           CAST(2 * tp * {EVAL_SCALE} // (tp + fp + pos) AS BIGINT) AS f1_micro
+    FROM cw
+    """
+
+
+@declare("q_pr_curve", oracle=_pr_oracle(), tier="P1")
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full precision/recall/F1 sweep of the logistic quality filter over
+    every distinct score threshold ("keep docs with p >= t"): cumulative
+    TP/FP from one descending window over the score histogram. All three
+    rates are exact integer micro-units (F1 = 2TP / (2TP+FP+FN) avoids
+    dividing by derived rates). The operating-point picker of a curation
+    pipeline — choose the threshold, read off the trade.
+
+    Scale notes: one map (score), one p_milli-keyed map-side-combined
+    shuffle into a <=1001-row histogram; the unpartitioned window runs
+    over that histogram only, so the single-reducer stage is bounded by
+    the score grid, not the data. Linear at 100 TB."""
+    d = _scored_docs(spark, sf_dir)
+    g = d.groupBy("p_milli").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    w = Window.orderBy(F.desc("p_milli")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cw = g.select(
+        "p_milli",
+        F.sum("p").over(w).cast("long").alias("tp"),
+        F.sum(F.expr("c - p")).over(w).cast("long").alias("fp"),
+        F.sum("p").over(wall).cast("long").alias("pos"),
+    )
+    return cw.select(
+        F.col("p_milli").alias("threshold_milli"),
+        "tp",
+        "fp",
+        F.expr(f"tp * {EVAL_SCALE} div (tp + fp)").alias("precision_micro"),
+        F.expr(f"tp * {EVAL_SCALE} div pos").alias("recall_micro"),
+        F.expr(f"2 * tp * {EVAL_SCALE} div (tp + fp + pos)").alias("f1_micro"),
+    )
+
+
+# --- q_ks_2samp --------------------------------------------------------------
+
+
+def _ks_oracle() -> str:
+    return f"""
+    WITH {logistic_cte()},
+    {_SCORED_J},
+    g AS (
+        SELECT z_q8, CAST(sum(y) AS BIGINT) AS ce,
+               CAST(sum(1 - y) AS BIGINT) AS co
+        FROM j GROUP BY z_q8
+    ), cw AS (
+        SELECT z_q8,
+               CAST(SUM(ce) OVER (ORDER BY z_q8) AS BIGINT) AS cume,
+               CAST(SUM(co) OVER (ORDER BY z_q8) AS BIGINT) AS cumo,
+               CAST(SUM(ce) OVER () AS BIGINT) AS ne,
+               CAST(SUM(co) OVER () AS BIGINT) AS no
+        FROM g
+    ), d AS (
+        SELECT *, abs(cume * no - cumo * ne) AS dnum,
+               row_number() OVER (ORDER BY abs(cume * no - cumo * ne) DESC,
+                                  z_q8) AS rn
+        FROM cw
+    )
+    SELECT ne AS n_en, no AS n_other,
+           CAST(dnum * {EVAL_SCALE} // (ne * no) AS BIGINT) AS ks_micro,
+           z_q8 AS arg_z_q8
+    FROM d WHERE rn = 1
+    """
+
+
+@declare("q_ks_2samp", oracle=_ks_oracle(), tier="P1")
+def q_ks_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the en and non-en
+    logistic-score distributions — the standard drift/shift detector
+    between corpus slices (retrain the filter when KS jumps). The CDF
+    gap is cross-multiplied (|cume*no - cumo*ne|) so the max and its
+    arg-score are found entirely in BIGINT; only the reported ks_micro
+    divides, once. Ties in the gap break toward the smallest score.
+
+    Scale notes: same shape as q_auc_roc — one keyed shuffle into the
+    score histogram, windows over the histogram only. The final argmax
+    is a 1-row row_number over the histogram. Linear at 100 TB."""
+    d = _scored_docs(spark, sf_dir)
+    g = d.groupBy("z_q8").agg(
+        F.sum("y").cast("long").alias("ce"),
+        F.sum(F.expr("1 - y")).cast("long").alias("co"),
+    )
+    wcum = Window.orderBy("z_q8")
+    wall = Window.partitionBy()
+    cw = g.select(
+        "z_q8",
+        F.sum("ce").over(wcum).cast("long").alias("cume"),
+        F.sum("co").over(wcum).cast("long").alias("cumo"),
+        F.sum("ce").over(wall).cast("long").alias("ne"),
+        F.sum("co").over(wall).cast("long").alias("no"),
+    ).withColumn("dnum", F.expr("abs(cume * no - cumo * ne)"))
+    cw = cw.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("dnum"), F.asc("z_q8")))
+    )
+    return cw.filter(F.col("rn") == 1).select(
+        F.col("ne").alias("n_en"),
+        F.col("no").alias("n_other"),
+        F.expr(f"dnum * {EVAL_SCALE} div (ne * no)").alias("ks_micro"),
+        F.col("z_q8").alias("arg_z_q8"),
+    )
+
+
+# --- q_naive_bayes -----------------------------------------------------------
+
+NB_BUCKETS = 16  # milli-feature histogram buckets (width 64, capped at 15)
+_NB_FEATS = ("len", "alpha", "stop", "digit")
+
+
+def _nb_bucket(col: str) -> str:
+    return f"least({col}_milli div 64, 15)"
+
+
+def _nb_oracle() -> str:
+    stack = " UNION ALL ".join(
+        f"SELECT doc_id, lang, '{f}' AS f,"
+        f" least({f}_milli // 64, 15) AS b FROM feats"
+        for f in _NB_FEATS
+    )
+    vals = ", ".join(f"('{f}')" for f in _NB_FEATS)
+    return f"""
+    WITH feats AS (
+        {milli_feats_sql('doc_id, lang')}
+    ), st AS (
+        {stack}
+    ), cls AS (
+        SELECT lang AS clang, CAST(count(*) AS BIGINT) AS nc
+        FROM feats GROUP BY lang
+    ), ntab AS (
+        SELECT CAST(sum(nc) AS BIGINT) AS n FROM cls
+    ), cnts AS (
+        SELECT lang AS clang, f, b, CAST(count(*) AS BIGINT) AS cnt
+        FROM st GROUP BY lang, f, b
+    ), grid AS (
+        SELECT cls.clang, cls.nc, fb.f, gs.b
+        FROM cls
+        CROSS JOIN (VALUES {vals}) AS fb(f)
+        CROSS JOIN (SELECT unnest(generate_series(0, {NB_BUCKETS - 1}))
+                    AS b) gs
+    ), gc AS (
+        SELECT grid.clang, grid.nc, grid.f, grid.b,
+               COALESCE(cnt, 0) + 1 AS cp1
+        FROM grid LEFT JOIN cnts ON cnts.clang = grid.clang
+             AND cnts.f = grid.f AND cnts.b = grid.b
+    ), args AS (
+        SELECT DISTINCT cp1 AS x FROM gc
+        UNION SELECT DISTINCT nc + {NB_BUCKETS} FROM cls
+        UNION SELECT DISTINCT nc FROM cls
+        UNION SELECT n FROM ntab
+    ),
+    {_fixed_log2_q8_sql('args')},
+    model AS (
+        SELECT gc.clang, gc.f, gc.b, (l1.lq8 - l2.lq8) AS w_q8
+        FROM gc JOIN lg l1 ON l1.x = gc.cp1
+             JOIN lg l2 ON l2.x = gc.nc + {NB_BUCKETS}
+    ), sc AS (
+        SELECT st.doc_id, st.lang, m.clang, CAST(sum(m.w_q8) AS BIGINT) AS sw
+        FROM st JOIN model m ON m.f = st.f AND m.b = st.b
+        GROUP BY st.doc_id, st.lang, m.clang
+    ), pri AS (
+        SELECT cls.clang, (lp.lq8 - ln.lq8) AS p_q8
+        FROM cls CROSS JOIN ntab
+        JOIN lg lp ON lp.x = cls.nc
+        JOIN lg ln ON ln.x = ntab.n
+    ), fin AS (
+        SELECT sc.doc_id, sc.lang, sc.clang,
+               CAST(pri.p_q8 + sc.sw AS BIGINT) AS score_q8,
+               row_number() OVER (PARTITION BY sc.doc_id
+                    ORDER BY (pri.p_q8 + sc.sw) DESC, sc.clang) AS rn
+        FROM sc JOIN pri USING (clang)
+    )
+    SELECT doc_id, lang, clang AS pred_lang, score_q8,
+           lang = clang AS correct
+    FROM fin WHERE rn = 1
+    """
+
+
+@declare("q_naive_bayes", oracle=_nb_oracle(), tier="P1")
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained AND scored in
+    one query: bucket the four integer milli-features (16 buckets of
+    width 64), count per (class, feature, bucket) with Laplace +1 over a
+    dense grid, convert every count to a Q8 log2 via the fixed kernel,
+    and argmax class posterior log2 P(c) + sum_f log2 P(b_f|c) per
+    document with a deterministic class-name tiebreak. The third
+    classifier family (after the fixed-weight logistic and the trained
+    stumps); `correct` makes it its own accuracy audit.
+
+    Scale notes: training is one (class, feature, bucket)-keyed
+    map-side-combined shuffle into a 5x4x16 = 320-row model that
+    broadcasts; scoring fans each doc's 4 feature rows out by K classes
+    against that broadcast and reduces per doc — one doc_id-keyed
+    shuffle. Model size is independent of corpus size. Linear at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    feats = milli_features(docs, lang=F.col("lang"))
+    stack_expr = ", ".join(
+        f"'{f}', {_nb_bucket(f)}" for f in _NB_FEATS
+    )
+    st = feats.select(
+        "doc_id",
+        "lang",
+        F.expr(f"stack({len(_NB_FEATS)}, {stack_expr}) AS (f, b)"),
+    ).withColumn("b", F.col("b").cast("long"))
+    cls = feats.groupBy(F.col("lang").alias("clang")).agg(
+        F.count("*").cast("long").alias("nc")
+    )
+    ntab = cls.agg(F.sum("nc").cast("long").alias("n"))
+    cnts = st.groupBy(
+        F.col("lang").alias("clang"), "f", "b"
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    grid = (
+        cls.select(
+            "clang",
+            "nc",
+            F.explode(F.array(*[F.lit(f) for f in _NB_FEATS])).alias("f"),
+        )
+        .select(
+            "clang",
+            "nc",
+            "f",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(NB_BUCKETS - 1))
+            ).alias("_b"),
+        )
+        .withColumn("b", F.col("_b").cast("long"))
+        .drop("_b")
+        .join(cnts, ["clang", "f", "b"], "left")
+        .withColumn("cp1", F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+        .withColumn("ncs", F.col("nc") + NB_BUCKETS)
+    )
+    grid = with_fixed_log2_q8(grid, "cp1", "lc")
+    grid = with_fixed_log2_q8(grid, "ncs", "ld")
+    model = grid.select(
+        "clang", "f", "b", (F.col("lc") - F.col("ld")).alias("w_q8")
+    )
+    sc = (
+        st.join(F.broadcast(model), ["f", "b"])
+        .groupBy("doc_id", "lang", "clang")
+        .agg(F.sum("w_q8").cast("long").alias("sw"))
+    )
+    pri = with_fixed_log2_q8(cls, "nc", "lp").crossJoin(
+        F.broadcast(with_fixed_log2_q8(ntab, "n", "ln"))
+    ).select("clang", (F.col("lp") - F.col("ln")).alias("p_q8"))
+    fin = (
+        sc.join(F.broadcast(pri), "clang")
+        .withColumn("score_q8", (F.col("p_q8") + F.col("sw")).cast("long"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc(F.col("p_q8") + F.col("sw")), F.asc("clang")
+                )
+            ),
+        )
+    )
+    return fin.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "lang",
+        F.col("clang").alias("pred_lang"),
+        "score_q8",
+        (F.col("lang") == F.col("clang")).alias("correct"),
+    )
+
+
+# --- q_knn_classify ----------------------------------------------------------
+
+KNN_STRIDE = 20  # query panel: every 20th vector
+KNN_K = 5
+
+
+def _knn_oracle() -> str:
+    return f"""
+    WITH qvs AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * {SM_GRID}) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), qs AS (
+        SELECT vec_id AS qid, label AS qlabel, qv AS qqv
+        FROM qvs WHERE vec_id % {KNN_STRIDE} = 0
+    ), pairs AS (
+        SELECT qs.qid, qs.qlabel, c.vec_id AS cid, c.label AS clabel,
+               list_reduce(list_transform(list_zip(qs.qqv, c.qv),
+                           p -> p[1] * p[2]), (x, y) -> x + y) AS dot
+        FROM qs JOIN qvs c ON c.vec_id <> qs.qid
+    ), top AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY dot DESC, cid) AS rn
+        FROM pairs
+    ), votes AS (
+        SELECT qid, qlabel, clabel, CAST(count(*) AS BIGINT) AS votes
+        FROM top WHERE rn <= {KNN_K} GROUP BY qid, qlabel, clabel
+    ), fin AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY votes DESC, clabel) AS rn2
+        FROM votes
+    )
+    SELECT qid AS vec_id, qlabel AS label, clabel AS pred_label, votes,
+           qlabel = clabel AS correct
+    FROM fin WHERE rn2 = 1
+    """
+
+
+@declare("q_knn_classify", oracle=_knn_oracle(), tier="P2")
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN (k=5) majority-vote classification over the embeddings table:
+    for every panel query (vec_id % 20 == 0), the 5 nearest other
+    vectors by exact integer grid dot (floor(x*1024) elements — the same
+    float-exact quantization as q_softmax_topk), then majority label
+    with (votes desc, label asc) tiebreak; neighbor ties break on
+    (dot desc, vec_id asc). The deferred-decision classifier and the
+    exactness baseline for the ANN family.
+
+    Scale notes: the fixed query panel broadcasts; candidates stream
+    map-only past it (panel x corpus integer dots inside codegen), then
+    one qid-keyed shuffle ranks 5 + votes. Linear in the corpus for a
+    fixed panel; for corpus-sized query sets route through IVF/LSH
+    (operators/ivf.py) — q_ann_recall audits that trade against this
+    exact form."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.expr(
+            f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
+            f" * {SM_GRID}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    qs = emb.filter(F.col("vec_id") % KNN_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("qv").alias("qqv"),
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("qqv", "qv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    top = pairs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("vec_id"))
+        ),
+    ).filter(F.col("rn") <= KNN_K)
+    votes = top.groupBy(
+        "qid", "qlabel", F.col("label").alias("clabel")
+    ).agg(F.count("*").cast("long").alias("votes"))
+    fin = votes.withColumn(
+        "rn2",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("clabel"))
+        ),
+    )
+    return fin.filter(F.col("rn2") == 1).select(
+        F.col("qid").alias("vec_id"),
+        F.col("qlabel").alias("label"),
+        F.col("clabel").alias("pred_label"),
+        "votes",
+        (F.col("qlabel") == F.col("clabel")).alias("correct"),
+    )

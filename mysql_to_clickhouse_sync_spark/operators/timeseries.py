@@ -305,3 +305,100 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").isNull().alias("dim_missing"),
         F.col("o_custkey").isNull().alias("fact_missing"),
     )
+
+
+# --- q_holt_linear -----------------------------------------------------------
+
+HOLT_OFF = 1 << 40  # positivity offset: truncating div == floor div on both
+_US_PER_DAY = 86_400_000_000
+
+
+def _holt_oracle() -> str:
+    # The recursive step references l_new twice (for b_new) — template it
+    # so both engines run the literally identical expression tree.
+    l_new = f"((o.y * 1000 + s.l + s.b + {2 * HOLT_OFF}) // 2 - {HOLT_OFF})"
+    b_new = f"((s.b + {l_new} - s.l + {2 * HOLT_OFF}) // 2 - {HOLT_OFF})"
+    return f"""
+    WITH RECURSIVE ser AS (
+        SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS day_n,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY event_type, day_n
+    ), ord AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY day_n) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nd
+        FROM ser
+    ), st AS (
+        SELECT event_type, rn, nd, y * 1000 AS l,
+               CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sse
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, o.rn, s.nd,
+               {l_new} AS l,
+               {b_new} AS b,
+               s.sse + (o.y * 1000 - s.l - s.b) * (o.y * 1000 - s.l - s.b)
+                   AS sse
+        FROM st s JOIN ord o ON o.event_type = s.event_type
+             AND o.rn = s.rn + 1
+    )
+    SELECT event_type, CAST(rn AS BIGINT) AS n_days,
+           CAST(l AS BIGINT) AS level_milli, CAST(b AS BIGINT) AS trend_milli,
+           CAST(l + b AS BIGINT) AS forecast_milli, CAST(sse AS BIGINT) AS sse
+    FROM st WHERE rn = nd
+    """
+
+
+@declare("q_holt_linear", oracle=_holt_oracle(), tier="P2")
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend, alpha =
+    beta = 1/2) over the per-day event-count series of each event_type,
+    in exact integer milli-units: l_t = (y_t*1000 + l + b) / 2,
+    b_t = (b + (l_t - l)) / 2, one-step-ahead SSE accumulated along the
+    way and a 1-step forecast l + b at the end. Divisions carry the
+    positivity offset so Spark's truncating `div` equals DuckDB's floor
+    `//` even when the trend is negative. The Spark side folds the
+    day-sorted series with ONE `aggregate()` over a sorted struct array;
+    the oracle unrolls the same recurrence as a per-key recursive CTE —
+    identical integer programs, bitwise parity (the ADPCM state-machine
+    recipe, operators/audio_codecs.py).
+
+    Scale notes: the daily rollup is one map-side-combined shuffle; the
+    fold state is 4 BIGINTs per key and the per-key array is |days| —
+    bounded by calendar span, not corpus size (a 100 TB corpus still has
+    ~365 points/key/year). For day-counts beyond array comfort, the same
+    recurrence runs under applyInPandasWithState on the streaming path
+    (s_stateful_profile's pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    ser = ev.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("day_n"),
+    ).agg(F.count("*").cast("long").alias("y"))
+    l_new = (
+        f"((o.y * 1000 + acc.l + acc.b + {2 * HOLT_OFF}) div 2 - {HOLT_OFF})"
+    )
+    b_new = f"((acc.b + {l_new} - acc.l + {2 * HOLT_OFF}) div 2 - {HOLT_OFF})"
+    fold = f"""
+        aggregate(
+            sort_array(collect_list(named_struct('day_n', day_n, 'y', y))),
+            named_struct('n', CAST(0 AS BIGINT), 'l', CAST(0 AS BIGINT),
+                         'b', CAST(0 AS BIGINT), 'sse', CAST(0 AS BIGINT)),
+            (acc, o) -> CASE WHEN acc.n = 0 THEN
+                named_struct('n', CAST(1 AS BIGINT), 'l', o.y * 1000,
+                             'b', CAST(0 AS BIGINT), 'sse', CAST(0 AS BIGINT))
+            ELSE
+                named_struct('n', acc.n + 1,
+                             'l', {l_new},
+                             'b', {b_new},
+                             'sse', acc.sse + (o.y * 1000 - acc.l - acc.b)
+                                    * (o.y * 1000 - acc.l - acc.b))
+            END)
+    """
+    st = ser.groupBy("event_type").agg(F.expr(fold).alias("st"))
+    return st.select(
+        "event_type",
+        F.col("st.n").alias("n_days"),
+        F.col("st.l").alias("level_milli"),
+        F.col("st.b").alias("trend_milli"),
+        (F.col("st.l") + F.col("st.b")).cast("long").alias("forecast_milli"),
+        F.col("st.sse").alias("sse"),
+    )

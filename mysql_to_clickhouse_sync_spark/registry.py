@@ -62,6 +62,7 @@ def _load_all_modules() -> None:
         joins,
         json_ops,
         kmeans,
+        mleval,
         mlscore,
         multimodal,
         neardup_pipeline,

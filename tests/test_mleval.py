@@ -1,0 +1,191 @@
+"""Model-evaluation operator tests (operators/mleval.py + q_holt_linear).
+
+Oracle parity for all six queries is covered by the roster-wide sweep in
+tests/test_oracle_parity.py; here we pin the STATISTICS themselves against
+independent recomputations (scipy-free, pure Python) on the fixture data —
+the oracle can't catch a formula that's wrong the same way on both engines.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _collect(spark, name):
+    from mysql_to_clickhouse_sync_spark.registry import REGISTRY, _load_all_modules
+
+    _load_all_modules()
+    return REGISTRY[name].fn(spark, SF_DIR).collect()
+
+
+def _scored_pairs(spark):
+    """(score z_q8, y) pairs straight from the logistic scorer."""
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+    from mysql_to_clickhouse_sync_spark.operators.mlscore import logistic_scored
+
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    rows = logistic_scored(docs).select("doc_id", "lang", "z_q8", "p_milli").collect()
+    src = {
+        r.doc_id: r.source
+        for r in docs.select("doc_id", "source").collect()
+    }
+    return [(src[r.doc_id], r.z_q8, r.p_milli, 1 if r.lang == "en" else 0) for r in rows]
+
+
+def test_auc_matches_naive_pairwise(spark):
+    """auc_micro equals the exhaustive pairwise P(score_pos > score_neg)
+    + 0.5 P(tie) count, per source, to within the 1-microunit floor."""
+    pairs = _scored_pairs(spark)
+    got = {r.source: r for r in _collect(spark, "q_auc_roc")}
+    by_src = {}
+    for s, z, _p, y in pairs:
+        by_src.setdefault(s, []).append((z, y))
+    checked = 0
+    for s, zy in by_src.items():
+        pos = [z for z, y in zy if y == 1]
+        neg = [z for z, y in zy if y == 0]
+        if not pos or not neg:
+            assert s not in got
+            continue
+        wins = sum(1 for p in pos for n in neg if p > n)
+        ties = sum(1 for p in pos for n in neg if p == n)
+        want = (2 * wins + ties) * 1_000_000 // (2 * len(pos) * len(neg))
+        assert got[s].auc_micro == want, s
+        assert got[s].n_pos == len(pos) and got[s].n_neg == len(neg)
+        assert got[s].gini_micro == 2 * got[s].auc_micro - 1_000_000
+        checked += 1
+    assert checked >= 3
+
+
+def test_pr_curve_monotone_and_endpoints(spark):
+    rows = sorted(_collect(spark, "q_pr_curve"), key=lambda r: -r.threshold_milli)
+    pairs = _scored_pairs(spark)
+    pos = sum(y for _s, _z, _p, y in pairs)
+    n = len(pairs)
+    # recall is non-decreasing as the threshold drops; tp+fp hits n at the end
+    recalls = [r.recall_micro for r in rows]
+    assert recalls == sorted(recalls)
+    assert rows[-1].tp + rows[-1].fp == n
+    assert rows[-1].tp == pos and rows[-1].recall_micro == 1_000_000
+    # spot-check one mid row against a direct recount
+    mid = rows[len(rows) // 2]
+    tp = sum(1 for _s, _z, p, y in pairs if p >= mid.threshold_milli and y == 1)
+    fp = sum(1 for _s, _z, p, y in pairs if p >= mid.threshold_milli and y == 0)
+    assert (mid.tp, mid.fp) == (tp, fp)
+    assert mid.precision_micro == tp * 1_000_000 // (tp + fp)
+    assert mid.f1_micro == 2 * tp * 1_000_000 // (tp + fp + pos)
+
+
+def test_ks_matches_direct_scan(spark):
+    pairs = _scored_pairs(spark)
+    en = sorted(z for _s, z, _p, y in pairs if y == 1)
+    ot = sorted(z for _s, z, _p, y in pairs if y == 0)
+    zs = sorted(set(en) | set(ot))
+    best = (-1, None)
+    for z in zs:
+        ce = sum(1 for v in en if v <= z)
+        co = sum(1 for v in ot if v <= z)
+        d = abs(ce * len(ot) - co * len(en))
+        if d > best[0]:
+            best = (d, z)
+    (row,) = _collect(spark, "q_ks_2samp")
+    assert row.n_en == len(en) and row.n_other == len(ot)
+    assert row.ks_micro == best[0] * 1_000_000 // (len(en) * len(ot))
+    assert row.arg_z_q8 == best[1]
+
+
+def test_naive_bayes_beats_prior_and_is_complete(spark):
+    rows = _collect(spark, "q_naive_bayes")
+    n = len(rows)
+    assert n > 0
+    assert len({r.doc_id for r in rows}) == n  # one prediction per doc
+    acc = sum(1 for r in rows if r.correct) / n
+    langs = [r.lang for r in rows]
+    majority = max(set(langs), key=langs.count)
+    prior = langs.count(majority) / n
+    # the features carry real language signal (stopword/alpha ratios);
+    # NB must at least match predicting the majority class everywhere
+    assert acc >= prior - 1e-9, (acc, prior)
+    assert all(r.correct == (r.lang == r.pred_lang) for r in rows)
+
+
+def test_knn_panel_and_vote_bounds(spark):
+    from mysql_to_clickhouse_sync_spark.operators.mleval import KNN_K, KNN_STRIDE
+
+    rows = _collect(spark, "q_knn_classify")
+    assert all(r.vec_id % KNN_STRIDE == 0 for r in rows)
+    assert all(1 <= r.votes <= KNN_K for r in rows)
+    # majority vote with <= 5 voters over >= 2 labels: votes >= ceil(5/#labels)
+    assert len({r.pred_label for r in rows}) >= 1
+
+
+def test_holt_matches_python_recurrence(spark):
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    ser = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day_n"),
+        )
+        .agg(F.count("*").alias("y"))
+        .collect()
+    )
+    by_type = {}
+    for r in ser:
+        by_type.setdefault(r.event_type, []).append((r.day_n, r.y))
+    got = {r.event_type: r for r in _collect(spark, "q_holt_linear")}
+    assert set(got) == set(by_type)
+    for t, series in by_type.items():
+        series.sort()
+        l = b = sse = None
+        for i, (_d, y) in enumerate(series):
+            if i == 0:
+                l, b, sse = y * 1000, 0, 0
+            else:
+                err = y * 1000 - l - b
+                sse += err * err
+                l_new = math.floor((y * 1000 + l + b) / 2)
+                b = math.floor((b + l_new - l) / 2)
+                l = l_new
+        r = got[t]
+        assert (r.n_days, r.level_milli, r.trend_milli) == (len(series), l, b)
+        assert r.forecast_milli == l + b and r.sse == sse
+
+
+def test_holt_negative_trend_floor_division(spark):
+    """A strictly decreasing series drives the trend negative — pin that
+    the positivity-offset div matches Python floor semantics there."""
+    from mysql_to_clickhouse_sync_spark.operators.timeseries import HOLT_OFF
+
+    df = spark.createDataFrame([(0, 100), (1, 3), (2, 1)], "day_n long, y long")
+    l_new = f"((o.y * 1000 + acc.l + acc.b + {2 * HOLT_OFF}) div 2 - {HOLT_OFF})"
+    b_new = f"((acc.b + {l_new} - acc.l + {2 * HOLT_OFF}) div 2 - {HOLT_OFF})"
+    fold = f"""
+        aggregate(
+            sort_array(collect_list(named_struct('day_n', day_n, 'y', y))),
+            named_struct('n', CAST(0 AS BIGINT), 'l', CAST(0 AS BIGINT),
+                         'b', CAST(0 AS BIGINT), 'sse', CAST(0 AS BIGINT)),
+            (acc, o) -> CASE WHEN acc.n = 0 THEN
+                named_struct('n', CAST(1 AS BIGINT), 'l', o.y * 1000,
+                             'b', CAST(0 AS BIGINT), 'sse', CAST(0 AS BIGINT))
+            ELSE
+                named_struct('n', acc.n + 1, 'l', {l_new}, 'b', {b_new},
+                             'sse', acc.sse + (o.y * 1000 - acc.l - acc.b)
+                                    * (o.y * 1000 - acc.l - acc.b))
+            END)
+    """
+    (row,) = df.agg(F.expr(fold).alias("st")).select("st.*").collect()
+    # python floor reference
+    l, b = 100_000, 0
+    l1 = math.floor((3_000 + l + b) / 2)
+    b1 = math.floor((b + l1 - l) / 2)
+    l2 = math.floor((1_000 + l1 + b1) / 2)
+    b2 = math.floor((b1 + l2 - l1) / 2)
+    assert b1 < 0 and b2 < 0  # the regime under test
+    assert (row.l, row.b) == (l2, b2)
