@@ -29,6 +29,10 @@ from mysql_to_clickhouse_sync_spark.operators.dedup import (
     _minhash_oracle,
     minhash_lsh_candidates,
 )
+from mysql_to_clickhouse_sync_spark.operators.text import (
+    _fixed_log2_q8_sql,
+    with_fixed_log2_q8,
+)
 from mysql_to_clickhouse_sync_spark.registry import declare
 
 MAX_ITERATIONS = 20
@@ -591,4 +595,128 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nodes.join(labels, "doc_id", "left")
         .select("doc_id", F.col("lab").alias("lp_label"), "seeded")
+    )
+
+
+# --- q_link_predict ----------------------------------------------------------
+
+AA_SCALE = 1_000_000  # Adamic-Adar scores in exact integer micro-units
+LP_NODE_BOUND = 300  # bounded subgraph (the bounded-subset ground-truth
+#                      convention of the dedup honesty loop, SCALE.md)
+LP_TAU = 280_000  # edge bar: grid-quantized dot (1024^2 units, ~cos 0.27)
+
+
+def _link_predict_oracle() -> str:
+    return f"""
+    WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id < {LP_NODE_BOUND}
+    ), edges AS MATERIALIZED (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM qv a JOIN qv b ON a.vec_id < b.vec_id
+        WHERE list_reduce(list_transform(list_zip(a.qv, b.qv),
+                          p -> p[1] * p[2]), (x, y) -> x + y) >= {LP_TAU}
+    ), sym AS MATERIALIZED (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), deg AS (
+        SELECT src AS z, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY src
+    ), args AS (
+        SELECT DISTINCT deg AS x FROM deg WHERE deg >= 2
+    ),
+    {_fixed_log2_q8_sql('args')},
+    dw AS (
+        SELECT deg.z, CAST({AA_SCALE * 256} // lg.lq8 AS BIGINT) AS w
+        FROM deg JOIN lg ON lg.x = deg.deg WHERE deg.deg >= 2
+    ), wedge AS (
+        SELECT s1.dst AS u, s2.dst AS w, s1.src AS z
+        FROM sym s1 JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+    ), cand AS (
+        SELECT u, w, z FROM wedge
+        WHERE NOT EXISTS (SELECT 1 FROM edges e
+                          WHERE e.src = wedge.u AND e.dst = wedge.w)
+    )
+    SELECT cand.u AS src, cand.w AS dst,
+           CAST(count(*) AS BIGINT) AS n_common,
+           CAST(sum(dw.w) AS BIGINT) AS aa_micro
+    FROM cand JOIN dw ON dw.z = cand.z
+    GROUP BY cand.u, cand.w
+    """
+
+
+@declare("q_link_predict", oracle=_link_predict_oracle(), tier="P1")
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the embedding similarity graph:
+    for every non-edge (u, w) sharing at least one neighbor, score =
+    sum over common neighbors z of 1/log2(deg z) — rare shared
+    neighbors weigh more than hub collisions. The standard
+    missing-edge / entity-resolution-completion signal: a pair the
+    threshold graph missed but AA ranks high is a likely near-duplicate
+    worth an exact re-score (cf. q_editdist_rescore). The graph is a
+    bounded subgraph (vec_id < 300, exact integer grid dots >= LP_TAU)
+    because AA needs OPEN wedges — the MinHash >= 0.5 dup graph is all
+    closed cliques at every fixture SF, so it cannot exercise this
+    operator. Common neighbors have deg >= 2 by construction, so
+    log2(deg) >= 1 and the per-z weight floor(1e6 * 256 / lq8(deg)) is
+    exact BIGINT via the Q8 log2 kernel; per-pair sums of exact terms
+    are order-independent, so aa_micro is bitwise engine-identical.
+
+    Scale notes: the bounded subgraph is the ground-truth twin
+    (constant cost at every SF, the dedup-honesty convention); the
+    production path builds edges from the banded ANN candidates
+    (similarity.py) whose armed caps bound sum-of-squared-degrees —
+    the exact quantity that controls wedge volume. The degree/weight
+    table is |nodes|-bounded and broadcasts; the heavy lifting is the
+    sym self-join plus one (u, w)-keyed map-side-combined shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < LP_NODE_BOUND).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
+            " * 1024) AS BIGINT))"
+        ).alias("qv"),
+    )
+    a = qv.select(F.col("vec_id").alias("ida"), F.col("qv").alias("qa"))
+    b = qv.select(F.col("vec_id").alias("idb"), F.col("qv").alias("qb"))
+    edges = (
+        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("dot") >= LP_TAU)
+        .select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("z")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    dw = with_fixed_log2_q8(deg.filter(F.col("deg") >= 2), "deg", "lq")
+    dw = dw.select("z", F.expr(f"{AA_SCALE * 256} div lq").alias("w"))
+    s1 = sym.select(F.col("src").alias("z"), F.col("dst").alias("u"))
+    s2 = sym.select(F.col("src").alias("z2"), F.col("dst").alias("w2"))
+    wedge = s1.join(
+        s2, (F.col("z") == F.col("z2")) & (F.col("u") < F.col("w2"))
+    ).select("u", F.col("w2").alias("wn"), "z")
+    cand = wedge.join(
+        edges,
+        (F.col("u") == F.col("src")) & (F.col("wn") == F.col("dst")),
+        "left_anti",
+    )
+    return (
+        cand.join(F.broadcast(dw), "z")
+        .groupBy(F.col("u").alias("src"), F.col("wn").alias("dst"))
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("w").cast("long").alias("aa_micro"),
+        )
     )

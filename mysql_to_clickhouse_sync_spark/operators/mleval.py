@@ -582,3 +582,433 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "votes",
         (F.col("qlabel") == F.col("clabel")).alias("correct"),
     )
+
+
+# --- q_calibration_bins -------------------------------------------------------
+
+CAL_BINS = 10  # reliability-diagram deciles over p_milli
+
+
+def _calibration_oracle() -> str:
+    return f"""
+    WITH {logistic_cte()},
+    {_SCORED_J},
+    g AS (
+        SELECT least(p_milli // 100, {CAL_BINS - 1}) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p_milli) AS BIGINT) AS sp,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM j GROUP BY bin
+    ), r AS (
+        SELECT bin, n,
+               CAST(sp * 1000 // n AS BIGINT) AS mean_pred_micro,
+               CAST(pos * {EVAL_SCALE} // n AS BIGINT) AS obs_rate_micro
+        FROM g
+    )
+    SELECT bin, n, mean_pred_micro, obs_rate_micro,
+           CAST(abs(mean_pred_micro - obs_rate_micro) AS BIGINT) AS gap_micro,
+           CAST(SUM(n * abs(mean_pred_micro - obs_rate_micro)) OVER ()
+                // SUM(n) OVER () AS BIGINT) AS ece_micro
+    FROM r
+    """
+
+
+@declare("q_calibration_bins", oracle=_calibration_oracle(), tier="P1")
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the logistic quality score: decile bins of
+    p_milli, each reporting mean predicted probability vs observed
+    positive rate (y = lang='en') and the calibration gap, plus the
+    Expected Calibration Error (bin-weighted mean |gap|) repeated on
+    every row — all exact integer micro-units. The standard check
+    before treating a learned filter's score as a probability (e.g.
+    for threshold transfer or mixture targeting).
+
+    Scale notes: one bin-keyed map-side-combined shuffle into a <=10-row
+    table; the ECE window runs over those 10 rows. Linear at 100 TB."""
+    d = _scored_docs(spark, sf_dir)
+    g = d.groupBy(
+        F.expr(f"least(p_milli div 100, {CAL_BINS - 1})").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("p_milli").cast("long").alias("sp"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    r = g.select(
+        "bin",
+        "n",
+        F.expr("sp * 1000 div n").alias("mean_pred_micro"),
+        F.expr(f"pos * {EVAL_SCALE} div n").alias("obs_rate_micro"),
+    )
+    wall = Window.partitionBy()
+    gap = F.expr("abs(mean_pred_micro - obs_rate_micro)")
+    return (
+        r.select(
+            "bin",
+            "n",
+            "mean_pred_micro",
+            "obs_rate_micro",
+            gap.alias("gap_micro"),
+            # integer div, never float: a double quotient can round UP
+            # across an integer boundary where floor would not
+            F.sum(F.col("n") * gap).over(wall).cast("long").alias("_num"),
+            F.sum("n").over(wall).cast("long").alias("_den"),
+        )
+        .withColumn("ece_micro", F.expr("_num div _den"))
+        .drop("_num", "_den")
+    )
+
+
+# --- q_conformal_threshold ----------------------------------------------------
+
+CONF_LEVEL_NUM = 9  # 1 - alpha = 9/10: the 90% split-conformal guarantee
+CONF_LEVEL_DEN = 10
+
+
+def _conformal_oracle() -> str:
+    return f"""
+    WITH {logistic_cte()},
+    cal AS (
+        SELECT doc_id, 1000 - p_milli AS s
+        FROM scored WHERE doc_id % 2 = 0 AND lang = 'en'
+    ), ncal AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cal,
+               least(({CONF_LEVEL_NUM} * (count(*) + 1)
+                      + {CONF_LEVEL_DEN - 1}) // {CONF_LEVEL_DEN},
+                     count(*)) AS q_idx
+        FROM cal
+    ), ranked AS (
+        SELECT s, row_number() OVER (ORDER BY s, doc_id) AS rn FROM cal
+    ), thr AS (
+        SELECT ncal.n_cal, ncal.q_idx, ranked.s AS thr_milli
+        FROM ncal JOIN ranked ON ranked.rn = ncal.q_idx
+    ), test AS (
+        SELECT doc_id, 1000 - p_milli AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM scored WHERE doc_id % 2 = 1
+    )
+    SELECT thr.n_cal, thr.q_idx, CAST(thr.thr_milli AS BIGINT) AS thr_milli,
+           CAST(sum(test.y) AS BIGINT) AS n_test_en,
+           CAST(sum(CASE WHEN test.y = 1 AND test.s <= thr.thr_milli
+                    THEN 1 ELSE 0 END) * {EVAL_SCALE}
+                // sum(test.y) AS BIGINT) AS coverage_micro,
+           CAST(sum(CASE WHEN test.s <= thr.thr_milli THEN 1 ELSE 0 END)
+                * {EVAL_SCALE} // count(*) AS BIGINT) AS pred_en_rate_micro
+    FROM test CROSS JOIN thr
+    GROUP BY thr.n_cal, thr.q_idx, thr.thr_milli
+    """
+
+
+@declare("q_conformal_threshold", oracle=_conformal_oracle(), tier="P1")
+def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the logistic filter: on the
+    even-doc_id calibration half, the nonconformity score of true-en
+    docs is s = 1000 - p_milli; the threshold is the
+    ceil((1-alpha)(n+1))-th smallest s (alpha = 0.1, index clamped to
+    n_cal) — the distribution-free 90%-coverage quantile. The odd half
+    then reports realized coverage on en docs and the predicted-en rate
+    (set size proxy). All integer-exact; the parity split is the same
+    disjoint-halves convention as q_stump_cv and q_split_leakage.
+
+    Scale notes: the threshold is one tiny ranked window over the
+    calibration SCORE rows (at 100 TB, pre-aggregate to a score
+    histogram exactly like q_auc_roc — s has <=1001 values); the test
+    pass is a broadcast of the 1-row threshold. Linear."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    sc = logistic_scored(docs).select(
+        "doc_id",
+        "lang",
+        (F.lit(1000) - F.col("p_milli")).alias("s"),
+    )
+    cal = sc.filter((F.col("doc_id") % 2 == 0) & (F.col("lang") == "en"))
+    ncal = cal.agg(
+        F.count("*").cast("long").alias("n_cal"),
+    ).withColumn(
+        "q_idx",
+        F.expr(
+            f"least(({CONF_LEVEL_NUM} * (n_cal + 1) + {CONF_LEVEL_DEN - 1})"
+            f" div {CONF_LEVEL_DEN}, n_cal)"
+        ),
+    )
+    ranked = cal.withColumn(
+        "rn", F.row_number().over(Window.orderBy("s", "doc_id"))
+    )
+    thr = ncal.join(
+        ranked.select("rn", F.col("s").alias("thr_milli")),
+        F.col("rn") == F.col("q_idx"),
+    ).select("n_cal", "q_idx", "thr_milli")
+    test = sc.filter(F.col("doc_id") % 2 == 1).select(
+        "s", F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("y")
+    )
+    return (
+        test.crossJoin(F.broadcast(thr))
+        .groupBy("n_cal", "q_idx", "thr_milli")
+        .agg(
+            F.sum("y").cast("long").alias("n_test_en"),
+            F.expr(
+                f"CAST(sum(CASE WHEN y = 1 AND s <= thr_milli THEN 1 ELSE 0"
+                f" END) * {EVAL_SCALE} div sum(y) AS BIGINT)"
+            ).alias("coverage_micro"),
+            F.expr(
+                f"CAST(sum(CASE WHEN s <= thr_milli THEN 1 ELSE 0 END)"
+                f" * {EVAL_SCALE} div count(*) AS BIGINT)"
+            ).alias("pred_en_rate_micro"),
+        )
+        .select(
+            "n_cal",
+            "q_idx",
+            F.col("thr_milli").cast("long").alias("thr_milli"),
+            "n_test_en",
+            "coverage_micro",
+            "pred_en_rate_micro",
+        )
+    )
+
+
+# --- q_psi_drift ---------------------------------------------------------------
+
+PSI_OFF = 1 << 40  # final-division positivity offset (PSI sums can dip <0
+#                    by floor rounding even though true PSI >= 0)
+
+
+def _psi_oracle() -> str:
+    return f"""
+    WITH {logistic_cte()},
+    sl AS (
+        SELECT least(p_milli // 100, {CAL_BINS - 1}) AS bin,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+        FROM scored
+    ), bins AS (
+        SELECT unnest(generate_series(0, {CAL_BINS - 1})) AS bin
+    ), g AS (
+        SELECT bins.bin,
+               CAST(COALESCE(sum(in_a), 0) + 1 AS BIGINT) AS a1,
+               CAST(COALESCE(sum(1 - in_a), 0) + 1 AS BIGINT) AS b1
+        FROM bins LEFT JOIN sl ON sl.bin = bins.bin
+        GROUP BY bins.bin
+    ), tot AS (
+        SELECT CAST(sum(a1) AS BIGINT) AS na, CAST(sum(b1) AS BIGINT) AS nb
+        FROM g
+    ), args AS (
+        SELECT DISTINCT a1 AS x FROM g
+        UNION SELECT DISTINCT b1 FROM g
+        UNION SELECT na FROM tot
+        UNION SELECT nb FROM tot
+    ),
+    {_fixed_log2_q8_sql('args')},
+    t AS (
+        SELECT g.bin, g.a1, g.b1,
+               (g.a1 * {EVAL_SCALE} // tot.na
+                - g.b1 * {EVAL_SCALE} // tot.nb) AS diff_micro,
+               (la.lq8 - lna.lq8 - lb.lq8 + lnb.lq8) AS lr_q8
+        FROM g CROSS JOIN tot
+        JOIN lg la ON la.x = g.a1
+        JOIN lg lb ON lb.x = g.b1
+        JOIN lg lna ON lna.x = tot.na
+        JOIN lg lnb ON lnb.x = tot.nb
+    )
+    SELECT bin, a1 - 1 AS n_a, b1 - 1 AS n_b,
+           CAST(diff_micro AS BIGINT) AS diff_micro,
+           CAST(lr_q8 AS BIGINT) AS log_ratio_q8,
+           CAST((SUM(diff_micro * lr_q8) OVER () + {PSI_OFF * 256}) // 256
+                - {PSI_OFF} AS BIGINT) AS psi_micro
+    FROM t
+    """
+
+
+@declare("q_psi_drift", oracle=_psi_oracle(), tier="P1")
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the even- and odd-doc_id halves
+    over logistic-score deciles — the industry-standard drift metric
+    (PSI > 0.2 ~= retrain). PSI = sum (p_i - q_i) * log2(p_i / q_i) with
+    Laplace +1 cells over a dense bin spine; shares run as integer
+    micro-fractions and the log-ratio through the Q8 log2 kernel, so
+    every per-bin term and the total are bitwise engine-identical. The
+    final /256 carries a positivity offset: floor rounding can push the
+    near-zero sum negative, where truncating and floor division differ —
+    the offset makes them equal. Complements q_ks_2samp (KS = max gap; PSI
+    = mass-weighted divergence).
+
+    Scale notes: one bin-keyed map-side-combined shuffle into 10 cells;
+    everything after runs on the 10-row table. Linear at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    sc = logistic_scored(docs).select(
+        F.expr(f"least(p_milli div 100, {CAL_BINS - 1})").alias("bin"),
+        F.expr("CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END").alias("in_a"),
+    )
+    cnt = sc.groupBy("bin").agg(
+        F.sum("in_a").cast("long").alias("ca"),
+        F.sum(F.expr("1 - in_a")).cast("long").alias("cb"),
+    )
+    spine = (
+        docs.sparkSession.range(CAL_BINS)
+        .select(F.col("id").cast("long").alias("bin"))
+    )
+    g = (
+        spine.join(cnt, "bin", "left")
+        .select(
+            "bin",
+            (F.coalesce(F.col("ca"), F.lit(0)) + 1).cast("long").alias("a1"),
+            (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("long").alias("b1"),
+        )
+    )
+    tot = g.agg(
+        F.sum("a1").cast("long").alias("na"),
+        F.sum("b1").cast("long").alias("nb"),
+    )
+    g = g.crossJoin(F.broadcast(tot))
+    g = with_fixed_log2_q8(g, "a1", "la")
+    g = with_fixed_log2_q8(g, "b1", "lb")
+    g = with_fixed_log2_q8(g, "na", "lna")
+    g = with_fixed_log2_q8(g, "nb", "lnb")
+    t = g.select(
+        "bin",
+        "a1",
+        "b1",
+        F.expr(
+            f"a1 * {EVAL_SCALE} div na - b1 * {EVAL_SCALE} div nb"
+        ).alias("diff_micro"),
+        F.expr("la - lna - lb + lnb").alias("lr_q8"),
+    )
+    wall = Window.partitionBy()
+    return (
+        t.select(
+            "bin",
+            (F.col("a1") - 1).alias("n_a"),
+            (F.col("b1") - 1).alias("n_b"),
+            "diff_micro",
+            F.col("lr_q8").alias("log_ratio_q8"),
+            (
+                F.sum(F.expr("diff_micro * lr_q8")).over(wall)
+                + F.lit(PSI_OFF * 256)
+            )
+            .cast("long")
+            .alias("_num"),
+        )
+        .withColumn("psi_micro", F.expr(f"_num div 256 - {PSI_OFF}"))
+        .drop("_num")
+    )
+
+
+# --- q_bootstrap_ci -------------------------------------------------------------
+
+BOOT_B = 40  # deterministic resamples
+# Cumulative Poisson(1) CDF x 1e6 (floor): the per-doc resample multiplicity
+# law — P(W=0)=1/e etc. Pinned in tests/test_mleval.py.
+BOOT_T0 = 367_879
+BOOT_T1 = 735_758
+BOOT_T2 = 919_698
+BOOT_T3 = 981_011
+BOOT_T4 = 996_340
+
+
+def _boot_w_sql(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {BOOT_T0} THEN 0 WHEN {u} < {BOOT_T1} THEN 1"
+        f" WHEN {u} < {BOOT_T2} THEN 2 WHEN {u} < {BOOT_T3} THEN 3"
+        f" WHEN {u} < {BOOT_T4} THEN 4 ELSE 5 END"
+    )
+
+
+def _bootstrap_oracle() -> str:
+    u = (
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'"
+        " || CAST(b AS VARCHAR)), 1, 12) AS BIGINT) % 1000000"
+    )
+    return f"""
+    WITH bs AS (
+        SELECT unnest(generate_series(1, {BOOT_B})) AS b
+    ), w AS (
+        SELECT b, doc_id, n_chars, {_boot_w_sql(u)} AS w
+        FROM documents CROSS JOIN bs
+    ), stats AS (
+        SELECT b, CAST(sum(w * n_chars) AS BIGINT) AS swx,
+               CAST(sum(w) AS BIGINT) AS sw
+        FROM w GROUP BY b HAVING sum(w) > 0
+    ), ranked AS (
+        SELECT b, swx * 1000 // sw AS stat_milli,
+               row_number() OVER (ORDER BY swx * 1000 // sw, b) AS rn,
+               count(*) OVER () AS nb
+        FROM stats
+    ), point AS (
+        SELECT CAST(sum(n_chars) * 1000 // count(*) AS BIGINT)
+                   AS point_milli
+        FROM documents
+    )
+    SELECT CAST(nb AS BIGINT) AS n_resamples, point.point_milli,
+           CAST(max(CASE WHEN rn = 2 THEN stat_milli END) AS BIGINT)
+               AS lo_milli,
+           CAST(max(CASE WHEN rn = nb - 1 THEN stat_milli END) AS BIGINT)
+               AS hi_milli
+    FROM ranked CROSS JOIN point
+    GROUP BY nb, point.point_milli
+    """
+
+
+@declare("q_bootstrap_ci", oracle=_bootstrap_oracle(), tier="P1")
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for the mean document length:
+    each of 40 resamples weights every doc by a Poisson(1)-distributed
+    multiplicity drawn from a hash (md5(doc_id:b) -> uniform micro ->
+    pinned CDF thresholds) — the standard streaming/distributed
+    bootstrap (per-doc independent weights instead of an n-way
+    multinomial), fully replayable on both engines. Reports the
+    trimmed 2nd / (B-1)th order statistics of the resample means as the
+    ~95% interval plus the full-data point estimate, all in exact
+    integer milli-units.
+
+    Scale notes: the resample fan-out is a map-side B-row explode per
+    doc (no shuffle growth beyond B partial sums per resample — the
+    aggregation is map-side combined into B rows); the CI is a window
+    over B rows. This is THE bootstrap shape that survives 100 TB —
+    no per-resample data copies."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',"
+        " CAST(b AS STRING))), 1, 12), 16, 10) AS BIGINT) % 1000000"
+    )
+    w = (
+        docs.select("doc_id", "n_chars")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
+        )
+        .withColumn("w", F.expr(_boot_w_sql(u)))
+    )
+    stats = (
+        w.groupBy("b")
+        .agg(
+            F.sum(F.expr("w * n_chars")).cast("long").alias("swx"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+    )
+    ranked = stats.select(
+        "b", F.expr("swx * 1000 div sw").alias("stat_milli")
+    )
+    wr = Window.orderBy("stat_milli", "b")
+    wall = Window.partitionBy()
+    ranked = ranked.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "nb", F.count("*").over(wall)
+    )
+    point = docs.agg(
+        F.expr("CAST(sum(n_chars) * 1000 div count(*) AS BIGINT)").alias(
+            "point_milli"
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .groupBy(F.col("nb").cast("long").alias("n_resamples"), "point_milli")
+        .agg(
+            F.max(F.expr("CASE WHEN rn = 2 THEN stat_milli END"))
+            .cast("long")
+            .alias("lo_milli"),
+            F.max(F.expr("CASE WHEN rn = nb - 1 THEN stat_milli END"))
+            .cast("long")
+            .alias("hi_milli"),
+        )
+    )

@@ -189,3 +189,121 @@ def test_holt_negative_trend_floor_division(spark):
     b2 = math.floor((b1 + l2 - l1) / 2)
     assert b1 < 0 and b2 < 0  # the regime under test
     assert (row.l, row.b) == (l2, b2)
+
+
+def test_bootstrap_poisson_thresholds_pinned():
+    from mysql_to_clickhouse_sync_spark.operators.mleval import (
+        BOOT_T0, BOOT_T1, BOOT_T2, BOOT_T3, BOOT_T4,
+    )
+
+    e = math.exp(-1)
+    cum = [e, 2 * e, 2.5 * e, e * (1 + 1 + 0.5 + 1 / 6),
+           e * (1 + 1 + 0.5 + 1 / 6 + 1 / 24)]
+    got = [BOOT_T0, BOOT_T1, BOOT_T2, BOOT_T3, BOOT_T4]
+    for g, c in zip(got, cum):
+        assert g == math.floor(c * 1_000_000), (g, c)
+
+
+def test_bootstrap_interval_brackets_point(spark):
+    (row,) = _collect(spark, "q_bootstrap_ci")
+    assert row.n_resamples == 40
+    assert row.lo_milli <= row.hi_milli
+    # the resample distribution should bracket the point estimate
+    assert row.lo_milli <= row.point_milli <= row.hi_milli
+
+
+def test_conformal_coverage_near_level(spark):
+    (row,) = _collect(spark, "q_conformal_threshold")
+    assert 1 <= row.q_idx <= row.n_cal
+    # distribution-free guarantee is >= 90% in expectation over splits;
+    # on one fixed split allow generous slack but catch gross breakage
+    assert row.coverage_micro >= 700_000, row
+    assert 0 <= row.pred_en_rate_micro <= 1_000_000
+
+
+def test_calibration_bins_recount(spark):
+    rows = _collect(spark, "q_calibration_bins")
+    pairs = _scored_pairs(spark)
+    byb = {}
+    for _s, _z, p, y in pairs:
+        byb.setdefault(min(p // 100, 9), []).append((p, y))
+    assert {r.bin for r in rows} == set(byb)
+    num = den = 0
+    for r in rows:
+        ps = byb[r.bin]
+        assert r.n == len(ps)
+        assert r.mean_pred_micro == sum(p for p, _ in ps) * 1000 // len(ps)
+        assert r.obs_rate_micro == sum(y for _, y in ps) * 1_000_000 // len(ps)
+        assert r.gap_micro == abs(r.mean_pred_micro - r.obs_rate_micro)
+        num += r.n * r.gap_micro
+        den += r.n
+    assert all(r.ece_micro == num // den for r in rows)
+
+
+def test_psi_nonnegative_and_symmetric_zero(spark):
+    rows = _collect(spark, "q_psi_drift")
+    assert len(rows) == 10
+    psi = {r.psi_micro for r in rows}
+    assert len(psi) == 1  # repeated total
+    # PSI >= 0 up to floor rounding (bounded below by -10 q8-floor slips)
+    assert psi.pop() >= -40
+    # halves partition the corpus
+    n_a = sum(r.n_a for r in rows)
+    n_b = sum(r.n_b for r in rows)
+    assert n_a > 0 and n_b > 0
+
+
+def test_link_predict_scores_recount(spark):
+    """Recompute AA for a handful of pairs from the raw graph."""
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+    from mysql_to_clickhouse_sync_spark.operators.clustering import (
+        LP_NODE_BOUND, LP_TAU,
+    )
+    from mysql_to_clickhouse_sync_spark.operators.text import (
+        with_fixed_log2_q8,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") < LP_NODE_BOUND
+    )
+    vecs = {
+        r.vec_id: [math.floor(float(v) * 1024) for v in r.embedding]
+        for r in emb.collect()
+    }
+    ids = sorted(vecs)
+    adj = {i: set() for i in ids}
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = sum(a * b for a, b in zip(vecs[i], vecs[j]))
+                if d >= LP_TAU:
+                    adj[i].add(j)
+                    adj[j].add(i)
+    lq8 = {
+        r.d: r.l
+        for r in with_fixed_log2_q8(
+            spark.createDataFrame(
+                [(len(adj[i]),) for i in ids if len(adj[i]) >= 2], "d long"
+            ).distinct(),
+            "d",
+            "l",
+        ).collect()
+    }
+    got = {(r.src, r.dst): r for r in _collect(spark, "q_link_predict")}
+    want = {}
+    for z in ids:
+        nb = sorted(adj[z])
+        if len(nb) < 2:
+            continue
+        wz = 1_000_000 * 256 // lq8[len(adj[z])]
+        for x in range(len(nb)):
+            for y in range(x + 1, len(nb)):
+                u, w = nb[x], nb[y]
+                if w in adj[u]:
+                    continue
+                k = (u, w)
+                c, s = want.get(k, (0, 0))
+                want[k] = (c + 1, s + wz)
+    assert set(got) == set(want)
+    for k, (c, s) in want.items():
+        assert (got[k].n_common, got[k].aa_micro) == (c, s), k
