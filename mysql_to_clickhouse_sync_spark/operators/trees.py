@@ -383,3 +383,246 @@ def q_stump_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return folds[0].unionAll(folds[1])
+
+
+# --- q_adaboost_round --------------------------------------------------------
+
+BOOST_EMPHASIS = 3  # integer re-weight of round-1 mistakes (see docstring)
+
+
+def _wstump_cte(tag: str, wsrc: str) -> str:
+    """Weighted GLOBAL-argmin stump chain: like `_stump_sql` but (a)
+    every histogram count is a weight sum from the `wsrc`(doc_id, w)
+    CTE, and (b) `best{tag}` is the single best (feat, thr) across ALL
+    features (boosting picks one stump per round, not one per feature),
+    carrying the per-side majority classes. Assumes a shared `feats`
+    CTE (doc_id, y, milli-features) exists in the enclosing WITH."""
+    stacked = "\n            UNION ALL\n            ".join(
+        f"SELECT f.doc_id, f.y, w.w, '{f0}' AS feat, f.{f0} AS val"
+        f" FROM feats f JOIN {wsrc} w USING (doc_id)"
+        for f0 in STUMP_FEATURES
+    )
+    return f"""
+    stacked{tag} AS (
+            {stacked}
+    ), hist{tag} AS (
+        SELECT feat, val // {STUMP_BUCKET} AS b,
+               CAST(sum(w) AS BIGINT) AS nw_b,
+               CAST(sum(w * y) AS BIGINT) AS pw_b
+        FROM stacked{tag} GROUP BY feat, b
+    ), tot{tag} AS (
+        SELECT feat, CAST(sum(nw_b) AS BIGINT) AS nw,
+               CAST(sum(pw_b) AS BIGINT) AS pw
+        FROM hist{tag} GROUP BY feat
+    ), cum{tag} AS (
+        SELECT feat, b,
+               CAST(sum(nw_b) OVER w AS BIGINT) AS nw_l,
+               CAST(sum(pw_b) OVER w AS BIGINT) AS pw_l
+        FROM hist{tag}
+        WINDOW w AS (PARTITION BY feat ORDER BY b)
+    ), cand{tag} AS (
+        SELECT cum{tag}.feat, (b + 1) * {STUMP_BUCKET} AS thr,
+               nw_l, pw_l, nw - nw_l AS nw_r, pw - pw_l AS pw_r, nw
+        FROM cum{tag} JOIN tot{tag} USING (feat)
+        WHERE nw_l < nw
+    ), best{tag} AS (
+        SELECT feat, thr,
+               CASE WHEN 2 * pw_l > nw_l THEN 1 ELSE 0 END AS maj_l,
+               CASE WHEN 2 * pw_r > nw_r THEN 1 ELSE 0 END AS maj_r,
+               imp_micro
+        FROM (
+            SELECT *, (((2000 * pw_l * (nw_l - pw_l)) // nw_l
+                        + (2000 * pw_r * (nw_r - pw_r)) // nw_r) * 1000)
+                      // nw AS imp_micro,
+                   row_number() OVER (
+                       ORDER BY (((2000 * pw_l * (nw_l - pw_l)) // nw_l
+                                  + (2000 * pw_r * (nw_r - pw_r)) // nw_r)
+                                 * 1000) // nw, feat, thr) AS rn
+            FROM cand{tag}
+        )
+        WHERE rn = 1
+    ), p{tag} AS (
+        SELECT s.doc_id, s.y, s.w,
+               CASE WHEN s.val < b.thr THEN b.maj_l ELSE b.maj_r END AS pred
+        FROM stacked{tag} s JOIN best{tag} b ON s.feat = b.feat
+    ), e{tag} AS (
+        SELECT CAST(sum(CASE WHEN y <> pred THEN w ELSE 0 END) AS BIGINT)
+                   AS err_w,
+               CAST(sum(w) AS BIGINT) AS tot_w
+        FROM p{tag}
+    )"""
+
+
+def _adaboost_oracle() -> str:
+    return f"""
+    WITH feats AS (
+        {milli_feats_sql(f"doc_id, {_TARGET_SQL} AS y")}
+    ), w1 AS (
+        SELECT doc_id, CAST(1 AS BIGINT) AS w FROM feats
+    ),
+    {_wstump_cte('1', 'w1')},
+    w2 AS (
+        SELECT doc_id, CAST(CASE WHEN y <> pred THEN {BOOST_EMPHASIS}
+                            ELSE 1 END AS BIGINT) AS w
+        FROM p1
+    ),
+    {_wstump_cte('2', 'w2')}
+    SELECT CAST(1 AS BIGINT) AS round, b.feat, CAST(b.thr AS BIGINT) AS thr,
+           CAST(b.maj_l AS BIGINT) AS maj_l, CAST(b.maj_r AS BIGINT) AS maj_r,
+           CAST(b.imp_micro AS BIGINT) AS imp_micro, e.err_w, e.tot_w
+    FROM best1 b CROSS JOIN e1 e
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), b.feat, CAST(b.thr AS BIGINT),
+           CAST(b.maj_l AS BIGINT), CAST(b.maj_r AS BIGINT),
+           CAST(b.imp_micro AS BIGINT), e.err_w, e.tot_w
+    FROM best2 b CROSS JOIN e2 e
+    """
+
+
+def _weighted_global_stump(stacked: DataFrame) -> DataFrame:
+    """1-row best stump over stacked (doc_id, y, w, feat, val) — the
+    Spark mirror of `_wstump_cte`'s best{tag} (global argmin, weighted
+    counts, per-side majority classes)."""
+    hist = stacked.groupBy(
+        "feat", F.expr(f"val div {STUMP_BUCKET}").alias("b")
+    ).agg(
+        F.sum("w").cast("long").alias("nw_b"),
+        F.sum(F.expr("w * y")).cast("long").alias("pw_b"),
+    )
+    tot = hist.groupBy("feat").agg(
+        F.sum("nw_b").cast("long").alias("nw"),
+        F.sum("pw_b").cast("long").alias("pw"),
+    )
+    w = Window.partitionBy("feat").orderBy("b")
+    cum = hist.select(
+        "feat",
+        "b",
+        F.sum("nw_b").over(w).cast("long").alias("nw_l"),
+        F.sum("pw_b").over(w).cast("long").alias("pw_l"),
+    )
+    cand = (
+        cum.join(F.broadcast(tot), "feat")
+        .filter(F.col("nw_l") < F.col("nw"))
+        .select(
+            "feat",
+            ((F.col("b") + 1) * STUMP_BUCKET).alias("thr"),
+            "nw_l",
+            "pw_l",
+            (F.col("nw") - F.col("nw_l")).alias("nw_r"),
+            (F.col("pw") - F.col("pw_l")).alias("pw_r"),
+            "nw",
+        )
+    )
+    imp = (
+        "(((2000 * pw_l * (nw_l - pw_l)) div nw_l"
+        " + (2000 * pw_r * (nw_r - pw_r)) div nw_r) * 1000) div nw"
+    )
+    scored = cand.withColumn("imp_micro", F.expr(imp))
+    wbest = Window.orderBy("imp_micro", "feat", "thr")
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "feat",
+            "thr",
+            F.expr("CASE WHEN 2 * pw_l > nw_l THEN 1 ELSE 0 END")
+            .cast("long")
+            .alias("maj_l"),
+            F.expr("CASE WHEN 2 * pw_r > nw_r THEN 1 ELSE 0 END")
+            .cast("long")
+            .alias("maj_r"),
+            F.col("imp_micro").cast("long").alias("imp_micro"),
+        )
+    )
+
+
+def _predict_and_err(stacked: DataFrame, best: DataFrame):
+    """(per-doc predictions, 1-row weighted error) of `best` applied to
+    stacked (doc_id, y, w, feat, val)."""
+    p = stacked.join(F.broadcast(best), "feat").select(
+        "doc_id",
+        "y",
+        "w",
+        F.expr(
+            "CASE WHEN val < thr THEN maj_l ELSE maj_r END"
+        ).alias("pred"),
+    )
+    e = p.agg(
+        F.sum(F.expr("CASE WHEN y <> pred THEN w ELSE 0 END"))
+        .cast("long")
+        .alias("err_w"),
+        F.sum("w").cast("long").alias("tot_w"),
+    )
+    return p, e
+
+
+@declare("q_adaboost_round", oracle=_adaboost_oracle(), tier="P1")
+def q_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two boosting rounds over the milli-feature stumps: round 1 trains
+    the single Gini-best stump on uniform weights; its mistakes are
+    re-weighted by a pinned integer emphasis factor (x3 — AdaBoost's
+    (1-eps)/eps quantized to a fixed integer so the whole program stays
+    BIGINT-exact; eps lands near 1/4 on this corpus, where the true
+    multiplier is ~3) and round 2 trains the best stump under those
+    weights — forcing a DIFFERENT view of the data exactly like real
+    boosting. Output: per round, the chosen (feature, threshold),
+    per-side majority classes, weighted impurity, and weighted error —
+    the audit trail of the ensemble trainer.
+
+    Scale notes: each round is the histogram-stump shape (one
+    (feat, bucket)-keyed map-side-combined weight-sum shuffle into a
+    features x buckets table, independent of corpus size) plus one
+    broadcast-stump prediction pass. Two passes over the data total —
+    the canonical distributed boosting cost. Weighted Gini products
+    are BIGINT-safe for sum-of-weights < ~1.4e8 / weight-bound (the
+    q_stump_train bound divided by the emphasis factor)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    feats = milli_features(docs, y=F.expr(_TARGET_SQL))
+    pairs = ", ".join(f"'{f}', {f}" for f in STUMP_FEATURES)
+    base = feats.selectExpr(
+        "doc_id",
+        "y",
+        f"stack({len(STUMP_FEATURES)}, {pairs}) AS (feat, val)",
+    ).localCheckpoint(eager=True)
+    st1 = base.withColumn("w", F.lit(1).cast("long"))
+    # 1-row stump tables and the per-doc weight vector are each consumed
+    # by 2+ downstream branches — cut lineage so the histogram chain and
+    # the prediction pass run once per round, not once per consumer
+    # (at cluster scale this is the standard persisted boosting-weight
+    # vector between rounds).
+    best1 = _weighted_global_stump(st1).localCheckpoint(eager=True)
+    p1, e1 = _predict_and_err(st1, best1)
+    p1 = p1.localCheckpoint(eager=True)
+    w2 = p1.select(
+        "doc_id",
+        F.expr(
+            f"CAST(CASE WHEN y <> pred THEN {BOOST_EMPHASIS} ELSE 1 END"
+            " AS BIGINT)"
+        ).alias("w"),
+    )
+    st2 = base.join(w2, "doc_id")
+    best2 = _weighted_global_stump(st2).localCheckpoint(eager=True)
+    _p2, e2 = _predict_and_err(st2, best2)
+    r1 = best1.crossJoin(e1).select(
+        F.lit(1).cast("long").alias("round"),
+        "feat",
+        F.col("thr").cast("long").alias("thr"),
+        "maj_l",
+        "maj_r",
+        "imp_micro",
+        "err_w",
+        "tot_w",
+    )
+    r2 = best2.crossJoin(e2).select(
+        F.lit(2).cast("long").alias("round"),
+        "feat",
+        F.col("thr").cast("long").alias("thr"),
+        "maj_l",
+        "maj_r",
+        "imp_micro",
+        "err_w",
+        "tot_w",
+    )
+    return r1.unionAll(r2)

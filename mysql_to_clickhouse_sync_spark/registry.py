@@ -57,6 +57,7 @@ def _load_all_modules() -> None:
         clustering,
         curation,
         dedup,
+        featurize,
         filters,
         ivf,
         joins,
