@@ -200,8 +200,14 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q_mutual_info -----------------------------------------------------------
 
 MI_BUCKETS = 16
-MI_OFF = 1 << 40  # final-division positivity offset (floor-rounded cell
-#                   terms can push a near-zero MI sum slightly negative)
+# Two-step final division with n-INDEPENDENT positivity offsets (the
+# one-step form needed an offset scaled by n and overflowed at 10x):
+# per-doc q8 term |sum(t)/n| <= 4 * 256 * log2-range < 2^16, so
+# MI_OFF1 covers the /n floor-div; the q8 -> micro step is then bounded
+# by 2^16 * 1e6 < 2^47, covered by MI_OFF2. Costs <= 1 q8 unit (~3.9k
+# micro-bits) of extra truncation — under the kernel's own error bound.
+MI_OFF1 = 1 << 16
+MI_OFF2 = 1 << 28
 _MI_FEATS = ("len", "alpha", "stop", "digit")
 _MI_Y = "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)"
 
@@ -249,8 +255,9 @@ def _mutual_info_oracle() -> str:
         JOIN lg ln ON ln.x = nt.n
     )
     SELECT feat, n,
-           CAST((sum(t) * {FEAT_SCALE} + {MI_OFF} * 256 * n) // (256 * n)
-                - {MI_OFF} AS BIGINT) AS mi_micro
+           CAST((((sum(t) + {MI_OFF1} * n) // n - {MI_OFF1})
+                 * {FEAT_SCALE} + {MI_OFF2 * 256}) // 256
+                - {MI_OFF2} AS BIGINT) AS mi_micro
     FROM terms GROUP BY feat, n
     """
 
@@ -263,7 +270,7 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c_xy/n) * log2(c_xy * n / (c_x * c_y)), every count through the Q8
     log2 kernel so the per-cell integer terms are engine-exact; empty
     cells contribute 0 by the standard convention (no smoothing
-    needed). The final /(256*n) carries a positivity offset — floor
+    needed). The final /n then /256 steps carry positivity offsets — floor
     rounding can push a near-zero MI a hair negative.
 
     Scale notes: one (feat, bucket, y)-keyed map-side-combined shuffle
@@ -301,8 +308,9 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return terms.groupBy("feat", "n").agg(
         F.expr(
-            f"CAST((sum(t) * {FEAT_SCALE} + {MI_OFF} * 256 * n)"
-            f" div (256 * n) - {MI_OFF} AS BIGINT)"
+            f"CAST((((sum(t) + {MI_OFF1} * n) div n - {MI_OFF1})"
+            f" * {FEAT_SCALE} + {MI_OFF2 * 256}) div 256"
+            f" - {MI_OFF2} AS BIGINT)"
         ).alias("mi_micro")
     )
 

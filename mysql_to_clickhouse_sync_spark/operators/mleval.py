@@ -46,8 +46,9 @@ bounded by the score grid (<= 1001 thresholds for p_milli, ~spread of z_q8
 for the others) — the windows run over those tiny tables, never over raw
 rows, so each query is scan -> map -> one map-side-combined shuffle ->
 tiny-table windows. Naive Bayes' model is a 320-row broadcast. The kNN
-declared form restricts queries to a fixed panel (vec_id % KNN_STRIDE) so
-cost is panel x corpus, linear in the corpus; the unrestricted production
+declared form restricts queries to a FIXED panel (vec_id % KNN_STRIDE,
+capped below KNN_PANEL_MAX) so cost is panel x corpus, linear in the
+corpus at every SF; the unrestricted production
 path is the IVF/LSH ANN family (operators/ivf.py, similarity.py) with
 q_ann_recall auditing against this exact baseline.
 """
@@ -481,7 +482,12 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_knn_classify ----------------------------------------------------------
 
-KNN_STRIDE = 20  # query panel: every 20th vector
+KNN_STRIDE = 20  # query panel: every 20th vector ...
+KNN_PANEL_MAX = 2000  # ... capped to vec_id < 2000 (<= 100 queries), so
+#                       the panel is FIXED-size and pair cost stays linear
+#                       in the corpus at any SF (10x stress: the un-capped
+#                       modulus panel grew with the corpus and went
+#                       quadratic — 142 s; capped it is flat)
 KNN_K = 5
 
 
@@ -495,7 +501,7 @@ def _knn_oracle() -> str:
         FROM embeddings
     ), qs AS (
         SELECT vec_id AS qid, label AS qlabel, qv AS qqv
-        FROM qvs WHERE vec_id % {KNN_STRIDE} = 0
+        FROM qvs WHERE vec_id % {KNN_STRIDE} = 0 AND vec_id < {KNN_PANEL_MAX}
     ), pairs AS (
         SELECT qs.qid, qs.qlabel, c.vec_id AS cid, c.label AS clabel,
                list_reduce(list_transform(list_zip(qs.qqv, c.qv),
@@ -522,7 +528,8 @@ def _knn_oracle() -> str:
 @declare("q_knn_classify", oracle=_knn_oracle(), tier="P2")
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN (k=5) majority-vote classification over the embeddings table:
-    for every panel query (vec_id % 20 == 0), the 5 nearest other
+    for every panel query (vec_id % 20 == 0, capped below 2000 so the
+    panel is fixed-size at any corpus scale), the 5 nearest other
     vectors by exact integer grid dot (floor(x*1024) elements — the same
     float-exact quantization as q_softmax_topk), then majority label
     with (votes desc, label asc) tiebreak; neighbor ties break on
@@ -543,7 +550,10 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {SM_GRID}) AS BIGINT))"
         ).alias("qv"),
     )
-    qs = emb.filter(F.col("vec_id") % KNN_STRIDE == 0).select(
+    qs = emb.filter(
+        (F.col("vec_id") % KNN_STRIDE == 0)
+        & (F.col("vec_id") < KNN_PANEL_MAX)
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("qv").alias("qqv"),

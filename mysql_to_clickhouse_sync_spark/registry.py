@@ -63,6 +63,7 @@ def _load_all_modules() -> None:
         joins,
         json_ops,
         kmeans,
+        linalg,
         mleval,
         mlscore,
         multimodal,

@@ -487,3 +487,158 @@ def s_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if query is not None:
             query.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# --- s_holt_stream -----------------------------------------------------------
+
+HOLT_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), False),
+        StructField("n_days", LongType(), False),
+        StructField("level_milli", LongType(), False),
+        StructField("trend_milli", LongType(), False),
+        StructField("forecast_milli", LongType(), False),
+        StructField("sse", LongType(), False),
+    ]
+)
+
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType(), False),
+        StructField("l", LongType(), False),
+        StructField("b", LongType(), False),
+        StructField("sse", LongType(), False),
+    ]
+)
+
+
+def update_holt_state(
+    key: tuple[Any, ...],
+    pdfs: "Iterator[pd.DataFrame]",
+    state: GroupState,
+) -> "Iterator[pd.DataFrame]":
+    """Fold this micro-batch's (day-sorted) daily counts into the Holt
+    (n, l, b, sse) state. Python's // floors — the same arithmetic as
+    q_holt_linear's positivity-offset `div` (operators/timeseries.py),
+    so the converged state equals the batch fold EXACTLY."""
+    import pandas as pd
+
+    (etype,) = key
+    n, l, b, sse = state.get if state.exists else (0, 0, 0, 0)
+    rows = pd.concat(list(pdfs)).sort_values("day_n")
+    for y in rows["y"].astype("int64"):
+        y = int(y)
+        if n == 0:
+            n, l, b, sse = 1, y * 1000, 0, 0
+        else:
+            err = y * 1000 - l - b
+            sse += err * err
+            l_new = (y * 1000 + l + b) // 2
+            b = (b + l_new - l) // 2
+            l = l_new
+            n += 1
+    state.update((n, l, b, sse))
+    yield pd.DataFrame(
+        {
+            "event_type": [etype],
+            "n_days": [n],
+            "level_milli": [l],
+            "trend_milli": [b],
+            "forecast_milli": [l + b],
+            "sse": [sse],
+        }
+    )
+
+
+def _holt_stream_oracle() -> str:
+    from mysql_to_clickhouse_sync_spark.operators.timeseries import (
+        _holt_oracle,
+    )
+
+    return _holt_oracle()
+
+
+@declare("s_holt_stream", oracle=_holt_stream_oracle(), tier="P3")
+@tuned
+def s_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Holt smoothing — the online half of q_holt_linear: the
+    per-day event-count rollup arrives in two day-ordered micro-batches
+    (early days, then late days — the calendar order a live pipeline
+    sees) and per-event_type GroupState carries the (n, l, b, sse)
+    recurrence across the batch boundary. The live forecast dashboard:
+    after every micro-batch each key emits its refreshed level / trend /
+    one-step forecast.
+
+    FULL ORACLE: unlike the counter streams, this state is
+    ORDER-DEPENDENT — the oracle (q_holt_linear's recursive CTE) only
+    equals the converged state because the micro-batches partition the
+    series by day and arrive in order, which is exactly the
+    event-time-ordered replay contract a checkpointed daily rollup
+    gives. The handler's Python // floors match the batch fold's
+    positivity-offset div by construction (both are floor division).
+
+    Scale notes: state is four BIGINTs per event_type; each micro-batch
+    shuffles only the daily rollup rows (|keys| x |new days|), with the
+    heavy count pre-aggregation upstream. Arrow-batched handler, one
+    group per key per batch."""
+    ev = load_table(spark, sf_dir, "events")
+    ser = (
+        ev.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day_n"),
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+        .select("event_type", "day_n", "y")
+    )
+    lo, hi = ser.agg(F.min("day_n"), F.max("day_n")).first()
+    split = (int(lo) + int(hi)) // 2
+    early = ser.filter(F.col("day_n") <= split)
+    late = ser.filter(F.col("day_n") > split)
+
+    workdir = tempfile.mkdtemp(prefix="holt_stream_")
+    in_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(ser.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    ensure_package_shipped(spark)
+    states = stream.groupBy("event_type").applyInPandasWithState(
+        update_holt_state,
+        outputStructType=HOLT_OUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"holt_stream_{abs(hash(workdir)) % 10**9}"
+    query = None
+    try:
+        early.coalesce(1).write.mode("append").parquet(in_dir)
+        query = (
+            states.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.processAllAvailable()
+        late.coalesce(1).write.mode("append").parquet(in_dir)
+        query.processAllAvailable()
+        from pyspark.sql.window import Window
+
+        updates = spark.table(sink)
+        w = Window.partitionBy("event_type").orderBy(F.col("n_days").desc())
+        return (
+            updates.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)

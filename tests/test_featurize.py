@@ -67,7 +67,8 @@ def test_feature_hash_matches_hashlib(spark):
 
 def test_mutual_info_matches_float_within_kernel_error(spark):
     """Per-cell lq8 carries < 1 q8 unit of error; four of them weighted
-    by cxy bound |mi_micro - float MI| by 4e6/256 ~ 15.6k micro-bits."""
+    by cxy bound |mi_micro - float MI| by 4e6/256 ~ 15.6k micro-bits,
+    plus one more q8 truncation (~3.9k) from the two-step final div."""
     from collections import Counter
 
     from mysql_to_clickhouse_sync_spark.operators.mleval import milli_features
@@ -95,7 +96,7 @@ def test_mutual_info_matches_float_within_kernel_error(spark):
             (c / n) * math.log2(c * n / (mx[b] * my[y]))
             for (b, y), c in cells.items()
         )
-        assert abs(rows[feat].mi_micro - mi * 1_000_000) <= 16_000, feat
+        assert abs(rows[feat].mi_micro - mi * 1_000_000) <= 20_000, feat
     # stopword ratio is the language feature by construction — it must
     # carry clearly more information about lang='en' than doc length
     assert rows["stop"].mi_micro >= rows["len"].mi_micro
