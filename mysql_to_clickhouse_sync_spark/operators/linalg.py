@@ -173,7 +173,10 @@ _V_OFF = 1 << 15  # positivity offset for the normalization floor-div
 # arithmetic never grows with n (eigenvectors are scale-invariant).
 
 
-def _pca_oracle() -> str:
+def _pca_cte() -> str:
+    """WITH-body (no leading WITH) through the final iterate
+    v{PCA_ROUNDS}(d, v) / m{PCA_ROUNDS}(m) — shared by q_pca_power and
+    q_component_removal."""
     rounds = []
     prev = "v0"
     for r in range(1, PCA_ROUNDS + 1):
@@ -192,8 +195,7 @@ def _pca_oracle() -> str:
         prev = f"v{r}"
     chain = ",\n    ".join(rounds)
     a_sql = f"(cov_num + {_A_OFF} * ds) // ds - {_A_OFF}"
-    return f"""
-    WITH {_COV_CTE},
+    return f"""{_COV_CTE},
     cmax AS (
         SELECT (CAST(max(abs(cov_num)) AS BIGINT) + {_A_Q - 1}) // {_A_Q}
                    AS ds
@@ -206,7 +208,12 @@ def _pca_oracle() -> str:
         SELECT unnest(generate_series(0, {LA_DIM - 1})) AS d,
                CAST({PCA_Q} AS BIGINT) AS v
     ),
-    {chain}
+    {chain}"""
+
+
+def _pca_oracle() -> str:
+    return f"""
+    WITH {_pca_cte()}
     SELECT v{PCA_ROUNDS}.d AS dim, v{PCA_ROUNDS}.v AS v_q14,
            m{PCA_ROUNDS}.m AS iter_norm
     FROM v{PCA_ROUNDS} CROSS JOIN m{PCA_ROUNDS}
@@ -423,4 +430,114 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dot_true",
         F.expr(est).alias("dot_est"),
         F.expr(f"abs({est} - dot_true)").alias("abs_err"),
+    )
+
+
+# --- q_component_removal -----------------------------------------------------
+
+CR_PANEL = 100  # audit panel: vec_id < CR_PANEL
+_CR_VQ = 128  # eigenvector down-scale Q14 -> Q7 for the removal products
+_CR_OFF = 1 << 10  # positivity offset for that floor-div (v has signs)
+# exact floor(p2 * 1e6 / den) in two *1000 steps: p2, den <= ~2^47, so a
+# direct *1e6 would overflow; q1 = p2*1000 // den, then (r1*1000 // den)
+# stays under 2^57 throughout. Same decomposition on both engines.
+_RATIO_SQL = (
+    "(proj * proj * 1000 // den) * 1000"
+    " + ((proj * proj * 1000 - (proj * proj * 1000 // den) * den)"
+    " * 1000 // den)"
+)
+
+
+def _component_removal_oracle() -> str:
+    return f"""
+    WITH {_pca_cte()},
+    vr AS (
+        SELECT d, (v + {_CR_OFF} * {_CR_VQ}) // {_CR_VQ} - {_CR_OFF} AS vr
+        FROM v{PCA_ROUNDS}
+    ), vvt AS (
+        SELECT CAST(sum(vr * vr) AS BIGINT) AS vv FROM vr
+    ), panel AS (
+        SELECT vec_id, d.d, qv[d.d + 1] AS x
+        FROM qvs
+        CROSS JOIN (SELECT unnest(generate_series(0, {LA_DIM - 1})) AS d) d
+        WHERE vec_id < {CR_PANEL}
+    ), sums AS (
+        SELECT panel.vec_id,
+               CAST(sum(panel.x * vr.vr) AS BIGINT) AS proj,
+               CAST(sum(panel.x * panel.x) AS BIGINT) AS xx
+        FROM panel JOIN vr ON vr.d = panel.d
+        GROUP BY panel.vec_id
+    ), den0 AS (
+        SELECT sums.*, vvt.vv, xx * vvt.vv AS den FROM sums CROSS JOIN vvt
+    )
+    SELECT vec_id, proj, xx, vv,
+           CAST(den - proj * proj AS BIGINT) AS resid_num,
+           CAST({_RATIO_SQL} AS BIGINT) AS removed_ratio_micro
+    FROM den0
+    """
+
+
+@declare(
+    "q_component_removal", oracle=_component_removal_oracle(), tier="P2"
+)
+def q_component_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-component removal audit — the standard "drop the top
+    principal direction before similarity" trick (common-crawl-style
+    embedding pipelines do this to kill the corpus-wide mean/style
+    direction): for each panel vector, the exact projection onto the
+    q_pca_power iterate (down-scaled to Q7 so every product stays in
+    BIGINT), the residual norm numerator |x|^2|v|^2 - <x,v>^2 (>= 0 by
+    Cauchy-Schwarz — an in-query invariant), and the removed-variance
+    share <x,v>^2 / (|x|^2|v|^2) in exact micro-units via a two-step
+    *1000 floor decomposition (a direct *1e6 would overflow).
+
+    Scale notes: the eigenvector is a 64-row broadcast; the projection
+    is one map-side dot per vector and the panel bound keeps the audit
+    constant-cost (production removes the component corpus-wide with
+    the same broadcast map — linear, shuffle-free)."""
+    v = q_pca_power(spark, sf_dir).localCheckpoint(eager=True)
+    vr = v.select(
+        F.col("dim").alias("d"),
+        F.expr(
+            f"(v_q14 + {_CR_OFF} * {_CR_VQ}) div {_CR_VQ} - {_CR_OFF}"
+        ).alias("vr"),
+    )
+    vvt = vr.agg(F.sum(F.expr("vr * vr")).cast("long").alias("vv"))
+    qvs = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < CR_PANEL
+    ).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
+            f" * {LA_GRID}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    panel = qvs.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {LA_DIM - 1}),"
+                f" d -> named_struct('d', CAST(d AS BIGINT), 'x', qv[d]))"
+            )
+        ).alias("c"),
+    ).select("vec_id", "c.d", "c.x")
+    sums = (
+        panel.join(F.broadcast(vr), "d")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.expr("x * vr")).cast("long").alias("proj"),
+            F.sum(F.expr("x * x")).cast("long").alias("xx"),
+        )
+    )
+    den0 = sums.crossJoin(F.broadcast(vvt)).withColumn(
+        "den", F.expr("xx * vv")
+    )
+    ratio = _RATIO_SQL.replace("//", "div")
+    return den0.select(
+        "vec_id",
+        "proj",
+        "xx",
+        "vv",
+        F.expr("den - proj * proj").cast("long").alias("resid_num"),
+        F.expr(ratio).cast("long").alias("removed_ratio_micro"),
     )

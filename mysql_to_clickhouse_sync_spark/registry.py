@@ -55,6 +55,7 @@ def _load_all_modules() -> None:
         bwt,
         clickhouse,
         clustering,
+        corpusstats,
         curation,
         dedup,
         featurize,

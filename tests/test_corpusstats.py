@@ -1,0 +1,148 @@
+"""Corpus-statistics operator tests (operators/corpusstats.py +
+q_component_removal). Oracle parity is covered by the roster sweep; these
+pin the statistics against independent recomputation."""
+
+import math
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _collect(spark, name):
+    from mysql_to_clickhouse_sync_spark.registry import (
+        REGISTRY,
+        _load_all_modules,
+    )
+
+    _load_all_modules()
+    return REGISTRY[name].fn(spark, SF_DIR).collect()
+
+
+def _docs(spark):
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+
+    return load_table(spark, SF_DIR, "documents").collect()
+
+
+def test_gini_matches_direct(spark):
+    docs = _docs(spark)
+    by_lang = {}
+    for d in docs:
+        by_lang.setdefault(d.lang, []).append((d.n_chars, d.doc_id))
+    got = {r.lang: r for r in _collect(spark, "q_gini_concentration")}
+    assert set(got) == set(by_lang)
+    for lang, xs in by_lang.items():
+        xs.sort()
+        n = len(xs)
+        sx = sum(x for x, _ in xs)
+        six = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+        want = (2 * six - (n + 1) * sx) * 1_000_000 // (n * sx)
+        r = got[lang]
+        assert (r.n, r.total_chars, r.gini_micro) == (n, sx, want), lang
+        assert 0 <= r.gini_micro < 1_000_000
+
+
+def test_vocab_growth_monotone_concave_ish(spark):
+    rows = sorted(_collect(spark, "q_vocab_growth"), key=lambda r: r.bucket)
+    docs = _docs(spark)
+    toks = [
+        t
+        for d in docs
+        for t in re.split(r"[^a-z]+", d.text.lower())
+        if len(t) >= 3
+    ]
+    # totals agree with a direct count
+    assert rows[-1].cum_tokens == len(toks)
+    assert rows[-1].cum_types == len(set(toks))
+    # both series strictly non-decreasing; types <= tokens everywhere
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_tokens >= a.cum_tokens and b.cum_types >= a.cum_types
+    assert all(r.cum_types <= r.cum_tokens for r in rows)
+
+
+def test_zipf_slope_in_natural_range(spark):
+    (row,) = _collect(spark, "q_zipf_slope")
+    # sf0.001's synthetic vocabulary is tiny (~30 types); the REAL check
+    # is exact agreement with a float OLS on the same head below
+    assert row.n_ranks >= 10
+    # natural-language rank-frequency slopes land around -0.5 .. -1.5;
+    # and compare against a float OLS on the same head within kernel error
+    docs = _docs(spark)
+    tf = Counter(
+        t
+        for d in docs
+        for t in re.split(r"[^a-z]+", d.text.lower())
+        if len(t) >= 3
+    )
+    head = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[: row.n_ranks]
+    xs = [math.log2(i + 1) for i in range(len(head))]
+    ys = [math.log2(f) for _, f in head]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(row.slope_micro - slope * 1_000_000) < 25_000
+    # frequency must decay with rank — slope clearly negative
+    assert -2_500_000 < row.slope_micro < -50_000
+
+
+def test_kaplan_meier_matches_lifelines_free_python(spark):
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+    from mysql_to_clickhouse_sync_spark.operators.corpusstats import (
+        KM_CENSOR_DAYS,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    ud = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr("min(unix_micros(ts) div 86400000000)").alias("d0"),
+            F.expr("max(unix_micros(ts) div 86400000000)").alias("d1"),
+        )
+        .collect()
+    )
+    wend = max(r.d1 for r in ud)
+    lives = [
+        (r.d1 - r.d0 + 1, 1 if r.d1 >= wend - KM_CENSOR_DAYS else 0)
+        for r in ud
+    ]
+    durs = sorted({d for d, _ in lives})
+    got = {r.duration_days: r for r in _collect(spark, "q_kaplan_meier")}
+    assert set(got) == set(durs)
+    s = None
+    remaining = len(lives)
+    for t in durs:
+        d = sum(1 for dur, c in lives if dur == t and c == 0)
+        c = sum(1 for dur, c in lives if dur == t and c == 1)
+        r = got[t]
+        assert (r.n_risk, r.n_events, r.n_censored) == (remaining, d, c), t
+        s = (
+            1_000_000 * (remaining - d) // remaining
+            if s is None
+            else s * (remaining - d) // remaining
+        )
+        assert r.surv_micro == s, t
+        remaining -= d + c
+    # survival is non-increasing and within [0, 1e6]
+    sv = [got[t].surv_micro for t in durs]
+    assert sv == sorted(sv, reverse=True)
+    assert all(0 <= v <= 1_000_000 for v in sv)
+
+
+def test_component_removal_invariants(spark):
+    rows = _collect(spark, "q_component_removal")
+    assert len(rows) > 0
+    for r in rows:
+        # Cauchy-Schwarz: residual numerator never negative
+        assert r.resid_num >= 0
+        assert r.resid_num == r.xx * r.vv - r.proj * r.proj
+        assert 0 <= r.removed_ratio_micro <= 1_000_000
+        # exact two-step floor == true floor
+        assert (
+            r.removed_ratio_micro
+            == (r.proj * r.proj * 1_000_000) // (r.xx * r.vv)
+        )
