@@ -263,3 +263,182 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+# --- q_assoc_lift ------------------------------------------------------------
+
+AL_SCALE = 1_000_000
+
+
+@declare(
+    "q_assoc_lift",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ), nu AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM baskets
+    ), item AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS c
+        FROM baskets GROUP BY event_type
+    ), pair AS (
+        SELECT a.event_type AS ante, b.event_type AS cons,
+               CAST(count(*) AS BIGINT) AS both
+        FROM baskets a JOIN baskets b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY ante, cons
+    )
+    SELECT pair.ante, pair.cons, pair.both,
+           ia.c AS n_ante, ic.c AS n_cons,
+           CAST(pair.both * {AL_SCALE} // nu.n AS BIGINT) AS support_micro,
+           CAST(pair.both * {AL_SCALE} // ia.c AS BIGINT) AS confidence_micro,
+           CAST((pair.both * nu.n * 1000) // (ia.c * ic.c) AS BIGINT)
+               AS lift_milli
+    FROM pair
+    JOIN item ia ON ia.event_type = pair.ante
+    JOIN item ic ON ic.event_type = pair.cons
+    CROSS JOIN nu
+    """,
+    tier="P2",
+)
+def q_assoc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type baskets:
+    support, confidence and lift for every type pair (ante < cons) in
+    exact integer micro/milli-units — the classic co-occurrence miner
+    (lift > 1: the pair co-occurs above independence). The same shape
+    mines source/tag co-occurrence in a corpus. lift_milli multiplies
+    before dividing (both*n*1000 — BIGINT-safe to ~1e5 users per basket
+    pair product; beyond, the two-step floor decomposition of
+    q_component_removal applies).
+
+    Scale notes: baskets dedupe with one (user, type) shuffle; the pair
+    join is per-user and bounded by basket size squared (|types| is
+    small by construction — for open-vocabulary items, cap baskets the
+    LSH-guard way); counts are map-side combined."""
+    baskets = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    nu = baskets.agg(
+        F.countDistinct("user_id").cast("long").alias("n")
+    )
+    item = baskets.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    a = baskets.select("user_id", F.col("event_type").alias("ante"))
+    b = baskets.select("user_id", F.col("event_type").alias("cons"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("ante") < F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").cast("long").alias("both"))
+    )
+    ia = item.select(F.col("event_type").alias("ante"), F.col("c").alias("n_ante"))
+    ic = item.select(F.col("event_type").alias("cons"), F.col("c").alias("n_cons"))
+    return (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "ante",
+            "cons",
+            "both",
+            "n_ante",
+            "n_cons",
+            F.expr(f"both * {AL_SCALE} div n").alias("support_micro"),
+            F.expr(f"both * {AL_SCALE} div n_ante").alias("confidence_micro"),
+            F.expr("(both * n * 1000) div (n_ante * n_cons)").alias(
+                "lift_milli"
+            ),
+        )
+    )
+
+
+# --- q_rfm_segments ----------------------------------------------------------
+
+RFM_Q = 4  # quartile codes per axis
+_US_PER_DAY_RFM = 86_400_000_000
+
+
+@declare(
+    "q_rfm_segments",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(max(epoch_us(ts) // {_US_PER_DAY_RFM}) AS BIGINT)
+                   AS last_day,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS monet_cents
+        FROM events GROUP BY user_id
+    ), scored AS (
+        SELECT user_id, last_day, freq, monet_cents,
+               ntile({RFM_Q}) OVER (ORDER BY last_day, user_id) AS r_q,
+               ntile({RFM_Q}) OVER (ORDER BY freq, user_id) AS f_q,
+               ntile({RFM_Q}) OVER (ORDER BY monet_cents, user_id) AS m_q
+        FROM per_user
+    )
+    SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(freq) AS BIGINT) AS events,
+           CAST(sum(monet_cents) AS BIGINT) AS monet_cents
+    FROM scored
+    GROUP BY r_q, f_q, m_q
+    """,
+    tier="P2",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (last active day), frequency
+    (event count) and monetary (cents via floor(value*100) — floor of a
+    double is engine-identical because the input doubles are
+    bit-identical on both engines) quartiled with deterministic
+    user_id tiebreaks into the classic 64-cell R/F/M grid, reported as
+    per-segment user counts and totals. The audience-segmentation
+    staple, exact-integer end to end.
+
+    Scale notes: per-user rollup is one map-side-combined shuffle;
+    each ntile is one sort window over the per-user table (three sorts
+    — the unavoidable cost of exact quantile CODES; approximate
+    segmentation would use q_approx_percentile's KLL bounds instead);
+    the final grid is 64 cells."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(
+            f"CAST(max(unix_micros(ts) div {_US_PER_DAY_RFM}) AS BIGINT)"
+        ).alias("last_day"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("monet_cents"),
+    )
+    scored = per_user.select(
+        "freq",
+        "monet_cents",
+        F.ntile(RFM_Q).over(Window.orderBy("last_day", "user_id"))
+        .cast("long")
+        .alias("r_q"),
+        F.ntile(RFM_Q).over(Window.orderBy("freq", "user_id"))
+        .cast("long")
+        .alias("f_q"),
+        F.ntile(RFM_Q).over(Window.orderBy("monet_cents", "user_id"))
+        .cast("long")
+        .alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("freq").cast("long").alias("events"),
+            F.sum("monet_cents").cast("long").alias("monet_cents"),
+        )
+        .withColumn(
+            "segment",
+            F.expr("CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT)"),
+        )
+        .select(
+            "r_q", "f_q", "m_q", "segment", "n_users", "events",
+            "monet_cents",
+        )
+    )

@@ -720,3 +720,96 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").cast("long").alias("aa_micro"),
         )
     )
+
+
+# --- q_bfs_layers ------------------------------------------------------------
+
+BFS_MAX_HOPS = 3
+BFS_SEED_STRIDE = 50  # seeds: every 50th node of the bounded LP graph
+
+
+def _bfs_oracle() -> str:
+    return f"""
+    WITH RECURSIVE qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id < {LP_NODE_BOUND}
+    ), edges AS MATERIALIZED (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM qv a JOIN qv b ON a.vec_id < b.vec_id
+        WHERE list_reduce(list_transform(list_zip(a.qv, b.qv),
+                          p -> p[1] * p[2]), (x, y) -> x + y) >= {LP_TAU}
+    ), sym AS MATERIALIZED (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), reach AS (
+        SELECT vec_id AS id, CAST(0 AS BIGINT) AS lvl
+        FROM qv WHERE vec_id % {BFS_SEED_STRIDE} = 0
+        UNION ALL
+        SELECT s.dst AS id, r.lvl + 1 AS lvl
+        FROM reach r JOIN sym s ON s.src = r.id
+        WHERE r.lvl < {BFS_MAX_HOPS}
+    )
+    SELECT id AS vec_id, CAST(min(lvl) AS BIGINT) AS layer
+    FROM reach GROUP BY id
+    """
+
+
+@declare("q_bfs_layers", oracle=_bfs_oracle(), tier="P2")
+def q_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS layers (<= 3 hops) from a fixed seed panel over
+    the bounded embedding similarity graph (q_link_predict's graph) —
+    "how much of the near-duplicate neighborhood is within k hops of
+    the already-reviewed set", the expansion query of an audit or
+    labeling campaign. layer = min hop count from any seed; nodes
+    beyond 3 hops (or disconnected) are absent.
+
+    Scale notes: each BFS round is one frontier-keyed equi-join against
+    the edge list plus an anti-join on the visited set — the canonical
+    distributed BFS; rounds are bounded (3). The declared form runs on
+    the bounded ground-truth subgraph; production seeds/edges come from
+    the banded candidate generators whose caps bound the frontier
+    fan-out."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < LP_NODE_BOUND).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
+            " * 1024) AS BIGINT))"
+        ).alias("qv"),
+    )
+    a = qv.select(F.col("vec_id").alias("ida"), F.col("qv").alias("qa"))
+    b = qv.select(F.col("vec_id").alias("idb"), F.col("qv").alias("qb"))
+    edges = (
+        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("dot") >= LP_TAU)
+        .select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labeled = qv.filter(F.col("vec_id") % BFS_SEED_STRIDE == 0).select(
+        F.col("vec_id").alias("id"), F.lit(0).cast("long").alias("layer")
+    ).localCheckpoint(eager=True)
+    frontier = labeled
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(sym, frontier["id"] == sym["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(labeled.select("id"), "id", "left_anti")
+            .withColumn("layer", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        labeled = labeled.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return labeled.select("id", "layer").withColumnRenamed("id", "vec_id")

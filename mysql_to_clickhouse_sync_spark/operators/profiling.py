@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mysql_to_clickhouse_sync_spark.catalog import load_table
 from mysql_to_clickhouse_sync_spark.registry import declare
@@ -304,4 +305,100 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(COALESCE(n_leaked, 0) * 10000 div n_passages AS BIGINT)"
             ).alias("leak_bp"),
         )
+    )
+
+
+# --- q_benford_quality ---------------------------------------------------------
+
+# Benford expected first-digit shares, floor(log10(1 + 1/d) * 1e6) for
+# d = 1..9 — fixed public constants (same table both engines); pinned
+# against float recomputation in tests/test_behavior_quality.py.
+BENFORD_MICRO = [
+    301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757,
+]
+
+
+def _benford_oracle() -> str:
+    vals = ", ".join(
+        f"({d + 1}, {m})" for d, m in enumerate(BENFORD_MICRO)
+    )
+    return f"""
+    WITH src AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM src
+    ), obs AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM src GROUP BY digit
+    ), exp AS (
+        SELECT d, CAST(m AS BIGINT) AS exp_micro
+        FROM (VALUES {vals}) AS t(d, m)
+    ), cells AS (
+        SELECT exp.d AS digit, COALESCE(obs.cnt, 0) AS cnt, exp.exp_micro,
+               n.n, (n.n * exp.exp_micro) // 1000 AS exp_milli
+        FROM exp LEFT JOIN obs ON obs.digit = exp.d CROSS JOIN n
+    )
+    SELECT digit, cnt, exp_micro,
+           CAST(exp_milli AS BIGINT) AS exp_cnt_milli,
+           CAST((cnt * 1000 - exp_milli) * (cnt * 1000 - exp_milli)
+                // exp_milli AS BIGINT) AS dev_milli,
+           CAST(SUM((cnt * 1000 - exp_milli) * (cnt * 1000 - exp_milli)
+                // exp_milli) OVER () AS BIGINT) AS chi2_milli
+    FROM cells
+    """
+
+
+@declare("q_benford_quality", oracle=_benford_oracle(), tier="P2")
+def q_benford_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data detector (organic monetary values follow
+    P(d) = log10(1 + 1/d); synthetic or tampered columns usually don't):
+    observed first-digit counts vs pinned Benford expectations
+    (public constants, micro-units), per-digit chi-square deviations in
+    exact milli-counts and the total repeated per row. First digit via
+    the integer part's string head — identical on both engines because
+    the floored BIGINT is identical.
+
+    Scale notes: one digit-keyed map-side-combined shuffle into 9
+    cells; the window runs over 9 rows. Overflow: (cnt*1000)^2 bounds
+    BIGINT safety at ~1e6 rows per digit cell; beyond, divide the
+    deviation by n first (documented, unreached at fixtures)."""
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.expr(
+                "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+                " AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+    )
+    n = src.agg(F.count("*").cast("long").alias("n"))
+    obs = src.groupBy("digit").agg(F.count("*").cast("long").alias("cnt"))
+    exp = spark.createDataFrame(
+        [(d + 1, m) for d, m in enumerate(BENFORD_MICRO)],
+        "d long, exp_micro long",
+    )
+    cells = (
+        exp.join(obs, exp["d"] == obs["digit"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("d").alias("digit"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+            "exp_micro",
+            F.expr("(n * exp_micro) div 1000").alias("exp_milli"),
+        )
+    )
+    wall = Window.partitionBy()
+    dev = F.expr(
+        "(cnt * 1000 - exp_milli) * (cnt * 1000 - exp_milli) div exp_milli"
+    )
+    return cells.select(
+        "digit",
+        "cnt",
+        "exp_micro",
+        F.col("exp_milli").alias("exp_cnt_milli"),
+        dev.alias("dev_milli"),
+        F.sum(dev).over(wall).cast("long").alias("chi2_milli"),
     )
