@@ -483,3 +483,205 @@ def q_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("term_micro"),
     )
+
+
+# --- exact integer square root (isqrt) kernel --------------------------------
+#
+# floor(sqrt(x)) for 0 <= x < 2^62, ENTIRELY engine-portable: seed with the
+# double sqrt (IEEE correctly-rounded on both the JVM and DuckDB, so the
+# floored seed is within +-1 of the true isqrt; two correction steps each
+# direction absorb any conceivable double-rounding slack), then fix the seed
+# with EXACT integer square comparisons. The result is the true floor sqrt
+# on both engines bitwise — the primitive that unlocks every
+# standard-deviation / confidence-interval shape without libm parity risk.
+
+
+def with_isqrt(df: DataFrame, xcol: str, out: str) -> DataFrame:
+    d = df.withColumn(
+        "_s",
+        F.expr(f"CAST(floor(sqrt(CAST({xcol} AS DOUBLE))) AS BIGINT)"),
+    )
+    for _ in range(2):
+        d = d.withColumn(
+            "_s",
+            F.expr(f"CASE WHEN _s * _s > {xcol} THEN _s - 1 ELSE _s END"),
+        )
+    for _ in range(2):
+        d = d.withColumn(
+            "_s",
+            F.expr(
+                f"CASE WHEN (_s + 1) * (_s + 1) <= {xcol}"
+                f" THEN _s + 1 ELSE _s END"
+            ),
+        )
+    return d.withColumn(out, F.col("_s")).drop("_s")
+
+
+def _isqrt_sql(src: str, final: str = "sq") -> str:
+    """DuckDB CTE chain computing s = floor(sqrt(x)) over the one-column
+    table `src`(x) — the exact mirror of `with_isqrt` (same seed, same
+    four correction steps)."""
+    ctes = [
+        f"q0 AS (SELECT x, CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT)"
+        f" AS s FROM {src})"
+    ]
+    for step in range(2):
+        ctes.append(
+            f"q{step + 1} AS (SELECT x, CASE WHEN s * s > x THEN s - 1"
+            f" ELSE s END AS s FROM q{step})"
+        )
+    for step in range(2, 4):
+        ctes.append(
+            f"q{step + 1} AS (SELECT x, CASE WHEN (s + 1) * (s + 1) <= x"
+            f" THEN s + 1 ELSE s END AS s FROM q{step})"
+        )
+    ctes.append(f"{final} AS (SELECT x, s FROM q4)")
+    return ",\n    ".join(ctes)
+
+
+# --- q_wilson_ci --------------------------------------------------------------
+
+WILSON_Z_MILLI = 1960  # z for the 95% two-sided interval, milli-units
+
+
+def _wilson_oracle() -> str:
+    from mysql_to_clickhouse_sync_spark.operators.mlscore import logistic_cte
+
+    zm = WILSON_Z_MILLI
+    return f"""
+    WITH {logistic_cte()},
+    g AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM scored GROUP BY lang
+    ), rad AS (
+        SELECT lang, n, k,
+               ((4 * k * (n - k)) * 1000000 // n + {zm * zm}) AS x
+        FROM g
+    ),
+    {_isqrt_sql('(SELECT DISTINCT x FROM rad)')}
+    SELECT rad.lang, rad.n, rad.k,
+           CAST((2000000 * k + {zm * zm}) * 1000000
+                // (2000000 * n + {2 * zm * zm}) AS BIGINT) AS center_micro,
+           CAST(greatest((2000000 * k + {zm * zm}) * 1000000
+                // (2000000 * n + {2 * zm * zm})
+                - ({zm} * sq.s * 1000000)
+                  // (2000000 * n + {2 * zm * zm}), 0) AS BIGINT)
+               AS lo_micro,
+           CAST(least((2000000 * k + {zm * zm}) * 1000000
+                // (2000000 * n + {2 * zm * zm})
+                + ({zm} * sq.s * 1000000)
+                  // (2000000 * n + {2 * zm * zm}), 1000000) AS BIGINT)
+               AS hi_micro
+    FROM rad JOIN sq ON sq.x = rad.x
+    """
+
+
+@declare("q_wilson_ci", oracle=_wilson_oracle(), tier="P1")
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for the per-language keep rate of the
+    logistic quality filter — the CORRECT small-sample proportion
+    interval (never escapes [0,1], sane at k=0 or k=n, unlike the
+    normal approximation): center = (k + z^2/2)/(n + z^2), half-width
+    = z*sqrt(4k(n-k)/n + z^2)/(2(n + z^2)), every step in exact
+    integers with the isqrt kernel on the radicand (micro-scaled; the
+    floor program is identical on both engines by construction).
+    This is the number an acceptance dashboard shows with error bars.
+
+    Scale notes: one lang-keyed map-side-combined shuffle into a
+    |langs|-row table; the kernel is four CASE steps on that table.
+    4k(n-k)*1e6/n <= n*1e6 keeps the radicand < 2^62 to ~4e12 rows/key.
+    Linear at 100 TB."""
+    from mysql_to_clickhouse_sync_spark.operators.mlscore import (
+        logistic_scored,
+    )
+
+    zm = WILSON_Z_MILLI
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    g = (
+        logistic_scored(docs)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.expr("CASE WHEN keep THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    rad = g.withColumn(
+        "x", F.expr(f"(4 * k * (n - k)) * 1000000 div n + {zm * zm}")
+    )
+    rad = with_isqrt(rad, "x", "s")
+    center = f"(2000000 * k + {zm * zm}) * 1000000 div (2000000 * n + {2 * zm * zm})"
+    half = f"({zm} * s * 1000000) div (2000000 * n + {2 * zm * zm})"
+    return rad.select(
+        "lang",
+        "n",
+        "k",
+        F.expr(center).alias("center_micro"),
+        F.expr(f"greatest({center} - {half}, 0)").alias("lo_micro"),
+        F.expr(f"least({center} + {half}, 1000000)").alias("hi_micro"),
+    )
+
+
+# --- q_stddev_exact -----------------------------------------------------------
+
+
+@declare(
+    "q_stddev_exact",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS xc
+        FROM events
+    ), g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xc) AS BIGINT) AS sx,
+               CAST(sum(xc * xc) AS BIGINT) AS sxx
+        FROM c GROUP BY event_type
+    ), rad AS (
+        SELECT event_type, n, sx, sxx,
+               ((n * sxx - sx * sx) // (n * (n - 1))) * 1000000 AS x
+        FROM g WHERE n >= 2
+    ),
+    {_isqrt_sql('(SELECT DISTINCT x FROM rad)')}
+    SELECT rad.event_type, rad.n,
+           CAST(rad.sx * 1000 // rad.n AS BIGINT) AS mean_cents_milli,
+           CAST(sq.s AS BIGINT) AS sd_cents_milli
+    FROM rad JOIN sq ON sq.x = rad.x
+    """,
+    tier="P1",
+)
+def q_stddev_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type sample standard deviation of the value column in
+    EXACT integer milli-cents via the isqrt kernel: variance numerator
+    n*sum(x^2) - sum(x)^2 over exact cents, one floor division by
+    n(n-1), micro-scale, integer square root — no libm stddev (whose
+    last-ulp differs between engines) anywhere. The dashboard-grade
+    dispersion number next to q_stats_moments' double-precision view.
+
+    Scale notes: one event_type-keyed map-side-combined shuffle; the
+    kernel runs on the |types|-row table. Variance numerators are
+    BIGINT-safe to ~3e6 rows/key at cents scale (the q_auc_roc
+    DECIMAL note beyond)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("xc"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xc").cast("long").alias("sx"),
+        F.sum(F.expr("xc * xc")).cast("long").alias("sxx"),
+    )
+    rad = g.filter(F.col("n") >= 2).withColumn(
+        "x",
+        F.expr("((n * sxx - sx * sx) div (n * (n - 1))) * 1000000"),
+    )
+    rad = with_isqrt(rad, "x", "s")
+    return rad.select(
+        "event_type",
+        "n",
+        F.expr("sx * 1000 div n").alias("mean_cents_milli"),
+        F.col("s").alias("sd_cents_milli"),
+    )

@@ -146,3 +146,51 @@ def test_component_removal_invariants(spark):
             r.removed_ratio_micro
             == (r.proj * r.proj * 1_000_000) // (r.xx * r.vv)
         )
+
+
+def test_isqrt_kernel_exact(spark):
+    from mysql_to_clickhouse_sync_spark.operators.stats import with_isqrt
+
+    xs = [0, 1, 2, 3, 4, 8, 9, 15, 16, 17, 10**6, 10**6 + 1,
+          (1 << 31) ** 2 - 1, (1 << 31) ** 2, (1 << 62) - 1,
+          999999999999999999]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {r.x: r.s for r in with_isqrt(df, "x", "s").collect()}
+    for x in xs:
+        assert got[x] == math.isqrt(x), x
+
+
+def test_wilson_ci_matches_float(spark):
+    rows = _collect(spark, "q_wilson_ci")
+    z = 1.96
+    for r in rows:
+        n, k = r.n, r.k
+        center = (k + z * z / 2) / (n + z * z)
+        half = (
+            z * math.sqrt(4 * k * (n - k) / n + z * z) / (2 * (n + z * z))
+        )
+        assert abs(r.center_micro - center * 1e6) <= 3, r.lang
+        assert abs(r.hi_micro - min(center + half, 1) * 1e6) <= 1500, r.lang
+        assert abs(r.lo_micro - max(center - half, 0) * 1e6) <= 1500, r.lang
+        assert 0 <= r.lo_micro <= r.center_micro <= r.hi_micro <= 1_000_000
+
+
+def test_stddev_exact_matches_float(spark):
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", F.expr("CAST(floor(value * 100) AS BIGINT)").alias("xc")
+    ).collect()
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.xc)
+    got = {r.event_type: r for r in _collect(spark, "q_stddev_exact")}
+    for t, xs in by_type.items():
+        n = len(xs)
+        mean = sum(xs) / n
+        var = sum((x - mean) ** 2 for x in xs) / (n - 1)
+        r = got[t]
+        assert r.n == n
+        assert abs(r.mean_cents_milli - mean * 1000) <= 1
+        # one floor before the sqrt costs at most ~1/(2*sd) milli-cents
+        assert abs(r.sd_cents_milli - math.sqrt(var) * 1000) <= 1000, t
