@@ -201,3 +201,63 @@ def test_jpeg_decode_is_shuffle_free_mapinpandas(spark):
         assert p.count("+- Exchange") == 1, name
         assert "roundrobin" in p.lower(), name
         assert "FlatMapGroupsInPandas" in p or "MapInPandas" in p, name
+
+
+def test_eval_windows_run_on_histograms_not_raw_rows(spark):
+    """AUC/PR/KS aggregate to a score histogram FIRST: the window's
+    input must be a HashAggregate, never the raw scan — the property
+    that keeps the single-partition windows bounded by the score grid
+    at 100 TB."""
+    for name in ("q_auc_roc", "q_pr_curve", "q_ks_2samp"):
+        p = _plan(spark, name)
+        assert "Window" in p, name
+        # a hash aggregate appears before (= deeper than) the window
+        w_at = p.index("Window")
+        assert "HashAggregate" in p[w_at:], (
+            f"{name}: window input is not an aggregate"
+        )
+
+
+def test_naive_bayes_model_broadcasts(spark):
+    """The 320-row NB model and the priors must broadcast; the only
+    shuffles are the training histogram and the per-doc score
+    reduction."""
+    p = _plan(spark, "q_naive_bayes")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_knn_panel_broadcasts_and_ranks_once(spark):
+    """The fixed query panel broadcasts onto the candidate stream (a
+    broadcast nested-loop on the vec_id != qid predicate); candidates
+    never shuffle before ranking."""
+    p = _plan(spark, "q_knn_classify")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cov_matrix_is_single_exchange_gram(spark):
+    """Covariance = one deliberate round-robin exchange (single-split
+    parquet), the numpy Gram partial stage, then the (i, j)-keyed
+    cell aggregation — the data is never shuffled by row."""
+    p = _plan(spark, "q_cov_matrix")
+    assert "MapInPandas" in p
+    assert "roundrobin" in p.lower()
+    # exchanges: the round-robin spread + the 2080-cell hash agg only
+    assert p.count("+- Exchange") <= 2
+
+
+def test_bootstrap_fanout_is_map_side(spark):
+    """The 40-way resample fan-out must be a generator (explode), not a
+    join, and reduce map-side into B rows."""
+    p = _plan(spark, "q_bootstrap_ci")
+    assert "Generate" in p and "explode(" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_target_encode_broadcasts_source_stats(spark):
+    """The per-source table and the 1-row prior broadcast back onto the
+    doc stream — no doc-sized shuffle for the join."""
+    p = _plan(spark, "q_target_encode")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
