@@ -442,3 +442,114 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monet_cents",
         )
     )
+
+
+# --- q_markov_stationary -----------------------------------------------------
+
+MK_ROUNDS = 3
+MK_Q = 1_000_000  # distribution in micro-units
+_MK_OFF = 1 << 20
+
+
+def _markov_oracle() -> str:
+    rounds = []
+    prev = "p0"
+    for r in range(1, MK_ROUNDS + 1):
+        rounds.append(
+            f"""r{r} AS (
+        SELECT t.dst AS state, CAST(sum(p.p * t.w_micro) AS BIGINT) AS raw
+        FROM {prev} p JOIN tm t ON t.src = p.state
+        GROUP BY t.dst
+    ), s{r} AS (
+        SELECT CAST(sum(raw) AS BIGINT) AS tot FROM r{r}
+    ), p{r} AS (
+        SELECT state, CAST(raw * {MK_Q} // tot AS BIGINT) AS p
+        FROM r{r} CROSS JOIN s{r}
+    )"""
+        )
+        prev = f"p{r}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH seq AS (
+        -- epoch_us floors ns -> us exactly like the Spark catalog's ts,
+        -- so tie-breaking by event_id agrees between engines
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS nxt
+        FROM events
+    ), pair AS (
+        SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY src, dst
+    ), outc AS (
+        SELECT src, CAST(sum(c) AS BIGINT) AS co FROM pair GROUP BY src
+    ), tm AS (
+        SELECT pair.src, pair.dst,
+               CAST(pair.c * {MK_Q} // outc.co AS BIGINT) AS w_micro
+        FROM pair JOIN outc USING (src)
+    ), states AS (
+        SELECT DISTINCT src AS state FROM pair
+    ), ns AS (
+        SELECT CAST(count(*) AS BIGINT) AS k FROM states
+    ), p0 AS (
+        SELECT state, CAST({MK_Q} // ns.k AS BIGINT) AS p
+        FROM states CROSS JOIN ns
+    ),
+    {chain}
+    SELECT state AS event_type, p AS stationary_micro
+    FROM p{MK_ROUNDS}
+    """
+
+
+@declare("q_markov_stationary", oracle=_markov_oracle(), tier="P2")
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate stationary distribution of the per-user event-type
+    Markov chain: the empirical transition matrix (row-normalized
+    counts of consecutive event pairs, micro-units) powered three
+    unrolled rounds from uniform with L1 renormalization each round —
+    where the user population spends its time at equilibrium, the
+    chain-level companion to q_event_transitions' edge view. Exact
+    integer program on both engines (renormalizing by the integer sum
+    keeps the distribution summing to ~1e6 despite per-entry floors).
+
+    Scale notes: the transition matrix is |types|^2 rows (broadcast);
+    extracting pairs is one per-user ordered window; each round is a
+    tiny join + aggregate on the matrix — the q_pca_power decomposition
+    (reduce to a small dense object, iterate on it in-engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    pair = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    outc = pair.groupBy("src").agg(F.sum("c").cast("long").alias("co"))
+    tm = (
+        pair.join(F.broadcast(outc), "src")
+        .select("src", "dst", F.expr(f"c * {MK_Q} div co").alias("w_micro"))
+        .localCheckpoint(eager=True)
+    )
+    states = tm.select(F.col("src").alias("state")).distinct()
+    ns = states.agg(F.count("*").cast("long").alias("k"))
+    p = states.crossJoin(F.broadcast(ns)).select(
+        "state", F.expr(f"{MK_Q} div k").alias("p")
+    )
+    for _ in range(MK_ROUNDS):
+        raw = (
+            tm.join(F.broadcast(p), tm["src"] == p["state"])
+            .groupBy(F.col("dst").alias("state2"))
+            .agg(F.sum(F.expr("p * w_micro")).cast("long").alias("raw"))
+        )
+        tot = raw.agg(F.sum("raw").cast("long").alias("tot"))
+        p = raw.crossJoin(F.broadcast(tot)).select(
+            F.col("state2").alias("state"),
+            F.expr(f"raw * {MK_Q} div tot").alias("p"),
+        )
+    return p.select(
+        F.col("state").alias("event_type"),
+        F.col("p").alias("stationary_micro"),
+    )

@@ -946,3 +946,108 @@ def q_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_y",
         F.expr("CAST(greatest(0, l_num - l_den) AS BIGINT)").alias("ppmi_q8"),
     )
+
+
+# --- q_kn_bigram -------------------------------------------------------------
+
+KN_D_MILLI = 750  # absolute discount D = 0.75, the standard KN value
+KN_TOP = 100  # bounded output head
+
+
+def _kn_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> length(t) >= {TFIDF_MIN_LEN}) AS w
+        FROM documents
+    ), bi AS (
+        SELECT w[i] AS v, w[i + 1] AS wd
+        FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2
+    ), bc AS (
+        SELECT v, wd, CAST(count(*) AS BIGINT) AS c_vw
+        FROM bi GROUP BY v, wd
+    ), cv AS (
+        SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+               CAST(count(*) AS BIGINT) AS n1post
+        FROM bc GROUP BY v
+    ), cw AS (
+        SELECT wd, CAST(count(*) AS BIGINT) AS n1pre FROM bc GROUP BY wd
+    ), tt AS (
+        SELECT CAST(count(*) AS BIGINT) AS t FROM bc
+    ), head AS (
+        SELECT bc.v, bc.wd, bc.c_vw, cv.c_v, cv.n1post, cw.n1pre, tt.t,
+               row_number() OVER (ORDER BY bc.c_vw DESC, bc.v, bc.wd) AS rn
+        FROM bc JOIN cv USING (v) JOIN cw USING (wd) CROSS JOIN tt
+    )
+    SELECT v, wd AS w, c_vw,
+           CAST((c_vw * 1000 - {KN_D_MILLI}) * 1000000 // (c_v * 1000)
+                + ({KN_D_MILLI} * n1post * ((n1pre * 1000000) // t))
+                  // (c_v * 1000) AS BIGINT) AS p_kn_micro
+    FROM head WHERE rn <= {KN_TOP}
+    """
+
+
+@declare("q_kn_bigram", oracle=_kn_oracle(), tier="P1")
+def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram probabilities (absolute discount
+    D = 0.75, interpolated form) for the top-100 corpus bigrams:
+    p_KN(w|v) = max(c(vw) - D, 0)/c(v) + D*N1+(v.)/c(v) * N1+(.w)/T —
+    THE standard n-gram LM smoothing (continuation counts make rare
+    continuations of promiscuous words cheap), completing the LM family
+    next to q_ngram_lm_counts / q_doc_perplexity / q_unigram_lm. All
+    terms in exact integer micro-units (c(vw) >= 1 keeps the discounted
+    numerator positive; one floor per term, identical program both
+    engines). Bigrams run over the length-filtered token stream.
+
+    Scale notes: one (v, w)-keyed map-side-combined shuffle for bigram
+    counts, two marginal aggregations of THAT table, a broadcast scalar
+    T, and a top-100 head. Linear at 100 TB."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.expr(
+            f"filter(split(lower(text), '[^a-z]+'),"
+            f" t -> length(t) >= {TFIDF_MIN_LEN})"
+        ).alias("w")
+    )
+    bi = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(w, 1, size(w) - 1)"),
+                    F.expr("slice(w, 2, size(w) - 1)"),
+                )
+            ).alias("z")
+        )
+        .select(F.col("z.0").alias("v"), F.col("z.1").alias("wd"))
+    )
+    bc = bi.groupBy("v", "wd").agg(F.count("*").cast("long").alias("c_vw"))
+    cv = bc.groupBy("v").agg(
+        F.sum("c_vw").cast("long").alias("c_v"),
+        F.count("*").cast("long").alias("n1post"),
+    )
+    cw = bc.groupBy("wd").agg(F.count("*").cast("long").alias("n1pre"))
+    tt = bc.agg(F.count("*").cast("long").alias("t"))
+    head = (
+        bc.join(cv, "v")
+        .join(cw, "wd")
+        .crossJoin(F.broadcast(tt))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("c_vw"), F.asc("v"), F.asc("wd"))
+            ),
+        )
+        .filter(F.col("rn") <= KN_TOP)
+    )
+    return head.select(
+        "v",
+        F.col("wd").alias("w"),
+        "c_vw",
+        F.expr(
+            f"(c_vw * 1000 - {KN_D_MILLI}) * 1000000 div (c_v * 1000)"
+            f" + ({KN_D_MILLI} * n1post * ((n1pre * 1000000) div t))"
+            f" div (c_v * 1000)"
+        ).alias("p_kn_micro"),
+    )

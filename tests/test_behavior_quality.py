@@ -111,3 +111,43 @@ def test_benford_constants_and_chi2(spark):
         assert r.exp_cnt_milli == n * r.exp_micro // 1000
         want = (r.cnt * 1000 - r.exp_cnt_milli) ** 2 // r.exp_cnt_milli
         assert r.dev_milli == want, r.digit
+
+
+def test_markov_stationary_sums_to_one(spark):
+    rows = _collect(spark, "q_markov_stationary")
+    tot = sum(r.stationary_micro for r in rows)
+    # L1 renormalization each round: per-entry floors cost < |states|
+    assert abs(tot - 1_000_000) <= len(rows)
+    assert all(r.stationary_micro > 0 for r in rows)
+
+
+def test_kn_bigram_probabilities_sane(spark):
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+    import re as _re
+
+    rows = _collect(spark, "q_kn_bigram")
+    assert len(rows) > 0
+    assert all(0 < r.p_kn_micro <= 1_000_000 for r in rows)
+    # recount the head bigram's raw count and check the KN value
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    bi = Counter()
+    for d in docs:
+        toks = [
+            t for t in _re.split(r"[^a-z]+", d.text.lower()) if len(t) >= 3
+        ]
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] += 1
+    cv = Counter()
+    n1post = Counter()
+    n1pre = Counter()
+    for (a, b), c in bi.items():
+        cv[a] += c
+        n1post[a] += 1
+        n1pre[b] += 1
+    t = len(bi)
+    for r in rows[:10]:
+        assert bi[(r.v, r.w)] == r.c_vw, (r.v, r.w)
+        want = (r.c_vw * 1000 - 750) * 1_000_000 // (cv[r.v] * 1000) + (
+            750 * n1post[r.v] * ((n1pre[r.w] * 1_000_000) // t)
+        ) // (cv[r.v] * 1000)
+        assert r.p_kn_micro == want, (r.v, r.w)
