@@ -1022,3 +1022,115 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hi_milli"),
         )
     )
+
+
+# --- q_opt_threshold ----------------------------------------------------------
+
+
+def _opt_threshold_oracle() -> str:
+    return f"""
+    WITH {logistic_cte()},
+    {_SCORED_J},
+    g AS (
+        SELECT p_milli, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(y) AS BIGINT) AS p
+        FROM j GROUP BY p_milli
+    ), cw AS (
+        SELECT p_milli,
+               CAST(SUM(p) OVER (ORDER BY p_milli DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS tp,
+               CAST(SUM(c - p) OVER (ORDER BY p_milli DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS fp,
+               CAST(SUM(p) OVER () AS BIGINT) AS pos,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
+        FROM g
+    ), m AS (
+        SELECT p_milli AS threshold_milli, tp, fp,
+               CAST(2 * tp * {EVAL_SCALE} // (tp + fp + pos) AS BIGINT)
+                   AS f1_micro,
+               CAST(tp * {EVAL_SCALE} // pos
+                    - fp * {EVAL_SCALE} // (n - pos) AS BIGINT)
+                   AS youden_micro
+        FROM cw
+    ), bf AS (
+        SELECT 'max_f1' AS criterion, threshold_milli, tp, fp,
+               f1_micro AS score_micro,
+               row_number() OVER (ORDER BY f1_micro DESC,
+                                  threshold_milli DESC) AS rn
+        FROM m
+    ), bj AS (
+        SELECT 'max_youden' AS criterion, threshold_milli, tp, fp,
+               youden_micro AS score_micro,
+               row_number() OVER (ORDER BY youden_micro DESC,
+                                  threshold_milli DESC) AS rn
+        FROM m
+    )
+    SELECT criterion, threshold_milli, tp, fp, score_micro
+    FROM bf WHERE rn = 1
+    UNION ALL
+    SELECT criterion, threshold_milli, tp, fp, score_micro
+    FROM bj WHERE rn = 1
+    """
+
+
+@declare("q_opt_threshold", oracle=_opt_threshold_oracle(), tier="P1")
+def q_opt_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection over the PR sweep: the thresholds that
+    maximize F1 (the balanced operating point) and Youden's J =
+    TPR - FPR (the screening operating point), each with its confusion
+    counts and exact-integer criterion value, ties broken toward the
+    HIGHER threshold (prefer precision at equal score). This is the one
+    row a deployment actually consumes from q_pr_curve's sweep.
+
+    Scale notes: identical shape to q_pr_curve — score histogram first,
+    windows over the <=1001-row histogram, two 1-row argmaxes."""
+    d = _scored_docs(spark, sf_dir)
+    g = d.groupBy("p_milli").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    w = Window.orderBy(F.desc("p_milli")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    m = g.select(
+        F.col("p_milli").alias("threshold_milli"),
+        F.sum("p").over(w).cast("long").alias("tp"),
+        F.sum(F.expr("c - p")).over(w).cast("long").alias("fp"),
+        F.sum("p").over(wall).cast("long").alias("pos"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    ).select(
+        "threshold_milli",
+        "tp",
+        "fp",
+        F.expr(f"2 * tp * {EVAL_SCALE} div (tp + fp + pos)").alias(
+            "f1_micro"
+        ),
+        F.expr(
+            f"tp * {EVAL_SCALE} div pos"
+            f" - fp * {EVAL_SCALE} div (n - pos)"
+        ).alias("youden_micro"),
+    )
+    outs = []
+    for crit, col in (("max_f1", "f1_micro"), ("max_youden", "youden_micro")):
+        outs.append(
+            m.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy(
+                        F.desc(col), F.desc("threshold_milli")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                F.lit(crit).alias("criterion"),
+                "threshold_milli",
+                "tp",
+                "fp",
+                F.col(col).alias("score_micro"),
+            )
+        )
+    return outs[0].unionAll(outs[1])

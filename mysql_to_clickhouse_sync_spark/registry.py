@@ -50,6 +50,7 @@ def _load_all_modules() -> None:
         analytics,
         asof,
         audio_codecs,
+        augment,
         behavior,
         bpe,
         bwt,

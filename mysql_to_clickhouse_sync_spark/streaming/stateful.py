@@ -642,3 +642,175 @@ def s_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if query is not None:
             query.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# --- s_drift_stream ----------------------------------------------------------
+
+DRIFT_OUT_SCHEMA = StructType(
+    [
+        StructField("bin", LongType(), False),
+        StructField("n_base", LongType(), False),
+        StructField("n_cur", LongType(), False),
+        StructField("diff_micro", LongType(), False),
+    ]
+)
+
+DRIFT_STATE_SCHEMA = StructType(
+    [
+        StructField("n_base", LongType(), False),
+        StructField("n_cur", LongType(), False),
+    ]
+)
+
+
+def update_drift_bins(
+    key: tuple[Any, ...],
+    pdfs: "Iterator[pd.DataFrame]",
+    state: GroupState,
+) -> "Iterator[pd.DataFrame]":
+    """Accumulate per-score-bin counts of the baseline and current
+    populations; emit the refreshed counts and the micro share gap
+    (computed downstream against the totals — here raw counts only,
+    exact integers, replay-order independent)."""
+    import pandas as pd
+
+    (bin_,) = key
+    nb, nc = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        nb += int(pdf["is_base"].sum())
+        nc += int((~pdf["is_base"].astype(bool)).sum())
+    state.update((nb, nc))
+    yield pd.DataFrame(
+        {
+            "bin": [bin_],
+            "n_base": [nb],
+            "n_cur": [nc],
+            "diff_micro": [0],  # filled by the finalizer against totals
+        }
+    )
+
+
+def _drift_stream_oracle() -> str:
+    from mysql_to_clickhouse_sync_spark.operators.mlscore import logistic_cte
+
+    return f"""
+    WITH {logistic_cte()},
+    sl AS (
+        SELECT least(p_milli // 100, 9) AS bin,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS in_base
+        FROM scored
+    ), g AS (
+        SELECT bin, CAST(sum(in_base) AS BIGINT) AS n_base,
+               CAST(sum(1 - in_base) AS BIGINT) AS n_cur
+        FROM sl GROUP BY bin
+    ), tot AS (
+        SELECT CAST(sum(n_base) AS BIGINT) AS ta,
+               CAST(sum(n_cur) AS BIGINT) AS tb
+        FROM g
+    )
+    SELECT bin, n_base, n_cur,
+           CAST(n_base * 1000000 // ta - n_cur * 1000000 // tb AS BIGINT)
+               AS diff_micro
+    FROM g CROSS JOIN tot
+    """
+
+
+@declare("s_drift_stream", oracle=_drift_stream_oracle(), tier="P3")
+@tuned
+def s_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING score-drift monitor — q_psi_drift's ingestion half
+    taken online: the baseline (even doc_id) half arrives in
+    micro-batch 1, the "current" (odd) half in micro-batch 2, each row
+    scored on the stream by the stateless logistic chain and bucketed
+    into score deciles; per-bin GroupState keeps (n_base, n_cur)
+    counters across the batch boundary. The finalizer computes each
+    bin's share gap against the converged totals — the per-bin table a
+    PSI/KS alarm reads every trigger.
+
+    FULL ORACLE: counts are exact integer sums (replay-order
+    independent), so converged state equals the batch GROUP BY over the
+    shared logistic relation; the contract pin is the per-bin state
+    surviving the batch boundary.
+
+    Scale notes: state is two BIGINTs per bin (<= 10 keys); scoring and
+    bucketing stay map-side codegen before the tiny bin shuffle."""
+    from mysql_to_clickhouse_sync_spark.operators.mlscore import (
+        logistic_scored,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "lang", "text", "n_chars")
+    )
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+
+    workdir = tempfile.mkdtemp(prefix="drift_stream_")
+    in_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    ensure_package_shipped(spark)
+    binned = logistic_scored(stream).select(
+        F.expr("least(p_milli div 100, 9)").alias("bin"),
+        F.expr("CAST(doc_id % 2 = 0 AS BOOLEAN)").alias("is_base"),
+    )
+    counters = binned.groupBy("bin").applyInPandasWithState(
+        update_drift_bins,
+        outputStructType=DRIFT_OUT_SCHEMA,
+        stateStructType=DRIFT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"drift_stream_{abs(hash(workdir)) % 10**9}"
+    query = None
+    try:
+        base.coalesce(1).write.mode("append").parquet(in_dir)
+        query = (
+            counters.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.processAllAvailable()
+        cur.coalesce(1).write.mode("append").parquet(in_dir)
+        query.processAllAvailable()
+        from pyspark.sql.window import Window
+
+        updates = spark.table(sink)
+        w = Window.partitionBy("bin").orderBy(
+            (F.col("n_base") + F.col("n_cur")).desc()
+        )
+        final = (
+            updates.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "diff_micro")
+        )
+        tot = final.agg(
+            F.sum("n_base").cast("long").alias("ta"),
+            F.sum("n_cur").cast("long").alias("tb"),
+        )
+        return (
+            final.crossJoin(F.broadcast(tot))
+            .select(
+                "bin",
+                "n_base",
+                "n_cur",
+                F.expr(
+                    "n_base * 1000000 div ta - n_cur * 1000000 div tb"
+                ).alias("diff_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)

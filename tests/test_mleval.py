@@ -307,3 +307,60 @@ def test_link_predict_scores_recount(spark):
     assert set(got) == set(want)
     for k, (c, s) in want.items():
         assert (got[k].n_common, got[k].aa_micro) == (c, s), k
+
+
+def test_opt_threshold_is_true_argmax(spark):
+    rows = {r.criterion: r for r in _collect(spark, "q_opt_threshold")}
+    assert set(rows) == {"max_f1", "max_youden"}
+    pr = _collect(spark, "q_pr_curve")
+    pairs = _scored_pairs(spark)
+    pos = sum(y for _s, _z, _p, y in pairs)
+    n = len(pairs)
+    best_f1 = max(r.f1_micro for r in pr)
+    assert rows["max_f1"].score_micro == best_f1
+    # recompute youden at the reported threshold
+    r = rows["max_youden"]
+    tp = sum(1 for _s, _z, p, y in pairs if p >= r.threshold_milli and y == 1)
+    fp = sum(1 for _s, _z, p, y in pairs if p >= r.threshold_milli and y == 0)
+    assert (r.tp, r.fp) == (tp, fp)
+    assert r.score_micro == tp * 1_000_000 // pos - fp * 1_000_000 // (n - pos)
+
+
+def test_word_dropout_replayable(spark):
+    import hashlib
+
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+
+    docs = {
+        d.doc_id: d.text
+        for d in load_table(spark, SF_DIR, "documents").collect()
+        if d.text.strip()
+    }
+    got = {r.doc_id: r for r in _collect(spark, "q_word_dropout")}
+    assert set(got) == set(docs)
+    import re
+
+    for doc_id, text in list(docs.items())[:50]:
+        toks = re.split(r"\s+", text.strip())
+        kept = []
+        dropped = 0
+        for i, t in enumerate(toks):
+            u = int(
+                hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:12], 16
+            ) % 1000
+            if u < 150:
+                dropped += 1
+            else:
+                kept.append(t)
+        r = got[doc_id]
+        assert (r.n_tokens, r.n_dropped) == (len(toks), dropped), doc_id
+        assert r.aug_text == " ".join(kept), doc_id
+
+
+def test_drift_stream_equals_batch_bins(spark):
+    got = {r.bin: r for r in _collect(spark, "s_drift_stream")}
+    psi = {r.bin: r for r in _collect(spark, "q_psi_drift")}
+    # q_psi_drift reports Laplace +1 cells on a dense spine; the stream
+    # reports raw counts on occupied bins — cross-check the raw counts
+    for b, r in got.items():
+        assert psi[b].n_a == r.n_base and psi[b].n_b == r.n_cur, b
