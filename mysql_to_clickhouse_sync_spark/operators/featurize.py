@@ -400,3 +400,63 @@ def q_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hnum * 1000 div (256 * n)").alias("shannon_milli"),
         F.expr(f"w * 1000 div {EXP2_ONE}").alias("effective_sources_milli"),
     )
+
+
+# --- q_mixture_rebalance -------------------------------------------------------
+
+
+@declare(
+    "q_mixture_rebalance",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_i
+        FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(sum(n_i) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k
+        FROM s
+    )
+    SELECT lang, n_i,
+           CAST(n_i * {FEAT_SCALE} // tot.n AS BIGINT) AS actual_micro,
+           CAST({FEAT_SCALE} // tot.k AS BIGINT) AS target_micro,
+           CAST(least((({FEAT_SCALE} // tot.k) * tot.n * 1000)
+                // (n_i * {FEAT_SCALE}), 1000) AS BIGINT) AS rate_milli,
+           CAST(n_i * least((({FEAT_SCALE} // tot.k) * tot.n * 1000)
+                // (n_i * {FEAT_SCALE}), 1000) // 1000 AS BIGINT)
+               AS expect_kept
+    FROM s CROSS JOIN tot
+    """,
+    tier="P1",
+)
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sampling rates that rebalance the language mixture toward
+    uniform: rate_i = min(1, target_share / actual_share) in exact
+    milli-units, plus the expected kept count per language — the plan a
+    curation run feeds into q_stratified_sample / q_token_budget_sample
+    (never up-samples; over-represented languages are thinned to the
+    target). Multiply-before-divide keeps the rate exact; the min
+    clamps under-represented languages at keep-everything.
+
+    Scale notes: one lang-keyed map-side-combined shuffle + a 1-row
+    broadcast total. Linear at 100 TB."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_i"))
+    )
+    tot = s.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    rate = (
+        f"least((({FEAT_SCALE} div k) * n * 1000)"
+        f" div (n_i * {FEAT_SCALE}), 1000)"
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_i",
+        F.expr(f"n_i * {FEAT_SCALE} div n").alias("actual_micro"),
+        F.expr(f"{FEAT_SCALE} div k").alias("target_micro"),
+        F.expr(rate).alias("rate_milli"),
+        F.expr(f"n_i * {rate} div 1000").alias("expect_kept"),
+    )

@@ -1134,3 +1134,88 @@ def q_opt_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionAll(outs[1])
+
+
+# --- q_mcc_eval ----------------------------------------------------------------
+
+
+def _mcc_oracle() -> str:
+    from mysql_to_clickhouse_sync_spark.operators.stats import _isqrt_sql
+
+    return f"""
+    WITH {logistic_cte()},
+    {_SCORED_J},
+    cm AS (
+        SELECT CAST(sum(CASE WHEN p_milli >= 500 AND y = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN p_milli >= 500 AND y = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN p_milli < 500 AND y = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+               CAST(sum(CASE WHEN p_milli < 500 AND y = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM j
+    ), args AS (
+        SELECT (tp + fp) * (tp + fn) AS x FROM cm
+        UNION
+        SELECT (tn + fp) * (tn + fn) FROM cm
+    ),
+    {_isqrt_sql('args')}
+    SELECT cm.tp, cm.fp, cm.tn, cm.fn,
+           CAST(((cm.tp * cm.tn - cm.fp * cm.fn) * 1000
+                 + 2000 * (sa.s * sb.s)) // (sa.s * sb.s)
+                - 2000 AS BIGINT) AS mcc_milli
+    FROM cm
+    JOIN sq sa ON sa.x = (cm.tp + cm.fp) * (cm.tp + cm.fn)
+    JOIN sq sb ON sb.x = (cm.tn + cm.fp) * (cm.tn + cm.fn)
+    """
+
+
+@declare("q_mcc_eval", oracle=_mcc_oracle(), tier="P1")
+def q_mcc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the logistic filter at the
+    500-milli operating point — the single-number confusion summary
+    that stays honest under class imbalance (accuracy and F1 both
+    inflate there). Denominator sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+    computes as the PRODUCT OF TWO EXACT isqrt halves (each pair
+    product < n^2 stays in BIGINT where the 4-way product would not);
+    the composed floor is a DEFINED deterministic program — identical
+    on both engines — within ~2 ulps of the true root. The numerator
+    tp*tn - fp*fn CAN be negative, so the final division carries a
+    positivity offset (|mcc_milli| <= 1000, so offset 2000 suffices)
+    making truncating div equal floor div on both engines.
+
+    Scale notes: one global confusion aggregation (map-side combined),
+    then scalar kernel arithmetic on one row."""
+    from mysql_to_clickhouse_sync_spark.operators.stats import with_isqrt
+
+    d = _scored_docs(spark, sf_dir)
+    cm = d.agg(
+        F.sum(F.expr("CASE WHEN p_milli >= 500 AND y = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.expr("CASE WHEN p_milli >= 500 AND y = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.expr("CASE WHEN p_milli < 500 AND y = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("tn"),
+        F.sum(F.expr("CASE WHEN p_milli < 500 AND y = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("fn"),
+    )
+    cm = cm.withColumn("xa", F.expr("(tp + fp) * (tp + fn)")).withColumn(
+        "xb", F.expr("(tn + fp) * (tn + fn)")
+    )
+    cm = with_isqrt(cm, "xa", "sa")
+    cm = with_isqrt(cm, "xb", "sb")
+    return cm.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.expr(
+            "((tp * tn - fp * fn) * 1000 + 2000 * (sa * sb))"
+            " div (sa * sb) - 2000"
+        ).alias("mcc_milli"),
+    )

@@ -364,3 +364,39 @@ def test_drift_stream_equals_batch_bins(spark):
     # reports raw counts on occupied bins — cross-check the raw counts
     for b, r in got.items():
         assert psi[b].n_a == r.n_base and psi[b].n_b == r.n_cur, b
+
+
+def test_mcc_matches_float(spark):
+    (r,) = _collect(spark, "q_mcc_eval")
+    pairs = _scored_pairs(spark)
+    tp = sum(1 for _s, _z, p, y in pairs if p >= 500 and y == 1)
+    fp = sum(1 for _s, _z, p, y in pairs if p >= 500 and y == 0)
+    tn = sum(1 for _s, _z, p, y in pairs if p < 500 and y == 0)
+    fn = sum(1 for _s, _z, p, y in pairs if p < 500 and y == 1)
+    assert (r.tp, r.fp, r.tn, r.fn) == (tp, fp, tn, fn)
+    den = math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    mcc = (tp * tn - fp * fn) / den if den else 0.0
+    assert abs(r.mcc_milli - mcc * 1000) <= 2
+    assert -1000 <= r.mcc_milli <= 1000
+
+
+def test_mixture_rebalance_targets_uniform(spark):
+    rows = _collect(spark, "q_mixture_rebalance")
+    k = len(rows)
+    n = sum(r.n_i for r in rows)
+    for r in rows:
+        assert r.actual_micro == r.n_i * 1_000_000 // n
+        assert r.target_micro == 1_000_000 // k
+        assert 0 < r.rate_milli <= 1000
+        assert r.expect_kept == r.n_i * r.rate_milli // 1000
+        # never up-sample; under-represented langs keep everything
+        if r.actual_micro <= r.target_micro:
+            assert r.rate_milli == 1000
+    # expected mixture after thinning is closer to uniform than before
+    after = [r.expect_kept for r in rows]
+    tot_after = sum(after)
+    before_dev = sum(abs(r.actual_micro - 1_000_000 // k) for r in rows)
+    after_dev = sum(
+        abs(x * 1_000_000 // tot_after - 1_000_000 // k) for x in after
+    )
+    assert after_dev <= before_dev
