@@ -606,9 +606,7 @@ LP_NODE_BOUND = 300  # bounded subgraph (the bounded-subset ground-truth
 LP_TAU = 280_000  # edge bar: grid-quantized dot (1024^2 units, ~cos 0.27)
 
 
-def _link_predict_oracle() -> str:
-    return f"""
-    WITH qv AS (
+LP_EDGES_CTE = f"""qv AS (
         SELECT vec_id,
                list_transform(embedding,
                    v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS qv
@@ -618,7 +616,45 @@ def _link_predict_oracle() -> str:
         FROM qv a JOIN qv b ON a.vec_id < b.vec_id
         WHERE list_reduce(list_transform(list_zip(a.qv, b.qv),
                           p -> p[1] * p[2]), (x, y) -> x + y) >= {LP_TAU}
-    ), sym AS MATERIALIZED (
+    )"""
+
+
+def lp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (src < dst) edge list of the bounded embedding
+    similarity graph (vec_id < LP_NODE_BOUND, grid dot >= LP_TAU) —
+    the shared graph of q_link_predict and q_bfs_layers; mirrored by
+    LP_EDGES_CTE. Materialized eagerly (it is consumed repeatedly by
+    wedge joins / BFS rounds)."""
+    qv = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < LP_NODE_BOUND
+    ).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
+            " * 1024) AS BIGINT))"
+        ).alias("qv"),
+    )
+    a = qv.select(F.col("vec_id").alias("ida"), F.col("qv").alias("qa"))
+    b = qv.select(F.col("vec_id").alias("idb"), F.col("qv").alias("qb"))
+    return (
+        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("dot") >= LP_TAU)
+        .select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _link_predict_oracle() -> str:
+    return f"""
+    WITH {LP_EDGES_CTE}, sym AS MATERIALIZED (
         SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
     ), deg AS (
         SELECT src AS z, CAST(count(*) AS BIGINT) AS deg
@@ -670,30 +706,7 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact quantity that controls wedge volume. The degree/weight
     table is |nodes|-bounded and broadcasts; the heavy lifting is the
     sym self-join plus one (u, w)-keyed map-side-combined shuffle."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") < LP_NODE_BOUND).select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
-            " * 1024) AS BIGINT))"
-        ).alias("qv"),
-    )
-    a = qv.select(F.col("vec_id").alias("ida"), F.col("qv").alias("qa"))
-    b = qv.select(F.col("vec_id").alias("idb"), F.col("qv").alias("qb"))
-    edges = (
-        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
-        .withColumn(
-            "dot",
-            F.aggregate(
-                F.zip_with("qa", "qb", lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        .filter(F.col("dot") >= LP_TAU)
-        .select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
-        .localCheckpoint(eager=True)
-    )
+    edges = lp_edges(spark, sf_dir)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -730,17 +743,7 @@ BFS_SEED_STRIDE = 50  # seeds: every 50th node of the bounded LP graph
 
 def _bfs_oracle() -> str:
     return f"""
-    WITH RECURSIVE qv AS (
-        SELECT vec_id,
-               list_transform(embedding,
-                   v -> CAST(floor(CAST(v AS DOUBLE) * 1024) AS BIGINT)) AS qv
-        FROM embeddings WHERE vec_id < {LP_NODE_BOUND}
-    ), edges AS MATERIALIZED (
-        SELECT a.vec_id AS src, b.vec_id AS dst
-        FROM qv a JOIN qv b ON a.vec_id < b.vec_id
-        WHERE list_reduce(list_transform(list_zip(a.qv, b.qv),
-                          p -> p[1] * p[2]), (x, y) -> x + y) >= {LP_TAU}
-    ), sym AS MATERIALIZED (
+    WITH RECURSIVE {LP_EDGES_CTE}, sym AS MATERIALIZED (
         SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
     ), reach AS (
         SELECT vec_id AS id, CAST(0 AS BIGINT) AS lvl
@@ -770,36 +773,22 @@ def q_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded ground-truth subgraph; production seeds/edges come from
     the banded candidate generators whose caps bound the frontier
     fan-out."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") < LP_NODE_BOUND).select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)"
-            " * 1024) AS BIGINT))"
-        ).alias("qv"),
-    )
-    a = qv.select(F.col("vec_id").alias("ida"), F.col("qv").alias("qa"))
-    b = qv.select(F.col("vec_id").alias("idb"), F.col("qv").alias("qb"))
-    edges = (
-        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
-        .withColumn(
-            "dot",
-            F.aggregate(
-                F.zip_with("qa", "qb", lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        .filter(F.col("dot") >= LP_TAU)
-        .select(F.col("ida").alias("src"), F.col("idb").alias("dst"))
-        .localCheckpoint(eager=True)
-    )
+    edges = lp_edges(spark, sf_dir)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    labeled = qv.filter(F.col("vec_id") % BFS_SEED_STRIDE == 0).select(
-        F.col("vec_id").alias("id"), F.lit(0).cast("long").alias("layer")
-    ).localCheckpoint(eager=True)
+    labeled = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            (F.col("vec_id") < LP_NODE_BOUND)
+            & (F.col("vec_id") % BFS_SEED_STRIDE == 0)
+        )
+        .select(
+            F.col("vec_id").alias("id"),
+            F.lit(0).cast("long").alias("layer"),
+        )
+        .localCheckpoint(eager=True)
+    )
     frontier = labeled
     for hop in range(1, BFS_MAX_HOPS + 1):
         nxt = (

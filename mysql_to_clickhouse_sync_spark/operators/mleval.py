@@ -183,11 +183,10 @@ def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q_pr_curve --------------------------------------------------------------
 
 
-def _pr_oracle() -> str:
-    return f"""
-    WITH {logistic_cte()},
-    {_SCORED_J},
-    g AS (
+# Shared PR chain: score histogram -> cumulative confusion counts with
+# class totals. Used by q_pr_curve and q_opt_threshold (SQL and Spark
+# sides mirrored; keep in lockstep).
+_PR_CW_CTE = """g AS (
         SELECT p_milli, CAST(count(*) AS BIGINT) AS c,
                CAST(sum(y) AS BIGINT) AS p
         FROM j GROUP BY p_milli
@@ -199,9 +198,37 @@ def _pr_oracle() -> str:
                CAST(SUM(c - p) OVER (ORDER BY p_milli DESC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS fp,
-               CAST(SUM(p) OVER () AS BIGINT) AS pos
+               CAST(SUM(p) OVER () AS BIGINT) AS pos,
+               CAST(SUM(c) OVER () AS BIGINT) AS n
         FROM g
+    )"""
+
+
+def _pr_cumulative(d: DataFrame) -> DataFrame:
+    """(threshold p_milli, tp, fp, pos, n) — the Spark mirror of
+    _PR_CW_CTE over the scored-docs frame."""
+    g = d.groupBy("p_milli").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("y").cast("long").alias("p"),
     )
+    w = Window.orderBy(F.desc("p_milli")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    return g.select(
+        "p_milli",
+        F.sum("p").over(w).cast("long").alias("tp"),
+        F.sum(F.expr("c - p")).over(w).cast("long").alias("fp"),
+        F.sum("p").over(wall).cast("long").alias("pos"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+
+
+def _pr_oracle() -> str:
+    return f"""
+    WITH {logistic_cte()},
+    {_SCORED_J},
+    {_PR_CW_CTE}
     SELECT p_milli AS threshold_milli, tp, fp,
            CAST(tp * {EVAL_SCALE} // (tp + fp) AS BIGINT) AS precision_micro,
            CAST(tp * {EVAL_SCALE} // pos AS BIGINT) AS recall_micro,
@@ -223,21 +250,7 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle into a <=1001-row histogram; the unpartitioned window runs
     over that histogram only, so the single-reducer stage is bounded by
     the score grid, not the data. Linear at 100 TB."""
-    d = _scored_docs(spark, sf_dir)
-    g = d.groupBy("p_milli").agg(
-        F.count("*").cast("long").alias("c"),
-        F.sum("y").cast("long").alias("p"),
-    )
-    w = Window.orderBy(F.desc("p_milli")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy()
-    cw = g.select(
-        "p_milli",
-        F.sum("p").over(w).cast("long").alias("tp"),
-        F.sum(F.expr("c - p")).over(w).cast("long").alias("fp"),
-        F.sum("p").over(wall).cast("long").alias("pos"),
-    )
+    cw = _pr_cumulative(_scored_docs(spark, sf_dir))
     return cw.select(
         F.col("p_milli").alias("threshold_milli"),
         "tp",
@@ -1031,22 +1044,7 @@ def _opt_threshold_oracle() -> str:
     return f"""
     WITH {logistic_cte()},
     {_SCORED_J},
-    g AS (
-        SELECT p_milli, CAST(count(*) AS BIGINT) AS c,
-               CAST(sum(y) AS BIGINT) AS p
-        FROM j GROUP BY p_milli
-    ), cw AS (
-        SELECT p_milli,
-               CAST(SUM(p) OVER (ORDER BY p_milli DESC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS tp,
-               CAST(SUM(c - p) OVER (ORDER BY p_milli DESC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS fp,
-               CAST(SUM(p) OVER () AS BIGINT) AS pos,
-               CAST(SUM(c) OVER () AS BIGINT) AS n
-        FROM g
-    ), m AS (
+    {_PR_CW_CTE}, m AS (
         SELECT p_milli AS threshold_milli, tp, fp,
                CAST(2 * tp * {EVAL_SCALE} // (tp + fp + pos) AS BIGINT)
                    AS f1_micro,
@@ -1086,21 +1084,8 @@ def q_opt_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: identical shape to q_pr_curve — score histogram first,
     windows over the <=1001-row histogram, two 1-row argmaxes."""
-    d = _scored_docs(spark, sf_dir)
-    g = d.groupBy("p_milli").agg(
-        F.count("*").cast("long").alias("c"),
-        F.sum("y").cast("long").alias("p"),
-    )
-    w = Window.orderBy(F.desc("p_milli")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy()
-    m = g.select(
-        F.col("p_milli").alias("threshold_milli"),
-        F.sum("p").over(w).cast("long").alias("tp"),
-        F.sum(F.expr("c - p")).over(w).cast("long").alias("fp"),
-        F.sum("p").over(wall).cast("long").alias("pos"),
-        F.sum("c").over(wall).cast("long").alias("n"),
+    m = _pr_cumulative(_scored_docs(spark, sf_dir)).withColumnRenamed(
+        "p_milli", "threshold_milli"
     ).select(
         "threshold_milli",
         "tp",
