@@ -59,3 +59,23 @@ def test_approx_percentile_rank_bounds(spark):
         assert 0.45 <= rank_m <= 0.55, (et, rank_m)
         assert 0.85 <= rank_p90 <= 0.95, (et, rank_p90)
         assert am in v and ap90 in v  # sketch outputs are real samples
+
+
+def test_countmin_never_underestimates_and_probes_exact(spark):
+    from mysql_to_clickhouse_sync_spark.registry import (
+        REGISTRY,
+        _load_all_modules,
+    )
+    from tests.conftest import SF_DIR
+
+    _load_all_modules()
+    rows = REGISTRY["q_countmin_heavy"].fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # the one-sided CMS guarantee
+        assert r.est_tf >= r.exact_tf, r.token
+        assert r.overcount == r.est_tf - r.exact_tf
+    # with 1024 counters over a tiny fixture vocab, most heavy hitters
+    # should probe nearly exactly
+    tight = sum(1 for r in rows if r.overcount * 10 <= r.exact_tf)
+    assert tight >= len(rows) // 2
