@@ -410,3 +410,87 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.c").alias("n_censored"),
         F.col("r.s").alias("surv_micro"),
     )
+
+
+# --- q_tail_index ------------------------------------------------------------
+
+HILL_K = 100  # order statistics in the tail estimate
+HILL_LOG2E_MICRO = 1_442_695  # floor(log2(e) * 1e6): converts the base-2
+#                               log sum to the conventional natural-log
+#                               Hill exponent (pinned public constant)
+
+
+@declare(
+    "q_tail_index",
+    oracle=f"""
+    WITH r AS (
+        SELECT CAST(n_chars AS BIGINT) AS x,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS i
+        FROM documents WHERE n_chars > 0
+    ), head AS (
+        SELECT x, i FROM r WHERE i <= {HILL_K + 1}
+    ), xk AS (
+        SELECT x AS xk FROM head WHERE i = {HILL_K + 1}
+    ), args AS (
+        SELECT DISTINCT x FROM head
+    ),
+    {_fixed_log2_q8_sql('args')},
+    s AS (
+        SELECT CAST(sum(lh.lq8 - lk.lq8) AS BIGINT) AS slog,
+               CAST(count(*) AS BIGINT) AS k
+        FROM head
+        JOIN lg lh ON lh.x = head.x
+        CROSS JOIN xk
+        JOIN lg lk ON lk.x = xk.xk
+        WHERE head.i <= {HILL_K}
+    )
+    SELECT k, slog AS sum_log2_q8,
+           CAST(k * 256 * {HILL_LOG2E_MICRO} // (slog * 1000) AS BIGINT)
+               AS hill_alpha_milli
+    FROM s WHERE slog > 0
+    """,
+    tier="P1",
+)
+def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the document-length tail exponent over the top
+    k = 100 order statistics: alpha_hat = k / sum(ln(x_i / x_{{k+1}}))
+    — computed base-2 (the ratio of logs cancels the base) on the Q8
+    kernel, so hill_alpha_milli is exact BIGINT. The heavy-tail
+    diagnostic that closes the distribution battery (Gini = inequality,
+    Zipf = rank decay, Hill = tail thickness): alpha < 2 means the
+    length distribution has infinite variance and mean-based budget
+    planning is unsafe.
+
+    Scale notes: one top-(k+1) head (rank window over doc lengths — at
+    100 TB pre-filter with an approximate quantile first), then all
+    arithmetic on 101 rows with constant bounds."""
+    r = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            F.col("n_chars").cast("long").alias("x"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+            .alias("i"),
+        )
+        .filter(F.col("i") <= HILL_K + 1)
+    )
+    r = with_fixed_log2_q8(r, "x", "lx")
+    xk = r.filter(F.col("i") == HILL_K + 1).select(
+        F.col("lx").alias("lk")
+    )
+    s = (
+        r.filter(F.col("i") <= HILL_K)
+        .crossJoin(F.broadcast(xk))
+        .agg(
+            F.sum(F.expr("lx - lk")).cast("long").alias("slog"),
+            F.count("*").cast("long").alias("k"),
+        )
+    )
+    return s.filter(F.col("slog") > 0).select(
+        "k",
+        F.col("slog").alias("sum_log2_q8"),
+        F.expr(
+            f"k * 256 * {HILL_LOG2E_MICRO} div (slog * 1000)"
+        ).alias("hill_alpha_milli"),
+    )

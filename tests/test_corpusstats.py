@@ -194,3 +194,20 @@ def test_stddev_exact_matches_float(spark):
         assert abs(r.mean_cents_milli - mean * 1000) <= 1
         # one floor before the sqrt costs at most ~1/(2*sd) milli-cents
         assert abs(r.sd_cents_milli - math.sqrt(var) * 1000) <= 1000, t
+
+
+def test_hill_estimator_matches_float(spark):
+    (r,) = _collect(spark, "q_tail_index")
+    docs = sorted(
+        (d.n_chars for d in _docs(spark) if d.n_chars > 0), reverse=True
+    )
+    k = r.k
+    xk = docs[k]  # the (k+1)-th largest
+    slog = sum(math.log2(x / xk) for x in docs[:k])
+    # conventional (natural-log) Hill exponent; the kernel carries up to
+    # 1 q8 unit per term, so the sum error bound is k q8 units and the
+    # alpha error bound is alpha * k / sum_q8 (relative)
+    want = k / (slog * math.log(2))
+    bound = want * 1000 * k / r.sum_log2_q8 + 5
+    assert abs(r.hill_alpha_milli - want * 1000) <= bound
+    assert r.hill_alpha_milli > 0
