@@ -685,3 +685,106 @@ def q_stddev_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sx * 1000 div n").alias("mean_cents_milli"),
         F.col("s").alias("sd_cents_milli"),
     )
+
+
+# --- q_welch_ttest ------------------------------------------------------------
+
+WELCH_A = "purchase"  # the two compared event populations
+WELCH_B = "click"
+
+
+@declare(
+    "q_welch_ttest",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS xc
+        FROM events WHERE event_type IN ('{WELCH_A}', '{WELCH_B}')
+    ), g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xc) AS BIGINT) AS sx,
+               CAST(sum(xc * xc) AS BIGINT) AS sxx
+        FROM c GROUP BY event_type
+    ), w AS (
+        SELECT max(CASE WHEN event_type = '{WELCH_A}' THEN n END) AS na,
+               max(CASE WHEN event_type = '{WELCH_A}' THEN sx END) AS sxa,
+               max(CASE WHEN event_type = '{WELCH_A}' THEN sxx END) AS sxxa,
+               max(CASE WHEN event_type = '{WELCH_B}' THEN n END) AS nb,
+               max(CASE WHEN event_type = '{WELCH_B}' THEN sx END) AS sxb,
+               max(CASE WHEN event_type = '{WELCH_B}' THEN sxx END) AS sxxb
+        FROM g
+    ), rad AS (
+        -- se^2 = s_a^2/na + s_b^2/nb in micro-cents^2: each variance is
+        -- (n*sxx - sx^2) / (n*(n-1)), divided once more by n
+        SELECT *,
+               ((na * sxxa - sxa * sxa) // (na * (na - 1)) * 1000000 // na
+                + (nb * sxxb - sxb * sxb) // (nb * (nb - 1)) * 1000000 // nb)
+                   AS x
+        FROM w
+    ),
+    {_isqrt_sql('(SELECT x FROM rad)')}
+    SELECT rad.na, rad.nb,
+           CAST(rad.sxa * 1000 // rad.na AS BIGINT) AS mean_a_milli,
+           CAST(rad.sxb * 1000 // rad.nb AS BIGINT) AS mean_b_milli,
+           CAST(sq.s AS BIGINT) AS se_cents_milli,
+           CAST(((rad.sxa * 1000 // rad.na - rad.sxb * 1000 // rad.nb)
+                 * 1000 + 2000000 * sq.s) // sq.s - 2000000 AS BIGINT)
+               AS t_milli
+    FROM rad JOIN sq ON sq.x = rad.x
+    """,
+    tier="P1",
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic for purchase vs click values — the
+    unequal-variance mean-difference test (the A/B-testing staple):
+    t = (mean_a - mean_b) / sqrt(s_a^2/n_a + s_b^2/n_b), entirely in
+    exact integers over cents — sample variances via the one-pass
+    numerator identity, the standard error via the isqrt kernel on the
+    micro-scaled radicand, and the final division through a positivity
+    offset (the mean difference is signed). Completes the inference
+    battery next to chi-square (q_chi2_assoc), KS (q_ks_2samp) and the
+    rank-sum AUC (q_auc_roc).
+
+    Scale notes: one event_type-keyed map-side-combined shuffle into a
+    2-row table pivoted to one row; kernel arithmetic on that row.
+    Variance numerators BIGINT-safe to ~3e6 rows/type at cents scale
+    (the q_stddev_exact bound). |t_milli| is bounded by the offset
+    2e6 (|t| <= 2000 covers any real corpus)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(WELCH_A, WELCH_B)
+    ).select(
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("xc"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xc").cast("long").alias("sx"),
+        F.sum(F.expr("xc * xc")).cast("long").alias("sxx"),
+    )
+    w = g.agg(
+        *[
+            F.max(
+                F.expr(f"CASE WHEN event_type = '{t}' THEN {c} END")
+            ).alias(f"{c}{suf}")
+            for t, suf in ((WELCH_A, "a"), (WELCH_B, "b"))
+            for c in ("n", "sx", "sxx")
+        ]
+    )
+    rad = w.withColumn(
+        "x",
+        F.expr(
+            "(na * sxxa - sxa * sxa) div (na * (na - 1)) * 1000000 div na"
+            " + (nb * sxxb - sxb * sxb) div (nb * (nb - 1)) * 1000000 div nb"
+        ),
+    )
+    rad = with_isqrt(rad, "x", "s")
+    return rad.select(
+        F.col("na"),
+        F.col("nb"),
+        F.expr("sxa * 1000 div na").alias("mean_a_milli"),
+        F.expr("sxb * 1000 div nb").alias("mean_b_milli"),
+        F.col("s").alias("se_cents_milli"),
+        F.expr(
+            "((sxa * 1000 div na - sxb * 1000 div nb) * 1000"
+            " + 2000000 * s) div s - 2000000"
+        ).alias("t_milli"),
+    )

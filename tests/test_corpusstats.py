@@ -211,3 +211,27 @@ def test_hill_estimator_matches_float(spark):
     bound = want * 1000 * k / r.sum_log2_q8 + 5
     assert abs(r.hill_alpha_milli - want * 1000) <= bound
     assert r.hill_alpha_milli > 0
+
+
+def test_welch_t_matches_float(spark):
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "event_type", F.expr("CAST(floor(value * 100) AS BIGINT)").alias("xc")
+    ).collect()
+    a = [r.xc for r in ev if r.event_type == "purchase"]
+    b = [r.xc for r in ev if r.event_type == "click"]
+    (r,) = _collect(spark, "q_welch_ttest")
+    assert (r.na, r.nb) == (len(a), len(b))
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    se = math.sqrt(va / len(a) + vb / len(b))
+    t = (ma - mb) / se
+    assert abs(r.mean_a_milli - ma * 1000) <= 1
+    assert abs(r.mean_b_milli - mb * 1000) <= 1
+    # two variance floors + one isqrt floor: se error < ~2 milli-cents
+    assert abs(r.se_cents_milli - se * 1000) <= se + 2
+    assert abs(r.t_milli - t * 1000) <= max(10, abs(t)), (r.t_milli, t)
