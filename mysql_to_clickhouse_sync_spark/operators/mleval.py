@@ -1147,9 +1147,10 @@ def _mcc_oracle() -> str:
     ),
     {_isqrt_sql('args')}
     SELECT cm.tp, cm.fp, cm.tn, cm.fn,
-           CAST(((cm.tp * cm.tn - cm.fp * cm.fn) * 1000
-                 + 2000 * (sa.s * sb.s)) // (sa.s * sb.s)
-                - 2000 AS BIGINT) AS mcc_milli
+           CAST(CASE WHEN sa.s * sb.s > 0 THEN
+                ((cm.tp * cm.tn - cm.fp * cm.fn) * 1000
+                 + 2000 * (sa.s * sb.s)) // (sa.s * sb.s) - 2000
+                ELSE NULL END AS BIGINT) AS mcc_milli
     FROM cm
     JOIN sq sa ON sa.x = (cm.tp + cm.fp) * (cm.tp + cm.fn)
     JOIN sq sb ON sb.x = (cm.tn + cm.fp) * (cm.tn + cm.fn)
@@ -1168,7 +1169,12 @@ def q_mcc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines — within ~2 ulps of the true root. The numerator
     tp*tn - fp*fn CAN be negative, so the final division carries a
     positivity offset (|mcc_milli| <= 1000, so offset 2000 suffices)
-    making truncating div equal floor div on both engines.
+    making truncating div equal floor div on both engines. A zero
+    confusion margin (all predictions on one side of the threshold, or
+    single-class labels) zeroes the denominator: that degenerate case
+    emits NULL — the conventional undefined MCC — on both engines
+    (mirroring q_corr_pearson's zero-variance branch) instead of
+    throwing a division error under ANSI.
 
     Scale notes: one global confusion aggregation (map-side combined),
     then scalar kernel arithmetic on one row."""
@@ -1200,7 +1206,9 @@ def q_mcc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tn",
         "fn",
         F.expr(
-            "((tp * tn - fp * fn) * 1000 + 2000 * (sa * sb))"
+            "CAST(CASE WHEN sa * sb > 0 THEN"
+            " ((tp * tn - fp * fn) * 1000 + 2000 * (sa * sb))"
             " div (sa * sb) - 2000"
+            " ELSE NULL END AS BIGINT)"
         ).alias("mcc_milli"),
     )

@@ -496,6 +496,21 @@ def q_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # standard-deviation / confidence-interval shape without libm parity risk.
 
 
+def floor_div(a: str, b: str, op: str = "div") -> str:
+    """SQL fragment computing EXACT floor(a/b) for b > 0 with a possibly
+    NEGATIVE numerator, identical on Spark (op='div', truncating) and
+    DuckDB (op='//', flooring): every division the fragment actually
+    emits has a non-negative numerator, where truncation and floor are
+    the same function. This is the n-INDEPENDENT replacement for the
+    positivity-offset trick — an offset only floors correctly while the
+    quotient stays inside the offset range, an invariant that breaks
+    once the statistic grows with data (Welch t ~ sqrt(n))."""
+    return (
+        f"(CASE WHEN ({a}) >= 0 THEN ({a}) {op} ({b})"
+        f" ELSE -(((-({a})) + ({b}) - 1) {op} ({b})) END)"
+    )
+
+
 def with_isqrt(df: DataFrame, xcol: str, out: str) -> DataFrame:
     d = df.withColumn(
         "_s",
@@ -693,9 +708,11 @@ WELCH_A = "purchase"  # the two compared event populations
 WELCH_B = "click"
 
 
-@declare(
-    "q_welch_ttest",
-    oracle=f"""
+def _welch_oracle() -> str:
+    ma = floor_div("rad.sxa * 1000", "rad.na", "//")
+    mb = floor_div("rad.sxb * 1000", "rad.nb", "//")
+    t = floor_div(f"(({ma}) - ({mb})) * 1000", "sq.s", "//")
+    return f"""
     WITH c AS (
         SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS xc
         FROM events WHERE event_type IN ('{WELCH_A}', '{WELCH_B}')
@@ -704,6 +721,7 @@ WELCH_B = "click"
                CAST(sum(xc) AS BIGINT) AS sx,
                CAST(sum(xc * xc) AS BIGINT) AS sxx
         FROM c GROUP BY event_type
+        HAVING count(*) >= 2
     ), w AS (
         SELECT max(CASE WHEN event_type = '{WELCH_A}' THEN n END) AS na,
                max(CASE WHEN event_type = '{WELCH_A}' THEN sx END) AS sxa,
@@ -721,18 +739,18 @@ WELCH_B = "click"
                    AS x
         FROM w
     ),
-    {_isqrt_sql('(SELECT x FROM rad)')}
+    {_isqrt_sql('(SELECT x FROM rad WHERE x IS NOT NULL)')}
     SELECT rad.na, rad.nb,
-           CAST(rad.sxa * 1000 // rad.na AS BIGINT) AS mean_a_milli,
-           CAST(rad.sxb * 1000 // rad.nb AS BIGINT) AS mean_b_milli,
+           CAST({ma} AS BIGINT) AS mean_a_milli,
+           CAST({mb} AS BIGINT) AS mean_b_milli,
            CAST(sq.s AS BIGINT) AS se_cents_milli,
-           CAST(((rad.sxa * 1000 // rad.na - rad.sxb * 1000 // rad.nb)
-                 * 1000 + 2000000 * sq.s) // sq.s - 2000000 AS BIGINT)
+           CAST(CASE WHEN sq.s > 0 THEN {t} ELSE NULL END AS BIGINT)
                AS t_milli
-    FROM rad JOIN sq ON sq.x = rad.x
-    """,
-    tier="P1",
-)
+    FROM rad LEFT JOIN sq ON sq.x = rad.x
+    """
+
+
+@declare("q_welch_ttest", oracle=_welch_oracle(), tier="P1")
 def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch two-sample t statistic for purchase vs click values — the
     unequal-variance mean-difference test (the A/B-testing staple):
@@ -742,13 +760,20 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-scaled radicand, and the final division through a positivity
     offset (the mean difference is signed). Completes the inference
     battery next to chi-square (q_chi2_assoc), KS (q_ks_2samp) and the
-    rank-sum AUC (q_auc_roc).
+    rank-sum AUC (q_auc_roc). The signed final division runs through
+    the floor_div kernel (positive-numerator decomposition), NOT a
+    positivity offset: Welch t grows ~sqrt(n), so any fixed offset
+    bound would eventually be breached at scale and split Spark's
+    truncating div from DuckDB's flooring // — floor_div is exact for
+    every representable t. Degenerate inputs are guarded, not thrown:
+    populations with n < 2 are dropped before the pivot (no n-1=0
+    division under ANSI), and s = 0 (both groups constant) yields
+    t_milli NULL, mirroring q_corr_pearson's zero-variance branch.
 
     Scale notes: one event_type-keyed map-side-combined shuffle into a
     2-row table pivoted to one row; kernel arithmetic on that row.
     Variance numerators BIGINT-safe to ~3e6 rows/type at cents scale
-    (the q_stddev_exact bound). |t_milli| is bounded by the offset
-    2e6 (|t| <= 2000 covers any real corpus)."""
+    (the q_stddev_exact bound)."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin(WELCH_A, WELCH_B)
     ).select(
@@ -760,6 +785,7 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("xc").cast("long").alias("sx"),
         F.sum(F.expr("xc * xc")).cast("long").alias("sxx"),
     )
+    g = g.filter(F.col("n") >= 2)
     w = g.agg(
         *[
             F.max(
@@ -777,14 +803,16 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     rad = with_isqrt(rad, "x", "s")
+    ma = floor_div("sxa * 1000", "na")
+    mb = floor_div("sxb * 1000", "nb")
+    t = floor_div(f"(({ma}) - ({mb})) * 1000", "s")
     return rad.select(
         F.col("na"),
         F.col("nb"),
-        F.expr("sxa * 1000 div na").alias("mean_a_milli"),
-        F.expr("sxb * 1000 div nb").alias("mean_b_milli"),
+        F.expr(ma).alias("mean_a_milli"),
+        F.expr(mb).alias("mean_b_milli"),
         F.col("s").alias("se_cents_milli"),
         F.expr(
-            "((sxa * 1000 div na - sxb * 1000 div nb) * 1000"
-            " + 2000000 * s) div s - 2000000"
+            f"CAST(CASE WHEN s > 0 THEN {t} ELSE NULL END AS BIGINT)"
         ).alias("t_milli"),
     )

@@ -153,6 +153,7 @@ def alter_table_ddl(
     table: str,
     *,
     database: str | None = None,
+    order_by: list[str] | tuple[str, ...] = (),
 ) -> list[str]:
     """`ALTER TABLE` statements bringing a ClickHouse table created from
     `old` up to `new` — the TARGET-side half of CDC schema drift (the
@@ -174,7 +175,15 @@ def alter_table_ddl(
     lossy migration. Columns dropped upstream are LEFT IN PLACE:
     inserts that omit them fill defaults, and dropping data is never an
     automatic side effect. Returns [] when schemas already agree (the
-    no-op case callers can log-and-skip)."""
+    no-op case callers can log-and-skip).
+
+    `order_by` is the target table's ORDER BY key set (what
+    snapshot_ddl/cdc_ddl created it with): ClickHouse rejects MODIFY
+    COLUMN on key columns (keys can neither change type nor become
+    Nullable — the clickhouse_ddl header constraint), so ANY drift on a
+    key column — even one that would be a safe widening elsewhere —
+    raises the explicit non-widening ValueError here, at plan time,
+    instead of surfacing as a runtime DDL rejection on the target."""
     qualified = f"`{database}`.`{table}`" if database else f"`{table}`"
     old_fields = {f.name: f for f in old.fields}
     stmts: list[str] = []
@@ -189,6 +198,13 @@ def alter_table_ddl(
                 f" `{f.name}` {ctype}{pos}"
             )
         elif (have.dataType, have.nullable) != (f.dataType, f.nullable):
+            if f.name in order_by:
+                raise ValueError(
+                    f"drift on ORDER BY key column {f.name!r}: ClickHouse"
+                    f" key columns cannot change type or nullability"
+                    f" ({have.dataType}/{have.nullable} ->"
+                    f" {f.dataType}/{f.nullable})"
+                )
             if not _is_widening(have.dataType, f.dataType) or (
                 have.nullable and not f.nullable
             ):

@@ -121,7 +121,10 @@ def s_cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ClickHouse DDL that widens the sink table (logged here; a
         # live deployment would execute it before the next insert).
         for stmt in alter_table_ddl(
-            events.select(*_V1_COLS).schema, wide_schema, "events_cdc"
+            events.select(*_V1_COLS).schema,
+            wide_schema,
+            "events_cdc",
+            order_by=("user_id",),  # the CDC merge key = CH ORDER BY key
         ):
             _LOG.info("schema drift DDL: %s", stmt)
         # generation 2 carries the new column

@@ -196,8 +196,19 @@ def admit_bucket(
 ) -> Iterator["pd.DataFrame"]:
     """Per-(band, bucket) admission state: a band emission is FRESH iff
     no smaller doc_id has ever produced this bucket — previous batches
-    via GroupState, the current batch via its own minimum (the feed is
-    doc_id-ordered across batches, so batch order == id order)."""
+    via GroupState, the current batch via its own minimum.
+
+    PRECONDITION (asserted): the feed must be doc_id-ordered ACROSS
+    micro-batches — every doc_id in this batch is larger than anything
+    the bucket has already seen. The bucket LAW ("fresh iff no smaller
+    id ever produced the bucket") is order-independent, but this
+    GroupState realization is not: append-mode output can never retract
+    an earlier batch's fresh flag, so an out-of-order smaller id would
+    be wrongly rejected while the larger id it should have displaced
+    stays admitted. s_minhash_stream satisfies the precondition by
+    construction (its rate-limited file source replays the corpus in
+    doc_id order); any other caller must, too, or use the batch
+    relational form (q_minhash_dedup) instead."""
     import pandas as pd
 
     prev = state.get[0] if state.exists else None
@@ -205,6 +216,10 @@ def admit_bucket(
     for batch in batches:
         ids.extend(int(v) for v in batch["doc_id"])
     bmin = min(ids)
+    assert prev is None or bmin > prev, (
+        f"admit_bucket fed out of doc_id order: batch min {bmin} <= "
+        f"already-seen bucket min {prev}"
+    )
     fresh = [prev is None and i == bmin for i in ids]
     state.update((bmin if prev is None else min(prev, bmin),))
     yield pd.DataFrame({"doc_id": ids, "fresh": fresh})

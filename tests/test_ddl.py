@@ -197,3 +197,26 @@ def test_alter_ddl_matches_drift_stream_schemas(spark):
     assert len(stmts) == 1
     assert "ADD COLUMN IF NOT EXISTS `props` Nullable(String)" in stmts[0]
     assert stmts[0].endswith("AFTER `value`")
+
+
+def test_alter_ddl_refuses_key_column_drift():
+    """ClickHouse ORDER BY key columns can neither change type nor become
+    Nullable (ADVICE r5): even a widening that is safe elsewhere must be
+    rejected at plan time when the column is in the key set."""
+    from mysql_to_clickhouse_sync_spark.sinks.ddl import alter_table_ddl
+
+    old = _st(("k", "int", False), ("v", "str", True))
+    widened = _st(("k", "long", False), ("v", "str", True))
+    # same widening is fine on a non-key column...
+    assert alter_table_ddl(old, widened, "t") == [
+        "ALTER TABLE `t` MODIFY COLUMN `k` Int64"
+    ]
+    # ...but raises when the column is part of the ORDER BY key
+    with pytest.raises(ValueError, match="ORDER BY key"):
+        alter_table_ddl(old, widened, "t", order_by=("k",))
+    loosened = _st(("k", "int", True), ("v", "str", True))
+    with pytest.raises(ValueError, match="ORDER BY key"):
+        alter_table_ddl(old, loosened, "t", order_by=("k",))
+    # key-set knowledge must not affect non-key drift
+    new_col = _st(("k", "int", False), ("v", "str", True), ("p", "str", True))
+    assert len(alter_table_ddl(old, new_col, "t", order_by=("k",))) == 1
