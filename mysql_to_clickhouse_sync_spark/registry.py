@@ -65,6 +65,7 @@ def _load_all_modules() -> None:
         joins,
         json_ops,
         kmeans,
+        lakehouse,
         linalg,
         mleval,
         mlscore,
@@ -102,6 +103,9 @@ def _load_all_modules() -> None:
     )
     from mysql_to_clickhouse_sync_spark.streaming import (  # noqa: F401
         evolution as _evolution,
+    )
+    from mysql_to_clickhouse_sync_spark.streaming import (  # noqa: F401
+        lakehouse as _lakehouse_stream,
     )
     from mysql_to_clickhouse_sync_spark.streaming import (  # noqa: F401
         matview as _matview,

@@ -1,21 +1,45 @@
-"""MERGE-INTO emulation for parquet state — the storage half of CDC apply.
+"""Lakehouse MERGE sink for parquet state — the storage half of CDC apply.
 
 Lakehouse formats (Delta/Iceberg/Hudi) provide transactional MERGE; their
-jars are not in this environment, so this implements the classic emulation:
-read current state -> apply the changelog merge (streaming/cdc.py) -> write
-a new generation directory -> flip a pointer file atomically. Readers
-resolve the pointer first, so a crash mid-write leaves the previous
-generation intact (write-audit-publish, not in-place mutation).
+jars are not in this environment, so this implements the discipline from
+first principles: read current state -> apply the changelog merge
+(streaming/cdc.py) -> write a new immutable generation directory with a
+JSON manifest -> flip a pointer file atomically (write-audit-publish,
+never in-place mutation). The `LakeTable` class is the full contract:
 
-Scale notes: each merge rewrites only the state table (latest-per-key — far
-smaller than the event history). For 100 TB state, partition the state by
-key-hash directory and merge only partitions the changelog touches (the
-changelog's distinct key-hash set prunes the rewrite); generations make
-that incremental rewrite safe too.
+  * SNAPSHOT ISOLATION — readers resolve `_CURRENT` once and then read
+    that immutable generation directory; a concurrent merge publishes a
+    NEW directory and never touches the one being read. Retention keeps
+    the last `retention` superseded generations on disk, so an in-flight
+    reader's snapshot survives at least that many subsequent commits.
+  * TIME TRAVEL — every commit is a numbered version with a manifest
+    (parent, batch id, row/file stats); `read(version=v)` returns the
+    table exactly as of commit v while v is retained, `history()` lists
+    the retained commit log (Delta's DESCRIBE HISTORY shape).
+  * EXACTLY-ONCE under at-least-once delivery — `merge(batch, batch_id)`
+    skips batch ids at or below the committed `last_batch` watermark
+    (foreachBatch batch ids are monotonic), and the manifest commits
+    atomically WITH the data via the pointer flip, so a crash in the
+    write window can never double-apply or half-apply a batch (the
+    streaming/matview.py StateSink discipline, generalized).
+  * MERGE semantics — upsert + delete by key with a total (version_cols)
+    order; deletes persist as tombstones across generations so an
+    out-of-order older upsert cannot revive a deleted key.
+
+Scale notes: each merge rewrites only the state table (latest-per-key —
+far smaller than the event history). For 100 TB state, partition the
+state by key-hash directory and merge only partitions the changelog
+touches (the changelog's distinct key-hash set prunes the rewrite);
+immutable generations make that incremental rewrite safe too. Manifest
+row/byte stats come from parquet FOOTERS (pyarrow metadata), never a
+data scan. Small-file pressure from frequent merges is handled by
+`compact()` (sinks/compaction.py sizing), which publishes a compacted
+generation that carries the manifest lineage forward.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -28,6 +52,7 @@ from mysql_to_clickhouse_sync_spark.streaming.cdc import (
 )
 
 _POINTER = "_CURRENT"
+_MANIFEST = "_MANIFEST.json"
 
 
 def _current_generation(path: str) -> str | None:
@@ -72,6 +97,230 @@ def read_state(spark: SparkSession, path: str) -> DataFrame | None:
     return None if raw is None else live_rows(raw)
 
 
+class LakeTable:
+    """Versioned-manifest parquet MERGE table (see module docstring).
+
+    Layout under `path`:
+
+        _CURRENT            pointer file naming the committed generation
+        gen-000000/         immutable generation directory (version 0)
+            *.parquet       state data WITH tombstone rows (op column)
+            _MANIFEST.json  commit record: version, parent, last_batch,
+                            operation, keys/version_cols, file/row stats
+        gen-000001/         ...
+
+    Spark readers ignore underscore-prefixed files, so the manifest can
+    live next to the data and commit in the same pointer flip. A
+    generation directory without a pointer at-or-past it is uncommitted
+    garbage (crash debris) — invisible to every read path and cleared by
+    the next writer. Single-writer by contract, exactly like foreachBatch.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        version_cols: list[str],
+        retention: int = 3,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.version_cols = list(version_cols)
+        self.retention = retention  # superseded generations kept on disk
+        os.makedirs(path, exist_ok=True)
+
+    # -- commit log -----------------------------------------------------
+
+    @staticmethod
+    def _gen_name(version: int) -> str:
+        return f"gen-{version:06d}"
+
+    def _gen_dir(self, version: int) -> str:
+        return os.path.join(self.path, self._gen_name(version))
+
+    def current_version(self) -> int | None:
+        ptr = os.path.join(self.path, _POINTER)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            name = fh.read().strip()
+        return int(name.split("-")[1]) if name else None
+
+    def versions(self) -> list[int]:
+        """Committed, still-retained versions (time-travel window)."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        found = sorted(
+            int(d.split("-")[1])
+            for d in os.listdir(self.path)
+            if d.startswith("gen-")
+            and os.path.exists(os.path.join(self.path, d, _MANIFEST))
+        )
+        return [v for v in found if v <= cur]
+
+    def manifest(self, version: int) -> dict:
+        with open(os.path.join(self._gen_dir(version), _MANIFEST)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        """The retained commit log, oldest first (DESCRIBE HISTORY shape)."""
+        return [self.manifest(v) for v in self.versions()]
+
+    def last_batch(self) -> int | None:
+        cur = self.current_version()
+        return None if cur is None else self.manifest(cur).get("last_batch")
+
+    # -- reads (snapshot-isolated; optionally time-traveled) ------------
+
+    def _resolve(self, version: int | None) -> int:
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {self.path}")
+        v = cur if version is None else version
+        if v not in self.versions():
+            raise ValueError(
+                f"version {v} not retained under {self.path}"
+                f" (have {self.versions()})"
+            )
+        return v
+
+    def raw(self, version: int | None = None) -> DataFrame:
+        """Stored state INCLUDING tombstones, as of `version` (default:
+        current). The returned frame is bound to one immutable generation
+        directory — later merges never mutate what it reads."""
+        return self.spark.read.parquet(self._gen_dir(self._resolve(version)))
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Live rows (tombstones filtered) as of `version`."""
+        return live_rows(self.raw(version))
+
+    # -- writes (write-audit-publish) -----------------------------------
+
+    def _commit(self, write_fn, meta: dict) -> int:
+        cur = self.current_version()
+        new_v = 0 if cur is None else cur + 1
+        gen = self._gen_dir(new_v)
+        # A leftover dir from a crashed earlier attempt is uncommitted
+        # garbage (the pointer never reached it): clear and rewrite.
+        shutil.rmtree(gen, ignore_errors=True)
+        write_fn(gen)
+        files = [
+            e
+            for e in os.scandir(gen)
+            if e.is_file() and e.name.endswith(".parquet")
+        ]
+        # Row stats from parquet FOOTERS — metadata-only, never a scan.
+        import pyarrow.parquet as pq
+
+        manifest = {
+            "version": new_v,
+            "parent": cur,
+            "keys": self.keys,
+            "version_cols": self.version_cols,
+            "n_files": len(files),
+            "bytes": sum(e.stat().st_size for e in files),
+            "rows": sum(pq.read_metadata(e.path).num_rows for e in files),
+            **meta,
+        }
+        with open(os.path.join(gen, _MANIFEST), "w") as fh:
+            json.dump(manifest, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        # Atomic publish: data + manifest become the committed version in
+        # one rename; a crash anywhere above leaves _CURRENT untouched.
+        tmp = os.path.join(self.path, _POINTER + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write(self._gen_name(new_v))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.path, _POINTER))
+        for v in self.versions():
+            if v < new_v - self.retention:
+                shutil.rmtree(self._gen_dir(v), ignore_errors=True)
+        return new_v
+
+    def merge(
+        self, changelog: DataFrame, batch_id: int | None = None
+    ) -> DataFrame:
+        """MERGE INTO: upsert + delete by key under the (version_cols)
+        total order; returns the new live state. First call bootstraps
+        the table from the changelog alone. With `batch_id` (monotonic,
+        e.g. from foreachBatch), an id at or below the committed
+        last_batch watermark is a re-delivery and is skipped — the
+        manifest commits atomically with the data, so the skip decision
+        can never disagree with the published state."""
+        cur = self.current_version()
+        if batch_id is not None and cur is not None:
+            lb = self.manifest(cur).get("last_batch")
+            if lb is not None and batch_id <= lb:
+                return self.read()
+        payload_cols = [c for c in changelog.columns if c != "op"]
+        if cur is None:
+            state = as_state(
+                self.spark.createDataFrame(
+                    [], changelog.select(*payload_cols).schema
+                )
+            )
+            inherited = None
+        else:
+            state = self.raw()
+            inherited = self.manifest(cur).get("last_batch")
+        # Persist WITH tombstones (op column) so later out-of-order
+        # upserts cannot revive deleted keys; readers get live_rows.
+        new_state = apply_changelog(
+            state, changelog, self.keys, self.version_cols
+        )
+        self._commit(
+            lambda p: new_state.write.mode("overwrite").parquet(p),
+            {
+                "operation": "merge",
+                "last_batch": batch_id if batch_id is not None else inherited,
+            },
+        )
+        return self.read()
+
+    def writer(self):
+        """foreachBatch adapter: `.writeStream.foreachBatch(t.writer())`
+        lands every micro-batch through the exactly-once MERGE path."""
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            self.merge(batch_df, batch_id=batch_id)
+
+        return _apply
+
+    def compact(self, target_file_bytes: int | None = None) -> int:
+        """Publish a small-file-compacted generation (sinks/compaction.py
+        byte-based sizing) carrying the manifest lineage — logically a
+        no-op commit, so the last_batch watermark is preserved and
+        readers of prior versions are untouched. Returns the committed
+        version (unchanged if already at or below the planned count)."""
+        from mysql_to_clickhouse_sync_spark.sinks.compaction import (
+            TARGET_FILE_BYTES,
+            data_file_sizes,
+            plan_file_count,
+        )
+
+        target = target_file_bytes or TARGET_FILE_BYTES
+        v = self._resolve(None)
+        gen = self._gen_dir(v)
+        sizes = data_file_sizes(gen)
+        n_target = plan_file_count(sum(sizes), target)
+        if len(sizes) <= n_target:
+            return v
+        df = self.spark.read.parquet(gen)
+        return self._commit(
+            lambda p: df.coalesce(n_target).write.parquet(p),
+            {
+                "operation": "compact",
+                "compacted_from": v,
+                "last_batch": self.manifest(v).get("last_batch"),
+            },
+        )
+
+
 def merge_into_parquet(
     spark: SparkSession,
     path: str,
@@ -79,21 +328,9 @@ def merge_into_parquet(
     keys: list[str],
     version_cols: list[str],
 ) -> DataFrame:
-    """Merge a changelog into the parquet-backed state table at `path` and
-    publish the new generation. Returns the new live state. First call
-    bootstraps the table from the changelog alone."""
-    os.makedirs(path, exist_ok=True)
-    state = _read_raw(spark, path)
-    payload_cols = [c for c in changelog.columns if c != "op"]
-    if state is None:
-        state = as_state(
-            spark.createDataFrame([], changelog.select(*payload_cols).schema)
-        )
-
-    new_state = apply_changelog(state, changelog, keys, version_cols)
-    # Persist WITH tombstones (op column) so later out-of-order upserts
-    # cannot revive deleted keys across merges; readers get live_rows.
-    gen_path = _publish_generation(
-        path, lambda p: new_state.write.mode("overwrite").parquet(p)
+    """Single-shot convenience MERGE: one LakeTable commit with
+    retention=0 (only the newest generation kept — callers that want
+    time travel or exactly-once batch tracking hold a LakeTable)."""
+    return LakeTable(spark, path, keys, version_cols, retention=0).merge(
+        changelog
     )
-    return live_rows(spark.read.parquet(gen_path))

@@ -1,0 +1,181 @@
+"""LakeTable lakehouse-sink tests: time travel, snapshot isolation,
+retention, exactly-once batch commits across crash windows (the
+test_matview.py crash-injection style), and manifest-preserving
+compaction."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from mysql_to_clickhouse_sync_spark.sinks.merge import LakeTable
+
+LOG_SCHEMA = "k bigint, seq bigint, ts timestamp, v double, op string"
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        [(k, seq, _ts(seq), v, op) for k, seq, v, op in rows], LOG_SCHEMA
+    )
+
+
+def _state(table, version=None):
+    return {r.k: r.v for r in table.read(version).collect()}
+
+
+def _table(spark, tmp_path, **kw):
+    return LakeTable(
+        spark,
+        str(tmp_path / "state"),
+        keys=["k"],
+        version_cols=["ts", "seq"],
+        **kw,
+    )
+
+
+def test_time_travel_reads_every_commit(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert"), (2, 2, 2.0, "upsert")]))
+    t.merge(_log(spark, [(1, 3, 9.0, "upsert"), (3, 4, 3.0, "upsert")]))
+    t.merge(_log(spark, [(2, 5, 0.0, "delete")]))
+    assert t.versions() == [0, 1, 2]
+    assert _state(t, 0) == {1: 1.0, 2: 2.0}
+    assert _state(t, 1) == {1: 9.0, 2: 2.0, 3: 3.0}
+    assert _state(t, 2) == {1: 9.0, 3: 3.0}
+    assert _state(t) == _state(t, 2)  # default read = current
+    hist = t.history()
+    assert [m["version"] for m in hist] == [0, 1, 2]
+    assert [m["parent"] for m in hist] == [None, 0, 1]
+    assert all(m["operation"] == "merge" for m in hist)
+    # manifest row stats include the tombstone (footer-derived, no scan):
+    # keys 1 and 3 live + key 2's delete tombstone = 3 stored rows
+    assert hist[2]["rows"] == 3
+
+
+def test_snapshot_isolation_pins_readers(spark, tmp_path):
+    """A DataFrame handed out before a later merge keeps reading ITS
+    generation — commits never mutate a published directory."""
+    t = _table(spark, tmp_path)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert")]))
+    pinned = t.read()  # resolves the pointer now, binds gen-000000
+    t.merge(_log(spark, [(1, 2, 99.0, "upsert")]))
+    assert {r.k: r.v for r in pinned.collect()} == {1: 1.0}
+    assert _state(t) == {1: 99.0}
+
+
+def test_retention_prunes_beyond_window(spark, tmp_path):
+    import pytest
+
+    t = _table(spark, tmp_path, retention=1)
+    for seq in range(4):
+        t.merge(_log(spark, [(1, seq + 1, float(seq), "upsert")]))
+    assert t.current_version() == 3
+    assert t.versions() == [2, 3]  # current + 1 superseded
+    on_disk = sorted(
+        d for d in os.listdir(t.path) if d.startswith("gen-")
+    )
+    assert on_disk == ["gen-000002", "gen-000003"]
+    with pytest.raises(ValueError, match="not retained"):
+        t.read(version=0)
+
+
+def test_redelivered_batch_is_skipped(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert")]), batch_id=0)
+    t.merge(_log(spark, [(2, 2, 2.0, "upsert")]), batch_id=1)
+    once = _state(t)
+    # retry storm: both batches re-delivered, out of order
+    t.merge(_log(spark, [(2, 2, 2.0, "upsert")]), batch_id=1)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert")]), batch_id=0)
+    assert _state(t) == once
+    assert t.current_version() == 1  # skips committed nothing
+    assert t.last_batch() == 1
+
+
+def test_crash_before_pointer_flip_is_exactly_once(spark, tmp_path):
+    """Crash BETWEEN writing the new generation (data + manifest) and the
+    pointer flip: the un-flipped generation must be invisible (state,
+    versions, and watermark all unchanged), and redelivery through a
+    fresh LakeTable (fresh driver) must merge the batch exactly once."""
+    t = _table(spark, tmp_path)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert")]), batch_id=0)
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise RuntimeError("simulated crash before commit")
+
+    os.replace = boom
+    try:
+        try:
+            t.merge(_log(spark, [(2, 2, 2.0, "upsert")]), batch_id=1)
+            assert False, "crash injection did not fire"
+        except RuntimeError:
+            pass
+    finally:
+        os.replace = real_replace
+
+    # uncommitted: every read surface still shows only batch 0
+    assert t.current_version() == 0
+    assert t.versions() == [0]
+    assert t.last_batch() == 0
+    assert _state(t) == {1: 1.0}
+
+    # redelivery on a fresh instance applies the batch exactly once
+    t2 = _table(spark, tmp_path)
+    t2.merge(_log(spark, [(2, 2, 2.0, "upsert")]), batch_id=1)
+    assert _state(t2) == {1: 1.0, 2: 2.0}
+    assert t2.current_version() == 1
+    t2.merge(_log(spark, [(2, 2, 2.0, "upsert")]), batch_id=1)  # retry no-op
+    assert t2.current_version() == 1
+
+
+def test_tombstone_survives_time_travel_window(spark, tmp_path):
+    """An out-of-order OLDER upsert in a later commit must not revive a
+    deleted key — and the pre-delete version must still show it."""
+    t = _table(spark, tmp_path)
+    t.merge(_log(spark, [(1, 5, 5.0, "upsert")]))
+    t.merge(_log(spark, [(1, 8, 0.0, "delete")]))
+    t.merge(_log(spark, [(1, 3, 3.0, "upsert")]))  # older than the delete
+    assert _state(t, 0) == {1: 5.0}
+    assert _state(t, 1) == {}
+    assert _state(t, 2) == {}  # tombstone won: key stays dead
+
+
+def test_compact_preserves_state_lineage_and_watermark(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    many = _log(
+        spark, [(k, k + 1, float(k), "upsert") for k in range(20)]
+    ).repartition(8)
+    # AQE would coalesce this tiny merge to one file — hold it off so the
+    # generation actually lands small-file-fragmented
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        t.merge(many, batch_id=7)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    gen0 = os.path.join(t.path, "gen-000000")
+    n_before = len(
+        [f for f in os.listdir(gen0) if f.endswith(".parquet")]
+    )
+    assert n_before > 1
+    before = _state(t)
+    v = t.compact()  # tiny table -> one target file
+    assert v == 1
+    assert _state(t) == before
+    m = t.manifest(1)
+    assert m["operation"] == "compact"
+    assert m["compacted_from"] == 0
+    assert m["last_batch"] == 7  # exactly-once watermark carried forward
+    assert m["n_files"] == 1
+    # a re-delivered batch 7 is still skipped after compaction
+    t.merge(_log(spark, [(99, 1, 1.0, "upsert")]), batch_id=7)
+    assert t.current_version() == 1
+    # the pre-compaction version remains time-travel readable
+    assert _state(t, 0) == before
+    # compacting an already-compact table is a no-op commit-wise
+    assert t.compact() == 1
