@@ -60,6 +60,7 @@ def _load_all_modules() -> None:
         curation,
         dedup,
         featurize,
+        filter_pipeline,
         filters,
         ivf,
         joins,
