@@ -220,3 +220,45 @@ def test_alter_ddl_refuses_key_column_drift():
     # key-set knowledge must not affect non-key drift
     new_col = _st(("k", "int", False), ("v", "str", True), ("p", "str", True))
     assert len(alter_table_ddl(old, new_col, "t", order_by=("k",))) == 1
+
+
+def test_drift_stream_records_alter_and_null_fills(spark, caplog):
+    """Integration (r5 VERDICT #5): running the schema-drift CDC stream
+    must (a) RECORD the idempotent ALTER statement at the moment the
+    wide generation appears, and (b) NULL-fill the new column for every
+    winner serialized before the upstream ALTER — both halves of the
+    drift contract observed from one run."""
+    import logging
+
+    from mysql_to_clickhouse_sync_spark.streaming.evolution import (
+        ALTER_TS,
+        s_cdc_schema_drift,
+    )
+
+    with caplog.at_level(
+        logging.INFO, logger="mysql_to_clickhouse_sync_spark.streaming.evolution"
+    ):
+        rows = s_cdc_schema_drift(spark, SF).collect()
+
+    ddl = [r.message for r in caplog.records if "schema drift DDL" in r.message]
+    assert len(ddl) == 1
+    assert "ADD COLUMN IF NOT EXISTS `props` Nullable(String)" in ddl[0]
+    assert "`events_cdc`" in ddl[0]
+
+    # data half: pre-ALTER winners carry NULL props; post-ALTER winners
+    # carry the source value verbatim
+    import datetime
+
+    alter = datetime.datetime.fromisoformat(ALTER_TS)
+    src = {
+        r.event_id: r.props
+        for r in load_table(spark, SF, "events")
+        .select("event_id", "props")
+        .collect()
+    }
+    assert rows  # stream converged to a non-empty state
+    for r in rows:
+        if r.ts < alter:
+            assert r.props is None, f"pre-ALTER winner {r.event_id} not NULL"
+        else:
+            assert r.props == src[r.event_id]
