@@ -71,14 +71,11 @@ _ORACLE = f"""
 """
 
 
-@declare("q_merge_snapshot", oracle=_ORACLE, tier="P2")
-def q_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three MERGE commits into a LakeTable, read back at every retained
-    version: commit v's live state must equal the latest-per-user fold
-    of the changelog prefix (error events are deletes — their keys
-    vanish while the tombstone persists in storage). Output is the
-    union of the three time-traveled reads tagged with their version —
-    the snapshot-isolation/time-travel contract stated as data."""
+def _run_merge_commits(
+    spark: SparkSession, sf_dir: str, n_buckets: int | None
+) -> DataFrame:
+    """Shared driver for the (un)bucketed snapshot queries: three MERGE
+    commits, then the union of every retained version's live rows."""
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
@@ -105,6 +102,7 @@ def q_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             keys=["user_id"],
             version_cols=["ts", "event_id"],
             retention=len(batches),  # keep every commit readable
+            n_buckets=n_buckets,
         )
         for i, b in enumerate(batches):
             table.merge(b, batch_id=i)
@@ -121,3 +119,28 @@ def q_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@declare("q_merge_snapshot", oracle=_ORACLE, tier="P2")
+def q_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three MERGE commits into a LakeTable, read back at every retained
+    version: commit v's live state must equal the latest-per-user fold
+    of the changelog prefix (error events are deletes — their keys
+    vanish while the tombstone persists in storage). Output is the
+    union of the three time-traveled reads tagged with their version —
+    the snapshot-isolation/time-travel contract stated as data."""
+    return _run_merge_commits(spark, sf_dir, n_buckets=None)
+
+
+@declare("q_merge_bucketed", oracle=_ORACLE, tier="P2")
+def q_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The identical commit sequence through a KEY-HASH-BUCKETED
+    LakeTable (8 buckets): each commit rewrites only the buckets its
+    changelog touches, untouched buckets stay manifest-referenced from
+    older generations, and every time-traveled read unions through
+    those references. Same oracle as q_merge_snapshot — the pruned
+    incremental rewrite must be semantically invisible, which is
+    exactly what makes it safe to rely on at 100 TB (where merge cost
+    being O(touched bytes), not O(table bytes), is the difference
+    between a commit and a table rewrite)."""
+    return _run_merge_commits(spark, sf_dir, n_buckets=8)

@@ -44,6 +44,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_sync_spark.streaming.cdc import (
     apply_changelog,
@@ -123,12 +124,21 @@ class LakeTable:
         keys: list[str],
         version_cols: list[str],
         retention: int = 3,
+        n_buckets: int | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.version_cols = list(version_cols)
         self.retention = retention  # superseded generations kept on disk
+        # n_buckets switches on key-hash-bucketed state: each generation
+        # REWRITES ONLY the buckets its changelog touches and the
+        # manifest maps every untouched bucket to the generation that
+        # still owns it — the incremental-rewrite contract the module
+        # docstring promises for 100 TB state (Hudi file groups /
+        # Iceberg manifest-pruning shape). Merge cost becomes
+        # O(touched-bucket bytes), not O(table bytes).
+        self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
 
     # -- commit log -----------------------------------------------------
@@ -187,11 +197,27 @@ class LakeTable:
             )
         return v
 
+    def data_paths(self, version: int | None = None) -> list[str]:
+        """The directories holding `version`'s data. Unbucketed: the one
+        generation dir. Bucketed: each bucket resolved through the
+        manifest to the generation that last rewrote it — the manifest
+        IS the table, directories are just storage."""
+        v = self._resolve(version)
+        buckets = self.manifest(v).get("buckets")
+        if buckets is None:
+            return [self._gen_dir(v)]
+        return [
+            os.path.join(self.path, owner, f"bucket={b}")
+            for b, owner in sorted(
+                buckets.items(), key=lambda kv: int(kv[0])
+            )
+        ]
+
     def raw(self, version: int | None = None) -> DataFrame:
         """Stored state INCLUDING tombstones, as of `version` (default:
-        current). The returned frame is bound to one immutable generation
-        directory — later merges never mutate what it reads."""
-        return self.spark.read.parquet(self._gen_dir(self._resolve(version)))
+        current). The returned frame is bound to immutable generation
+        directories — later merges never mutate what it reads."""
+        return self.spark.read.parquet(*self.data_paths(version))
 
     def read(self, version: int | None = None) -> DataFrame:
         """Live rows (tombstones filtered) as of `version`."""
@@ -208,9 +234,10 @@ class LakeTable:
         shutil.rmtree(gen, ignore_errors=True)
         write_fn(gen)
         files = [
-            e
-            for e in os.scandir(gen)
-            if e.is_file() and e.name.endswith(".parquet")
+            os.path.join(root, f)
+            for root, _dirs, names in os.walk(gen)
+            for f in names
+            if f.endswith(".parquet")
         ]
         # Row stats from parquet FOOTERS — metadata-only, never a scan.
         import pyarrow.parquet as pq
@@ -221,8 +248,8 @@ class LakeTable:
             "keys": self.keys,
             "version_cols": self.version_cols,
             "n_files": len(files),
-            "bytes": sum(e.stat().st_size for e in files),
-            "rows": sum(pq.read_metadata(e.path).num_rows for e in files),
+            "bytes": sum(os.path.getsize(f) for f in files),
+            "rows": sum(pq.read_metadata(f).num_rows for f in files),
             **meta,
         }
         with open(os.path.join(gen, _MANIFEST), "w") as fh:
@@ -237,9 +264,19 @@ class LakeTable:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, os.path.join(self.path, _POINTER))
+        # Prune: a generation may fall out of the retention window yet
+        # still OWN buckets a retained manifest references — those stay
+        # (reference-counted pruning, the Iceberg expire-snapshots rule).
+        retained = [v for v in self.versions() if v >= new_v - self.retention]
+        referenced = {self._gen_name(v) for v in retained}
+        for v in retained:
+            referenced.update(
+                (self.manifest(v).get("buckets") or {}).values()
+            )
         for v in self.versions():
-            if v < new_v - self.retention:
-                shutil.rmtree(self._gen_dir(v), ignore_errors=True)
+            name = self._gen_name(v)
+            if v < new_v - self.retention and name not in referenced:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
         return new_v
 
     def merge(
@@ -258,28 +295,74 @@ class LakeTable:
             if lb is not None and batch_id <= lb:
                 return self.read()
         payload_cols = [c for c in changelog.columns if c != "op"]
-        if cur is None:
-            state = as_state(
-                self.spark.createDataFrame(
-                    [], changelog.select(*payload_cols).schema
-                )
+        empty = as_state(
+            self.spark.createDataFrame(
+                [], changelog.select(*payload_cols).schema
             )
-            inherited = None
-        else:
-            state = self.raw()
-            inherited = self.manifest(cur).get("last_batch")
-        # Persist WITH tombstones (op column) so later out-of-order
-        # upserts cannot revive deleted keys; readers get live_rows.
+        )
+        inherited = (
+            None if cur is None else self.manifest(cur).get("last_batch")
+        )
+        meta = {
+            "operation": "merge",
+            "last_batch": batch_id if batch_id is not None else inherited,
+        }
+        if self.n_buckets is None:
+            state = empty if cur is None else self.raw()
+            # Persist WITH tombstones (op column) so later out-of-order
+            # upserts cannot revive deleted keys; readers get live_rows.
+            new_state = apply_changelog(
+                state, changelog, self.keys, self.version_cols
+            )
+            self._commit(
+                lambda p: new_state.write.mode("overwrite").parquet(p), meta
+            )
+            return self.read()
+
+        # Bucketed: only the key-hash buckets the changelog touches are
+        # read, merged, and rewritten; every other bucket stays owned by
+        # the generation that last wrote it (manifest reference). Merge
+        # cost is O(touched bytes) — at 100 TB with a daily changelog
+        # hitting a few hundred of 2^14 buckets, that is the whole
+        # difference between an incremental commit and a table rewrite.
+        bcol = F.pmod(
+            F.hash(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets)
+        ).cast("int")
+        log_b = changelog.withColumn("_b", bcol).localCheckpoint(eager=True)
+        touched = sorted(
+            r[0] for r in log_b.select("_b").distinct().collect()
+        )
+        prev = (
+            {}
+            if cur is None
+            else dict(self.manifest(cur).get("buckets") or {})
+        )
+        paths = [
+            os.path.join(self.path, prev[str(b)], f"bucket={b}")
+            for b in touched
+            if str(b) in prev
+        ]
+        state_t = self.spark.read.parquet(*paths) if paths else empty
         new_state = apply_changelog(
-            state, changelog, self.keys, self.version_cols
-        )
-        self._commit(
-            lambda p: new_state.write.mode("overwrite").parquet(p),
-            {
-                "operation": "merge",
-                "last_batch": batch_id if batch_id is not None else inherited,
-            },
-        )
+            state_t, log_b.drop("_b"), self.keys, self.version_cols
+        ).withColumn("bucket", bcol)
+
+        def write(p: str) -> None:
+            new_state.write.partitionBy("bucket").mode("overwrite").parquet(p)
+            written = {
+                d.split("=", 1)[1]
+                for d in os.listdir(p)
+                if d.startswith("bucket=")
+            }
+            untouched = {
+                b: owner
+                for b, owner in prev.items()
+                if int(b) not in set(touched)
+            }
+            untouched.update({b: os.path.basename(p) for b in written})
+            meta["buckets"] = untouched
+
+        self._commit(write, meta)
         return self.read()
 
     def writer(self):
@@ -305,20 +388,44 @@ class LakeTable:
 
         target = target_file_bytes or TARGET_FILE_BYTES
         v = self._resolve(None)
-        gen = self._gen_dir(v)
-        sizes = data_file_sizes(gen)
-        n_target = plan_file_count(sum(sizes), target)
-        if len(sizes) <= n_target:
+        m = self.manifest(v)
+        meta = {
+            "operation": "compact",
+            "compacted_from": v,
+            "last_batch": m.get("last_batch"),
+        }
+        if m.get("buckets") is None:
+            gen = self._gen_dir(v)
+            sizes = data_file_sizes(gen)
+            n_target = plan_file_count(sum(sizes), target)
+            if len(sizes) <= n_target:
+                return v
+            df = self.spark.read.parquet(gen)
+            return self._commit(
+                lambda p: df.coalesce(n_target).write.parquet(p), meta
+            )
+        # Bucketed: rewrite only the fragmented buckets; the rest keep
+        # their owners — compaction is as incremental as merge.
+        frag: dict[str, tuple[str, int]] = {}
+        for b, owner in m["buckets"].items():
+            d = os.path.join(self.path, owner, f"bucket={b}")
+            sizes = data_file_sizes(d)
+            n_target = plan_file_count(sum(sizes), target)
+            if len(sizes) > n_target:
+                frag[b] = (d, n_target)
+        if not frag:
             return v
-        df = self.spark.read.parquet(gen)
-        return self._commit(
-            lambda p: df.coalesce(n_target).write.parquet(p),
-            {
-                "operation": "compact",
-                "compacted_from": v,
-                "last_batch": self.manifest(v).get("last_batch"),
-            },
-        )
+
+        def write(p: str) -> None:
+            for b, (d, n_target) in frag.items():
+                self.spark.read.parquet(d).coalesce(n_target).write.parquet(
+                    os.path.join(p, f"bucket={b}")
+                )
+            bmap = {b: o for b, o in m["buckets"].items() if b not in frag}
+            bmap.update({b: os.path.basename(p) for b in frag})
+            meta["buckets"] = bmap
+
+        return self._commit(write, meta)
 
 
 def merge_into_parquet(

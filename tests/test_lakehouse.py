@@ -179,3 +179,128 @@ def test_compact_preserves_state_lineage_and_watermark(spark, tmp_path):
     assert _state(t, 0) == before
     # compacting an already-compact table is a no-op commit-wise
     assert t.compact() == 1
+
+
+def _btable(spark, tmp_path, **kw):
+    return LakeTable(
+        spark,
+        str(tmp_path / "bstate"),
+        keys=["k"],
+        version_cols=["ts", "seq"],
+        n_buckets=4,
+        **kw,
+    )
+
+
+def test_bucketed_merge_matches_unbucketed(spark, tmp_path):
+    """Bucketing is storage layout, never semantics: the same commit
+    sequence must produce identical states at every version."""
+    t = _table(spark, tmp_path)
+    b = _btable(spark, tmp_path)
+    batches = [
+        [(1, 1, 1.0, "upsert"), (2, 2, 2.0, "upsert"), (7, 3, 7.0, "upsert")],
+        [(1, 4, 9.0, "upsert"), (2, 5, 0.0, "delete")],
+        [(9, 6, 3.0, "upsert"), (7, 7, 0.0, "delete")],
+    ]
+    for i, rows in enumerate(batches):
+        t.merge(_log(spark, rows), batch_id=i)
+        b.merge(_log(spark, rows), batch_id=i)
+    for v in (0, 1, 2):
+        assert _state(b, v) == _state(t, v), f"version {v} diverged"
+    assert b.last_batch() == 2
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The pruned-rewrite contract: a changelog touching one key must
+    rewrite only that key's hash bucket; every other bucket stays OWNED
+    by the generation that last wrote it, and read() unions through the
+    manifest references."""
+    b = _btable(spark, tmp_path)
+    seed = [(k, k + 1, float(k), "upsert") for k in range(12)]
+    b.merge(_log(spark, seed), batch_id=0)
+    m0 = b.manifest(0)
+    owners0 = m0["buckets"]
+    assert set(owners0.values()) == {"gen-000000"}
+    n_buckets0 = len(owners0)
+    assert n_buckets0 > 1  # 12 keys spread over >1 of 4 buckets
+
+    # single-key update -> exactly one bucket rewritten
+    b.merge(_log(spark, [(5, 45, 55.0, "upsert")]), batch_id=1)
+    m1 = b.manifest(1)
+    owners1 = m1["buckets"]
+    moved = {k for k in owners1 if owners1[k] != owners0.get(k)}
+    assert len(moved) == 1  # only key 5's bucket changed owner
+    assert owners1[next(iter(moved))] == "gen-000001"
+    # on disk, gen-000001 holds exactly that one bucket directory
+    gen1 = str(tmp_path / "bstate" / "gen-000001")
+    assert sorted(
+        d for d in os.listdir(gen1) if d.startswith("bucket=")
+    ) == [f"bucket={next(iter(moved))}"]
+    # semantics intact across the reference union
+    expect = {k: float(k) for k in range(12)}
+    expect[5] = 55.0
+    assert _state(b) == expect
+    # time travel reads the pre-update bucket through the old owner
+    assert _state(b, 0) == {k: float(k) for k in range(12)}
+
+
+def test_bucketed_referenced_generation_survives_retention(spark, tmp_path):
+    """A generation older than the retention window must survive while a
+    retained manifest still references one of its buckets (Iceberg
+    expire-snapshots rule)."""
+    b = _btable(spark, tmp_path, retention=1)
+    b.merge(_log(spark, [(k, k + 1, float(k), "upsert") for k in range(12)]))
+    # three single-key updates to the SAME key: gen-0 keeps owning the
+    # other buckets the whole time
+    for i in range(3):
+        b.merge(_log(spark, [(5, 50 + i, 50.0 + i, "upsert")]))
+    assert b.current_version() == 3
+    on_disk = sorted(d for d in os.listdir(b.path) if d.startswith("gen-"))
+    # gen-0 referenced (untouched buckets) though v0 is beyond retention;
+    # gen-1 unreferenced and out of window -> pruned
+    assert "gen-000000" in on_disk
+    assert "gen-000001" not in on_disk
+    expect = {k: float(k) for k in range(12)}
+    expect[5] = 52.0
+    assert _state(b) == expect
+
+
+def test_bucketed_compact_rewrites_only_fragmented_buckets(spark, tmp_path):
+    b = _btable(spark, tmp_path)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        b.merge(
+            _log(
+                spark, [(k, k + 1, float(k), "upsert") for k in range(24)]
+            ).repartition(6),
+            batch_id=3,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    before = _state(b)
+    m0 = b.manifest(0)
+    frag_buckets = [
+        x
+        for x in m0["buckets"]
+        if len(
+            [
+                f
+                for f in os.listdir(
+                    os.path.join(b.path, "gen-000000", f"bucket={x}")
+                )
+                if f.endswith(".parquet")
+            ]
+        )
+        > 1
+    ]
+    assert frag_buckets  # the repartition(6) write fragmented something
+    v = b.compact()
+    assert v == 1
+    m1 = b.manifest(1)
+    assert m1["operation"] == "compact"
+    assert m1["last_batch"] == 3
+    for x, owner in m1["buckets"].items():
+        assert owner == ("gen-000001" if x in frag_buckets else "gen-000000")
+    assert _state(b) == before
+    # idempotent: nothing fragmented remains
+    assert b.compact() == 1
