@@ -71,11 +71,9 @@ _ORACLE = f"""
 """
 
 
-def _run_merge_commits(
-    spark: SparkSession, sf_dir: str, n_buckets: int | None
-) -> DataFrame:
-    """Shared driver for the (un)bucketed snapshot queries: three MERGE
-    commits, then the union of every retained version's live rows."""
+def _changelog_batches(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The shared three-commit changelog: events in three event-time
+    windows, 'error' events as deletes."""
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
@@ -87,13 +85,38 @@ def _run_merge_commits(
             F.lit(UPSERT)
         ),
     )
-    batches = [
+    return [
         log.filter(F.col("ts") < F.lit(MERGE_T1)),
         log.filter(
             (F.col("ts") >= F.lit(MERGE_T1)) & (F.col("ts") < F.lit(MERGE_T2))
         ),
         log.filter(F.col("ts") >= F.lit(MERGE_T2)),
     ]
+
+
+def _run_merge_commits(
+    spark: SparkSession, sf_dir: str, n_buckets: int | None
+) -> DataFrame:
+    """Shared driver for the (un)bucketed snapshot queries: three MERGE
+    commits, then the union of every retained version's live rows."""
+    batches = _changelog_batches(spark, sf_dir)
+
+    def per_version(table: LakeTable) -> list[DataFrame]:
+        return [
+            table.read(version=v).withColumn(
+                "version", F.lit(v).cast("long")
+            )
+            for v in table.versions()
+        ]
+
+    return _with_committed_table(
+        spark, batches, n_buckets, per_version, ["version", *_COLS]
+    )
+
+
+def _with_committed_table(spark, batches, n_buckets, reader, cols):
+    """Commit `batches` into a scratch LakeTable, apply `reader` to get
+    per-version frames, union, checkpoint, clean up."""
     workdir = tempfile.mkdtemp(prefix="lake_snapshot_")
     try:
         table = LakeTable(
@@ -107,15 +130,9 @@ def _run_merge_commits(
         for i, b in enumerate(batches):
             table.merge(b, batch_id=i)
         assert table.versions() == [0, 1, 2]
-        reads = [
-            table.read(version=v).withColumn(
-                "version", F.lit(v).cast("long")
-            )
-            for v in table.versions()
-        ]
-        out = reduce(lambda a, b: a.unionByName(b), reads).select(
-            "version", *_COLS
-        )
+        out = reduce(
+            lambda a, b: a.unionByName(b), reader(table)
+        ).select(*cols)
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -144,3 +161,84 @@ def q_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     being O(touched bytes), not O(table bytes), is the difference
     between a commit and a table rewrite)."""
     return _run_merge_commits(spark, sf_dir, n_buckets=8)
+
+
+_CDF_ORACLE = f"""
+    {EVENTS_US_CTE}
+    , c AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               CASE WHEN ts < TIMESTAMP '{MERGE_T1}' THEN 0
+                    WHEN ts < TIMESTAMP '{MERGE_T2}' THEN 1
+                    ELSE 2 END AS b
+        FROM events_us WHERE ts IS NOT NULL
+    ), v(version) AS (VALUES (0), (1), (2)),
+    ranked AS (
+        SELECT v.version, c.user_id, c.event_id, c.ts, c.event_type,
+               c.value,
+               row_number() OVER (
+                   PARTITION BY v.version, c.user_id
+                   ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM v JOIN c ON c.b <= v.version
+    ), st AS MATERIALIZED (
+        SELECT version, user_id, event_id, ts, event_type, value
+        FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change_type,
+           user_id, event_id, ts, event_type, value
+    FROM st WHERE version = 0
+    UNION ALL
+    SELECT CAST(n.version AS BIGINT), 'insert',
+           n.user_id, n.event_id, n.ts, n.event_type, n.value
+    FROM st n LEFT JOIN st p
+      ON p.version = n.version - 1 AND p.user_id = n.user_id
+    WHERE n.version >= 1 AND p.user_id IS NULL
+    UNION ALL
+    SELECT CAST(p.version + 1 AS BIGINT), 'delete',
+           p.user_id, p.event_id, p.ts, p.event_type, p.value
+    FROM st p LEFT JOIN st n
+      ON n.version = p.version + 1 AND n.user_id = p.user_id
+    WHERE p.version <= 1 AND n.user_id IS NULL
+    UNION ALL
+    SELECT CAST(n.version AS BIGINT), 'update_preimage',
+           p.user_id, p.event_id, p.ts, p.event_type, p.value
+    FROM st n JOIN st p
+      ON p.version = n.version - 1 AND p.user_id = n.user_id
+     AND p.event_id <> n.event_id
+    UNION ALL
+    SELECT CAST(n.version AS BIGINT), 'update_postimage',
+           n.user_id, n.event_id, n.ts, n.event_type, n.value
+    FROM st n JOIN st p
+      ON p.version = n.version - 1 AND p.user_id = n.user_id
+     AND p.event_id <> n.event_id
+"""
+
+
+@declare("q_lake_cdf", oracle=_CDF_ORACLE, tier="P2")
+def q_lake_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the three-commit LakeTable: for every
+    retained commit, what it did to the live table — inserts, deletes
+    (an 'error' winner killing the key), and update pre/post images
+    (the winner moved under the version order). The first commit reads
+    as all-insert (bootstrap). The oracle re-derives every feed row
+    from adjacent prefix states, so the sink's read-side CDF (a keyed
+    full-outer join of adjacent snapshots) is hash-checked end to end —
+    the reverse direction of q_merge_snapshot, which checks states;
+    this checks DELTAS.
+
+    Scale notes: one co-partitioned self-join per commit pair; at
+    100 TB the feed is derived forward from each merge's changelog —
+    this read-side form exists to re-derive any retained commit's feed
+    without having kept its changelog (the Delta CDF contract)."""
+    batches = _changelog_batches(spark, sf_dir)
+
+    def feeds(table: LakeTable) -> list[DataFrame]:
+        return [
+            table.changes(v)
+            .withColumnRenamed("_commit_version", "version")
+            .withColumnRenamed("_change_type", "change_type")
+            for v in table.versions()
+        ]
+
+    return _with_committed_table(
+        spark, batches, None, feeds, ["version", "change_type", *_COLS]
+    )

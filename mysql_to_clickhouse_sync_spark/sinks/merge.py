@@ -365,6 +365,65 @@ class LakeTable:
         self._commit(write, meta)
         return self.read()
 
+    def changes(self, version: int | None = None) -> DataFrame:
+        """CHANGE DATA FEED for one commit (the Delta CDF shape): what
+        `version` did to the LIVE table, as rows tagged `_change_type`
+        in {insert, update_preimage, update_postimage, delete} plus
+        `_commit_version`. The first retained commit (no retained
+        parent) reads as all-insert — the bootstrap snapshot. Computed
+        as a key-keyed full outer join of the two adjacent versions'
+        live states; a winner is "changed" iff any version_col moved
+        (the total order makes that exact — no payload compare needed).
+
+        Scale notes: one co-partitioned join of two state snapshots; a
+        100 TB deployment derives the same feed incrementally from the
+        merge itself (the changelog IS the feed) — this read-side form
+        exists so any retained historical commit can be re-derived
+        without having kept its changelog."""
+        v = self._resolve(version)
+        new = self.read(v)
+        parent = self.manifest(v).get("parent")
+        if parent is None or parent not in self.versions():
+            out = new.withColumn("_change_type", F.lit("insert"))
+            return out.withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+        old = self.read(parent)
+        cols = new.columns
+        o = old.select(
+            *[F.col(c).alias(f"__o_{c}") for c in cols]
+        )
+        cond = None
+        for k in self.keys:
+            c = F.col(k) == F.col(f"__o_{k}")
+            cond = c if cond is None else cond & c
+        j = new.join(o, cond, "full_outer")
+        new_exists = F.col(self.keys[0]).isNotNull()
+        old_exists = F.col(f"__o_{self.keys[0]}").isNotNull()
+        moved = None
+        for vc in self.version_cols:
+            c = F.col(vc) != F.col(f"__o_{vc}")
+            moved = c if moved is None else moved | c
+        inserts = (
+            j.filter(new_exists & ~old_exists)
+            .select(*cols)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        deletes = (
+            j.filter(old_exists & ~new_exists)
+            .select(*[F.col(f"__o_{c}").alias(c) for c in cols])
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        upd = j.filter(new_exists & old_exists & moved)
+        pre = upd.select(
+            *[F.col(f"__o_{c}").alias(c) for c in cols]
+        ).withColumn("_change_type", F.lit("update_preimage"))
+        post = upd.select(*cols).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        out = inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+        return out.withColumn("_commit_version", F.lit(v).cast("long"))
+
     def writer(self):
         """foreachBatch adapter: `.writeStream.foreachBatch(t.writer())`
         lands every micro-batch through the exactly-once MERGE path."""

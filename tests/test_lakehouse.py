@@ -304,3 +304,32 @@ def test_bucketed_compact_rewrites_only_fragmented_buckets(spark, tmp_path):
     assert _state(b) == before
     # idempotent: nothing fragmented remains
     assert b.compact() == 1
+
+
+def test_change_data_feed_classifies_all_transitions(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert"), (2, 2, 2.0, "upsert")]))
+    t.merge(
+        _log(
+            spark,
+            [
+                (1, 3, 9.0, "upsert"),  # update key 1
+                (2, 4, 0.0, "delete"),  # delete key 2
+                (3, 5, 3.0, "upsert"),  # insert key 3
+            ],
+        )
+    )
+    # bootstrap commit: all-insert
+    c0 = {(r._change_type, r.k, r.v) for r in t.changes(0).collect()}
+    assert c0 == {("insert", 1, 1.0), ("insert", 2, 2.0)}
+    c1 = {(r._change_type, r.k, r.v) for r in t.changes(1).collect()}
+    assert c1 == {
+        ("update_preimage", 1, 1.0),
+        ("update_postimage", 1, 9.0),
+        ("delete", 2, 2.0),
+        ("insert", 3, 3.0),
+    }
+    assert {r._commit_version for r in t.changes(1).collect()} == {1}
+    # an untouched-key commit yields an empty feed
+    t.merge(_log(spark, [(1, 3, 9.0, "upsert")]))  # same winner re-sent
+    assert t.changes(2).count() == 0
