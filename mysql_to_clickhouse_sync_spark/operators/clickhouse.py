@@ -413,3 +413,226 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS BIGINT)"
         ).alias("bbox_area"),
     )
+
+
+# --- q_funnel (windowFunnel) -------------------------------------------------
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days, exact micros
+
+
+def _funnel_cte() -> str:
+    w = FUNNEL_WINDOW_US
+    return f"""
+    {EVENTS_US_CTE}
+    , e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t, event_type
+        FROM events_us
+        WHERE ts IS NOT NULL AND event_type IN {FUNNEL_STEPS}
+    ), w1 AS (
+        SELECT *,
+               max(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN t END)
+                   OVER wprev AS p1
+        FROM e
+        WINDOW wprev AS (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), w2 AS (
+        SELECT *,
+               max(s2) OVER wprev AS p2
+        FROM (
+            SELECT *,
+                   CASE WHEN event_type = '{FUNNEL_STEPS[1]}'
+                             AND p1 IS NOT NULL AND t - p1 <= {w}
+                        THEN p1 END AS s2
+            FROM w1
+        )
+        WINDOW wprev AS (PARTITION BY user_id ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), w3 AS (
+        SELECT *,
+               CASE WHEN event_type = '{FUNNEL_STEPS[2]}'
+                         AND p2 IS NOT NULL AND t - p2 <= {w}
+                    THEN p2 END AS s3
+        FROM w2
+    )"""
+
+
+@declare(
+    "q_funnel",
+    oracle=f"""
+    {_funnel_cte()}
+    SELECT user_id,
+           CAST(CASE WHEN count(s3) > 0 THEN 3
+                     WHEN count(s2) > 0 THEN 2
+                     WHEN count(CASE WHEN event_type = '{FUNNEL_STEPS[0]}'
+                                     THEN 1 END) > 0 THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_level,
+           CAST(count(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN 1 END)
+                AS BIGINT) AS n_step1,
+           CAST(count(s2) AS BIGINT) AS n_step2_chained,
+           CAST(count(s3) AS BIGINT) AS n_step3_chained
+    FROM w3 GROUP BY user_id
+    """,
+    tier="P1",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse windowFunnel analog: per user, the deepest
+    signup -> click -> purchase chain whose events are strictly ordered
+    (by ts, event_id) with every step within 7 days of the CHAIN START.
+    The chain search is a per-level dynamic program realized as chained
+    running-max window passes: p_k(t) = the best (latest) chain-start
+    among level-k chains completed strictly before t — taking the MAX
+    start is optimal because a later start can only loosen the window
+    constraint for the next step. No per-user array, no self-join: K-1
+    window sweeps over one user-keyed sort.
+
+    Scale notes: one shuffle on user_id serves every window pass
+    (identical partitioning/ordering — Spark reuses the sort); work is
+    O(events * K). The self-join formulation (step_k x step_{k+1} per
+    user) would be quadratic in per-user event count — at 10M events
+    per hot user that is the difference between a scan and a melt.
+
+    Reference contrast: ClickHouse ships windowFunnel as a native
+    aggregate (the reference's target system, not the tool itself);
+    this is the engine-side equivalent a migrated user needs."""
+    w = FUNNEL_WINDOW_US
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isin(*FUNNEL_STEPS)
+    )
+    e = events.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("t"),
+        "event_type",
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s1, s2_, s3_ = FUNNEL_STEPS
+    w1 = e.withColumn(
+        "p1",
+        F.max(
+            F.expr(f"CASE WHEN event_type = '{s1}' THEN t END")
+        ).over(wprev),
+    )
+    w2 = w1.withColumn(
+        "s2",
+        F.expr(
+            f"CASE WHEN event_type = '{s2_}' AND p1 IS NOT NULL"
+            f" AND t - p1 <= {w} THEN p1 END"
+        ),
+    ).withColumn("p2", F.max("s2").over(wprev))
+    w3 = w2.withColumn(
+        "s3",
+        F.expr(
+            f"CASE WHEN event_type = '{s3_}' AND p2 IS NOT NULL"
+            f" AND t - p2 <= {w} THEN p2 END"
+        ),
+    )
+    return w3.groupBy("user_id").agg(
+        F.expr(
+            f"""CAST(CASE WHEN count(s3) > 0 THEN 3
+                 WHEN count(s2) > 0 THEN 2
+                 WHEN count(CASE WHEN event_type = '{s1}' THEN 1 END) > 0
+                 THEN 1 ELSE 0 END AS BIGINT)"""
+        ).alias("funnel_level"),
+        F.expr(
+            f"CAST(count(CASE WHEN event_type = '{s1}' THEN 1 END)"
+            " AS BIGINT)"
+        ).alias("n_step1"),
+        F.count("s2").cast("long").alias("n_step2_chained"),
+        F.count("s3").cast("long").alias("n_step3_chained"),
+    )
+
+
+# --- q_retention -------------------------------------------------------------
+
+RETENTION_COHORT = ("2024-01-01", "2024-01-08")  # signup week
+RETENTION_WEEKS = (
+    ("2024-01-08", "2024-01-15"),
+    ("2024-01-15", "2024-01-22"),
+    ("2024-01-22", "2024-01-29"),
+)
+
+
+def _retention_oracle() -> str:
+    lo, hi = RETENTION_COHORT
+    flags = [
+        f"bool_or(ts >= TIMESTAMP '{a}' AND ts < TIMESTAMP '{b}') AS a{i}"
+        for i, (a, b) in enumerate(RETENTION_WEEKS, start=1)
+    ]
+    weeks = [
+        f"""CAST(sum(CASE WHEN r0 AND a{i} THEN 1 ELSE 0 END) AS BIGINT)
+                AS week{i}_retained,
+            CAST(sum(CASE WHEN r0 AND a{i} THEN 1 ELSE 0 END) * 10000
+                 // sum(CASE WHEN r0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS week{i}_bp"""
+        for i in range(1, len(RETENTION_WEEKS) + 1)
+    ]
+    return f"""
+    {EVENTS_US_CTE}
+    , u AS (
+        SELECT user_id,
+               bool_or(ts >= TIMESTAMP '{lo}'
+                       AND ts < TIMESTAMP '{hi}') AS r0,
+               {', '.join(flags)}
+        FROM events_us WHERE ts IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT CAST(sum(CASE WHEN r0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cohort_users,
+           {', '.join(weeks)}
+    FROM u
+    """
+
+
+@declare("q_retention", oracle=_retention_oracle(), tier="P1")
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse retention() analog, aggregated to the cohort report:
+    users active in the cohort week (Jan 1-7), and of those, how many
+    returned in each of the next three weeks — counts plus exact
+    basis-point rates. Per-user flags are one bool_or aggregation; the
+    report is a second 1-row aggregation (both map-side combined).
+
+    Scale notes: two skinny aggregations, no window, no join — the
+    whole query is a single shuffle on user_id then a scalar fold."""
+    lo, hi = RETENTION_COHORT
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    flags = [
+        F.expr(
+            f"bool_or(ts >= TIMESTAMP '{a}' AND ts < TIMESTAMP '{b}')"
+        ).alias(f"a{i}")
+        for i, (a, b) in enumerate(RETENTION_WEEKS, start=1)
+    ]
+    u = events.groupBy("user_id").agg(
+        F.expr(
+            f"bool_or(ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}')"
+        ).alias("r0"),
+        *flags,
+    )
+    weeks = []
+    for i in range(1, len(RETENTION_WEEKS) + 1):
+        weeks.append(
+            F.expr(
+                f"CAST(sum(CASE WHEN r0 AND a{i} THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias(f"week{i}_retained")
+        )
+        weeks.append(
+            F.expr(
+                f"CAST(sum(CASE WHEN r0 AND a{i} THEN 1 ELSE 0 END)"
+                " * 10000 div sum(CASE WHEN r0 THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias(f"week{i}_bp")
+        )
+    return u.agg(
+        F.expr(
+            "CAST(sum(CASE WHEN r0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("cohort_users"),
+        *weeks,
+    )

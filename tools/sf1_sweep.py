@@ -24,7 +24,9 @@ sys.path.insert(0, "/root/repo")
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
-    ap.add_argument("--out", default="/tmp/sf_stress")
+    ap.add_argument("--out", default="/tmp/sf1_corpus")  # OWN dir:
+    # scale_stress --copies N reuses /tmp/sf_stress and would clobber a
+    # sweep in flight (learned the hard way round 6)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
