@@ -1212,3 +1212,146 @@ def q_mcc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE NULL END AS BIGINT)"
         ).alias("mcc_milli"),
     )
+
+
+# --- q_kappa_agreement -------------------------------------------------------
+
+
+def _kappa_oracle() -> str:
+    from mysql_to_clickhouse_sync_spark.operators.stats import floor_div
+    from mysql_to_clickhouse_sync_spark.operators.trees import (
+        STUMP_FEATURES,
+        _stump_sql,
+    )
+
+    pe = "((a + b) * (a + c) + (c + d) * (b + d))"
+    kappa = floor_div(
+        f"1000 * (n * (a + d) - {pe})", f"(n * n - {pe})", "//"
+    )
+    return f"""
+    WITH {logistic_cte()},
+    {_stump_sql("TRUE", "k")},
+    votes AS (
+        SELECT s.doc_id,
+               CASE WHEN (CASE WHEN s.val < bk.thr
+                          THEN 2 * bk.p_l > bk.n_l
+                          ELSE 2 * bk.p_r > bk.n_r END)
+                    THEN 1 ELSE 0 END AS v
+        FROM stackedk s JOIN bestk bk USING (feat)
+    ), tly AS (
+        SELECT doc_id, CAST(sum(v) AS BIGINT) AS votes_en
+        FROM votes GROUP BY doc_id
+    ), pair AS (
+        SELECT sc.doc_id,
+               CASE WHEN sc.p_milli >= 500 THEN 1 ELSE 0 END AS pa,
+               CASE WHEN t.votes_en > {len(STUMP_FEATURES) // 2}
+                    THEN 1 ELSE 0 END AS pb
+        FROM scored sc JOIN tly t USING (doc_id)
+    ), cm AS (
+        SELECT CAST(sum(pa * pb) AS BIGINT) AS a,
+               CAST(sum(pa * (1 - pb)) AS BIGINT) AS b,
+               CAST(sum((1 - pa) * pb) AS BIGINT) AS c,
+               CAST(sum((1 - pa) * (1 - pb)) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pair
+    )
+    SELECT a, b, c, d,
+           CAST((a + d) * 10000 // n AS BIGINT) AS agree_bp,
+           CAST(CASE WHEN n * n - {pe} > 0 THEN {kappa}
+                ELSE NULL END AS BIGINT) AS kappa_milli,
+           CAST(CASE WHEN b + c > 0
+                THEN (b - c) * (b - c) * 1000 // (b + c)
+                ELSE NULL END AS BIGINT) AS mcnemar_chi2_milli
+    FROM cm
+    """
+
+
+@declare("q_kappa_agreement", oracle=_kappa_oracle(), tier="P1")
+def q_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-model agreement between the engine's two document filters —
+    the logistic quality score at the 500-milli operating point vs the
+    full-corpus stump-ensemble majority vote: the 2x2 agreement matrix,
+    raw agreement, Cohen's kappa (chance-corrected agreement, exact
+    milli-units through the signed floor_div kernel — the numerator
+    goes negative when agreement is below chance), and McNemar's chi2
+    on the discordant pair (is one filter systematically stricter?).
+    The label-model diagnostic a curation pipeline runs before trusting
+    ensemble pseudo-labels.
+
+    Degenerate guards mirror q_mcc_eval: chance agreement pe = 1 (both
+    filters constant with equal marginals) yields kappa NULL; b+c = 0
+    (no discordant pairs) yields McNemar NULL.
+
+    Scale notes: the stump model is a broadcast 4-row table, voting is
+    map-side over the stacked features, and the agreement matrix is one
+    global map-side-combined aggregation — a single corpus scan feeds
+    both classifiers (shared milli-features). Integer-safe to n ~ 3e9
+    documents (n^2 * 1000 < 2^63)."""
+    from mysql_to_clickhouse_sync_spark.operators.mlscore import (
+        logistic_scored,
+        milli_features,
+    )
+    from mysql_to_clickhouse_sync_spark.operators.stats import floor_div
+    from mysql_to_clickhouse_sync_spark.operators.trees import (
+        STUMP_BUCKET,
+        STUMP_FEATURES,
+        _TARGET_SQL,
+        _stumps,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    best = _stumps(spark, sf_dir).localCheckpoint(eager=True)
+    feats = milli_features(docs, y=F.expr(_TARGET_SQL))
+    pairs_sql = ", ".join(f"'{f}', {f}" for f in STUMP_FEATURES)
+    stacked = feats.selectExpr(
+        "doc_id",
+        f"stack({len(STUMP_FEATURES)}, {pairs_sql}) AS (feat, val)",
+    )
+    tly = (
+        stacked.join(F.broadcast(best), "feat")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN (CASE WHEN val < thr"
+                " THEN 2 * p_l > n_l ELSE 2 * p_r > n_r END)"
+                " THEN 1 ELSE 0 END"
+            ).alias("v"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("v").cast("long").alias("votes_en"))
+    )
+    la = logistic_scored(docs).select("doc_id", "p_milli")
+    pair = la.join(tly, "doc_id").select(
+        F.expr("CASE WHEN p_milli >= 500 THEN 1 ELSE 0 END").alias("pa"),
+        F.expr(
+            f"CASE WHEN votes_en > {len(STUMP_FEATURES) // 2}"
+            " THEN 1 ELSE 0 END"
+        ).alias("pb"),
+    )
+    cm = pair.agg(
+        F.sum(F.expr("pa * pb")).cast("long").alias("a"),
+        F.sum(F.expr("pa * (1 - pb)")).cast("long").alias("b"),
+        F.sum(F.expr("(1 - pa) * pb")).cast("long").alias("c"),
+        F.sum(F.expr("(1 - pa) * (1 - pb)")).cast("long").alias("d"),
+        F.count("*").cast("long").alias("n"),
+    )
+    pe = "((a + b) * (a + c) + (c + d) * (b + d))"
+    kappa = floor_div(f"1000 * (n * (a + d) - {pe})", f"(n * n - {pe})")
+    return cm.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr("(a + d) * 10000 div n").alias("agree_bp"),
+        F.expr(
+            f"CAST(CASE WHEN n * n - {pe} > 0 THEN {kappa}"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("kappa_milli"),
+        F.expr(
+            "CAST(CASE WHEN b + c > 0"
+            " THEN (b - c) * (b - c) * 1000 div (b + c)"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("mcnemar_chi2_milli"),
+    )

@@ -402,3 +402,97 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("st.l") + F.col("st.b")).cast("long").alias("forecast_milli"),
         F.col("st.sse").alias("sse"),
     )
+
+
+# --- q_acf -------------------------------------------------------------------
+
+ACF_MAX_LAG = 7  # weekly seasonality window over the daily series
+
+
+def _acf_oracle() -> str:
+    from mysql_to_clickhouse_sync_spark.operators.stats import floor_div
+
+    lags = ", ".join(f"({k})" for k in range(1, ACF_MAX_LAG + 1))
+    r = floor_div("1000 * nm", "dd", "//")
+    return f"""
+    WITH d AS (
+        SELECT epoch_us(ts) // {_US_PER_DAY} AS day_n,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY day_n
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+        FROM d
+    ), dev AS (
+        SELECT day_n, n * x - sx AS e FROM d, s
+    ), den AS (
+        SELECT CAST(sum(e * e) AS BIGINT) AS dd FROM dev
+    ), lags(k) AS (VALUES {lags}),
+    num AS (
+        SELECT l.k, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(a.e * b.e) AS BIGINT) AS nm
+        FROM lags l
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.day_n = a.day_n + l.k
+        GROUP BY l.k
+    )
+    SELECT CAST(k AS BIGINT) AS lag, n_pairs,
+           CAST(CASE WHEN dd > 0 THEN {r} ELSE NULL END AS BIGINT)
+               AS acf_milli
+    FROM num, den
+    """
+
+
+@declare("q_acf", oracle=_acf_oracle(), tier="P1")
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..ACF_MAX_LAG: the seasonality diagnostic next to the trend (q_linreg_trend)
+    and smoothing (q_holt_linear) views. Deviations are cleared of the
+    rational mean by the n-scaling trick (e_t = n*x_t - S, exact BIGINT),
+    so each r_k = sum(e_t * e_(t+k)) / sum(e_t^2) divides exact integers
+    once, through the signed floor_div kernel; a constant series
+    (denominator 0) yields NULL. BIGINT-safe while n_days * x_day stays
+    under ~1.7e7 (n=30: ~5.8e5 events/day — document counts beyond that
+    at 100 TB pre-aggregate to DECIMAL, same recipe as the variance
+    numerators).
+
+    Scale notes: ONE corpus aggregation to the ~30-row daily table
+    (map-side combined), checkpoint-materialized for its three
+    consumers; every join after that is constant-size."""
+    from mysql_to_clickhouse_sync_spark.operators.stats import floor_div
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    d = events.groupBy(
+        F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("day_n")
+    ).agg(F.count("*").cast("long").alias("x"))
+    s = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    dev = (
+        d.crossJoin(F.broadcast(s))
+        .select("day_n", F.expr("n * x - sx").alias("e"))
+        .localCheckpoint(eager=True)  # three consumers, one corpus scan
+    )
+    den = dev.agg(F.sum(F.expr("e * e")).cast("long").alias("dd"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = dev.select(F.col("day_n").alias("da"), F.col("e").alias("ea"))
+    b = dev.select(F.col("day_n").alias("db"), F.col("e").alias("eb"))
+    num = (
+        lags.crossJoin(a)
+        .join(b, F.col("db") == F.col("da") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.expr("ea * eb")).cast("long").alias("nm"),
+        )
+    )
+    r = floor_div("1000 * nm", "dd")
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("k").cast("long").alias("lag"),
+        "n_pairs",
+        F.expr(
+            f"CAST(CASE WHEN dd > 0 THEN {r} ELSE NULL END AS BIGINT)"
+        ).alias("acf_milli"),
+    )
