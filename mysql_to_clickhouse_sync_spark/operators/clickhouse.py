@@ -476,15 +476,21 @@ def _funnel_cte() -> str:
     tier="P1",
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ClickHouse windowFunnel analog: per user, the deepest
-    signup -> click -> purchase chain whose events are strictly ordered
-    (by ts, event_id) with every step within 7 days of the CHAIN START.
-    The chain search is a per-level dynamic program realized as chained
-    running-max window passes: p_k(t) = the best (latest) chain-start
-    among level-k chains completed strictly before t — taking the MAX
-    start is optimal because a later start can only loosen the window
-    constraint for the next step. No per-user array, no self-join: K-1
-    window sweeps over one user-keyed sort.
+    """ClickHouse windowFunnel, OPTIMAL-CHAIN semantics: per user, the
+    deepest signup -> click -> purchase chain over ANY chain start,
+    strictly ordered (by ts, event_id), every step within 7 days of the
+    chain start. This is deliberately NOT behavior.py q_window_funnel,
+    which anchors at the user's FIRST signup and folds greedily — there
+    a user whose first signup goes stale before they re-signup and
+    convert scores shallow, while the true windowFunnel (and this
+    query) credits the later chain at full depth. The chain search is a
+    per-level dynamic program realized as chained running-max window
+    passes: p_k(t) = the best (latest) chain-start among level-k chains
+    completed strictly before t — taking the MAX start is optimal
+    because a later start can only loosen the window constraint for the
+    next step. No per-user array, no self-join: K-1 window sweeps over
+    one user-keyed sort, and per-user levels (not the histogram) so the
+    output composes with user-level joins.
 
     Scale notes: one shuffle on user_id serves every window pass
     (identical partitioning/ordering — Spark reuses the sort); work is
@@ -495,7 +501,6 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference contrast: ClickHouse ships windowFunnel as a native
     aggregate (the reference's target system, not the tool itself);
     this is the engine-side equivalent a migrated user needs."""
-    w = FUNNEL_WINDOW_US
     events = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
         & F.col("event_type").isin(*FUNNEL_STEPS)
@@ -506,6 +511,15 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts)").alias("t"),
         "event_type",
     )
+    return funnel_levels(e)
+
+
+def funnel_levels(e: DataFrame) -> DataFrame:
+    """The optimal-chain window DP over (user_id, event_id, t µs,
+    event_type) rows — factored so tests can feed crafted sequences
+    (e.g. the stale-first-signup case that separates this law from the
+    first-anchor greedy fold)."""
+    w = FUNNEL_WINDOW_US
     wprev = (
         Window.partitionBy("user_id")
         .orderBy("t", "event_id")
@@ -591,11 +605,17 @@ def _retention_oracle() -> str:
 
 @declare("q_retention", oracle=_retention_oracle(), tier="P1")
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ClickHouse retention() analog, aggregated to the cohort report:
-    users active in the cohort week (Jan 1-7), and of those, how many
-    returned in each of the next three weeks — counts plus exact
-    basis-point rates. Per-user flags are one bool_or aggregation; the
-    report is a second 1-row aggregation (both map-side combined).
+    """ClickHouse retention() analog — EXPLICIT-CONDITION form: the
+    aggregate takes fixed predicates (here: active in the Jan 1-7
+    cohort week; returned in each of the next three weeks) and reports
+    gated counts r0, r0&a1, r0&a2, ... plus exact basis-point rates —
+    exactly retention()'s condition-array contract. The data-driven
+    twin is behavior.py q_retention_cohort (every user's OWN first week
+    as cohort, the full triangle); this form answers the campaign
+    question ("of January-week-1 users, how many came back?") that the
+    triangle must be re-filtered for. Per-user flags are one bool_or
+    aggregation; the report is a second 1-row aggregation (both
+    map-side combined).
 
     Scale notes: two skinny aggregations, no window, no join — the
     whole query is a single shuffle on user_id then a scalar fold."""

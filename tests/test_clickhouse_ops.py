@@ -98,3 +98,43 @@ def test_interpolate_linear_interior_null_edges(spark):
     assert out[3] == (False, 400)
     assert out[4] == (True, 500)
     assert out[5] == (False, None) and out[7] == (False, None)
+
+
+def test_funnel_optimal_chain_beats_first_anchor(spark):
+    """The semantic separation between q_funnel (optimal chain over ANY
+    start) and q_window_funnel (greedy fold anchored at the FIRST
+    signup): a user whose first signup goes stale before converting,
+    but who re-signs-up and completes inside the later window, must
+    score full depth here."""
+    from mysql_to_clickhouse_sync_spark.operators.clickhouse import (
+        FUNNEL_WINDOW_US,
+        funnel_levels,
+    )
+
+    W = FUNNEL_WINDOW_US
+    rows = [
+        # user 1: first signup at t=0, conversion only after 3 windows —
+        # but a second signup re-opens the chain
+        (1, 1, 0, "signup"),
+        (1, 2, 3 * W, "signup"),
+        (1, 3, 3 * W + 10, "click"),
+        (1, 4, 3 * W + 20, "purchase"),
+        # user 2: steps out of order (purchase before click) -> level 1
+        (2, 5, 0, "signup"),
+        (2, 6, 10, "purchase"),
+        (2, 7, 20, "view"),
+        # user 3: click lands exactly at the window edge (t1 + W) -> ok,
+        # purchase one past the click's chain window -> level 2
+        (3, 8, 0, "signup"),
+        (3, 9, W, "click"),
+        (3, 10, W + 1 + W, "purchase"),
+        # user 4: never signed up -> level 0
+        (4, 11, 5, "click"),
+        (4, 12, 6, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        [r for r in rows if r[3] in ("signup", "click", "purchase")],
+        "user_id bigint, event_id bigint, t bigint, event_type string",
+    )
+    out = {r.user_id: r.funnel_level for r in funnel_levels(e).collect()}
+    assert out == {1: 3, 2: 1, 3: 2, 4: 0}
