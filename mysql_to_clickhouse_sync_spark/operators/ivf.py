@@ -461,32 +461,67 @@ def q_ann_bulk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact top-K for a FIXED query panel (stride + absolute cap — the
     fixed-panel rule), both paths under one oracle so the published
     recall is itself hash-verified. The exact side is the deliberately
-    bounded brute-force twin (panel x corpus, integer-grid cosine); the
-    approximate side is the production bulk plan."""
-    from mysql_to_clickhouse_sync_spark.operators.kmeans import dot_int
+    bounded brute-force twin (panel x corpus, integer-grid cosine),
+    realized as the same broadcast-panel numpy kernel as the index side
+    — per corpus batch, one exact int64 matmul against the <=50-row
+    panel, per-batch top-K partials, then a bounded global merge
+    (relational panel x corpus dots measured 16 s at 25x; this, ~2 s).
+    The approximate side is the production bulk plan."""
+    import numpy as np
 
     base, bulk = _bulk_frames(spark, sf_dir)
-    panel = base.filter(
-        (F.col("vec_id") % BULK_PANEL_STRIDE == 0)
-        & (F.col("vec_id") < BULK_PANEL_MAX)
-    ).select(
-        F.col("vec_id").alias("qid"),
-        F.col("qv").alias("pq"),
-        F.col("n2").alias("pn2"),
+    panel_rows = (
+        base.filter(
+            (F.col("vec_id") % BULK_PANEL_STRIDE == 0)
+            & (F.col("vec_id") < BULK_PANEL_MAX)
+        )
+        .select("vec_id", "qv", "n2")
+        .collect()
     )
+    p_ids = np.array([r["vec_id"] for r in panel_rows], dtype=np.int64)
+    p_mat = np.stack(
+        [np.asarray(r["qv"]) for r in panel_rows]
+    ).astype(np.int64)
+    p_n2 = np.array([r["n2"] for r in panel_rows], dtype=np.int64)
+
+    def exact_partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("vec_id")  # stable argsort == id ties
+            M = np.stack(
+                [np.asarray(v) for v in pdf["qv"].to_numpy()]
+            ).astype(np.int64)
+            m_ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            m_n2 = pdf["n2"].to_numpy().astype(np.int64)
+            dp = p_mat @ M.T
+            cos = dp.astype(np.float64) / np.sqrt(
+                (p_n2[:, None] * m_n2[None, :]).astype(np.float64)
+            )
+            take = min(BULK_TOPK + 1, cos.shape[1])
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :take]
+            rq, rc, rs = [], [], []
+            for i in range(order.shape[0]):
+                sel = order[i][m_ids[order[i]] != p_ids[i]][:BULK_TOPK]
+                rq.append(np.full(len(sel), p_ids[i], dtype=np.int64))
+                rc.append(m_ids[sel])
+                rs.append(cos[i, sel])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(rq),
+                    "cand": np.concatenate(rc),
+                    "cosine": np.concatenate(rs),
+                }
+            )
+
     wq = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("cand").asc()
     )
     exact = (
-        F.broadcast(panel)
-        .join(base, F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("cand"),
-            (
-                dot_int(F.col("pq"), F.col("qv")).cast("double")
-                / F.sqrt((F.col("pn2") * F.col("n2")).cast("double"))
-            ).alias("cosine"),
+        base.mapInPandas(
+            exact_partials, "qid long, cand long, cosine double"
         )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= BULK_TOPK)
