@@ -829,3 +829,235 @@ def s_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if query is not None:
             query.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# --- s_funnel_stream ---------------------------------------------------------
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("p1", LongType(), True),  # best (latest) level-1 start
+        StructField("p2", LongType(), True),  # best level-2 chain start
+        StructField("last_t", LongType(), True),  # order-precondition pin
+        StructField("n1", LongType(), False),
+        StructField("n2", LongType(), False),
+        StructField("n3", LongType(), False),
+        StructField("n_seen", LongType(), False),  # cumulative arrivals:
+        # the monotone column the final-state extraction orders by
+    ]
+)
+
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("funnel_level", LongType(), False),
+        StructField("n_step1", LongType(), False),
+        StructField("n_step2_chained", LongType(), False),
+        StructField("n_step3_chained", LongType(), False),
+        StructField("n_seen", LongType(), False),
+    ]
+)
+
+_FUNNEL_NEG = -(1 << 62)  # "no chain yet" sentinel inside the numpy DP
+
+
+def update_funnel(
+    key: tuple[Any, ...],
+    batches: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    """Per-user streaming realization of the q_funnel optimal-chain DP:
+    GroupState carries the best level-1/level-2 chain starts (the
+    running maxima the batch form computes with window passes) plus the
+    step counters; each micro-batch replays its arrivals in (t,
+    event_id) order through the same transition law, vectorized —
+    running maxima via np.maximum.accumulate, no per-event Python loop.
+
+    PRECONDITION (asserted, the admit_bucket discipline): arrivals are
+    event-time-ordered ACROSS micro-batches — the feed replays disjoint
+    increasing time slices. Within a batch, rows are sorted here."""
+    import numpy as np
+    import pandas as pd
+
+    from mysql_to_clickhouse_sync_spark.operators.clickhouse import (
+        FUNNEL_STEPS,
+        FUNNEL_WINDOW_US,
+    )
+
+    if state.exists:
+        p1, p2, last_t, n1, n2, n3, n_seen = state.get
+    else:
+        p1 = p2 = last_t = None
+        n1 = n2 = n3 = n_seen = 0
+    rows = pd.concat(list(batches), ignore_index=True)
+    rows = rows.sort_values(["t", "event_id"])
+    t = rows["t"].to_numpy(dtype=np.int64)
+    if len(t) and last_t is not None:
+        assert t[0] > last_t, (
+            f"funnel stream fed out of event-time order: batch min {t[0]}"
+            f" <= already-processed max {last_t}"
+        )
+    typ = rows["event_type"].to_numpy()
+    s1, s2_, s3_ = FUNNEL_STEPS
+    w = FUNNEL_WINDOW_US
+    neg = _FUNNEL_NEG
+
+    # p1 BEFORE each row: running max of prior signup times (seeded by
+    # the carried state) — np.maximum.accumulate of the shifted series.
+    sig = np.where(typ == s1, t, neg)
+    seed1 = neg if p1 is None else p1
+    p1_prev = np.maximum.accumulate(
+        np.concatenate(([seed1], sig))
+    )[:-1]
+    s2v = np.where(
+        (typ == s2_) & (p1_prev > neg) & (t - p1_prev <= w), p1_prev, neg
+    )
+    seed2 = neg if p2 is None else p2
+    p2_prev = np.maximum.accumulate(
+        np.concatenate(([seed2], s2v))
+    )[:-1]
+    s3v = (typ == s3_) & (p2_prev > neg) & (t - p2_prev <= w)
+
+    n1 += int((typ == s1).sum())
+    n2 += int((s2v > neg).sum())
+    n3 += int(s3v.sum())
+    new_p1 = int(max(seed1, sig.max())) if len(t) else int(seed1)
+    new_p2 = int(max(seed2, s2v.max())) if len(t) else int(seed2)
+    new_last = int(t.max()) if len(t) else last_t
+    n_seen += int(len(t))
+    state.update(
+        (
+            None if new_p1 == neg else new_p1,
+            None if new_p2 == neg else new_p2,
+            new_last,
+            n1,
+            n2,
+            n3,
+            n_seen,
+        )
+    )
+    level = 3 if n3 > 0 else 2 if n2 > 0 else 1 if n1 > 0 else 0
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "funnel_level": [level],
+            "n_step1": [n1],
+            "n_step2_chained": [n2],
+            "n_step3_chained": [n3],
+            "n_seen": [n_seen],
+        }
+    )
+
+
+def _funnel_stream_oracle() -> str:
+    from mysql_to_clickhouse_sync_spark.operators.clickhouse import (
+        _funnel_cte,
+        FUNNEL_STEPS,
+    )
+
+    return f"""
+    {_funnel_cte()}
+    SELECT user_id,
+           CAST(CASE WHEN count(s3) > 0 THEN 3
+                     WHEN count(s2) > 0 THEN 2
+                     WHEN count(CASE WHEN event_type = '{FUNNEL_STEPS[0]}'
+                                     THEN 1 END) > 0 THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_level,
+           CAST(count(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN 1 END)
+                AS BIGINT) AS n_step1,
+           CAST(count(s2) AS BIGINT) AS n_step2_chained,
+           CAST(count(s3) AS BIGINT) AS n_step3_chained
+    FROM w3 GROUP BY user_id
+    """
+
+
+@declare("s_funnel_stream", oracle=_funnel_stream_oracle(), tier="P3")
+@tuned
+def s_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING windowFunnel — live conversion tracking: funnel-step
+    events replay as three event-time slices; per-user GroupState
+    carries the optimal-chain DP state (best level-1/level-2 chain
+    starts + counters); the converged per-user levels must equal the
+    batch q_funnel exactly (same oracle). Chains that SPAN micro-batch
+    boundaries are the point: a signup in slice 1 must open the window
+    for a click arriving in slice 2 via state, not batch-local data.
+
+    Scale notes: state is six BIGINTs per user, the stream shuffles
+    once on user_id, and the per-batch DP is vectorized numpy over each
+    user's arrivals — O(events) total, the streaming mirror of the
+    batch form's K-1 window sweeps."""
+    from mysql_to_clickhouse_sync_spark.operators.clickhouse import (
+        FUNNEL_STEPS,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isin(*FUNNEL_STEPS)
+    )
+    e = events.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("t"),
+        "event_type",
+    )
+    cuts = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+    bounds = [F.expr(f"unix_micros(TIMESTAMP '{c}')") for c in cuts]
+    slices = [
+        e.filter(F.col("t") < bounds[0]),
+        e.filter((F.col("t") >= bounds[0]) & (F.col("t") < bounds[1])),
+        e.filter(F.col("t") >= bounds[1]),
+    ]
+
+    workdir = tempfile.mkdtemp(prefix="funnel_stream_")
+    in_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    import os
+
+    os.makedirs(in_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    ensure_package_shipped(spark)
+    levels = stream.groupBy("user_id").applyInPandasWithState(
+        update_funnel,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"funnel_stream_{abs(hash(workdir)) % 10**9}"
+    query = None
+    try:
+        query = None
+        for part in slices:
+            part.coalesce(1).write.mode("append").parquet(in_dir)
+            if query is None:
+                query = (
+                    levels.writeStream.outputMode("update")
+                    .format("memory")
+                    .queryName(sink)
+                    .option("checkpointLocation", ckpt)
+                    .start()
+                )
+            query.processAllAvailable()
+        from pyspark.sql.window import Window
+
+        updates = spark.table(sink)
+        w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+        final = (
+            updates.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "funnel_level",
+                "n_step1",
+                "n_step2_chained",
+                "n_step3_chained",
+            )
+            .localCheckpoint(eager=True)
+        )
+        return final
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
