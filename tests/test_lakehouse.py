@@ -333,3 +333,77 @@ def test_change_data_feed_classifies_all_transitions(spark, tmp_path):
     # an untouched-key commit yields an empty feed
     t.merge(_log(spark, [(1, 3, 9.0, "upsert")]))  # same winner re-sent
     assert t.changes(2).count() == 0
+
+
+def test_lake_sink_stream_restart_resumes_exactly_once(spark, tmp_path):
+    """A Structured Streaming query writing through LakeTable.writer()
+    is stopped and RESTARTED on the same checkpoint: batch numbering
+    continues, the manifest watermark keeps redelivered batches out,
+    and the final table equals the one-shot batch merge."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    events = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .withColumn("op", F.lit("upsert"))
+    )
+    slices = [
+        events.filter(F.col("event_id") % 2 == 0),
+        events.filter(F.col("event_id") % 2 == 1),
+    ]
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    table = LakeTable(
+        spark,
+        str(tmp_path / "state"),
+        keys=["user_id"],
+        version_cols=["ts", "event_id"],
+    )
+
+    def start():
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(table.writer())
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    slices[0].coalesce(1).write.mode("append").parquet(in_dir)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert table.last_batch() == 0
+
+    # restart on the same checkpoint with new input waiting
+    slices[1].coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert table.last_batch() == 1
+    assert table.current_version() == 1
+
+    # converged state equals the one-shot batch merge of everything
+    expect = {
+        (r.user_id, r.event_id)
+        for r in events.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    got = {(r.user_id, r.event_id) for r in table.read().collect()}
+    assert got == expect
