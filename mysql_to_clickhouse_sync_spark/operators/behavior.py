@@ -553,3 +553,82 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("state").alias("event_type"),
         F.col("p").alias("stationary_micro"),
     )
+
+
+# --- q_srm_check -------------------------------------------------------------
+
+SRM_CHI2_CRIT_MILLI = 3841  # chi-square 0.95 critical value, 1 dof
+
+
+def _srm_oracle() -> str:
+    arm = """CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END"""
+    return f"""
+    {EVENTS_US_CTE}
+    , u AS (
+        SELECT user_id, {arm} AS arm_a,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events_us GROUP BY user_id
+    ), g AS (
+        SELECT CAST(sum(arm_a) AS BIGINT) AS n_a,
+               CAST(sum(1 - arm_a) AS BIGINT) AS n_b,
+               CAST(sum(arm_a * converted) AS BIGINT) AS conv_a,
+               CAST(sum((1 - arm_a) * converted) AS BIGINT) AS conv_b
+        FROM u
+    )
+    SELECT n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) AS BIGINT)
+               AS srm_chi2_milli,
+           (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b)
+               <= {SRM_CHI2_CRIT_MILLI} AS srm_ok,
+           CAST(conv_a * 10000 // n_a AS BIGINT) AS conv_a_bp,
+           CAST(conv_b * 10000 // n_b AS BIGINT) AS conv_b_bp
+    FROM g
+    """
+
+
+@declare("q_srm_check", oracle=_srm_oracle(), tier="P1")
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment plumbing: deterministic hash assignment of every
+    user to an arm (first md5 hex digit < '8' — the q_hash_split idiom
+    at the user grain, so assignment is stable across runs and engines)
+    plus the SAMPLE RATIO MISMATCH check every experimentation platform
+    runs before reading a result: chi-square of the observed arm sizes
+    against the designed 50/50 ((n_a-n_b)^2/(n_a+n_b) for two arms,
+    exact milli-units) with the 0.95 one-dof critical gate, and each
+    arm's purchase-conversion rate in exact basis points — the readout
+    q_welch_ttest then tests for significance. An SRM failure means the
+    assignment or logging pipeline is biased and the experiment is
+    unreadable; checking it is step zero.
+
+    Scale notes: map-only assignment, one user-keyed map-side-combined
+    aggregation, then scalar arithmetic on one row."""
+    events = load_table(spark, sf_dir, "events")
+    arm = (
+        "CASE WHEN substr(md5(CAST(user_id AS STRING)), 1, 1) < '8'"
+        " THEN 1 ELSE 0 END"
+    )
+    u = events.groupBy("user_id").agg(
+        F.expr(f"max({arm})").cast("long").alias("arm_a"),
+        F.expr(
+            "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        )
+        .cast("long")
+        .alias("converted"),
+    )
+    g = u.agg(
+        F.sum("arm_a").cast("long").alias("n_a"),
+        F.sum(F.expr("1 - arm_a")).cast("long").alias("n_b"),
+        F.sum(F.expr("arm_a * converted")).cast("long").alias("conv_a"),
+        F.sum(F.expr("(1 - arm_a) * converted")).cast("long").alias("conv_b"),
+    )
+    chi2 = "(n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b)"
+    return g.select(
+        "n_a",
+        "n_b",
+        F.expr(f"CAST({chi2} AS BIGINT)").alias("srm_chi2_milli"),
+        F.expr(f"{chi2} <= {SRM_CHI2_CRIT_MILLI}").alias("srm_ok"),
+        F.expr("CAST(conv_a * 10000 div n_a AS BIGINT)").alias("conv_a_bp"),
+        F.expr("CAST(conv_b * 10000 div n_b AS BIGINT)").alias("conv_b_bp"),
+    )

@@ -1483,3 +1483,204 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"pos * {EVAL_SCALE} div n").alias("obs_rate_micro"),
         F.expr(f"num * {EVAL_SCALE} div den").alias("iso_rate_micro"),
     )
+
+
+# --- q_pr_auc (average precision) --------------------------------------------
+
+
+def _pr_auc_oracle() -> str:
+    return f"""
+    WITH {logistic_cte()},
+    {_SCORED_J},
+    {_PR_CW_CTE}, steps AS (
+        SELECT p_milli, tp, fp, pos,
+               tp - COALESCE(lag(tp) OVER (ORDER BY p_milli DESC), 0)
+                   AS dtp,
+               CAST(tp * {EVAL_SCALE} // (tp + fp) AS BIGINT) AS prec_micro
+        FROM cw
+    )
+    SELECT CAST(max(pos) AS BIGINT) AS n_pos,
+           CAST(sum(dtp * prec_micro) // max(pos) AS BIGINT) AS ap_micro
+    FROM steps
+    """
+
+
+@declare("q_pr_auc", oracle=_pr_auc_oracle(), tier="P1")
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the PR curve by the step-sum
+    definition): AP = sum over descending score thresholds of
+    (delta recall * precision), computed as sum(dtp * prec_micro) //
+    pos over the cumulative-confusion histogram — every term exact
+    integers, the per-threshold precision floored to micro identically
+    on both engines, so the single-number PR summary is hash-stable.
+    The ranking-quality twin of q_auc_roc (AUC weighs all thresholds;
+    AP concentrates on the positive-retrieval region — the number
+    retrieval papers report).
+
+    Scale notes: identical shape to q_pr_curve — one score-keyed
+    map-side-combined shuffle into the <=1001-row histogram; the lag
+    window and final sum run over that histogram only."""
+    cw = _pr_cumulative(_scored_docs(spark, sf_dir))
+    wlag = Window.orderBy(F.desc("p_milli"))
+    steps = cw.select(
+        "tp",
+        "pos",
+        (
+            F.col("tp")
+            - F.coalesce(F.lag("tp").over(wlag), F.lit(0))
+        ).alias("dtp"),
+        F.expr(f"tp * {EVAL_SCALE} div (tp + fp)").alias("prec_micro"),
+    )
+    return steps.agg(
+        F.max("pos").cast("long").alias("n_pos"),
+        F.expr(
+            f"CAST(sum(dtp * prec_micro) div max(pos) AS BIGINT)"
+        ).alias("ap_micro"),
+    )
+
+
+# --- q_brier_score -----------------------------------------------------------
+
+
+def _brier_oracle() -> str:
+    return f"""
+    WITH {logistic_cte()},
+    {_SCORED_J}
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((p_milli - 1000 * y) * (p_milli - 1000 * y))
+                // count(*) AS BIGINT) AS brier_milli2,
+           CAST(sum((p_milli - 1000 * y) * (p_milli - 1000 * y)) * 1000
+                // (count(*) * 1000000) AS BIGINT) AS brier_milli
+    FROM j
+    """
+
+
+@declare("q_brier_score", oracle=_brier_oracle(), tier="P1")
+def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the logistic filter — mean squared error between
+    the predicted probability and the outcome, the PROPER scoring rule
+    the calibration family needs as its single number (ECE measures
+    binned miscalibration; Brier adds resolution + refinement in one
+    strictly-proper quantity). Exact: residuals live on the milli grid,
+    so the sum of squares is integer and the mean floors once —
+    reported both in squared-milli units and rescaled to milli.
+
+    Scale notes: pure map + one global map-side-combined aggregation.
+    Squared milli residuals are <= 1e6, so BIGINT holds ~9e12 rows."""
+    d = _scored_docs(spark, sf_dir)
+    return d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            "CAST(sum((p_milli - 1000 * y) * (p_milli - 1000 * y))"
+            " div count(*) AS BIGINT)"
+        ).alias("brier_milli2"),
+        F.expr(
+            "CAST(sum((p_milli - 1000 * y) * (p_milli - 1000 * y)) * 1000"
+            " div (count(*) * 1000000) AS BIGINT)"
+        ).alias("brier_milli"),
+    )
+
+
+# --- q_gain_curve ------------------------------------------------------------
+
+GAIN_DECILES = 10
+
+
+def _gain_oracle() -> str:
+    return f"""
+    WITH {logistic_cte()},
+    {_SCORED_J},
+    ranked AS (
+        SELECT y, ntile({GAIN_DECILES})
+                   OVER (ORDER BY p_milli DESC, z_q8 DESC, y DESC) AS dec
+        FROM j
+    ), g AS (
+        SELECT dec, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM ranked GROUP BY dec
+    )
+    SELECT dec AS decile, n, pos,
+           CAST(SUM(pos) OVER (ORDER BY dec) * {EVAL_SCALE}
+                // SUM(pos) OVER () AS BIGINT) AS cum_gain_micro,
+           CAST((SUM(pos) OVER (ORDER BY dec) * SUM(n) OVER ())
+                * 1000
+                // (SUM(n) OVER (ORDER BY dec) * SUM(pos) OVER ())
+                AS BIGINT) AS lift_milli
+    FROM g
+    """
+
+
+@declare("q_gain_curve", oracle=_gain_oracle(), tier="P1")
+def q_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gain / lift chart of the logistic score: documents
+    ranked into score deciles (deterministic total order — score, then
+    z, then label), each reporting the cumulative share of all
+    positives captured and the lift over random targeting. The
+    campaign-targeting view of ranking quality next to AUC (threshold-
+    free) and AP (retrieval-weighted): "read the top 20% of the corpus
+    by score, get X% of the English documents".
+
+    Scale notes: the oracle states the law as a global ntile, but the
+    plan NEVER globally sorts the corpus — ntile over a total order of
+    homogeneous groups is a pure ARITHMETIC function of the score
+    histogram: each (p_milli, z_q8, y) group occupies the rank interval
+    (cb, cb+c], each decile k the interval (hi_{{k-1}}, hi_k] (ntile
+    sizing: n div 10 (+1 for the first n mod 10 tiles)), and the decile
+    stats are interval-overlap sums. One map-side-combined shuffle into
+    the histogram, a histogram-sized window, a 10-row broadcast join —
+    no WindowExec over raw rows anywhere (the q_auc_roc discipline
+    applied to ntile)."""
+    d = _scored_docs(spark, sf_dir)
+    g = d.groupBy("p_milli", "z_q8", "y").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    word = Window.orderBy(
+        F.desc("p_milli"), F.desc("z_q8"), F.desc("y")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    h = g.select(
+        "y",
+        "c",
+        F.coalesce(F.sum("c").over(word), F.lit(0)).cast("long").alias("cb"),
+        F.sum("c").over(wall).cast("long").alias("n_tot"),
+        F.sum(F.expr("y * c")).over(wall).cast("long").alias("pos_tot"),
+    )
+    dec = spark.range(1, GAIN_DECILES + 1).select(
+        F.col("id").cast("long").alias("decile")
+    )
+    # decile k covers ranks (hi_{k-1}, hi_k]; ntile puts the n mod D
+    # remainder one-per-tile at the front
+    overlap = (
+        "greatest(0, least(cb + c, decile * (n_tot div 10)"
+        " + least(decile, n_tot % 10))"
+        " - greatest(cb, (decile - 1) * (n_tot div 10)"
+        " + least(decile - 1, n_tot % 10)))"
+    )
+    per = (
+        h.crossJoin(F.broadcast(dec))
+        .withColumn("ov", F.expr(overlap))
+        .filter(F.col("ov") > 0)
+        .groupBy("decile")
+        .agg(
+            F.sum("ov").cast("long").alias("n"),
+            F.sum(F.expr("y * ov")).cast("long").alias("pos"),
+            F.max("n_tot").alias("_tn"),
+            F.max("pos_tot").alias("_tp"),
+        )
+    )
+    wcum = Window.orderBy("decile")
+    return per.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("pos").over(wcum).cast("long").alias("_cp"),
+        F.sum("n").over(wcum).cast("long").alias("_cn"),
+        "_tp",
+        "_tn",
+    ).select(
+        "decile",
+        "n",
+        "pos",
+        F.expr(f"_cp * {EVAL_SCALE} div _tp").alias("cum_gain_micro"),
+        F.expr("(_cp * _tn) * 1000 div (_cn * _tp)").alias("lift_milli"),
+    )

@@ -496,3 +496,114 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(CASE WHEN dd > 0 THEN {r} ELSE NULL END AS BIGINT)"
         ).alias("acf_milli"),
     )
+
+
+# --- q_seasonal_decompose ----------------------------------------------------
+
+_MA_HALF = 3  # centered 7-day moving average
+
+
+def _seasonal_oracle() -> str:
+    from mysql_to_clickhouse_sync_spark.operators.stats import floor_div
+
+    seas = floor_div("sd", "sc", "//")
+    return f"""
+    WITH d AS (
+        SELECT epoch_us(ts) // {_US_PER_DAY} AS day_n,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY day_n
+    ), t AS (
+        SELECT day_n, x,
+               CASE WHEN count(*) OVER w7 = {2 * _MA_HALF + 1}
+                    THEN CAST(sum(x) OVER w7 * 1000
+                              // {2 * _MA_HALF + 1} AS BIGINT)
+               END AS trend_milli
+        FROM d
+        WINDOW w7 AS (ORDER BY day_n
+                      ROWS BETWEEN {_MA_HALF} PRECEDING
+                               AND {_MA_HALF} FOLLOWING)
+    ), det AS (
+        SELECT *, x * 1000 - trend_milli AS det_milli,
+               day_n % 7 AS wd
+        FROM t
+    ), seas AS (
+        SELECT wd,
+               CAST(sum(det_milli) AS BIGINT) AS sd,
+               CAST(count(det_milli) AS BIGINT) AS sc
+        FROM det WHERE det_milli IS NOT NULL GROUP BY wd
+    )
+    SELECT det.day_n, det.x, det.trend_milli,
+           CAST(CASE WHEN sc > 0 THEN {seas} END AS BIGINT)
+               AS seasonal_milli,
+           CAST(det.det_milli - CASE WHEN sc > 0 THEN {seas} END AS BIGINT)
+               AS residual_milli
+    FROM det JOIN seas ON seas.wd = det.wd
+    """
+
+
+@declare("q_seasonal_decompose", oracle=_seasonal_oracle(), tier="P1")
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event series (the
+    classical decompose, STL's deterministic ancestor): trend = centered
+    7-day moving average in exact milli-units (full windows only — the
+    3-day edges carry NULL), weekday seasonal = per-weekday mean of the
+    detrended series through the signed floor_div kernel, residual =
+    detrended minus seasonal. Closes the time-series battery: trend
+    (q_linreg_trend), smoothing/forecast (q_holt_linear), memory
+    (q_acf), and now the trend/seasonal/residual split a monitoring
+    pipeline alerts on (a residual spike is an anomaly AFTER seasonality
+    is explained — q_anomaly_mad on the raw series cannot tell a Sunday
+    from an outage).
+
+    Scale notes: ONE corpus aggregation to the ~30-row daily table;
+    windows and the weekday join run on that table. The law is defined
+    over the OBSERVED day sequence (the rows window spans observed
+    days; the fixture series is contiguous)."""
+    from mysql_to_clickhouse_sync_spark.operators.stats import floor_div
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    d = events.groupBy(
+        F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("day_n")
+    ).agg(F.count("*").cast("long").alias("x"))
+    span = 2 * _MA_HALF + 1
+    t = d.select(
+        "day_n",
+        "x",
+        F.expr(
+            f"CASE WHEN count(*) OVER (ORDER BY day_n"
+            f" ROWS BETWEEN {_MA_HALF} PRECEDING AND {_MA_HALF} FOLLOWING)"
+            f" = {span} THEN CAST(sum(x) OVER (ORDER BY day_n"
+            f" ROWS BETWEEN {_MA_HALF} PRECEDING AND {_MA_HALF} FOLLOWING)"
+            f" * 1000 div {span} AS BIGINT) END"
+        ).alias("trend_milli"),
+    )
+    det = t.select(
+        "day_n",
+        "x",
+        "trend_milli",
+        F.expr("x * 1000 - trend_milli").alias("det_milli"),
+        F.expr("day_n % 7").alias("wd"),
+    ).localCheckpoint(eager=True)  # two consumers: seasonal means + join
+    seas = (
+        det.filter(F.col("det_milli").isNotNull())
+        .groupBy("wd")
+        .agg(
+            F.sum("det_milli").cast("long").alias("sd"),
+            F.count("det_milli").cast("long").alias("sc"),
+        )
+    )
+    sexpr = floor_div("sd", "sc")
+    return det.join(F.broadcast(seas), "wd").select(
+        "day_n",
+        "x",
+        "trend_milli",
+        F.expr(
+            f"CAST(CASE WHEN sc > 0 THEN {sexpr} END AS BIGINT)"
+        ).alias("seasonal_milli"),
+        F.expr(
+            f"CAST(det_milli - CASE WHEN sc > 0 THEN {sexpr} END"
+            " AS BIGINT)"
+        ).alias("residual_milli"),
+    )
