@@ -76,6 +76,7 @@ def sync_table(
     out_dir: str,
     name: str,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    lake: bool = False,
 ) -> dict:
     """Extract one table chunk-parallel and load it to the sink, returning
     its manifest entry (the resume-point metadata).
@@ -88,7 +89,17 @@ def sync_table(
     scan hash-spread over ceil(n/batch) output chunks: MySQL's LIMIT
     paging without ORDER BY carries no row order contract anyway, and the
     scan needs no key to parallelize. Such tables cannot resume by key —
-    incremental_sync re-extracts them in full (mode == "offset")."""
+    incremental_sync re-extracts them in full (mode == "offset").
+
+    ``lake=True`` lands keyset tables through the sinks/merge.py
+    LakeTable instead of a plain parquet overwrite: the snapshot is
+    commit 0 of a versioned table (atomic publish, manifest stats) and
+    every later incremental delta is a MERGE commit — so the synced
+    target gains time travel and crash-safe resume for free, the
+    production landing zone the reference's TRUNCATE-and-recopy
+    recovery lacks. The key-chunk output layout is traded for the
+    merge's key-hash shuffle; offset-mode (PK-less) tables keep the
+    plain overwrite (no key, no merge)."""
     rowid = ROWID.get(name)
     df = _load_any(spark, sf_dir, name)
     out_path = os.path.join(out_dir, name)
@@ -110,8 +121,7 @@ def sync_table(
         extracted = df.repartitionByRange(n_chunks, F.col(rowid))
     else:
         extracted = df.repartition(n_chunks)
-    extracted.write.mode("overwrite").parquet(out_path)
-    return {
+    entry = {
         "table": name,
         "rowid": rowid,
         "mode": mode,
@@ -121,6 +131,18 @@ def sync_table(
         "chunks": n_chunks,
         "path": out_path,
     }
+    if lake and mode == "keyset":
+        from mysql_to_clickhouse_sync_spark.sinks.merge import LakeTable
+        from mysql_to_clickhouse_sync_spark.streaming.cdc import as_state
+
+        table = LakeTable(
+            spark, out_path, keys=[rowid], version_cols=[rowid]
+        )
+        table.merge(as_state(extracted))
+        entry["lake_version"] = table.current_version()
+    else:
+        extracted.write.mode("overwrite").parquet(out_path)
+    return entry
 
 
 def snapshot_sync(
@@ -131,6 +153,7 @@ def snapshot_sync(
     exclude: str | None = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
     binlog_dir: str | None = None,
+    lake: bool = False,
 ) -> dict:
     """Full-database sync: discover + filter tables, extract each, write the
     resume manifest (metadata.txt analog).
@@ -156,7 +179,8 @@ def snapshot_sync(
     discovered = discover_tables(sf_dir) or list(TABLES)
     names = filter_tables(discovered, include, exclude)
     entries = [
-        sync_table(spark, sf_dir, out_dir, name, batch_size) for name in names
+        sync_table(spark, sf_dir, out_dir, name, batch_size, lake=lake)
+        for name in names
     ]
     manifest = {
         # The reference stores the binlog position captured under the
@@ -210,9 +234,22 @@ def incremental_sync(
             n_chunks = max(
                 1, min(MAX_OUTPUT_PARTITIONS, math.ceil(n / batch_size))
             )
-            delta.repartitionByRange(n_chunks, F.col(rowid)).write.mode(
-                "append"
-            ).parquet(entry["path"])
+            chunked = delta.repartitionByRange(n_chunks, F.col(rowid))
+            if "lake_version" in entry:
+                from mysql_to_clickhouse_sync_spark.sinks.merge import (
+                    LakeTable,
+                )
+                from mysql_to_clickhouse_sync_spark.streaming.cdc import (
+                    as_state,
+                )
+
+                table = LakeTable(
+                    spark, entry["path"], keys=[rowid], version_cols=[rowid]
+                )
+                table.merge(as_state(chunked))
+                entry = {**entry, "lake_version": table.current_version()}
+            else:
+                chunked.write.mode("append").parquet(entry["path"])
             entry = {
                 **entry,
                 "max_id": mx,
@@ -242,10 +279,22 @@ def main() -> None:
     ap.add_argument("--include", default=None, help="table-name include regex")
     ap.add_argument("--exclude", default=None, help="table-name exclude regex")
     ap.add_argument("--batch-size", type=int, default=DEFAULT_BATCH_SIZE)
+    ap.add_argument(
+        "--lake",
+        action="store_true",
+        help="land keyset tables as versioned LakeTables (time travel,"
+        " MERGE-committed incremental resume)",
+    )
     args = ap.parse_args()
     spark = get_spark("snapshot_sync")
     manifest = snapshot_sync(
-        spark, args.source, args.out, args.include, args.exclude, args.batch_size
+        spark,
+        args.source,
+        args.out,
+        args.include,
+        args.exclude,
+        args.batch_size,
+        lake=args.lake,
     )
     print(json.dumps({t["table"]: t["rows"] for t in manifest["tables"]}))
 

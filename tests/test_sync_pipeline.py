@@ -108,3 +108,53 @@ def test_jdbc_option_shape():
 def test_jdbc_tiny_table_single_partition():
     opts = jdbc_read_options("jdbc:mysql://h/db", "t", "id", 5, 5)
     assert opts["numPartitions"] == "1"
+
+
+def test_lake_mode_sync_is_versioned_and_time_travels(spark, tmp_path):
+    """--lake landing: the snapshot is commit 0 of a LakeTable, an
+    incremental delta is commit 1, time travel shows the pre-delta
+    state, and the manifest tracks the lake version."""
+    import os
+    import shutil
+
+    from mysql_to_clickhouse_sync_spark.sinks.merge import LakeTable
+    from mysql_to_clickhouse_sync_spark.sync import (
+        incremental_sync,
+        snapshot_sync,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    # seed source: the region fixture (tiny, keyset via r_regionkey)
+    shutil.copy(
+        "/root/testdata/sf0.001/region.parquet", f"{src}/region.parquet"
+    )
+    m = snapshot_sync(spark, src, out, include="region", lake=True)
+    entry = m["tables"][0]
+    assert entry["lake_version"] == 0
+    table = LakeTable(
+        spark, entry["path"], keys=[entry["rowid"]],
+        version_cols=[entry["rowid"]],
+    )
+    n0 = table.read().count()
+    assert n0 == entry["rows"] > 0
+
+    # grow the source beyond the recorded max and resume
+    base = spark.read.parquet(f"{src}/region.parquet")
+    rk = entry["rowid"]
+    grown = base.union(
+        base.selectExpr(f"{rk} + 1000 AS {rk}", *[
+            c for c in base.columns if c != rk
+        ]).select(*base.columns)
+    )
+    grown.write.mode("overwrite").parquet(f"{src}/region2.parquet")
+    os.remove(f"{src}/region.parquet")
+    shutil.move(f"{src}/region2.parquet", f"{src}/region.parquet")
+    m2 = incremental_sync(spark, src, out)
+    entry2 = [e for e in m2["tables"] if e["table"] == "region"][0]
+    assert entry2["lake_version"] == 1
+    assert entry2["last_delta_rows"] == n0
+    # current version holds both halves; version 0 is the pure snapshot
+    assert table.read().count() == 2 * n0
+    assert table.read(version=0).count() == n0
