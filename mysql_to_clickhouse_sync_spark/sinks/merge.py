@@ -365,12 +365,18 @@ class LakeTable:
         self._commit(write, meta)
         return self.read()
 
-    def changes(self, version: int | None = None) -> DataFrame:
-        """CHANGE DATA FEED for one commit (the Delta CDF shape): what
-        `version` did to the LIVE table, as rows tagged `_change_type`
-        in {insert, update_preimage, update_postimage, delete} plus
-        `_commit_version`. The first retained commit (no retained
-        parent) reads as all-insert — the bootstrap snapshot. Computed
+    def changes(
+        self, version: int | None = None, since: int | None = None
+    ) -> DataFrame:
+        """CHANGE DATA FEED (the Delta CDF shape): what the commits in
+        (`since`, `version`] did to the LIVE table, as rows tagged
+        `_change_type` in {insert, update_preimage, update_postimage,
+        delete} plus `_commit_version` (= `version`). `since` defaults
+        to `version`'s parent — the per-commit feed; passing an older
+        retained version yields the NET range diff (intermediate
+        flip-flops cancel, exactly Delta's readChangeFeed semantics
+        collapsed). The first retained commit (no retained parent)
+        reads as all-insert — the bootstrap snapshot. Computed
         as a key-keyed full outer join of the two adjacent versions'
         live states; a winner is "changed" iff any version_col moved
         (the total order makes that exact — no payload compare needed).
@@ -382,12 +388,20 @@ class LakeTable:
         without having kept its changelog."""
         v = self._resolve(version)
         new = self.read(v)
-        parent = self.manifest(v).get("parent")
+        parent = (
+            self.manifest(v).get("parent") if since is None else since
+        )
         if parent is None or parent not in self.versions():
+            if since is not None:
+                raise ValueError(
+                    f"since={since!r} is not a retained version"
+                )
             out = new.withColumn("_change_type", F.lit("insert"))
             return out.withColumn(
                 "_commit_version", F.lit(v).cast("long")
             )
+        if parent >= v:
+            raise ValueError(f"since={parent} must precede version {v}")
         old = self.read(parent)
         cols = new.columns
         o = old.select(
@@ -433,12 +447,26 @@ class LakeTable:
 
         return _apply
 
-    def compact(self, target_file_bytes: int | None = None) -> int:
+    def compact(
+        self,
+        target_file_bytes: int | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> int:
         """Publish a small-file-compacted generation (sinks/compaction.py
         byte-based sizing) carrying the manifest lineage — logically a
         no-op commit, so the last_batch watermark is preserved and
         readers of prior versions are untouched. Returns the committed
-        version (unchanged if already at or below the planned count)."""
+        version (unchanged if already at or below the planned count —
+        unless `cluster_by` asks for a layout change, which always
+        commits).
+
+        `cluster_by` turns the rewrite into OPTIMIZE-style clustering:
+        files are range-partitioned and sorted within files on the given
+        columns (typically the merge keys), so downstream key joins and
+        range predicates prune at the row-group level — the
+        q_zorder_layout discipline applied to the state table. Only the
+        unbucketed layout supports it (bucketed tables are already
+        key-clustered by construction)."""
         from mysql_to_clickhouse_sync_spark.sinks.compaction import (
             TARGET_FILE_BYTES,
             data_file_sizes,
@@ -457,11 +485,26 @@ class LakeTable:
             gen = self._gen_dir(v)
             sizes = data_file_sizes(gen)
             n_target = plan_file_count(sum(sizes), target)
+            if cluster_by:
+                df = self.spark.read.parquet(gen)
+                cols = [F.col(c) for c in cluster_by]
+                clustered = df.repartitionByRange(
+                    n_target, *cols
+                ).sortWithinPartitions(*cols)
+                meta["clustered_by"] = list(cluster_by)
+                return self._commit(
+                    lambda p: clustered.write.parquet(p), meta
+                )
             if len(sizes) <= n_target:
                 return v
             df = self.spark.read.parquet(gen)
             return self._commit(
                 lambda p: df.coalesce(n_target).write.parquet(p), meta
+            )
+        if cluster_by:
+            raise ValueError(
+                "cluster_by applies to unbucketed tables only (bucketed"
+                " state is key-clustered by construction)"
             )
         # Bucketed: rewrite only the fragmented buckets; the rest keep
         # their owners — compaction is as incremental as merge.

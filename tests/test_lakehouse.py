@@ -407,3 +407,70 @@ def test_lake_sink_stream_restart_resumes_exactly_once(spark, tmp_path):
     }
     got = {(r.user_id, r.event_id) for r in table.read().collect()}
     assert got == expect
+
+
+def test_range_cdf_collapses_intermediate_flipflops(spark, tmp_path):
+    """changes(v, since=older) must be the NET diff: a key updated twice
+    shows one pre/post pair, a key inserted-then-deleted shows nothing,
+    and per-commit feeds still work unchanged."""
+    import pytest
+
+    t = _table(spark, tmp_path)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert"), (2, 2, 2.0, "upsert")]))
+    t.merge(_log(spark, [(1, 3, 5.0, "upsert"), (3, 4, 3.0, "upsert")]))
+    t.merge(_log(spark, [(1, 5, 9.0, "upsert"), (3, 6, 0.0, "delete")]))
+    net = {
+        (r._change_type, r.k, r.v)
+        for r in t.changes(2, since=0).collect()
+    }
+    # key 1: net update 1.0 -> 9.0 (the 5.0 hop cancels); key 3:
+    # inserted then deleted -> absent; key 2 untouched -> absent
+    assert net == {
+        ("update_preimage", 1, 1.0),
+        ("update_postimage", 1, 9.0),
+    }
+    assert {r._commit_version for r in t.changes(2, since=0).collect()} == {2}
+    with pytest.raises(ValueError, match="precede"):
+        t.changes(1, since=1)
+    with pytest.raises(ValueError, match="not a retained"):
+        t.changes(2, since=99)
+
+
+def test_clustered_compaction_sorts_by_key_and_commits(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        t.merge(
+            _log(
+                spark,
+                [(k, k + 1, float(k), "upsert") for k in range(40)],
+            ).repartition(8),
+            batch_id=0,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    before = _state(t)
+    v = t.compact(cluster_by=["k"])
+    assert v == 1
+    assert t.manifest(1)["clustered_by"] == ["k"]
+    assert t.manifest(1)["last_batch"] == 0
+    assert _state(t) == before
+    # within every data file, keys are sorted (row-group pruning works)
+    import os
+
+    import pyarrow.parquet as pq
+
+    gen = os.path.join(t.path, "gen-000001")
+    for f in os.listdir(gen):
+        if f.endswith(".parquet"):
+            ks = pq.read_table(os.path.join(gen, f), columns=["k"])[
+                "k"
+            ].to_pylist()
+            assert ks == sorted(ks)
+    # bucketed tables refuse clustering
+    import pytest
+
+    b = _btable(spark, tmp_path)
+    b.merge(_log(spark, [(1, 1, 1.0, "upsert")]))
+    with pytest.raises(ValueError, match="unbucketed"):
+        b.compact(cluster_by=["k"])
