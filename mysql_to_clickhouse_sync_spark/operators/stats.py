@@ -816,3 +816,255 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(CASE WHEN s > 0 THEN {t} ELSE NULL END AS BIGINT)"
         ).alias("t_milli"),
     )
+
+
+# --- q_cohens_d --------------------------------------------------------------
+
+
+def _cohens_d_oracle() -> str:
+    d = floor_div("(ma - mb) * 1000", "sq.s", "//")
+    return f"""
+    WITH c AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS xc
+        FROM events WHERE event_type IN ('{WELCH_A}', '{WELCH_B}')
+    ), g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xc) AS BIGINT) AS sx,
+               CAST(sum(xc * xc) AS BIGINT) AS sxx
+        FROM c GROUP BY event_type
+        HAVING count(*) >= 2
+    ), w AS (
+        SELECT max(CASE WHEN event_type = '{WELCH_A}' THEN n END) AS na,
+               max(CASE WHEN event_type = '{WELCH_A}' THEN sx END) AS sxa,
+               max(CASE WHEN event_type = '{WELCH_A}' THEN sxx END) AS sxxa,
+               max(CASE WHEN event_type = '{WELCH_B}' THEN n END) AS nb,
+               max(CASE WHEN event_type = '{WELCH_B}' THEN sx END) AS sxb,
+               max(CASE WHEN event_type = '{WELCH_B}' THEN sxx END) AS sxxb
+        FROM g
+    ), pool AS (
+        SELECT *,
+               {floor_div('sxa * 1000', 'na', '//')} AS ma,
+               {floor_div('sxb * 1000', 'nb', '//')} AS mb,
+               (((na * sxxa - sxa * sxa) // (na * (na - 1))) * (na - 1)
+                + ((nb * sxxb - sxb * sxb) // (nb * (nb - 1))) * (nb - 1))
+                   // (na + nb - 2) AS s2p
+        FROM w
+    ), rad AS (
+        SELECT *, s2p * 1000000 AS x FROM pool
+    ),
+    {_isqrt_sql('(SELECT x FROM rad WHERE x IS NOT NULL)')}
+    SELECT rad.na, rad.nb,
+           CAST(rad.s2p AS BIGINT) AS pooled_var_cents2,
+           CAST(sq.s AS BIGINT) AS pooled_sd_cents_milli,
+           CAST(CASE WHEN sq.s > 0 THEN {d} ELSE NULL END AS BIGINT)
+               AS cohens_d_milli
+    FROM rad LEFT JOIN sq ON sq.x = rad.x
+    """
+
+
+@declare("q_cohens_d", oracle=_cohens_d_oracle(), tier="P1")
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size for the purchase-vs-click value gap — the
+    number q_welch_ttest's significance needs next to it (with enough
+    data everything is significant; d says whether the gap MATTERS):
+    d = (mean_a - mean_b) / pooled_sd, pooled variance the
+    (n-1)-weighted average through one-pass exact numerators, the sd
+    via the isqrt kernel on the micro-scaled radicand, the final signed
+    division through floor_div. Same degenerate guards as Welch (n<2
+    populations dropped; zero pooled sd -> NULL).
+
+    Scale notes: identical shape to q_welch_ttest — one event_type
+    shuffle into a pivoted row, scalar kernel arithmetic."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(WELCH_A, WELCH_B))
+        .select(
+            "event_type",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("xc"),
+        )
+    )
+    g = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("xc").cast("long").alias("sx"),
+            F.sum(F.expr("xc * xc")).cast("long").alias("sxx"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    w = g.agg(
+        *[
+            F.max(
+                F.expr(f"CASE WHEN event_type = '{t}' THEN {c} END")
+            ).alias(f"{c}{suf}")
+            for t, suf in ((WELCH_A, "a"), (WELCH_B, "b"))
+            for c in ("n", "sx", "sxx")
+        ]
+    )
+    pool = w.select(
+        "*",
+        F.expr(floor_div("sxa * 1000", "na")).alias("ma"),
+        F.expr(floor_div("sxb * 1000", "nb")).alias("mb"),
+        F.expr(
+            "(((na * sxxa - sxa * sxa) div (na * (na - 1))) * (na - 1)"
+            " + ((nb * sxxb - sxb * sxb) div (nb * (nb - 1))) * (nb - 1))"
+            " div (na + nb - 2)"
+        ).alias("s2p"),
+    ).withColumn("x", F.expr("s2p * 1000000"))
+    rad = with_isqrt(pool, "x", "s")
+    d = floor_div("(ma - mb) * 1000", "s")
+    return rad.select(
+        "na",
+        "nb",
+        F.col("s2p").cast("long").alias("pooled_var_cents2"),
+        F.col("s").cast("long").alias("pooled_sd_cents_milli"),
+        F.expr(
+            f"CAST(CASE WHEN s > 0 THEN {d} ELSE NULL END AS BIGINT)"
+        ).alias("cohens_d_milli"),
+    )
+
+
+# --- q_cramers_v -------------------------------------------------------------
+
+
+def _cramers_oracle() -> str:
+    from mysql_to_clickhouse_sync_spark.registry import REGISTRY
+
+    chi2 = REGISTRY["q_chi2_assoc"].oracle
+    return f"""
+    WITH terms AS ({chi2}),
+    agg AS (
+        SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+               CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+               CAST(count(DISTINCT source) AS BIGINT) AS ns,
+               CAST(sum(o) AS BIGINT) AS n
+        FROM terms
+    ), rad AS (
+        SELECT *,
+               chi2_micro // (n * (least(nl, ns) - 1)) AS x,
+               (nl - 1) * (ns - 1) AS dof
+        FROM agg
+    ),
+    {_isqrt_sql('(SELECT x FROM rad)')}
+    SELECT rad.n, rad.dof, rad.chi2_micro,
+           CAST(sq.s AS BIGINT) AS cramers_v_milli
+    FROM rad JOIN sq ON sq.x = rad.x
+    """
+
+
+@declare("q_cramers_v", oracle=_cramers_oracle(), tier="P2")
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the lang x source association —
+    q_chi2_assoc's per-cell statistic collapsed to the [0,1] strength
+    number: V = sqrt(chi2 / (n * (min(r,c) - 1))), computed by summing
+    the exact per-cell term_micro and running the isqrt kernel on the
+    floored quotient (the law is defined on that integer grid, so both
+    engines agree bitwise). The question chi-square cannot answer
+    alone: a huge corpus makes ANY dependence significant; V says how
+    strong it is.
+
+    Scale notes: composes the q_chi2_assoc plan (cell-table windows)
+    with one scalar aggregation — nothing corpus-sized is added."""
+    t = q_chi2_assoc(spark, sf_dir)
+    agg = t.agg(
+        F.sum("term_micro").cast("long").alias("chi2_micro"),
+        F.countDistinct("lang").cast("long").alias("nl"),
+        F.countDistinct("source").cast("long").alias("ns"),
+        F.sum("o").cast("long").alias("n"),
+    )
+    rad = agg.select(
+        "*",
+        F.expr("chi2_micro div (n * (least(nl, ns) - 1))").alias("x"),
+        F.expr("(nl - 1) * (ns - 1)").alias("dof"),
+    )
+    rad = with_isqrt(rad, "x", "s")
+    return rad.select(
+        "n",
+        "dof",
+        "chi2_micro",
+        F.col("s").cast("long").alias("cramers_v_milli"),
+    )
+
+
+# --- q_power_sample_size -----------------------------------------------------
+
+POWER_Z_ALPHA_MILLI = 1960  # two-sided alpha = 0.05
+POWER_Z_BETA_MILLI = 842  # power = 0.80
+POWER_MDE_PCT = 5  # minimum detectable effect: 5% of the mean
+
+
+def _power_oracle() -> str:
+    z = POWER_Z_ALPHA_MILLI + POWER_Z_BETA_MILLI
+    return f"""
+    WITH c AS (
+        SELECT CAST(floor(value * 100) AS BIGINT) AS xc
+        FROM events WHERE event_type = '{WELCH_A}'
+    ), g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xc) AS BIGINT) AS sx,
+               CAST(sum(xc * xc) AS BIGINT) AS sxx
+        FROM c
+    ), p AS (
+        SELECT n,
+               (n * sxx - sx * sx) // (n * (n - 1)) AS s2,
+               sx * 1000 // n AS mean_milli,
+               (sx * 1000 // n) * {POWER_MDE_PCT} // 100 AS delta_milli
+        FROM g WHERE n >= 2
+    )
+    SELECT n AS n_observed, s2 AS var_cents2, mean_milli, delta_milli,
+           CAST(CASE WHEN delta_milli > 0 THEN
+                ({z} * {z} * 2 * s2 + delta_milli * delta_milli - 1)
+                // (delta_milli * delta_milli)
+                ELSE NULL END AS BIGINT) AS n_per_arm
+    FROM p
+    """
+
+
+@declare("q_power_sample_size", oracle=_power_oracle(), tier="P1")
+def q_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment planning: the per-arm sample size for a two-sample
+    test on purchase values at alpha = 0.05 (two-sided), power = 0.80,
+    MDE = 5% of the observed mean — n = ceil(2 (z_a + z_b)^2 sigma^2 /
+    delta^2) with the z constants pinned in milli-units and sigma^2 the
+    exact one-pass cents variance; the ceil is the exact integer
+    (num + den - 1) // den. Completes the A/B toolkit's forward
+    direction: q_srm_check validates the assignment, q_welch_ttest
+    reads the result, q_cohens_d sizes the effect, and this says how
+    long to run BEFORE starting. Units: (z milli)^2 x cents^2 over
+    (milli-cents)^2 — both (milli-cents)^2, the scales cancel exactly.
+
+    Scale notes: one global map-side-combined aggregation, then scalar
+    arithmetic. Variance numerator BIGINT-safe to ~3e6 rows (the
+    q_stddev_exact bound); z^2 * 2 * s2 stays under 2^63 while the
+    cents variance is below ~6e11."""
+    z = POWER_Z_ALPHA_MILLI + POWER_Z_BETA_MILLI
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == WELCH_A)
+        .select(F.expr("CAST(floor(value * 100) AS BIGINT)").alias("xc"))
+    )
+    g = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xc").cast("long").alias("sx"),
+        F.sum(F.expr("xc * xc")).cast("long").alias("sxx"),
+    )
+    p = g.filter(F.col("n") >= 2).select(
+        "n",
+        F.expr("(n * sxx - sx * sx) div (n * (n - 1))").alias("s2"),
+        F.expr("sx * 1000 div n").alias("mean_milli"),
+        F.expr(
+            f"(sx * 1000 div n) * {POWER_MDE_PCT} div 100"
+        ).alias("delta_milli"),
+    )
+    return p.select(
+        F.col("n").alias("n_observed"),
+        F.col("s2").alias("var_cents2"),
+        "mean_milli",
+        "delta_milli",
+        F.expr(
+            f"CAST(CASE WHEN delta_milli > 0 THEN"
+            f" ({z} * {z} * 2 * s2 + delta_milli * delta_milli - 1)"
+            f" div (delta_milli * delta_milli)"
+            f" ELSE NULL END AS BIGINT)"
+        ).alias("n_per_arm"),
+    )
