@@ -802,3 +802,99 @@ def q_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled = labeled.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return labeled.select("id", "layer").withColumnRenamed("id", "vec_id")
+
+
+# --- q_kcore -----------------------------------------------------------------
+
+KCORE_K = 3  # the core order: nodes keep >= K neighbors inside the core
+KCORE_ROUNDS = 12  # unrolled peeling rounds (fixture graphs converge in
+# ~4; the law is DEFINED as exactly this many rounds so both engines
+# compute the identical object even off-fixture, and the convergence
+# test pins that the fixpoint is reached well inside the budget)
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        """a0 AS MATERIALIZED (
+        SELECT src AS node FROM edges
+        UNION SELECT dst FROM edges
+    )"""
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        ctes.append(f"""a{i} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT s.src AS node, count(*) AS d
+            FROM sym s
+            JOIN a{i - 1} x ON x.node = s.src
+            JOIN a{i - 1} y ON y.node = s.dst
+            GROUP BY s.src
+        ) WHERE d >= {KCORE_K}
+    )""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {LP_EDGES_CTE}, sym AS MATERIALIZED (
+        SELECT src, dst FROM edges
+        UNION ALL SELECT dst, src FROM edges
+    ),
+    {chain}
+    SELECT s.src AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM sym s
+    JOIN a{KCORE_ROUNDS} x ON x.node = s.src
+    JOIN a{KCORE_ROUNDS} y ON y.node = s.dst
+    GROUP BY s.src
+    """
+
+
+@declare("q_kcore", oracle=_kcore_oracle(), tier="P2")
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K}-core of the bounded embedding similarity graph: iteratively
+    peel nodes with fewer than K within-subgraph neighbors until the
+    fixpoint — the densest-region extractor of the graph battery (the
+    community CORES that survive when loosely-attached satellites are
+    removed; in a dedup graph, the k-core is the "everything here is
+    mutually near-duplicate" nucleus worth human review, where
+    connected components also merge chains of barely-related pairs).
+    Same shared graph as q_link_predict / q_bfs_layers (LP_EDGES_CTE);
+    peeling unrolled to a FIXED round budget with every round
+    materialized (the iterative-CTE inlining rule), so the object is
+    identical on both engines by construction.
+
+    Scale notes: each round is one degree aggregation over the
+    surviving edge set — O(E) per round, rounds bounded; the panel is
+    the fixed LP subgraph (the fixed-panel rule), and at corpus scale
+    the same peeling runs on the banded-LSH dedup graph whose edge
+    count is linear by the guard policy.""".replace("{K}", str(KCORE_K))
+    edges = lp_edges(spark, sf_dir)
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    alive = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(KCORE_ROUNDS):
+        alive = (
+            sym.join(alive.withColumnRenamed("node", "sa"),
+                     F.col("src") == F.col("sa"))
+            .join(alive.withColumnRenamed("node", "sb"),
+                  F.col("dst") == F.col("sb"))
+            .groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)  # constant plan depth per round
+        )
+    return (
+        sym.join(alive.withColumnRenamed("node", "ka"),
+                 F.col("src") == F.col("ka"))
+        .join(alive.withColumnRenamed("node", "kb"),
+              F.col("dst") == F.col("kb"))
+        .groupBy("src")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .select(F.col("src").alias("vec_id"), "core_degree")
+    )

@@ -106,3 +106,35 @@ def test_label_prop_matches_bruteforce(spark):
     assert any(
         r.lp_label is not None and not r.seeded for r in got.values()
     )
+
+
+def test_kcore_reaches_fixpoint_within_round_budget(spark):
+    """The unrolled peeling budget must cover convergence: one more
+    round past KCORE_ROUNDS changes nothing, and every surviving node
+    has core-degree >= K (the defining property)."""
+    from mysql_to_clickhouse_sync_spark.operators.clustering import (
+        KCORE_K,
+        q_kcore,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = q_kcore(spark, SF_DIR).collect()
+    assert rows  # the fixture graph has a nonempty 3-core
+    core = {r.vec_id for r in rows}
+    deg = {r.vec_id: r.core_degree for r in rows}
+    assert all(d >= KCORE_K for d in deg.values())
+    # brute-force fixpoint check on the collected core: within-core
+    # degrees computed from the edge list equal the query's, and no
+    # further peel happens
+    from mysql_to_clickhouse_sync_spark.operators.clustering import lp_edges
+
+    edges = [
+        (r.src, r.dst) for r in lp_edges(spark, SF_DIR).collect()
+    ]
+    within = {v: 0 for v in core}
+    for s, d in edges:
+        if s in core and d in core:
+            within[s] += 1
+            within[d] += 1
+    assert within == deg
+    assert all(d >= KCORE_K for d in within.values())  # stable: no peel
