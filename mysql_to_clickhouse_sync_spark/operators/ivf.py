@@ -545,3 +545,108 @@ def q_ann_bulk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_bp"),
         )
     )
+
+
+@declare(
+    "q_ann_mrr",
+    oracle=f"""
+    WITH {_BULK_CTE}
+    , lab AS (
+        SELECT vec_id, label FROM embeddings
+    ), mranked AS (
+        SELECT b.query_id, b.neighbor_id,
+               row_number() OVER (
+                   PARTITION BY b.query_id
+                   ORDER BY b.cosine DESC, b.neighbor_id ASC) AS rk,
+               nl.label AS n_label, ql.label AS q_label
+        FROM bulk b
+        JOIN lab nl ON nl.vec_id = b.neighbor_id
+        JOIN lab ql ON ql.vec_id = b.query_id
+        WHERE b.query_id % {BULK_PANEL_STRIDE} = 0
+          AND b.query_id < {BULK_PANEL_MAX}
+    ), mfirsts AS (
+        SELECT query_id, min(rk) AS first_hit_rank
+        FROM mranked WHERE n_label = q_label GROUP BY query_id
+    ), mper AS (
+        SELECT r.query_id,
+               f.first_hit_rank,
+               COALESCE(1000000 // f.first_hit_rank, 0) AS rr_micro
+        FROM (SELECT DISTINCT query_id FROM mranked) r
+        LEFT JOIN mfirsts f ON f.query_id = r.query_id
+    )
+    SELECT query_id, first_hit_rank, CAST(rr_micro AS BIGINT) AS rr_micro,
+           CAST(SUM(rr_micro) OVER () // COUNT(*) OVER () AS BIGINT)
+               AS mrr_micro
+    FROM mper
+    """,
+    tier="P2",
+)
+def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the bulk IVF index against LABELS: for
+    each fixed-panel query, the rank of the first same-label neighbor
+    in its top-K (reciprocal in exact micro, 0 when no hit), plus the
+    panel MRR repeated per row (the q_calibration_bins ECE idiom).
+    Complements q_ann_bulk_recall: recall audits FAITHFULNESS to the
+    exact index, MRR audits USEFULNESS against ground-truth labels —
+    an index can be perfectly faithful and still rank junk first.
+
+    Scale notes: runs on the already-computed bulk top-K restricted to
+    the fixed panel; the label attachment is two skinny joins; the
+    window runs over <= panel x K rows."""
+    base, bulk = _bulk_frames(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        bulk.filter(
+            (F.col("query_id") % BULK_PANEL_STRIDE == 0)
+            & (F.col("query_id") < BULK_PANEL_MAX)
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("q_label"),
+            ),
+            "query_id",
+        )
+    )
+    firsts = (
+        ranked.filter(F.col("n_label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(F.min("rk").alias("first_hit_rank"))
+    )
+    per = (
+        ranked.select("query_id")
+        .distinct()
+        .join(firsts, "query_id", "left")
+        .select(
+            "query_id",
+            "first_hit_rank",
+            F.expr(
+                "COALESCE(1000000 div first_hit_rank, 0)"
+            ).alias("rr_micro"),
+        )
+    )
+    wall = Window.partitionBy()
+    return (
+        per.select(
+            "query_id",
+            "first_hit_rank",
+            F.col("rr_micro").cast("long").alias("rr_micro"),
+            F.sum("rr_micro").over(wall).cast("long").alias("_s"),
+            F.count("*").over(wall).cast("long").alias("_c"),
+        )
+        .withColumn("mrr_micro", F.expr("CAST(_s div _c AS BIGINT)"))
+        .drop("_s", "_c")
+    )
