@@ -1651,10 +1651,10 @@ def q_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decile k covers ranks (hi_{k-1}, hi_k]; ntile puts the n mod D
     # remainder one-per-tile at the front
     overlap = (
-        "greatest(0, least(cb + c, decile * (n_tot div 10)"
-        " + least(decile, n_tot % 10))"
-        " - greatest(cb, (decile - 1) * (n_tot div 10)"
-        " + least(decile - 1, n_tot % 10)))"
+        f"greatest(0, least(cb + c, decile * (n_tot div {GAIN_DECILES})"
+        f" + least(decile, n_tot % {GAIN_DECILES}))"
+        f" - greatest(cb, (decile - 1) * (n_tot div {GAIN_DECILES})"
+        f" + least(decile - 1, n_tot % {GAIN_DECILES})))"
     )
     per = (
         h.crossJoin(F.broadcast(dec))
