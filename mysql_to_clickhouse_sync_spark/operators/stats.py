@@ -1005,10 +1005,14 @@ def _power_oracle() -> str:
                CAST(sum(xc * xc) AS BIGINT) AS sxx
         FROM c
     ), p AS (
+        -- mean can be signed: floor_div keeps truncating `div` and
+        -- flooring `//` identical (the welch lesson applied here too)
         SELECT n,
                (n * sxx - sx * sx) // (n * (n - 1)) AS s2,
-               sx * 1000 // n AS mean_milli,
-               (sx * 1000 // n) * {POWER_MDE_PCT} // 100 AS delta_milli
+               {floor_div('sx * 1000', 'n', '//')} AS mean_milli,
+               {floor_div(
+                   f"({floor_div('sx * 1000', 'n', '//')})"
+                   f" * {POWER_MDE_PCT}", '100', '//')} AS delta_milli
         FROM g WHERE n >= 2
     )
     SELECT n AS n_observed, s2 AS var_cents2, mean_milli, delta_milli,
@@ -1048,12 +1052,13 @@ def q_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("xc").cast("long").alias("sx"),
         F.sum(F.expr("xc * xc")).cast("long").alias("sxx"),
     )
+    mean = floor_div("sx * 1000", "n")
     p = g.filter(F.col("n") >= 2).select(
         "n",
         F.expr("(n * sxx - sx * sx) div (n * (n - 1))").alias("s2"),
-        F.expr("sx * 1000 div n").alias("mean_milli"),
+        F.expr(mean).alias("mean_milli"),
         F.expr(
-            f"(sx * 1000 div n) * {POWER_MDE_PCT} div 100"
+            floor_div(f"({mean}) * {POWER_MDE_PCT}", "100")
         ).alias("delta_milli"),
     )
     return p.select(
