@@ -199,22 +199,71 @@ BULK_MIN_K = 16  # fixture-scale floor (= IVF_K geometry)
 BULK_TARGET_LIST = 250  # target vectors per inverted list
 BULK_NPROBE = 2
 BULK_TOPK = 3
+BULK_SUPER_MIN = 4  # floor on the super-list count (2-level coarse)
+BULK_SUPER_PROBE = 2  # super-lists probed per vector
 BULK_PANEL_STRIDE = 40  # recall-audit panel: every 40th vec_id ...
 BULK_PANEL_MAX = 2000  # ... capped absolutely (fixed-panel rule)
 
 _QV_SQL = f"""list_transform(embedding,
         x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QUANT}) AS DOUBLE))"""
 
+# 2-LEVEL COARSE QUANTIZER (the round-6 weak-item fix): ranking every
+# vector against all K = n/250 centroids is n*K = n^2/250 — measured as
+# the 25x->50x bend in the coarse stage. Instead the K centroids are
+# themselves coarse-quantized into S = max(4, isqrt(K)) SUPER-centroids
+# (a deterministic stride-1-of-ceil(K/S) selection over the id-ordered
+# centroid list — the same "selection IS the training" rule as level 1);
+# every centroid joins the inverted list of its nearest super-centroid,
+# and a vector ranks (a) the S super-centroids, then (b) only the member
+# centroids of its top BULK_SUPER_PROBE super-lists. Coarse work drops
+# from n*K to n*(S + P*K/S) ~ n*sqrt(K) — sub-quadratic end to end.
+# Both engines build the identical 2-level index, so assignment stays
+# hash-exact; faithfulness to the flat index is audited by
+# q_ann_bulk_recall's exact panel.
 _BULK_CTE = f"""nn AS (
         SELECT vec_id, {_QV_SQL} AS q FROM embeddings
     ), nn2 AS (
         SELECT vec_id, q, {_IDOT_SQL.format(a='q', b='q')} AS n2 FROM nn
+    ), params AS (
+        SELECT k, s, (k + s - 1) // s AS stride FROM (
+            SELECT k, greatest({BULK_SUPER_MIN},
+                               CAST(floor(sqrt(CAST(k AS DOUBLE)))
+                                    AS BIGINT)) AS s
+            FROM (SELECT greatest({BULK_MIN_K},
+                                  count(*) // {BULK_TARGET_LIST}) AS k
+                  FROM nn2)
+        )
     ), centroids AS (
-        SELECT vec_id AS centroid_id, q AS cq, n2 AS cn2
+        SELECT vec_id AS centroid_id, q AS cq, n2 AS cn2,
+               row_number() OVER (ORDER BY vec_id) AS crank
         FROM nn2
         ORDER BY vec_id
-        LIMIT (SELECT greatest({BULK_MIN_K},
-                               count(*) // {BULK_TARGET_LIST}) FROM nn2)
+        LIMIT (SELECT k FROM params)
+    ), supers AS (
+        SELECT centroid_id AS super_id, cq AS sq, cn2 AS sn2
+        FROM centroids, params WHERE (crank - 1) % stride = 0
+    ), c2s AS (
+        SELECT centroid_id, super_id FROM (
+            SELECT c.centroid_id, s.super_id,
+                   row_number() OVER (
+                       PARTITION BY c.centroid_id
+                       ORDER BY CAST({_IDOT_SQL.format(a='c.cq', b='s.sq')}
+                                     AS DOUBLE)
+                                / sqrt(CAST(c.cn2 * s.sn2 AS DOUBLE)) DESC,
+                                s.super_id ASC) AS rn
+            FROM centroids c CROSS JOIN supers s
+        ) WHERE rn = 1
+    ), vsup AS (
+        SELECT vec_id, super_id FROM (
+            SELECT v.vec_id, s.super_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY CAST({_IDOT_SQL.format(a='v.q', b='s.sq')}
+                                     AS DOUBLE)
+                                / sqrt(CAST(v.n2 * s.sn2 AS DOUBLE)) DESC,
+                                s.super_id ASC) AS rn
+            FROM nn2 v CROSS JOIN supers s
+        ) WHERE rn <= {BULK_SUPER_PROBE}
     ), ranked AS MATERIALIZED (
         SELECT v.vec_id, c.centroid_id,
                row_number() OVER (
@@ -223,7 +272,10 @@ _BULK_CTE = f"""nn AS (
                                  AS DOUBLE)
                             / sqrt(CAST(v.n2 * c.cn2 AS DOUBLE)) DESC,
                             c.centroid_id ASC) AS rn
-        FROM nn2 v CROSS JOIN centroids c
+        FROM nn2 v
+        JOIN vsup p ON p.vec_id = v.vec_id
+        JOIN c2s m ON m.super_id = p.super_id
+        JOIN centroids c ON c.centroid_id = m.centroid_id
     ), assign AS (
         SELECT r.vec_id, r.centroid_id, n.q, n.n2
         FROM ranked r JOIN nn2 n USING (vec_id) WHERE r.rn = 1
@@ -248,10 +300,14 @@ _BULK_CTE = f"""nn AS (
     )"""
 
 
-def _bulk_frames(spark: SparkSession, sf_dir: str):
-    """(nn2, bulk-top-k) — the Spark realization of _BULK_CTE. The
-    relational statement in the oracle and this physical plan differ on
-    purpose: semantics there, shuffle discipline here."""
+def _bulk_index(spark: SparkSession, sf_dir: str):
+    """(base, ranked) — quantized vectors plus the 2-level coarse ranking
+    (vec_id, centroid_id, rn): rn=1 is the inverted-list assignment,
+    rn<=NPROBE the probe set. The relational statement in the oracle and
+    this physical plan differ on purpose: semantics there, shuffle
+    discipline here."""
+    import math
+
     import numpy as np
 
     from mysql_to_clickhouse_sync_spark.operators.kmeans import (
@@ -267,9 +323,12 @@ def _bulk_frames(spark: SparkSession, sf_dir: str):
     n = base.count()  # plan-time scalar (the S:163 bounds pattern)
     k = max(BULK_MIN_K, n // BULK_TARGET_LIST)
     # Index build: the K-row coarse quantizer collects to the driver and
-    # broadcasts into the ranking kernel (K = n/250 is data-proportional;
-    # at 4e8 vectors K~1.6M is when this moves to a 2-level IVF — the
-    # plan shape below is unchanged).
+    # broadcasts into the ranking kernel. Level 2 (the round-6 weak-item
+    # fix): the K centroids are stride-selected into S ~ sqrt(K)
+    # SUPER-centroids and each centroid joins its nearest super's member
+    # list — per-vector coarse work is S + PROBE*K/S ~ sqrt(K), not K,
+    # so the coarse stage is n*sqrt(K) instead of the n*K = n^2/250 term
+    # that bent the 50x curve. All of it driver-side numpy on K rows.
     cent = (
         base.orderBy("vec_id").limit(k).select("vec_id", "qv", "n2").collect()
     )
@@ -277,6 +336,21 @@ def _bulk_frames(spark: SparkSession, sf_dir: str):
     c_mat = np.stack([np.asarray(r["qv"]) for r in cent]).astype(np.int64)
     c_n2 = np.array([r["n2"] for r in cent], dtype=np.int64)
     nprobe = min(BULK_NPROBE, k)
+    s = max(BULK_SUPER_MIN, math.isqrt(k))
+    stride = -(-k // s)  # ceil — matches the oracle's (k+s-1)//s
+    sup_idx = np.arange(0, k, stride, dtype=np.int64)
+    s_mat, s_n2 = c_mat[sup_idx], c_n2[sup_idx]
+    n_sup = len(sup_idx)
+    wprobe = min(BULK_SUPER_PROBE, n_sup)
+    # centroid -> nearest super (cos desc, super_id asc; supers are in
+    # ascending-id order so a STABLE argsort realizes the tie-break)
+    cs_cos = (c_mat @ s_mat.T).astype(np.float64) / np.sqrt(
+        (c_n2[:, None] * s_n2[None, :]).astype(np.float64)
+    )
+    c2s = np.argsort(-cs_cos, axis=1, kind="stable")[:, 0]
+    members = [
+        np.flatnonzero(c2s == si).astype(np.int64) for si in range(n_sup)
+    ]
 
     def rank_lists(batches):
         import pandas as pd
@@ -288,30 +362,74 @@ def _bulk_frames(spark: SparkSession, sf_dir: str):
                 [np.asarray(v) for v in pdf["qv"].to_numpy()]
             ).astype(np.int64)
             qn2 = pdf["n2"].to_numpy().astype(np.int64)
-            dp = Q @ c_mat.T  # exact int64
-            cos = dp.astype(np.float64) / np.sqrt(
-                (qn2[:, None] * c_n2[None, :]).astype(np.float64)
+            # level 1: rank the S super-centroids, keep the top wprobe
+            sup_cos = (Q @ s_mat.T).astype(np.float64) / np.sqrt(
+                (qn2[:, None] * s_n2[None, :]).astype(np.float64)
             )
-            # cos desc, centroid_id asc: c_ids is ascending, so a STABLE
-            # argsort on -cos realizes the tie-break exactly
-            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
-            m = order.shape[0] * order.shape[1]
+            order_sup = np.argsort(-sup_cos, axis=1, kind="stable")[
+                :, :wprobe
+            ]
+            probed = np.zeros((len(Q), n_sup), dtype=bool)
+            probed[np.arange(len(Q))[:, None], order_sup] = True
+            # level 2: rank only the member centroids of probed supers —
+            # one matmul per super over the vectors that probe it
+            vr_parts, ci_parts, cos_parts = [], [], []
+            for si in range(n_sup):
+                mem = members[si]
+                if not len(mem):
+                    continue
+                rows = np.flatnonzero(probed[:, si])
+                if not len(rows):
+                    continue
+                dp = Q[rows] @ c_mat[mem].T  # exact int64
+                cosb = dp.astype(np.float64) / np.sqrt(
+                    (qn2[rows][:, None] * c_n2[mem][None, :]).astype(
+                        np.float64
+                    )
+                )
+                vr_parts.append(np.repeat(rows, len(mem)))
+                ci_parts.append(np.tile(mem, len(rows)))
+                cos_parts.append(cosb.ravel())
+            if not vr_parts:
+                continue
+            vr = np.concatenate(vr_parts)
+            ci = np.concatenate(ci_parts)
+            cosv = np.concatenate(cos_parts)
+            # global per-vector rank over the candidate union:
+            # cos desc, centroid_id asc (c_ids ascending => index order)
+            ordr = np.lexsort((ci, -cosv, vr))
+            vr_s, ci_s = vr[ordr], ci[ordr]
+            starts = np.flatnonzero(np.r_[True, vr_s[1:] != vr_s[:-1]])
+            lens = np.diff(np.r_[starts, len(vr_s)])
+            rank = np.arange(len(vr_s)) - np.repeat(starts, lens)
+            keep = rank < nprobe
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(
-                        pdf["vec_id"].to_numpy().astype(np.int64), nprobe
-                    ),
-                    "centroid_id": c_ids[order].reshape(m),
-                    "rn": np.tile(
-                        np.arange(1, nprobe + 1, dtype=np.int64),
-                        order.shape[0],
-                    ),
+                    "vec_id": pdf["vec_id"]
+                    .to_numpy()
+                    .astype(np.int64)[vr_s[keep]],
+                    "centroid_id": c_ids[ci_s[keep]],
+                    "rn": rank[keep] + 1,
                 }
             )
 
     ranked = base.mapInPandas(
         rank_lists, "vec_id long, centroid_id long, rn long"
     ).localCheckpoint(eager=True)  # feeds assignment AND probes
+    return base, ranked
+
+
+def _bulk_frames(spark: SparkSession, sf_dir: str):
+    """(base, bulk-top-k) — index build + candidate scoring composed."""
+    base, ranked = _bulk_index(spark, sf_dir)
+    return base, _bulk_score(base, ranked)
+
+
+def _bulk_score(base: DataFrame, ranked: DataFrame) -> DataFrame:
+    """Score the probe candidates of a (base, ranked) index pair: lists
+    and their probing queries cogroup on centroid_id, one exact int64
+    matmul per list block, bounded global merge."""
+    import numpy as np
 
     assign = (
         ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
@@ -390,12 +508,11 @@ def _bulk_frames(spark: SparkSession, sf_dir: str):
     wq = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    bulk = (
+    return (
         local_topk.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= BULK_TOPK)
         .select("query_id", "neighbor_id", "cosine")
     )
-    return base, bulk
 
 
 @declare(
@@ -420,9 +537,12 @@ def q_ann_bulk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64 ops inside Arrow-batched workers — linear by
     construction, and measured: the relational HOF-fold formulation of
     the same semantics spent 59 s on candidate cosines at the 10x
-    stress; this plan runs the identical arithmetic in ~3 s. At very
-    large n the K-row driver-collected quantizer becomes a 2-level IVF;
-    every other stage is shape-stable."""
+    stress; this plan runs the identical arithmetic in ~3 s. The coarse
+    stage is the 2-LEVEL quantizer (super-lists of sqrt(K) centroids):
+    per-vector coarse work is O(sqrt(K)), killing the n*K = n^2/250
+    term the round-6 audit flagged — total coarse cost n*sqrt(n/250),
+    sub-quadratic through the 4e8-vector regime the 1-level docstring
+    used to defer to."""
     return _bulk_frames(spark, sf_dir)[1]
 
 
