@@ -547,6 +547,60 @@ def q_ann_bulk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "q_ann_persisted",
+    oracle=f"""
+    WITH {_BULK_CTE}
+    SELECT query_id, neighbor_id, cosine FROM bulk
+    """,
+    tier="P2",
+)
+def q_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe a PERSISTED index: production retrieval builds the IVF index
+    once and serves many query waves, so the (assignment, probes) ranking
+    — the trained artifact — is committed through a LakeTable (versioned
+    manifest, exactly-once batch watermark) and the scoring path reads it
+    back FROM THE COMMITTED VERSION, never from the in-session lineage.
+    Must be hash-equal to q_ann_bulk_topk on the same corpus (same
+    oracle): persistence is semantics-invisible, which is exactly what
+    makes the build-once/serve-many split safe.
+
+    Scale notes: the index artifact is O(n * NPROBE) skinny rows —
+    key-partitioned parquet behind a manifest; a 100 TB deployment
+    commits it bucketed by centroid_id so query-time cogroups read
+    co-located lists. The rebuild-vs-reuse decision becomes a manifest
+    version check (the LakeTable last_batch watermark), not a recompute."""
+    import shutil
+    import tempfile
+
+    from mysql_to_clickhouse_sync_spark.sinks.merge import LakeTable
+    from mysql_to_clickhouse_sync_spark.streaming.cdc import (
+        OP_COL,
+        UPSERT,
+        live_rows,
+    )
+
+    base, ranked = _bulk_index(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="ann_index_")
+    try:
+        table = LakeTable(
+            spark,
+            f"{workdir}/ivf_index",
+            keys=["vec_id", "rn"],
+            version_cols=["centroid_id"],
+            retention=1,
+        )
+        table.merge(ranked.withColumn(OP_COL, F.lit(UPSERT)), batch_id=0)
+        v = table.current_version()
+        # re-read strictly through the committed version's manifest
+        persisted = live_rows(table.raw(version=v)).select(
+            "vec_id", "centroid_id", "rn"
+        )
+        return _bulk_score(base, persisted).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@declare(
     "q_ann_bulk_recall",
     oracle=f"""
     WITH {_BULK_CTE}

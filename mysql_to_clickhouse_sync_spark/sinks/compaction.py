@@ -43,28 +43,49 @@ def compact_generation(
     spark: SparkSession,
     table_dir: str,
     target_file_bytes: int = TARGET_FILE_BYTES,
+    retention: int = 1,
 ) -> tuple[str, int, int]:
     """Compact the current generation of a pointer-directory table (as laid
     out by sinks/merge.py) into ceil(bytes/target) files. Returns
     (new_generation_path, files_before, files_after). No-op (returns the
-    current generation) if already at or below the planned count."""
+    current generation) if already at or below the planned count.
+
+    Routed through LakeTable._commit so the superseded generation obeys
+    the same reference-counted `retention` discipline as every other
+    commit: an in-flight reader bound to the pre-compaction snapshot
+    keeps its files (the legacy path deleted them at publish — the
+    round-6 snapshot-isolation hole, closed). Works on legacy
+    manifest-less tables via LakeTable's bootstrap fallback."""
     from mysql_to_clickhouse_sync_spark.sinks.merge import (
+        LakeTable,
         _current_generation,
-        _publish_generation,
     )
 
-    gen = _current_generation(table_dir)
-    if gen is None:
+    gen_path = _current_generation(table_dir)
+    if gen_path is None:
         raise FileNotFoundError(f"no published generation under {table_dir}")
-    gen_path = os.path.join(table_dir, gen)
     sizes = data_file_sizes(gen_path)
     n_before = len(sizes)
     n_target = plan_file_count(sum(sizes), target_file_bytes)
     if n_before <= n_target:
         return gen_path, n_before, n_before
-    df = spark.read.parquet(gen_path)
-    new_path = _publish_generation(
-        table_dir, lambda p: df.coalesce(n_target).write.parquet(p)
+    table = LakeTable(
+        spark, table_dir, keys=[], version_cols=[], retention=retention
     )
+    v = table.current_version()
+    m = table.manifest(v)
+    df = spark.read.parquet(gen_path)
+    new_v = table._commit(
+        lambda p: df.coalesce(n_target).write.parquet(p),
+        {
+            "operation": "compact",
+            "compacted_from": v,
+            "last_batch": m.get("last_batch"),
+            "schema_version": m.get("schema_version", 0),
+            "schema": m.get("schema"),
+        },
+        expected_parent=v,
+    )
+    new_path = table._gen_dir(new_v)
     n_after = len(data_file_sizes(new_path))
     return new_path, n_before, n_after

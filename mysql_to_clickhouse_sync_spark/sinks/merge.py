@@ -54,6 +54,22 @@ from mysql_to_clickhouse_sync_spark.streaming.cdc import (
 
 _POINTER = "_CURRENT"
 _MANIFEST = "_MANIFEST.json"
+_UNSET = object()  # "caller did not declare the parent it computed against"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed between this writer reading the table and
+    publishing its own generation (Delta-style optimistic concurrency).
+    Nothing was published; re-read the table and retry the operation."""
+
+
+def _parquet_files(path: str) -> list[str]:
+    return [
+        os.path.join(root, f)
+        for root, _dirs, names in os.walk(path)
+        for f in names
+        if f.endswith(".parquet")
+    ]
 
 
 def _current_generation(path: str) -> str | None:
@@ -66,9 +82,12 @@ def _current_generation(path: str) -> str | None:
 
 
 def _publish_generation(path: str, write_fn) -> str:
-    """Write-audit-publish: write the next generation via write_fn(gen_path),
-    atomically flip the pointer, retire the old generation. Returns the new
-    generation path."""
+    """Write-audit-publish: write the next generation via write_fn(gen_path)
+    and atomically flip the pointer. The superseded generation is KEPT on
+    disk — deleting it at publish time broke snapshot isolation for an
+    in-flight reader bound to the old generation (round-6 review finding);
+    retention pruning is the manifest-bearing LakeTable._commit's job, and
+    this helper is only the manifestless seeding/publishing primitive."""
     old_gen = _current_generation(path)
     gen_name = (
         f"gen-{0 if old_gen is None else int(os.path.basename(old_gen).split('-')[1]) + 1:06d}"
@@ -79,8 +98,6 @@ def _publish_generation(path: str, write_fn) -> str:
     with open(tmp_ptr, "w") as fh:
         fh.write(gen_name)
     os.replace(tmp_ptr, os.path.join(path, _POINTER))  # atomic publish
-    if old_gen is not None:
-        shutil.rmtree(old_gen, ignore_errors=True)  # retire old generation
     return gen_path
 
 
@@ -125,12 +142,23 @@ class LakeTable:
         version_cols: list[str],
         retention: int = 3,
         n_buckets: int | None = None,
+        partition_files_by: str | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.version_cols = list(version_cols)
         self.retention = retention  # superseded generations kept on disk
+        # partition_files_by lays the unbucketed state out Hive-style on a
+        # payload column, ONE data file per value (repartition-by-column
+        # before the partitionBy write): every file covers a disjoint
+        # value slice, which is what gives the per-file min/max stats in
+        # the manifest their pruning power (read_pruned). A production
+        # 100 TB table uses repartition(n, col) for multiple files per
+        # value; one-per-value keeps the file count oracle-expressible.
+        if partition_files_by is not None and n_buckets is not None:
+            raise ValueError("partition_files_by and n_buckets are exclusive")
+        self.partition_files_by = partition_files_by
         # n_buckets switches on key-hash-bucketed state: each generation
         # REWRITES ONLY the buckets its changelog touches and the
         # manifest maps every untouched bucket to the generation that
@@ -163,16 +191,30 @@ class LakeTable:
         cur = self.current_version()
         if cur is None:
             return []
-        found = sorted(
+        found = {
             int(d.split("-")[1])
             for d in os.listdir(self.path)
             if d.startswith("gen-")
             and os.path.exists(os.path.join(self.path, d, _MANIFEST))
-        )
-        return [v for v in found if v <= cur]
+        }
+        # Legacy layout: a generation published pre-manifest (the
+        # _publish_generation primitive) has a valid pointer but no
+        # _MANIFEST.json — treat the pointer-named directory as an
+        # unversioned bootstrap parent instead of an empty table.
+        if cur not in found and os.path.isdir(self._gen_dir(cur)):
+            found.add(cur)
+        return sorted(v for v in found if v <= cur)
 
     def manifest(self, version: int) -> dict:
-        with open(os.path.join(self._gen_dir(version), _MANIFEST)) as fh:
+        p = os.path.join(self._gen_dir(version), _MANIFEST)
+        if not os.path.exists(p):
+            # legacy bootstrap generation: synthesize the minimal record
+            return {
+                "version": version,
+                "parent": None,
+                "operation": "legacy-bootstrap",
+            }
+        with open(p) as fh:
             return json.load(fh)
 
     def history(self) -> list[dict]:
@@ -223,39 +265,206 @@ class LakeTable:
         """Live rows (tombstones filtered) as of `version`."""
         return live_rows(self.raw(version))
 
+    def read_pruned(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """DATA-SKIPPING read (the Delta/Iceberg file-pruning half): drop
+        every data file whose manifest [min, max] for `col` cannot
+        intersect [lo, hi] (either bound may be None = unbounded), then
+        hand Spark only the survivors. Returns (live_rows_df,
+        files_total, files_read). Pruning is FILE-level — callers still
+        apply the exact residual predicate; a file without usable stats
+        for `col` is conservatively read. Unbucketed layout only
+        (bucketed tables prune by key-hash bucket instead); a manifest
+        without file_stats (legacy commit) reads everything.
+
+        Scale notes: the decision runs on manifest JSON — zero data I/O
+        before the pruned scan. With partition_files_by clustering the
+        layout on the predicate column, a selective range touches
+        O(matching-slice) files out of the whole table — the manifest
+        does for files what row-group stats do inside them."""
+        v = self._resolve(version)
+        m = self.manifest(v)
+        if m.get("buckets") is not None:
+            raise ValueError(
+                "read_pruned applies to unbucketed tables (bucketed state"
+                " prunes by key-hash bucket)"
+            )
+        gen = self._gen_dir(v)
+        fs = m.get("file_stats")
+        if fs is None:
+            n = len(_parquet_files(gen))
+            return live_rows(self.spark.read.parquet(gen)), n, n
+        keep = []
+        for rel in sorted(fs):
+            st = fs[rel].get(col)
+            if st is not None:
+                mn, mx = st
+                if (lo is not None and mx < lo) or (
+                    hi is not None and mn > hi
+                ):
+                    continue
+            keep.append(rel)
+        if not keep:
+            df = self.spark.read.parquet(gen).filter(F.lit(False))
+        else:
+            df = self.spark.read.option("basePath", gen).parquet(
+                *[os.path.join(gen, r) for r in keep]
+            )
+        return live_rows(df), len(fs), len(keep)
+
     # -- writes (write-audit-publish) -----------------------------------
 
-    def _commit(self, write_fn, meta: dict) -> int:
-        cur = self.current_version()
-        new_v = 0 if cur is None else cur + 1
-        gen = self._gen_dir(new_v)
-        # A leftover dir from a crashed earlier attempt is uncommitted
-        # garbage (the pointer never reached it): clear and rewrite.
-        shutil.rmtree(gen, ignore_errors=True)
-        write_fn(gen)
-        files = [
-            os.path.join(root, f)
-            for root, _dirs, names in os.walk(gen)
-            for f in names
-            if f.endswith(".parquet")
-        ]
-        # Row stats from parquet FOOTERS — metadata-only, never a scan.
+    @staticmethod
+    def _footer_stats(files: list[str], base: str) -> dict:
+        """Per-file, per-column [min, max] — parquet FOOTER statistics
+        merged across row groups, plus exact values parsed from Hive
+        partition path segments. Metadata-only, never a data scan.
+        Numeric (int/float) columns only: string footer stats may be
+        truncated by writers, so they are not pruning-safe."""
         import pyarrow.parquet as pq
 
-        manifest = {
-            "version": new_v,
-            "parent": cur,
-            "keys": self.keys,
-            "version_cols": self.version_cols,
-            "n_files": len(files),
-            "bytes": sum(os.path.getsize(f) for f in files),
-            "rows": sum(pq.read_metadata(f).num_rows for f in files),
-            **meta,
-        }
-        with open(os.path.join(gen, _MANIFEST), "w") as fh:
-            json.dump(manifest, fh, indent=1)
-            fh.flush()
-            os.fsync(fh.fileno())
+        out: dict = {}
+        for f in files:
+            rel = os.path.relpath(f, base)
+            stats: dict = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg:
+                    name, _, val = seg.partition("=")
+                    try:
+                        v = int(val)
+                    except ValueError:
+                        continue
+                    stats[name] = [v, v]
+            md = pq.read_metadata(f)
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            usable = set(names)
+            mins: dict = {}
+            maxs: dict = {}
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for i, name in enumerate(names):
+                    if name not in usable:
+                        continue
+                    st = row.column(i).statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or isinstance(st.min, bool)
+                        or not isinstance(st.min, (int, float))
+                    ):
+                        usable.discard(name)
+                        continue
+                    mins[name] = (
+                        st.min if name not in mins else min(mins[name], st.min)
+                    )
+                    maxs[name] = (
+                        st.max if name not in maxs else max(maxs[name], st.max)
+                    )
+            for name in usable:
+                if name in mins:
+                    stats[name] = [mins[name], maxs[name]]
+            out[rel] = stats
+        return out
+
+    def _commit(self, write_fn, meta: dict, expected_parent=_UNSET) -> int:
+        """Write-audit-publish one generation. `expected_parent` is the
+        version the caller READ before computing its write (None for a
+        bootstrap); if any other writer commits in between, the publish
+        fails with CommitConflictError and nothing of this attempt
+        survives — Delta-style optimistic concurrency. The data is
+        staged in a writer-private directory and the rename onto the
+        final generation name is the race arbiter: two same-parent
+        writers both target gen-N, the loser's rename fails."""
+        cur = self.current_version()
+        if expected_parent is _UNSET:
+            expected_parent = cur
+        if cur != expected_parent:
+            raise CommitConflictError(
+                f"table moved to version {cur} since this writer read"
+                f" version {expected_parent}; re-read and retry"
+            )
+        new_v = 0 if cur is None else cur + 1
+        gen = self._gen_dir(new_v)
+        import uuid
+
+        stage = os.path.join(
+            self.path, f"_stage-{self._gen_name(new_v)}-{uuid.uuid4().hex[:8]}"
+        )
+        try:
+            write_fn(stage)
+            # bucket owners recorded by the write closure name the stage
+            # dir — rewrite them to the final generation name
+            if meta.get("buckets"):
+                sname = os.path.basename(stage)
+                meta["buckets"] = {
+                    b: (self._gen_name(new_v) if o == sname else o)
+                    for b, o in meta["buckets"].items()
+                }
+            files = _parquet_files(stage)
+            # Stats from parquet FOOTERS — metadata-only, never a scan.
+            # For bucketed commits the n_files/bytes/rows triple covers
+            # the whole SNAPSHOT the manifest references (this commit's
+            # rewritten buckets + every inherited owner), so the fields
+            # mean the same thing across layouts.
+            import pyarrow.parquet as pq
+
+            if meta.get("buckets") is not None:
+                stat_files: list[str] = []
+                for b, owner in meta["buckets"].items():
+                    d = (
+                        os.path.join(stage, f"bucket={b}")
+                        if owner == self._gen_name(new_v)
+                        else os.path.join(self.path, owner, f"bucket={b}")
+                    )
+                    stat_files.extend(_parquet_files(d))
+            else:
+                stat_files = files
+                meta["file_stats"] = self._footer_stats(files, stage)
+            manifest = {
+                "version": new_v,
+                "parent": cur,
+                "keys": self.keys,
+                "version_cols": self.version_cols,
+                "n_files": len(stat_files),
+                "bytes": sum(os.path.getsize(f) for f in stat_files),
+                "rows": sum(
+                    pq.read_metadata(f).num_rows for f in stat_files
+                ),
+                **meta,
+            }
+            with open(os.path.join(stage, _MANIFEST), "w") as fh:
+                json.dump(manifest, fh, indent=1)
+                fh.flush()
+                os.fsync(fh.fileno())
+            # Conflict check after the (slow) write, right before publish.
+            now = self.current_version()
+            if now != expected_parent:
+                raise CommitConflictError(
+                    f"concurrent commit moved the table from version"
+                    f" {expected_parent} to {now} during this write;"
+                    f" re-read and retry"
+                )
+            # A pre-existing gen-N the pointer never reached is crash
+            # debris (uncommitted garbage) — clear it. A LIVE competitor
+            # is excluded by the pointer check; if one still wins the
+            # window below, the atomic rename fails and we surface the
+            # conflict instead of clobbering its committed data.
+            if os.path.exists(gen):
+                shutil.rmtree(gen, ignore_errors=True)
+            try:
+                os.rename(stage, gen)
+            except OSError as exc:
+                raise CommitConflictError(
+                    f"concurrent commit already published {gen}"
+                ) from exc
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
         # Atomic publish: data + manifest become the committed version in
         # one rename; a crash anywhere above leaves _CURRENT untouched.
         tmp = os.path.join(self.path, _POINTER + ".tmp")
@@ -290,8 +499,9 @@ class LakeTable:
         manifest commits atomically with the data, so the skip decision
         can never disagree with the published state."""
         cur = self.current_version()
+        prev_manifest = {} if cur is None else self.manifest(cur)
         if batch_id is not None and cur is not None:
-            lb = self.manifest(cur).get("last_batch")
+            lb = prev_manifest.get("last_batch")
             if lb is not None and batch_id <= lb:
                 return self.read()
         payload_cols = [c for c in changelog.columns if c != "op"]
@@ -300,23 +510,85 @@ class LakeTable:
                 [], changelog.select(*payload_cols).schema
             )
         )
-        inherited = (
-            None if cur is None else self.manifest(cur).get("last_batch")
-        )
+        inherited = prev_manifest.get("last_batch")
         meta = {
             "operation": "merge",
             "last_batch": batch_id if batch_id is not None else inherited,
         }
         if self.n_buckets is None:
             state = empty if cur is None else self.raw()
+            state_payload = [c for c in state.columns if c != "op"]
+            evolved = cur is not None and set(state_payload) != set(
+                payload_cols
+            )
             # Persist WITH tombstones (op column) so later out-of-order
             # upserts cannot revive deleted keys; readers get live_rows.
-            new_state = apply_changelog(
-                state, changelog, self.keys, self.version_cols
-            )
-            self._commit(
-                lambda p: new_state.write.mode("overwrite").parquet(p), meta
-            )
+            if evolved:
+                # SCHEMA EVOLUTION: a drifted changelog (upstream ALTER
+                # TABLE mid-stream) merges via unionByName with NULL
+                # fill — pre-drift rows read NULL in added columns, and
+                # columns the changelog dropped stay in place (never an
+                # automatic data drop). The manifest bumps
+                # schema_version, records the new schema, and carries
+                # the ClickHouse ALTER twin (sinks/ddl.py) so the
+                # target-side DDL ships with the commit that needs it.
+                # Time travel keeps returning each retained version
+                # under the schema IT was written with (reads bind to
+                # one generation directory).
+                new_state = apply_changelog(
+                    state,
+                    changelog,
+                    self.keys,
+                    self.version_cols,
+                    allow_schema_evolution=True,
+                )
+                from pyspark.sql.types import StructType
+
+                from mysql_to_clickhouse_sync_spark.sinks.ddl import (
+                    alter_table_ddl,
+                )
+
+                old_struct = state.drop("op").schema
+                old_fields = {f.name: f for f in old_struct.fields}
+                # ADD COLUMNs only: unchanged columns keep their stored
+                # definition (the union relaxes nullability, which is
+                # not upstream drift and must not emit MODIFYs)
+                twin = StructType(
+                    [
+                        old_fields.get(f.name, f)
+                        for f in new_state.drop("op").schema.fields
+                    ]
+                )
+                meta["ddl"] = alter_table_ddl(
+                    old_struct, twin, os.path.basename(self.path)
+                )
+            else:
+                new_state = apply_changelog(
+                    state, changelog, self.keys, self.version_cols
+                )
+            sv = prev_manifest.get("schema_version", 0)
+            meta["schema_version"] = sv + 1 if evolved else sv
+            meta["schema"] = [
+                [f.name, f.dataType.simpleString()]
+                for f in new_state.schema.fields
+                if f.name != "op"
+            ]
+            if self.partition_files_by is not None:
+                pcol = self.partition_files_by
+                clustered = new_state.repartition(F.col(pcol))
+                self._commit(
+                    lambda p: clustered.write.partitionBy(pcol)
+                    .mode("overwrite")
+                    .parquet(p),
+                    meta,
+                    expected_parent=cur,
+                )
+            else:
+                self._commit(
+                    lambda p: new_state.write.mode("overwrite").parquet(p),
+                    meta,
+                    expected_parent=cur,
+                )
             return self.read()
 
         # Bucketed: only the key-hash buckets the changelog touches are
@@ -342,6 +614,21 @@ class LakeTable:
             for b in touched
             if str(b) in prev
         ]
+        prev_schema = prev_manifest.get("schema")
+        if prev_schema is not None and {n for n, _t in prev_schema} != set(
+            payload_cols
+        ):
+            raise ValueError(
+                "schema evolution is supported on the unbucketed layout"
+                " only: a bucketed read unions bucket directories written"
+                " by different generations, which would mix schemas"
+            )
+        meta["schema_version"] = prev_manifest.get("schema_version", 0)
+        meta["schema"] = [
+            [f.name, f.dataType.simpleString()]
+            for f in changelog.schema.fields
+            if f.name != "op"
+        ]
         state_t = self.spark.read.parquet(*paths) if paths else empty
         new_state = apply_changelog(
             state_t, log_b.drop("_b"), self.keys, self.version_cols
@@ -362,7 +649,7 @@ class LakeTable:
             untouched.update({b: os.path.basename(p) for b in written})
             meta["buckets"] = untouched
 
-        self._commit(write, meta)
+        self._commit(write, meta, expected_parent=cur)
         return self.read()
 
     def changes(
@@ -404,6 +691,13 @@ class LakeTable:
             raise ValueError(f"since={parent} must precede version {v}")
         old = self.read(parent)
         cols = new.columns
+        for c in cols:
+            # an evolution boundary: the parent snapshot predates an
+            # added column — it reads as NULL there, same as storage
+            if c not in old.columns:
+                old = old.withColumn(
+                    c, F.lit(None).cast(new.schema[c].dataType)
+                )
         o = old.select(
             *[F.col(c).alias(f"__o_{c}") for c in cols]
         )
@@ -416,7 +710,10 @@ class LakeTable:
         old_exists = F.col(f"__o_{self.keys[0]}").isNotNull()
         moved = None
         for vc in self.version_cols:
-            c = F.col(vc) != F.col(f"__o_{vc}")
+            # null-safe: a NULL version component on either side must
+            # read as moved/unmoved by VALUE, not propagate NULL (which
+            # silently dropped the update pre/post pair)
+            c = ~F.col(vc).eqNullSafe(F.col(f"__o_{vc}"))
             moved = c if moved is None else moved | c
         inserts = (
             j.filter(new_exists & ~old_exists)
@@ -480,6 +777,9 @@ class LakeTable:
             "operation": "compact",
             "compacted_from": v,
             "last_batch": m.get("last_batch"),
+            # logically a no-op commit: schema lineage carries forward
+            "schema_version": m.get("schema_version", 0),
+            "schema": m.get("schema"),
         }
         if m.get("buckets") is None:
             gen = self._gen_dir(v)
@@ -493,13 +793,17 @@ class LakeTable:
                 ).sortWithinPartitions(*cols)
                 meta["clustered_by"] = list(cluster_by)
                 return self._commit(
-                    lambda p: clustered.write.parquet(p), meta
+                    lambda p: clustered.write.parquet(p),
+                    meta,
+                    expected_parent=v,
                 )
             if len(sizes) <= n_target:
                 return v
             df = self.spark.read.parquet(gen)
             return self._commit(
-                lambda p: df.coalesce(n_target).write.parquet(p), meta
+                lambda p: df.coalesce(n_target).write.parquet(p),
+                meta,
+                expected_parent=v,
             )
         if cluster_by:
             raise ValueError(
@@ -527,7 +831,7 @@ class LakeTable:
             bmap.update({b: os.path.basename(p) for b in frag})
             meta["buckets"] = bmap
 
-        return self._commit(write, meta)
+        return self._commit(write, meta, expected_parent=v)
 
 
 def merge_into_parquet(

@@ -474,3 +474,219 @@ def test_clustered_compaction_sorts_by_key_and_commits(spark, tmp_path):
     b.merge(_log(spark, [(1, 1, 1.0, "upsert")]))
     with pytest.raises(ValueError, match="unbucketed"):
         b.compact(cluster_by=["k"])
+
+
+# -- round 7: optimistic concurrency, evolution, stats/skipping ----------
+
+
+def test_concurrent_commit_conflict_loser_fails_cleanly(spark, tmp_path):
+    """Two writers race from the same parent: the one whose publish runs
+    second gets CommitConflictError, nothing it wrote is visible, and
+    the winner's committed state is untouched (no last-write-wins on
+    the pointer flip)."""
+    import pytest
+
+    from mysql_to_clickhouse_sync_spark.sinks.merge import (
+        CommitConflictError,
+    )
+
+    t1 = _table(spark, tmp_path)
+    t2 = _table(spark, tmp_path)
+    t1.merge(_log(spark, [(1, 1, 1.0, "upsert")]))
+
+    # writer 2 computes against version 0; writer 1 commits version 1
+    # inside writer 2's write window (simulated via the write closure)
+    winner = _log(spark, [(2, 2, 2.0, "upsert")])
+    loser = _log(spark, [(3, 3, 3.0, "upsert")])
+
+    def racing_write(p):
+        t1.merge(winner)  # the competing commit lands mid-write
+        loser.write.mode("overwrite").parquet(p)
+
+    with pytest.raises(CommitConflictError):
+        t2._commit(racing_write, {"operation": "merge"}, expected_parent=0)
+    # winner's commit survives; loser's key never appears
+    assert t1.current_version() == 1
+    assert _state(t1) == {1: 1.0, 2: 2.0}
+    # no stray committed generation beyond the winner's
+    assert t1.versions() == [0, 1]
+    # and the loser can retry cleanly against the new parent
+    t2.merge(loser)
+    assert _state(t2) == {1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_stale_writer_fails_before_writing(spark, tmp_path):
+    import pytest
+
+    from mysql_to_clickhouse_sync_spark.sinks.merge import (
+        CommitConflictError,
+    )
+
+    t = _table(spark, tmp_path)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert")]))
+    with pytest.raises(CommitConflictError):
+        t._commit(
+            lambda p: (_ for _ in ()).throw(AssertionError("must not write")),
+            {"operation": "merge"},
+            expected_parent=None,  # claims bootstrap, table is at v0
+        )
+
+
+def test_legacy_manifestless_table_still_merges(spark, tmp_path):
+    """A state dir published by the pre-manifest _publish_generation
+    layout (pointer, no _MANIFEST.json) must read and MERGE as a
+    bootstrap parent instead of raising (round-6 ADVICE)."""
+    from mysql_to_clickhouse_sync_spark.sinks.merge import (
+        _publish_generation,
+    )
+    from mysql_to_clickhouse_sync_spark.streaming.cdc import as_state
+
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    seed = as_state(
+        _log(spark, [(1, 1, 1.0, "upsert")]).drop("op")
+    )
+    _publish_generation(path, lambda p: seed.write.parquet(p))
+    t = LakeTable(spark, path, keys=["k"], version_cols=["ts", "seq"])
+    assert t.versions() == [0]
+    assert _state(t) == {1: 1.0}
+    out = t.merge(_log(spark, [(2, 2, 2.0, "upsert")]))
+    assert {r.k: r.v for r in out.collect()} == {1: 1.0, 2: 2.0}
+    assert t.current_version() == 1
+
+
+def test_reader_survives_concurrent_compact_generation(spark, tmp_path):
+    """compact_generation used to delete the superseded generation at
+    publish; an in-flight reader bound to it lost its files mid-read.
+    Now it follows the retention discipline: the old generation stays."""
+    from mysql_to_clickhouse_sync_spark.sinks.compaction import (
+        compact_generation,
+    )
+    from mysql_to_clickhouse_sync_spark.sinks.merge import (
+        _current_generation,
+    )
+
+    from mysql_to_clickhouse_sync_spark.sinks.merge import (
+        _publish_generation,
+    )
+
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    big = spark.createDataFrame(
+        [(k, k, _ts(k % 60), float(k), "upsert") for k in range(1, 201)],
+        LOG_SCHEMA,
+    ).repartition(8)
+    _publish_generation(path, lambda p: big.write.parquet(p))
+    old_gen = _current_generation(path)
+    reader = spark.read.parquet(old_gen)  # binds to the old generation
+    new_gen, n_before, n_after = compact_generation(
+        spark, path, target_file_bytes=1 << 30
+    )
+    assert n_after < n_before
+    # the pre-compaction snapshot is still fully readable
+    assert reader.count() == 200
+    assert os.path.isdir(old_gen)
+
+
+def test_schema_evolution_merge_nullfills_and_emits_ddl(spark, tmp_path):
+    """A changelog that gained a column mid-stream merges via
+    unionByName NULL-fill; the manifest bumps schema_version, records
+    the new schema, and carries the ClickHouse ALTER twin; time travel
+    returns each version under the schema it was written with."""
+    t = _table(spark, tmp_path)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert"), (2, 2, 2.0, "upsert")]))
+    evolved = spark.createDataFrame(
+        [(1, 3, _ts(3), 9.0, "web", "upsert"), (3, 4, _ts(4), 3.0, "app", "upsert")],
+        "k bigint, seq bigint, ts timestamp, v double, src string, op string",
+    )
+    out = t.merge(evolved)
+    assert set(out.columns) == {"k", "seq", "ts", "v", "src"}
+    rows = {r.k: (r.v, r.src) for r in out.collect()}
+    # pre-drift winner (k=2) reads NULL in the added column
+    assert rows == {1: (9.0, "web"), 2: (2.0, None), 3: (3.0, "app")}
+    m0, m1 = t.manifest(0), t.manifest(1)
+    assert m0["schema_version"] == 0 and m1["schema_version"] == 1
+    assert ["src", "string"] in m1["schema"]
+    assert all(n != "src" for n, _t in m0["schema"])
+    ddl = m1["ddl"]
+    assert len(ddl) == 1 and "ADD COLUMN IF NOT EXISTS" in ddl[0]
+    assert "`src`" in ddl[0] and "Nullable(String)" in ddl[0]
+    # time travel: version 0 keeps ITS schema (no src column)
+    assert "src" not in t.read(version=0).columns
+    assert "src" in t.read(version=1).columns
+    # CDF across the evolution boundary null-fills the parent side
+    feed = t.changes(1)
+    kinds = {(r.k, r._change_type) for r in feed.collect()}
+    assert (3, "insert") in kinds
+    assert (1, "update_postimage") in kinds
+
+
+def test_bucketed_merge_rejects_schema_drift(spark, tmp_path):
+    import pytest
+
+    t = _table(spark, tmp_path, n_buckets=4)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert")]))
+    evolved = spark.createDataFrame(
+        [(1, 3, _ts(3), 9.0, "web", "upsert")],
+        "k bigint, seq bigint, ts timestamp, v double, src string, op string",
+    )
+    with pytest.raises(ValueError, match="unbucketed"):
+        t.merge(evolved)
+
+
+def test_cdf_moved_predicate_is_null_safe(spark, tmp_path):
+    """A NULL version component must not classify a moved row as
+    unchanged (the old != predicate evaluated to NULL and silently
+    dropped the update pair)."""
+    t = LakeTable(
+        spark, str(tmp_path / "state"), keys=["k"], version_cols=["seq"]
+    )
+    mk = lambda seq, v: spark.createDataFrame(
+        [(1, seq, v, "upsert")], "k bigint, seq bigint, v double, op string"
+    )
+    t.merge(mk(None, 1.0))
+    t.merge(mk(7, 2.0))  # NULL -> 7: moved, must emit the update pair
+    kinds = sorted(
+        r._change_type for r in t.changes(1).collect()
+    )
+    assert kinds == ["update_postimage", "update_preimage"]
+
+
+def test_file_stats_and_pruned_read(spark, tmp_path):
+    """partition_files_by lays files out one-per-value; the manifest
+    carries per-file min/max; read_pruned reads strictly fewer files
+    for a selective predicate and still returns exactly the matching
+    live rows (after the residual filter)."""
+    t = LakeTable(
+        spark,
+        str(tmp_path / "state"),
+        keys=["k"],
+        version_cols=["ts", "seq"],
+        partition_files_by="band",
+    )
+    rows = [(k, k, _ts(k % 60), float(k), k // 50, "upsert") for k in range(1, 301)]
+    log = spark.createDataFrame(
+        rows, "k bigint, seq bigint, ts timestamp, v double, band bigint, op string"
+    )
+    t.merge(log)
+    m = t.manifest(0)
+    fs = m["file_stats"]
+    # one file per band value, each with k-range stats and the exact
+    # partition-dir value for band
+    assert len(fs) == 7  # bands 0..6 for k in 1..300
+    for rel, st in fs.items():
+        assert "band=" in rel
+        assert "k" in st and "band" in st
+        assert st["band"][0] == st["band"][1]
+    df, total, nread = t.read_pruned("k", 120, 180)
+    assert total == 7 and nread == 2  # bands 2 and 3 only
+    got = sorted(
+        r.k for r in df.filter("k BETWEEN 120 AND 180").collect()
+    )
+    assert got == list(range(120, 181))
+    # unbounded read prunes nothing
+    _df, tot2, nread2 = t.read_pruned("k")
+    assert (tot2, nread2) == (7, 7)
+    # a column without stats is conservatively unpruned
+    _df, tot3, nread3 = t.read_pruned("nosuchcol", 0, 1)
+    assert nread3 == tot3
