@@ -163,6 +163,190 @@ def q_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_merge_commits(spark, sf_dir, n_buckets=8)
 
 
+# -- data skipping --------------------------------------------------------
+
+SKIP_BAND_WIDTH = 10  # user_id // 10 lays the state out one file per band
+SKIP_LO = 5
+SKIP_HI = 27
+
+_SKIP_ORACLE = f"""
+    {EVENTS_US_CTE}
+    , st AS MATERIALIZED (
+        SELECT user_id, event_id, ts, event_type, value FROM (
+            SELECT user_id, event_id, ts, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events_us WHERE ts IS NOT NULL
+        ) WHERE rn = 1
+    ), bands AS (
+        SELECT user_id // {SKIP_BAND_WIDTH} AS band,
+               min(user_id) AS mn, max(user_id) AS mx
+        FROM st GROUP BY 1
+    ), acc AS (
+        SELECT CAST(count(*) AS BIGINT) AS files_total,
+               CAST(sum(CASE WHEN mx >= {SKIP_LO} AND mn <= {SKIP_HI}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+        FROM bands
+    )
+    SELECT st.user_id, st.event_id, st.ts, st.event_type, st.value,
+           acc.files_total, acc.files_read
+    FROM st, acc WHERE st.user_id BETWEEN {SKIP_LO} AND {SKIP_HI}
+"""
+
+
+@declare("q_lake_skipping", oracle=_SKIP_ORACLE, tier="P2")
+def q_lake_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-SKIPPING read through the LakeTable manifest: the CDC state
+    lands partition_files_by a user-band column (one data file per
+    band), the commit records per-file user_id min/max from parquet
+    FOOTERS, and `read_pruned` drops every file whose range cannot meet
+    the predicate BEFORE Spark sees a path. The declared result carries
+    the files-pruned accounting (files_total, files_read) next to the
+    filtered rows, and the oracle re-derives BOTH from pure SQL — the
+    band-level min/max bookkeeping must agree with what the footers
+    said, so the pruning decision itself is hash-verified, not just the
+    surviving rows. A plan pin (tests/test_plan_shapes.py) separately
+    asserts the pruned scan reads fewer files than the table holds.
+
+    Scale notes (100 TB): the prune decision is manifest JSON — zero
+    data I/O; a selective key range on a band-clustered table opens
+    O(matching bands) files. This is the Delta/Iceberg file-skipping
+    half the sink lacked (the bucketed layout prunes by key hash; this
+    prunes by VALUE RANGE, the complementary axis)."""
+    import shutil
+    import tempfile
+
+    from mysql_to_clickhouse_sync_spark.streaming.cdc import UPSERT as _UP
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+    log = ev.withColumn(
+        "band", F.expr(f"user_id div {SKIP_BAND_WIDTH}")
+    ).withColumn(OP_COL, F.lit(_UP))
+    workdir = tempfile.mkdtemp(prefix="lake_skip_")
+    try:
+        table = LakeTable(
+            spark,
+            f"{workdir}/state",
+            keys=["user_id"],
+            version_cols=["ts", "event_id"],
+            retention=0,
+            partition_files_by="band",
+        )
+        table.merge(log, batch_id=0)
+        pruned, total, nread = table.read_pruned(
+            "user_id", SKIP_LO, SKIP_HI
+        )
+        assert nread <= total
+        out = (
+            pruned.filter(F.col("user_id").between(SKIP_LO, SKIP_HI))
+            .select("user_id", "event_id", "ts", "event_type", "value")
+            .withColumn("files_total", F.lit(total).cast("long"))
+            .withColumn("files_read", F.lit(nread).cast("long"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# -- schema evolution ------------------------------------------------------
+
+_EVOLVE_ORACLE = f"""
+    {EVENTS_US_CTE}
+    , c AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts >= TIMESTAMP '{MERGE_T1}'
+                    THEN event_type END AS event_type,
+               CASE WHEN ts < TIMESTAMP '{MERGE_T1}' THEN 0 ELSE 1 END AS b
+        FROM events_us WHERE ts IS NOT NULL
+    ), v(version) AS (VALUES (0), (1)),
+    ranked AS (
+        SELECT v.version, c.user_id, c.event_id, c.ts, c.value,
+               c.event_type,
+               row_number() OVER (
+                   PARTITION BY v.version, c.user_id
+                   ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM v JOIN c ON c.b <= v.version
+    )
+    SELECT CAST(version AS BIGINT) AS version, user_id, event_id, ts,
+           value, event_type, CAST(version AS BIGINT) AS schema_version
+    FROM ranked WHERE rn = 1
+"""
+
+
+@declare("q_lake_evolve", oracle=_EVOLVE_ORACLE, tier="P2")
+def q_lake_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION through LakeTable MERGE: commit 0 lands the
+    changelog under the narrow pre-ALTER schema (no event_type), commit
+    1 arrives with the column added mid-stream — the merge null-fills
+    the pre-drift state, the manifest bumps schema_version and carries
+    the ClickHouse ALTER twin (asserted here, unit-pinned in
+    tests/test_lakehouse.py), and TIME TRAVEL returns each version
+    under the schema it was written with (version 0 genuinely lacks the
+    column on disk; this query re-attaches it as NULL only to union the
+    audit output). The oracle restates both prefix states, with
+    event_type present only on post-ALTER winners — the Debezium
+    absent-field-reads-NULL contract, now at the storage layer.
+
+    Scale notes: evolution costs one unionByName over the already-read
+    state — no extra scan, no rewrite amplification beyond the merge
+    itself; old files are never touched (NULL-fill happens at read/merge
+    time, the Delta/Iceberg add-column discipline)."""
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from mysql_to_clickhouse_sync_spark.streaming.cdc import UPSERT as _UP
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    narrow = (
+        ev.filter(F.col("ts") < F.lit(MERGE_T1))
+        .select("user_id", "event_id", "ts", "value")
+        .withColumn(OP_COL, F.lit(_UP))
+    )
+    wide = (
+        ev.filter(F.col("ts") >= F.lit(MERGE_T1))
+        .select("user_id", "event_id", "ts", "value", "event_type")
+        .withColumn(OP_COL, F.lit(_UP))
+    )
+    workdir = tempfile.mkdtemp(prefix="lake_evolve_")
+    try:
+        table = LakeTable(
+            spark,
+            f"{workdir}/state",
+            keys=["user_id"],
+            version_cols=["ts", "event_id"],
+            retention=2,
+        )
+        table.merge(narrow, batch_id=0)
+        table.merge(wide, batch_id=1)
+        assert table.manifest(0)["schema_version"] == 0
+        assert table.manifest(1)["schema_version"] == 1
+        assert table.manifest(1)["ddl"], "evolving commit must carry DDL"
+        frames = []
+        for v in table.versions():
+            d = table.read(version=v)
+            if "event_type" not in d.columns:
+                assert v == 0  # only the pre-drift version lacks it
+                d = d.withColumn("event_type", F.lit(None).cast("string"))
+            frames.append(
+                d.select("user_id", "event_id", "ts", "value", "event_type")
+                .withColumn("version", F.lit(v).cast("long"))
+                .withColumn(
+                    "schema_version",
+                    F.lit(table.manifest(v)["schema_version"]).cast("long"),
+                )
+            )
+        out = reduce(lambda a, b: a.unionByName(b), frames)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 _CDF_ORACLE = f"""
     {EVENTS_US_CTE}
     , c AS (

@@ -28,7 +28,10 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.catalog import (
+    EVENTS_US_CTE,
+    load_table,
+)
 from mysql_to_clickhouse_sync_spark.registry import declare
 from mysql_to_clickhouse_sync_spark.sinks.merge import LakeTable
 from mysql_to_clickhouse_sync_spark.streaming.cdc import (
@@ -103,4 +106,105 @@ def s_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if query is not None:
             query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+EVOLVE_SPLIT = "2024-01-21 00:00:00"  # the upstream ALTER lands here
+
+_LAKE_EVOLVE_ORACLE = """
+    {events_us}
+    , ranked AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN ts >= TIMESTAMP '{split}'
+                    THEN event_type END AS event_type,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events_us WHERE ts IS NOT NULL
+    )
+    SELECT user_id, event_id, ts, value, event_type
+    FROM ranked WHERE rn = 1
+""".format(split=EVOLVE_SPLIT, events_us=EVENTS_US_CTE)
+
+
+@declare("s_lake_evolve", oracle=_LAKE_EVOLVE_ORACLE, tier="P3")
+@tuned
+def s_lake_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upstream table gains a column MID-STREAM and the CDC feed
+    keeps landing in the SAME LakeTable: generation 1 streams the
+    narrow pre-ALTER schema, then — exactly as a real connector does
+    after an upstream ALTER — the stream restarts with the wide schema
+    (a Structured Streaming source's schema is fixed per run) and its
+    commits MERGE with schema evolution: pre-drift state null-fills,
+    the manifest bumps schema_version and carries the ClickHouse ALTER
+    twin, and the exactly-once watermark stays monotonic ACROSS the
+    restart (the second run's batch ids are offset by the committed
+    watermark — restarting a connector must not replay or skip). Time
+    travel keeps the narrow versions under their own schema. The
+    declared output is the converged state read back from storage;
+    the oracle pins event_type present only on post-ALTER winners."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    narrow_cols = ["user_id", "event_id", "ts", "value"]
+    wide_cols = [*narrow_cols, "event_type"]
+    narrow = as_state(
+        events.filter(F.col("ts") < F.lit(EVOLVE_SPLIT)).select(*narrow_cols)
+    )
+    wide = as_state(
+        events.filter(F.col("ts") >= F.lit(EVOLVE_SPLIT)).select(*wide_cols)
+    )
+    n_slices = 2  # micro-batches per wire generation
+
+    workdir = tempfile.mkdtemp(prefix="lake_evolve_s_")
+    table = LakeTable(
+        spark,
+        f"{workdir}/state",
+        keys=["user_id"],
+        version_cols=["ts", "event_id"],
+        retention=2 * n_slices,
+    )
+
+    def run_generation(gen_df: DataFrame, tag: str, writer) -> None:
+        in_dir = f"{workdir}/in_{tag}"
+        os.makedirs(in_dir, exist_ok=True)
+        query = (
+            spark.readStream.schema(gen_df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", f"{workdir}/ckpt_{tag}")
+            .start()
+        )
+        try:
+            for i in range(n_slices):
+                gen_df.filter(
+                    F.col("event_id") % n_slices == i
+                ).coalesce(1).write.mode("append").parquet(in_dir)
+                query.processAllAvailable()
+        finally:
+            query.stop()
+
+    try:
+        run_generation(narrow, "narrow", table.writer())
+        pre_drift_version = table.current_version()
+        assert table.manifest(pre_drift_version)["schema_version"] == 0
+        # the ALTER lands; the connector restarts with the wide schema.
+        # Batch ids restart at 0 in the new checkpoint — offset them by
+        # the committed watermark so exactly-once survives the restart.
+        base = table.last_batch() + 1
+        run_generation(
+            wide,
+            "wide",
+            lambda df, bid: table.merge(df, batch_id=bid + base),
+        )
+        m = table.manifest(table.current_version())
+        assert m["schema_version"] == 1
+        assert table.last_batch() == base + n_slices - 1
+        # time travel: the pre-drift version keeps its narrow schema
+        assert "event_type" not in table.read(
+            version=pre_drift_version
+        ).columns
+        return table.read().localCheckpoint(eager=True)
+    finally:
         shutil.rmtree(workdir, ignore_errors=True)

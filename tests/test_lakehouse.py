@@ -690,3 +690,19 @@ def test_file_stats_and_pruned_read(spark, tmp_path):
     # a column without stats is conservatively unpruned
     _df, tot3, nread3 = t.read_pruned("nosuchcol", 0, 1)
     assert nread3 == tot3
+
+
+def test_lake_skipping_prunes_files_at_fixture_scale(spark):
+    """The declared q_lake_skipping must actually SKIP files for its
+    selective predicate (not just agree with the oracle about rows):
+    at sf0.01 the band layout holds 15 files and the user_id 5..27
+    range must open exactly 3 (bands 0-2)."""
+    from mysql_to_clickhouse_sync_spark.operators.lakehouse import (
+        q_lake_skipping,
+    )
+
+    row = q_lake_skipping(spark, "/root/testdata/sf0.01").select(
+        "files_total", "files_read"
+    ).first()
+    assert row.files_total == 15
+    assert row.files_read == 3
