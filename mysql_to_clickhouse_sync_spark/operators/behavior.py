@@ -578,12 +578,18 @@ def _srm_oracle() -> str:
         FROM u
     )
     SELECT n_a, n_b,
-           CAST((n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) AS BIGINT)
-               AS srm_chi2_milli,
-           (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b)
-               <= {SRM_CHI2_CRIT_MILLI} AS srm_ok,
-           CAST(conv_a * 10000 // n_a AS BIGINT) AS conv_a_bp,
-           CAST(conv_b * 10000 // n_b AS BIGINT) AS conv_b_bp
+           -- degenerate-input guards (the q_mcc_eval pattern): an empty
+           -- experiment / empty arm reads NULL, not a division error
+           CAST(CASE WHEN n_a + n_b > 0 THEN
+                (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) END
+                AS BIGINT) AS srm_chi2_milli,
+           CASE WHEN n_a + n_b > 0 THEN
+                (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b)
+                <= {SRM_CHI2_CRIT_MILLI} END AS srm_ok,
+           CAST(CASE WHEN n_a > 0 THEN conv_a * 10000 // n_a END
+                AS BIGINT) AS conv_a_bp,
+           CAST(CASE WHEN n_b > 0 THEN conv_b * 10000 // n_b END
+                AS BIGINT) AS conv_b_bp
     FROM g
     """
 
@@ -623,12 +629,21 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("arm_a * converted")).cast("long").alias("conv_a"),
         F.sum(F.expr("(1 - arm_a) * converted")).cast("long").alias("conv_b"),
     )
-    chi2 = "(n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b)"
+    chi2 = (
+        "CASE WHEN n_a + n_b > 0 THEN"
+        " (n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b) END"
+    )
     return g.select(
         "n_a",
         "n_b",
         F.expr(f"CAST({chi2} AS BIGINT)").alias("srm_chi2_milli"),
         F.expr(f"{chi2} <= {SRM_CHI2_CRIT_MILLI}").alias("srm_ok"),
-        F.expr("CAST(conv_a * 10000 div n_a AS BIGINT)").alias("conv_a_bp"),
-        F.expr("CAST(conv_b * 10000 div n_b AS BIGINT)").alias("conv_b_bp"),
+        F.expr(
+            "CAST(CASE WHEN n_a > 0 THEN conv_a * 10000 div n_a END"
+            " AS BIGINT)"
+        ).alias("conv_a_bp"),
+        F.expr(
+            "CAST(CASE WHEN n_b > 0 THEN conv_b * 10000 div n_b END"
+            " AS BIGINT)"
+        ).alias("conv_b_bp"),
     )

@@ -1500,7 +1500,11 @@ def _pr_auc_oracle() -> str:
         FROM cw
     )
     SELECT CAST(max(pos) AS BIGINT) AS n_pos,
-           CAST(sum(dtp * prec_micro) // max(pos) AS BIGINT) AS ap_micro
+           -- zero-positive guard (the q_mcc_eval pattern): AP is
+           -- undefined with no positives, not a division error
+           CAST(CASE WHEN max(pos) > 0
+                THEN sum(dtp * prec_micro) // max(pos) END
+                AS BIGINT) AS ap_micro
     FROM steps
     """
 
@@ -1534,7 +1538,8 @@ def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return steps.agg(
         F.max("pos").cast("long").alias("n_pos"),
         F.expr(
-            f"CAST(sum(dtp * prec_micro) div max(pos) AS BIGINT)"
+            "CAST(CASE WHEN max(pos) > 0"
+            " THEN sum(dtp * prec_micro) div max(pos) END AS BIGINT)"
         ).alias("ap_micro"),
     )
 

@@ -941,14 +941,19 @@ def _cramers_oracle() -> str:
         FROM terms
     ), rad AS (
         SELECT *,
-               chi2_micro // (n * (least(nl, ns) - 1)) AS x,
+               -- degenerate-input guard (the q_mcc_eval pattern): a
+               -- single-lang or single-source corpus has min(r,c)=1 and
+               -- V is undefined, not a division error
+               CASE WHEN n > 0 AND least(nl, ns) > 1
+                    THEN chi2_micro // (n * (least(nl, ns) - 1))
+                    END AS x,
                (nl - 1) * (ns - 1) AS dof
         FROM agg
     ),
     {_isqrt_sql('(SELECT x FROM rad)')}
     SELECT rad.n, rad.dof, rad.chi2_micro,
            CAST(sq.s AS BIGINT) AS cramers_v_milli
-    FROM rad JOIN sq ON sq.x = rad.x
+    FROM rad CROSS JOIN sq
     """
 
 
@@ -974,7 +979,10 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rad = agg.select(
         "*",
-        F.expr("chi2_micro div (n * (least(nl, ns) - 1))").alias("x"),
+        F.expr(
+            "CASE WHEN n > 0 AND least(nl, ns) > 1"
+            " THEN chi2_micro div (n * (least(nl, ns) - 1)) END"
+        ).alias("x"),
         F.expr("(nl - 1) * (ns - 1)").alias("dof"),
     )
     rad = with_isqrt(rad, "x", "s")

@@ -216,10 +216,13 @@ def admit_bucket(
     for batch in batches:
         ids.extend(int(v) for v in batch["doc_id"])
     bmin = min(ids)
-    assert prev is None or bmin > prev, (
-        f"admit_bucket fed out of doc_id order: batch min {bmin} <= "
-        f"already-seen bucket min {prev}"
-    )
+    # data-dependent runtime precondition: raise explicitly (a bare
+    # assert is stripped under python -O and would silently mis-admit)
+    if prev is not None and bmin <= prev:
+        raise ValueError(
+            f"admit_bucket fed out of doc_id order: batch min {bmin} <= "
+            f"already-seen bucket min {prev}"
+        )
     fresh = [prev is None and i == bmin for i in ids]
     state.update((bmin if prev is None else min(prev, bmin),))
     yield pd.DataFrame({"doc_id": ids, "fresh": fresh})
@@ -891,8 +894,11 @@ def update_funnel(
     rows = pd.concat(list(batches), ignore_index=True)
     rows = rows.sort_values(["t", "event_id"])
     t = rows["t"].to_numpy(dtype=np.int64)
-    if len(t) and last_t is not None:
-        assert t[0] > last_t, (
+    if len(t) and last_t is not None and t[0] <= last_t:
+        # data-dependent runtime precondition: raise explicitly (a bare
+        # assert is stripped under python -O and would silently produce
+        # wrong funnel levels)
+        raise ValueError(
             f"funnel stream fed out of event-time order: batch min {t[0]}"
             f" <= already-processed max {last_t}"
         )
