@@ -425,12 +425,23 @@ def _bulk_frames(spark: SparkSession, sf_dir: str):
     return base, _bulk_score(base, ranked)
 
 
-def _bulk_score(base: DataFrame, ranked: DataFrame) -> DataFrame:
+def _bulk_score(
+    base: DataFrame, ranked: DataFrame, labels: DataFrame | None = None
+) -> DataFrame:
     """Score the probe candidates of a (base, ranked) index pair: lists
     and their probing queries cogroup on centroid_id, one exact int64
-    matmul per list block, bounded global merge."""
+    matmul per list block, bounded global merge.
+
+    `labels` (vec_id, label) switches on FILTERED retrieval: a
+    candidate only counts when its label equals the query's — the
+    predicate is pushed INTO the scoring kernel (mask before top-k),
+    never applied as a post-filter that could starve the result set."""
     import numpy as np
 
+    filtered = labels is not None
+    if filtered:
+        base = base.join(labels, "vec_id")
+    lab_cols = ["label"] if filtered else []
     assign = (
         ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
     ).join(base, "vec_id")
@@ -440,6 +451,7 @@ def _bulk_score(base: DataFrame, ranked: DataFrame) -> DataFrame:
         F.col("vec_id").alias("p_vec"),
         F.col("qv").alias("p_qv"),
         F.col("n2").alias("p_n2"),
+        *[F.col(c).alias(f"p_{c}") for c in lab_cols],
     )
     probes = (
         ranked.select(
@@ -452,6 +464,7 @@ def _bulk_score(base: DataFrame, ranked: DataFrame) -> DataFrame:
             F.col("r_cid").alias("centroid_id"),
             F.col("p_qv").alias("qv"),
             F.col("p_n2").alias("n2"),
+            *[F.col(f"p_{c}").alias(c) for c in lab_cols],
         )
     )
 
@@ -481,11 +494,22 @@ def _bulk_score(base: DataFrame, ranked: DataFrame) -> DataFrame:
         cos = dp.astype(np.float64) / np.sqrt(
             (q_n2[:, None] * m_n2[None, :]).astype(np.float64)
         )
+        if filtered:
+            # predicate pushdown: masked candidates sort last and are
+            # dropped below — they never displace an eligible neighbor
+            m_lab = members["label"].to_numpy().astype(np.int64)
+            q_lab = queries["label"].to_numpy().astype(np.int64)
+            cos = np.where(
+                m_lab[None, :] == q_lab[:, None], cos, -np.inf
+            )
         take = min(BULK_TOPK + 1, cos.shape[1])  # +1: self may rank
         order = np.argsort(-cos, axis=1, kind="stable")[:, :take]
         rows_q, rows_m, rows_c = [], [], []
         for i in range(order.shape[0]):
-            sel = order[i][m_ids[order[i]] != q_ids[i]][:BULK_TOPK]
+            cand = order[i]
+            sel = cand[
+                (m_ids[cand] != q_ids[i]) & np.isfinite(cos[i, cand])
+            ][:BULK_TOPK]
             rows_q.append(np.full(len(sel), q_ids[i], dtype=np.int64))
             rows_m.append(m_ids[sel])
             rows_c.append(cos[i, sel])
@@ -598,6 +622,54 @@ def q_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _bulk_score(base, persisted).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@declare(
+    "q_ann_filtered",
+    oracle=f"""
+    WITH {_BULK_CTE}
+    , lab AS (
+        SELECT vec_id, label FROM embeddings
+    ), fscored AS (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               CAST({_IDOT_SQL.format(a='p.q', b='m.q')} AS DOUBLE)
+                   / sqrt(CAST(p.n2 * m.n2 AS DOUBLE)) AS cosine
+        FROM probes p
+        JOIN assign m ON m.centroid_id = p.centroid_id
+                     AND m.vec_id <> p.query_id
+        JOIN lab ml ON ml.vec_id = m.vec_id
+        JOIN lab ql ON ql.vec_id = p.query_id AND ql.label = ml.label
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT f.*, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM fscored f
+    ) WHERE rk <= {BULK_TOPK}
+    """,
+    tier="P2",
+)
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED retrieval: corpus-wide IVF top-K where a neighbor only
+    counts if its label equals the query's — the metadata-predicate +
+    vector-search combination every production retrieval system needs
+    (tenant isolation, language-matched mining, same-category recs).
+    The predicate is pushed INTO the cogrouped scoring kernel: masked
+    candidates sort behind every eligible one BEFORE top-K, so the
+    filter can never starve the result the way a post-filter over an
+    unfiltered top-K does. The oracle applies the same predicate as a
+    relational join inside the probed lists.
+
+    Scale notes: same plan as q_ann_bulk_topk (2-level coarse + list
+    cogroups) plus two skinny label joins; the mask is one vectorized
+    compare per candidate block. At selective predicates the production
+    refinement is label-partitioned inverted lists (centroid_id, label)
+    — the shape this query's cogroup key trivially extends to."""
+    base, ranked = _bulk_index(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    return _bulk_score(base, ranked, labels=labels)
 
 
 @declare(

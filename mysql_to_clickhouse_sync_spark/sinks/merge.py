@@ -325,11 +325,17 @@ class LakeTable:
         merged across row groups, plus exact values parsed from Hive
         partition path segments. Metadata-only, never a data scan.
         Numeric (int/float) columns only: string footer stats may be
-        truncated by writers, so they are not pruning-safe."""
+        truncated by writers, so they are not pruning-safe.
+
+        Footers are fetched with a thread pool: the per-file work is a
+        few KB of I/O, and a commit that wrote thousands of files must
+        not serialize thousands of round-trips in the driver (at 100 TB
+        the metadata pass would otherwise dominate small commits)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        out: dict = {}
-        for f in files:
+        def one(f: str) -> tuple[str, dict]:
             rel = os.path.relpath(f, base)
             stats: dict = {}
             for seg in rel.split(os.sep)[:-1]:
@@ -368,8 +374,10 @@ class LakeTable:
             for name in usable:
                 if name in mins:
                     stats[name] = [mins[name], maxs[name]]
-            out[rel] = stats
-        return out
+            return rel, stats
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            return dict(pool.map(one, files))
 
     def _commit(self, write_fn, meta: dict, expected_parent=_UNSET) -> int:
         """Write-audit-publish one generation. `expected_parent` is the
@@ -425,6 +433,14 @@ class LakeTable:
             else:
                 stat_files = files
                 meta["file_stats"] = self._footer_stats(files, stage)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                n_rows = sum(
+                    pool.map(
+                        lambda f: pq.read_metadata(f).num_rows, stat_files
+                    )
+                )
             manifest = {
                 "version": new_v,
                 "parent": cur,
@@ -432,9 +448,7 @@ class LakeTable:
                 "version_cols": self.version_cols,
                 "n_files": len(stat_files),
                 "bytes": sum(os.path.getsize(f) for f in stat_files),
-                "rows": sum(
-                    pq.read_metadata(f).num_rows for f in stat_files
-                ),
+                "rows": n_rows,
                 **meta,
             }
             with open(os.path.join(stage, _MANIFEST), "w") as fh:
