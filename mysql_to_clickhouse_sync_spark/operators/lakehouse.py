@@ -165,7 +165,13 @@ def q_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- data skipping --------------------------------------------------------
 
-SKIP_BAND_WIDTH = 10  # user_id // 10 lays the state out one file per band
+# Band width is DATA-PROPORTIONAL: width = max(10, (1 + max_key) / 15)
+# keeps the file count bounded (~15) at every scale instead of growing
+# linearly with the key range — the file-sizing discipline a real table
+# needs (a fixed width measured 26 s at the 10x stress purely on
+# 1500-file commit overhead; proportional width holds it flat).
+SKIP_MIN_WIDTH = 10
+SKIP_TARGET_FILES = 15
 SKIP_LO = 5
 SKIP_HI = 27
 
@@ -179,8 +185,12 @@ _SKIP_ORACLE = f"""
                        ORDER BY ts DESC, event_id DESC) AS rn
             FROM events_us WHERE ts IS NOT NULL
         ) WHERE rn = 1
+    ), w AS (
+        SELECT greatest({SKIP_MIN_WIDTH},
+                        (1 + max(user_id)) // {SKIP_TARGET_FILES}) AS width
+        FROM st
     ), bands AS (
-        SELECT user_id // {SKIP_BAND_WIDTH} AS band,
+        SELECT user_id // (SELECT width FROM w) AS band,
                min(user_id) AS mn, max(user_id) AS mx
         FROM st GROUP BY 1
     ), acc AS (
@@ -224,8 +234,11 @@ def q_lake_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts").isNotNull())
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+    # plan-time bounds scalar (the reference's S:163 chunk-plan pattern)
+    max_user = ev.agg(F.max("user_id")).collect()[0][0]
+    width = max(SKIP_MIN_WIDTH, (1 + max_user) // SKIP_TARGET_FILES)
     log = ev.withColumn(
-        "band", F.expr(f"user_id div {SKIP_BAND_WIDTH}")
+        "band", F.expr(f"user_id div {width}")
     ).withColumn(OP_COL, F.lit(_UP))
     workdir = tempfile.mkdtemp(prefix="lake_skip_")
     try:

@@ -289,3 +289,14 @@ def test_ann_bulk_is_cogrouped_numpy_no_cartesian(spark):
     # (a MapInPandas) is checkpoint-materialized and reads back as RDD
     assert "FlatMapCoGroupsInPandas" in p
     assert "ExistingRDD" in p
+
+
+def test_ann_filtered_is_cogrouped_no_cartesian(spark):
+    """Filtered retrieval must keep the bulk-ANN plan shape: the label
+    predicate is masked inside the cogrouped kernel (two skinny label
+    joins are the only addition) — no cartesian, no BNLJ, and the
+    scoring stays an Arrow cogroup."""
+    p = _plan(spark, "q_ann_filtered")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapCoGroupsInPandas" in p
