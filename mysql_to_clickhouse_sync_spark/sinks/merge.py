@@ -749,6 +749,30 @@ class LakeTable:
         out = inserts.unionByName(deletes).unionByName(pre).unionByName(post)
         return out.withColumn("_commit_version", F.lit(v).cast("long"))
 
+    def vacuum(self) -> list[str]:
+        """Remove crash debris: stage directories whose writer died
+        before publishing, and generation directories BEYOND the
+        committed pointer (a crash between the gen rename and the
+        pointer flip). Both are invisible to every read path — vacuum
+        only reclaims disk. Never touches committed or retained
+        generations; do not run while another writer is mid-commit
+        (same single-operator contract as compaction). Returns the
+        removed paths (Delta's VACUUM shape, minus time-based retention
+        which the commit-path reference counting already handles)."""
+        cur = self.current_version()
+        removed = []
+        for d in os.listdir(self.path):
+            p = os.path.join(self.path, d)
+            if d.startswith("_stage-") and os.path.isdir(p):
+                removed.append(p)
+            elif d.startswith("gen-") and os.path.isdir(p):
+                v = int(d.split("-")[1])
+                if cur is None or v > cur:
+                    removed.append(p)
+        for p in removed:
+            shutil.rmtree(p, ignore_errors=True)
+        return removed
+
     def writer(self):
         """foreachBatch adapter: `.writeStream.foreachBatch(t.writer())`
         lands every micro-batch through the exactly-once MERGE path."""

@@ -706,3 +706,24 @@ def test_lake_skipping_prunes_files_at_fixture_scale(spark):
     ).first()
     assert row.files_total == 15
     assert row.files_read == 3
+
+
+def test_vacuum_clears_stage_and_overshoot_debris(spark, tmp_path):
+    """A writer that crashed mid-commit leaves a stage dir (died while
+    writing) or an unpublished gen dir (died between rename and pointer
+    flip); both are invisible to reads and vacuum() reclaims them
+    without touching committed generations."""
+    t = _table(spark, tmp_path)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert")]))
+    stage = os.path.join(t.path, "_stage-gen-000001-deadbeef")
+    os.makedirs(stage)
+    overshoot = os.path.join(t.path, "gen-000005")
+    os.makedirs(overshoot)
+    assert t.versions() == [0]  # debris is invisible
+    removed = t.vacuum()
+    assert sorted(os.path.basename(p) for p in removed) == [
+        "_stage-gen-000001-deadbeef",
+        "gen-000005",
+    ]
+    assert not os.path.exists(stage) and not os.path.exists(overshoot)
+    assert _state(t) == {1: 1.0}  # committed state untouched
