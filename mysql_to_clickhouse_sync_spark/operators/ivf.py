@@ -220,10 +220,20 @@ _QV_SQL = f"""list_transform(embedding,
 # Both engines build the identical 2-level index, so assignment stays
 # hash-exact; faithfulness to the flat index is audited by
 # q_ann_bulk_recall's exact panel.
-_BULK_CTE = f"""nn AS (
+#
+# `cent_where` restricts the TRAINING set (centroid selection + K
+# sizing) without restricting what gets ranked — the incremental-index
+# contract: q_ann_incremental trains on a vector prefix and extends the
+# inverted lists with later arrivals under the SAME quantizer.
+
+
+def _bulk_cte(cent_where: str = "TRUE") -> str:
+    return f"""nn AS (
         SELECT vec_id, {_QV_SQL} AS q FROM embeddings
     ), nn2 AS (
         SELECT vec_id, q, {_IDOT_SQL.format(a='q', b='q')} AS n2 FROM nn
+    ), cbase AS (
+        SELECT * FROM nn2 WHERE {cent_where}
     ), params AS (
         SELECT k, s, (k + s - 1) // s AS stride FROM (
             SELECT k, greatest({BULK_SUPER_MIN},
@@ -231,12 +241,12 @@ _BULK_CTE = f"""nn AS (
                                     AS BIGINT)) AS s
             FROM (SELECT greatest({BULK_MIN_K},
                                   count(*) // {BULK_TARGET_LIST}) AS k
-                  FROM nn2)
+                  FROM cbase)
         )
     ), centroids AS (
         SELECT vec_id AS centroid_id, q AS cq, n2 AS cn2,
                row_number() OVER (ORDER BY vec_id) AS crank
-        FROM nn2
+        FROM cbase
         ORDER BY vec_id
         LIMIT (SELECT k FROM params)
     ), supers AS (
@@ -300,27 +310,51 @@ _BULK_CTE = f"""nn AS (
     )"""
 
 
-def _bulk_index(spark: SparkSession, sf_dir: str):
+_BULK_CTE = _bulk_cte()
+
+
+def _bulk_index(spark: SparkSession, sf_dir: str, cent_filter=None):
     """(base, ranked) — quantized vectors plus the 2-level coarse ranking
     (vec_id, centroid_id, rn): rn=1 is the inverted-list assignment,
-    rn<=NPROBE the probe set. The relational statement in the oracle and
-    this physical plan differ on purpose: semantics there, shuffle
-    discipline here."""
-    import math
+    rn<=NPROBE the probe set. `cent_filter` restricts the TRAINING set
+    (centroid selection + K sizing) while every base vector is still
+    ranked — the incremental-index shape. The relational statement in
+    the oracle and this physical plan differ on purpose: semantics
+    there, shuffle discipline here."""
+    base = _bulk_base(spark, sf_dir)
+    cbase = base if cent_filter is None else base.filter(cent_filter)
+    ranked = base.mapInPandas(
+        _make_ranker(cbase), "vec_id long, centroid_id long, rn long"
+    ).localCheckpoint(eager=True)  # feeds assignment AND probes
+    return base, ranked
 
-    import numpy as np
 
+def _bulk_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv, n2) on the integer grid, checkpoint-materialized —
+    it feeds the index build and both cogroup sides."""
     from mysql_to_clickhouse_sync_spark.operators.kmeans import (
         _quantized,
         dot_int,
     )
 
-    base = (
+    return (
         _quantized(spark, sf_dir)
         .withColumn("n2", dot_int(F.col("qv"), F.col("qv")))
-        .localCheckpoint(eager=True)  # feeds index build + both cogroups
+        .localCheckpoint(eager=True)
     )
-    n = base.count()  # plan-time scalar (the S:163 bounds pattern)
+
+
+def _make_ranker(cbase: DataFrame):
+    """Build the 2-level coarse-ranking kernel from a centroid source
+    frame: collect the K-row quantizer to the driver, stride-select
+    S ~ sqrt(K) super-centroids, map each centroid to its nearest
+    super's member list, and return the mapInPandas generator that
+    ranks any vector batch against it."""
+    import math
+
+    import numpy as np
+
+    n = cbase.count()  # plan-time scalar (the S:163 bounds pattern)
     k = max(BULK_MIN_K, n // BULK_TARGET_LIST)
     # Index build: the K-row coarse quantizer collects to the driver and
     # broadcasts into the ranking kernel. Level 2 (the round-6 weak-item
@@ -330,7 +364,7 @@ def _bulk_index(spark: SparkSession, sf_dir: str):
     # so the coarse stage is n*sqrt(K) instead of the n*K = n^2/250 term
     # that bent the 50x curve. All of it driver-side numpy on K rows.
     cent = (
-        base.orderBy("vec_id").limit(k).select("vec_id", "qv", "n2").collect()
+        cbase.orderBy("vec_id").limit(k).select("vec_id", "qv", "n2").collect()
     )
     c_ids = np.array([r["vec_id"] for r in cent], dtype=np.int64)
     c_mat = np.stack([np.asarray(r["qv"]) for r in cent]).astype(np.int64)
@@ -413,10 +447,7 @@ def _bulk_index(spark: SparkSession, sf_dir: str):
                 }
             )
 
-    ranked = base.mapInPandas(
-        rank_lists, "vec_id long, centroid_id long, rn long"
-    ).localCheckpoint(eager=True)  # feeds assignment AND probes
-    return base, ranked
+    return rank_lists
 
 
 def _bulk_frames(spark: SparkSession, sf_dir: str):
@@ -617,6 +648,78 @@ def q_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = table.current_version()
         # re-read strictly through the committed version's manifest
         persisted = live_rows(table.raw(version=v)).select(
+            "vec_id", "centroid_id", "rn"
+        )
+        return _bulk_score(base, persisted).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+INC_TRAIN_MOD = 4  # vec_id % 4 != 3 is the training prefix (~75%)
+
+
+@declare(
+    "q_ann_incremental",
+    oracle=f"""
+    WITH {_bulk_cte(f"vec_id % {INC_TRAIN_MOD} <> {INC_TRAIN_MOD - 1}")}
+    SELECT query_id, neighbor_id, cosine FROM bulk
+    """,
+    tier="P2",
+)
+def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance: the quantizer trains on the first
+    ~75% of the corpus (vec_id % 4 != 3 — the already-ingested prefix),
+    later arrivals are assigned into the EXISTING inverted lists under
+    the same quantizer (no retrain), and the two generations land as
+    two exactly-once LakeTable MERGE commits; retrieval probes the
+    committed union. This is how production keeps a trained index
+    serving while the corpus grows — retraining per arrival is a full
+    rebuild, and silently retraining would also invalidate every
+    stored assignment. The oracle trains on the same prefix and ranks
+    everything, so prefix-training is hash-checked, not approximated.
+
+    Scale notes: extending the index is a map-only ranking of ONLY the
+    new vectors (the centroid arrays are already built) plus one
+    incremental MERGE commit; the quantizer drifts from optimal as the
+    corpus grows — the production policy is retrain-when-recall-drops,
+    measurable here with q_ann_bulk_recall's panel against the same
+    lists."""
+    import shutil
+    import tempfile
+
+    from mysql_to_clickhouse_sync_spark.sinks.merge import LakeTable
+    from mysql_to_clickhouse_sync_spark.streaming.cdc import (
+        OP_COL,
+        UPSERT,
+        live_rows,
+    )
+
+    train_pred = F.col("vec_id") % INC_TRAIN_MOD != INC_TRAIN_MOD - 1
+    base = _bulk_base(spark, sf_dir)
+    # Train on the prefix; rank prefix and arrivals SEPARATELY with the
+    # same kernel — the arrivals never see a retrain.
+    cbase = base.filter(train_pred)
+    ranker = _make_ranker(cbase)
+    schema = "vec_id long, centroid_id long, rn long"
+    ranked_prefix = cbase.mapInPandas(ranker, schema)
+    ranked_new = base.filter(~train_pred).mapInPandas(ranker, schema)
+    workdir = tempfile.mkdtemp(prefix="ann_incr_")
+    try:
+        table = LakeTable(
+            spark,
+            f"{workdir}/ivf_index",
+            keys=["vec_id", "rn"],
+            version_cols=["centroid_id"],
+            retention=1,
+        )
+        table.merge(
+            ranked_prefix.withColumn(OP_COL, F.lit(UPSERT)), batch_id=0
+        )
+        table.merge(
+            ranked_new.withColumn(OP_COL, F.lit(UPSERT)), batch_id=1
+        )
+        assert table.current_version() == 1
+        persisted = live_rows(table.raw()).select(
             "vec_id", "centroid_id", "rn"
         )
         return _bulk_score(base, persisted).localCheckpoint(eager=True)

@@ -266,6 +266,151 @@ def q_lake_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+# -- z-order (multi-column) data skipping -----------------------------------
+
+ZBITS = 3  # 3 bits per dimension -> up to 64 z-cells / data files
+
+
+def _z_expr(u3: str, v3: str, div: str) -> str:
+    """Bit-interleave two {ZBITS}-bit cell coordinates into the Morton
+    z-value, in pure integer arithmetic so Spark (`div`) and DuckDB
+    (`//`) compute it identically."""
+    terms = [
+        f"((({u3}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        f" + ((({v3}) {div} {1 << i}) % 2) * {1 << (2 * i)}"
+        for i in range(ZBITS)
+    ]
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+    {EVENTS_US_CTE}
+    , st AS MATERIALIZED (
+        SELECT user_id, event_id, ts, event_type, value,
+               CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM (
+            SELECT user_id, event_id, ts, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events_us WHERE ts IS NOT NULL
+        ) WHERE rn = 1
+    ), bnd AS (
+        SELECT min(user_id) AS umn, max(user_id) AS umx,
+               min(vc) AS vmn, max(vc) AS vmx
+        FROM st
+    ), cells AS (
+        SELECT {_z_expr(
+            "((st.user_id - bnd.umn) * 8) // (bnd.umx - bnd.umn + 1)",
+            "((st.vc - bnd.vmn) * 8) // (bnd.vmx - bnd.vmn + 1)",
+            "//",
+        )} AS zcell,
+               min(st.user_id) AS cumn, max(st.user_id) AS cumx,
+               min(st.vc) AS cvmn, max(st.vc) AS cvmx
+        FROM st, bnd GROUP BY 1
+    ), box AS (
+        SELECT umn + (umx - umn) // 8 AS ulo,
+               umn + (umx - umn) // 3 AS uhi,
+               vmn + (vmx - vmn) // 8 AS vlo,
+               vmn + (vmx - vmn) // 3 AS vhi
+        FROM bnd
+    ), acc AS (
+        SELECT CAST(count(*) AS BIGINT) AS files_total,
+               CAST(sum(CASE WHEN cumx >= ulo AND cumn <= uhi
+                              AND cvmx >= vlo AND cvmn <= vhi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+        FROM cells, box
+    )
+    SELECT st.user_id, st.event_id, st.ts, st.event_type, st.value,
+           st.vc, acc.files_total, acc.files_read
+    FROM st, box, acc
+    WHERE st.user_id BETWEEN box.ulo AND box.uhi
+      AND st.vc BETWEEN box.vlo AND box.vhi
+"""
+
+
+@declare("q_lake_zorder_skipping", oracle=_ZORDER_ORACLE, tier="P2")
+def q_lake_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COLUMN data skipping on a z-ordered layout (Delta OPTIMIZE
+    ZORDER BY, from first principles): each state row's (user_id,
+    value-cents) pair is bit-interleaved into a Morton z-cell, the
+    table lands one file per cell, and a 2-d box predicate prunes with
+    BOTH per-file user_id AND vc ranges — the conjunction eliminates
+    multiplicatively, which is exactly what single-column clustering
+    cannot do for the second column (linear layout on user_id leaves
+    every file's vc range full-width). The files-pruned accounting is
+    part of the oracle-hashed result, so the pruning arithmetic (cell
+    assignment, per-cell ranges, box intersection) is verified, not
+    asserted. Cell coordinates normalize by data-dependent min/max,
+    computed driver-side from one bounds aggregate (the reference's
+    S:163 chunk-plan pattern) and restated in SQL by the oracle.
+
+    Scale notes: the prune decision stays manifest-JSON-only; z-cell
+    count is fixed (64) so the layout is scale-stable — a production
+    table raises ZBITS with data volume the same way SKIP_TARGET_FILES
+    scales the 1-d band width."""
+    import shutil
+    import tempfile
+
+    from mysql_to_clickhouse_sync_spark.streaming.cdc import (
+        UPSERT as _UP,
+        latest_per_key,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+    latest = latest_per_key(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).withColumn("vc", F.expr("CAST(floor(value * 100) AS BIGINT)"))
+    # plan-time bounds scalars (one aggregate, the S:163 pattern)
+    b = latest.agg(
+        F.min("user_id"), F.max("user_id"), F.min("vc"), F.max("vc")
+    ).collect()[0]
+    umn, umx, vmn, vmx = (int(x) for x in b)
+    log = (
+        latest.withColumn(
+            "_u3", F.expr(f"((user_id - {umn}) * 8) div {umx - umn + 1}")
+        )
+        .withColumn(
+            "_v3", F.expr(f"((vc - {vmn}) * 8) div {vmx - vmn + 1}")
+        )
+        .withColumn("zcell", F.expr(_z_expr("_u3", "_v3", "div")))
+        .drop("_u3", "_v3")
+        .withColumn(OP_COL, F.lit(_UP))
+    )
+    ulo, uhi = umn + (umx - umn) // 8, umn + (umx - umn) // 3
+    vlo, vhi = vmn + (vmx - vmn) // 8, vmn + (vmx - vmn) // 3
+    workdir = tempfile.mkdtemp(prefix="lake_zorder_")
+    try:
+        table = LakeTable(
+            spark,
+            f"{workdir}/state",
+            keys=["user_id"],
+            version_cols=["ts", "event_id"],
+            retention=0,
+            partition_files_by="zcell",
+        )
+        table.merge(log, batch_id=0)
+        pruned, total, nread = table.read_pruned_all(
+            [("user_id", ulo, uhi), ("vc", vlo, vhi)]
+        )
+        out = (
+            pruned.filter(
+                F.col("user_id").between(ulo, uhi)
+                & F.col("vc").between(vlo, vhi)
+            )
+            .select("user_id", "event_id", "ts", "event_type", "value", "vc")
+            .withColumn("files_total", F.lit(total).cast("long"))
+            .withColumn("files_read", F.lit(nread).cast("long"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 # -- schema evolution ------------------------------------------------------
 
 _EVOLVE_ORACLE = f"""

@@ -287,6 +287,16 @@ class LakeTable:
         layout on the predicate column, a selective range touches
         O(matching-slice) files out of the whole table — the manifest
         does for files what row-group stats do inside them."""
+        return self.read_pruned_all([(col, lo, hi)], version=version)
+
+    def read_pruned_all(
+        self, preds: list[tuple], version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Multi-predicate data skipping: a file survives only if its
+        stats can intersect EVERY (col, lo, hi) range — the reason
+        multi-column clustering (z-order) exists: with files laid out
+        on an interleaved key, each predicate independently eliminates
+        most files, and the conjunction prunes multiplicatively."""
         v = self._resolve(version)
         m = self.manifest(v)
         if m.get("buckets") is not None:
@@ -301,14 +311,19 @@ class LakeTable:
             return live_rows(self.spark.read.parquet(gen)), n, n
         keep = []
         for rel in sorted(fs):
-            st = fs[rel].get(col)
-            if st is not None:
+            ok = True
+            for col, lo, hi in preds:
+                st = fs[rel].get(col)
+                if st is None:
+                    continue  # no stats: conservatively unprunable
                 mn, mx = st
                 if (lo is not None and mx < lo) or (
                     hi is not None and mn > hi
                 ):
-                    continue
-            keep.append(rel)
+                    ok = False
+                    break
+            if ok:
+                keep.append(rel)
         if not keep:
             df = self.spark.read.parquet(gen).filter(F.lit(False))
         else:

@@ -727,3 +727,20 @@ def test_vacuum_clears_stage_and_overshoot_debris(spark, tmp_path):
     ]
     assert not os.path.exists(stage) and not os.path.exists(overshoot)
     assert _state(t) == {1: 1.0}  # committed state untouched
+
+
+def test_zorder_skipping_prunes_on_both_dimensions(spark):
+    """The z-ordered layout must let a 2-d box open strictly fewer
+    files than the table holds — and fewer than either single
+    predicate alone would explain away (multiplicative pruning)."""
+    from mysql_to_clickhouse_sync_spark.operators.lakehouse import (
+        q_lake_zorder_skipping,
+    )
+
+    row = q_lake_zorder_skipping(spark, "/root/testdata/sf0.01").select(
+        "files_total", "files_read"
+    ).first()
+    assert row.files_read < row.files_total
+    # the box is ~1/4 of each dimension: 2-d pruning should cut well
+    # below half the files (1-d alone could not)
+    assert row.files_read * 2 < row.files_total
