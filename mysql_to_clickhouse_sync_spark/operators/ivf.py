@@ -521,29 +521,41 @@ def _bulk_score(
         ).astype(np.int64)
         q_ids = queries["vec_id"].to_numpy().astype(np.int64)
         q_n2 = queries["n2"].to_numpy().astype(np.int64)
-        dp = Q @ M.T  # ONE exact matmul scores the whole list block
-        cos = dp.astype(np.float64) / np.sqrt(
-            (q_n2[:, None] * m_n2[None, :]).astype(np.float64)
-        )
         if filtered:
-            # predicate pushdown: masked candidates sort last and are
-            # dropped below — they never displace an eligible neighbor
             m_lab = members["label"].to_numpy().astype(np.int64)
             q_lab = queries["label"].to_numpy().astype(np.int64)
-            cos = np.where(
-                m_lab[None, :] == q_lab[:, None], cos, -np.inf
-            )
-        take = min(BULK_TOPK + 1, cos.shape[1])  # +1: self may rank
-        order = np.argsort(-cos, axis=1, kind="stable")[:, :take]
+        # Queries chunk so the cosine block stays ~32 MB no matter how
+        # big one list is: per-query top-k is independent across
+        # queries, so chunking is result-identical — it bounds MEMORY
+        # on a degenerate hot list (the compute there is semantic:
+        # scoring |list| x |probes| is what the query means, and the
+        # curation ladder upstream of retrieval removes such blobs).
+        chunk = max(1, (1 << 22) // max(1, len(m_ids)))
         rows_q, rows_m, rows_c = [], [], []
-        for i in range(order.shape[0]):
-            cand = order[i]
-            sel = cand[
-                (m_ids[cand] != q_ids[i]) & np.isfinite(cos[i, cand])
-            ][:BULK_TOPK]
-            rows_q.append(np.full(len(sel), q_ids[i], dtype=np.int64))
-            rows_m.append(m_ids[sel])
-            rows_c.append(cos[i, sel])
+        for lo in range(0, len(q_ids), chunk):
+            sl = slice(lo, lo + chunk)
+            dp = Q[sl] @ M.T  # ONE exact matmul per chunk
+            cos = dp.astype(np.float64) / np.sqrt(
+                (q_n2[sl][:, None] * m_n2[None, :]).astype(np.float64)
+            )
+            if filtered:
+                # predicate pushdown: masked candidates sort last and
+                # are dropped below — they never displace an eligible
+                # neighbor
+                cos = np.where(
+                    m_lab[None, :] == q_lab[sl][:, None], cos, -np.inf
+                )
+            take = min(BULK_TOPK + 1, cos.shape[1])  # +1: self may rank
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :take]
+            for i in range(order.shape[0]):
+                cand = order[i]
+                qi = lo + i
+                sel = cand[
+                    (m_ids[cand] != q_ids[qi]) & np.isfinite(cos[i, cand])
+                ][:BULK_TOPK]
+                rows_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+                rows_m.append(m_ids[sel])
+                rows_c.append(cos[i, sel])
         return pd.DataFrame(
             {
                 "query_id": np.concatenate(rows_q),
