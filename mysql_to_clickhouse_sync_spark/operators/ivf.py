@@ -372,7 +372,12 @@ def _make_ranker(cbase: DataFrame):
     nprobe = min(BULK_NPROBE, k)
     s = max(BULK_SUPER_MIN, math.isqrt(k))
     stride = -(-k // s)  # ceil — matches the oracle's (k+s-1)//s
-    sup_idx = np.arange(0, k, stride, dtype=np.int64)
+    # stride over the COLLECTED row count, not k: with fewer than
+    # BULK_MIN_K rows (tiny corpus / small training prefix) the LIMIT k
+    # returns only len(cent) centroids — the oracle's (crank-1) %
+    # stride = 0 runs over at most n rows, and arange(0, k) would index
+    # past the end of c_mat
+    sup_idx = np.arange(0, len(c_ids), stride, dtype=np.int64)
     s_mat, s_n2 = c_mat[sup_idx], c_n2[sup_idx]
     n_sup = len(sup_idx)
     wprobe = min(BULK_SUPER_PROBE, n_sup)

@@ -415,6 +415,11 @@ class LakeTable:
         gen = self._gen_dir(new_v)
         import uuid
 
+        # The nonce names THIS attempt in its manifest; the post-publish
+        # verify below reads it back through the committed pointer, so a
+        # racer that mistook this generation for crash debris and
+        # replaced it can never leave BOTH writers reporting success.
+        commit_uuid = uuid.uuid4().hex
         stage = os.path.join(
             self.path, f"_stage-{self._gen_name(new_v)}-{uuid.uuid4().hex[:8]}"
         )
@@ -458,6 +463,7 @@ class LakeTable:
                 )
             manifest = {
                 "version": new_v,
+                "commit_uuid": commit_uuid,
                 "parent": cur,
                 "keys": self.keys,
                 "version_cols": self.version_cols,
@@ -478,19 +484,30 @@ class LakeTable:
                     f" {expected_parent} to {now} during this write;"
                     f" re-read and retry"
                 )
-            # A pre-existing gen-N the pointer never reached is crash
-            # debris (uncommitted garbage) — clear it. A LIVE competitor
-            # is excluded by the pointer check; if one still wins the
-            # window below, the atomic rename fails and we surface the
-            # conflict instead of clobbering its committed data.
-            if os.path.exists(gen):
-                shutil.rmtree(gen, ignore_errors=True)
+            # Rename FIRST; only on failure decide debris-vs-competitor.
+            # (The previous order — rmtree an existing gen-N, then
+            # rename — had a TOCTOU hole: a competitor could publish
+            # gen-N between the pointer check and the rmtree, and this
+            # writer would destroy a COMMITTED generation while both
+            # reported success.) A pre-existing gen-N is only treated as
+            # crash debris if, at the moment the rename fails, the
+            # pointer still cannot reach it; even then the residual
+            # window (competitor renamed but not yet flipped) is closed
+            # by the commit_uuid verify after the pointer flip below.
             try:
                 os.rename(stage, gen)
             except OSError as exc:
-                raise CommitConflictError(
-                    f"concurrent commit already published {gen}"
-                ) from exc
+                if self.current_version() != expected_parent:
+                    raise CommitConflictError(
+                        f"concurrent commit already published {gen}"
+                    ) from exc
+                shutil.rmtree(gen, ignore_errors=True)
+                try:
+                    os.rename(stage, gen)
+                except OSError as exc2:
+                    raise CommitConflictError(
+                        f"concurrent commit already published {gen}"
+                    ) from exc2
         except BaseException:
             shutil.rmtree(stage, ignore_errors=True)
             raise
@@ -502,6 +519,22 @@ class LakeTable:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, os.path.join(self.path, _POINTER))
+        # Post-publish verify: if a racing debris-clearer replaced gen-N
+        # between this writer's rename and now, the manifest at gen-N
+        # carries the RACER's nonce — that writer's commit is what the
+        # table now serves; this one lost and must say so. Exactly one
+        # of any set of same-parent racers passes this check, so a
+        # conflict can never be silent on both sides.
+        try:
+            with open(os.path.join(gen, _MANIFEST)) as fh:
+                published_uuid = json.load(fh).get("commit_uuid")
+        except (OSError, ValueError):
+            published_uuid = None
+        if published_uuid != commit_uuid:
+            raise CommitConflictError(
+                f"concurrent commit replaced {gen} during publish;"
+                f" this writer's generation was lost — re-read and retry"
+            )
         # Prune: a generation may fall out of the retention window yet
         # still OWN buckets a retained manifest references — those stay
         # (reference-counted pruning, the Iceberg expire-snapshots rule).

@@ -148,3 +148,26 @@ def test_stream_stream_watermark_evicts_old_state(spark):
         if query is not None:
             query.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_bulk_ranker_tiny_training_prefix(spark):
+    """Fewer centroid-source rows than BULK_MIN_K (round-7 ADVICE): the
+    super-centroid stride must run over the COLLECTED row count, not k —
+    arange(0, k) indexed past the end of the centroid matrix and raised
+    IndexError while the DuckDB oracle handled the same input fine."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_clickhouse_sync_spark.operators.ivf import (
+        _bulk_base,
+        _make_ranker,
+    )
+
+    base = _bulk_base(spark, "/root/testdata/sf0.001")
+    tiny = base.filter(F.col("vec_id") < 5)
+    ranked = base.filter(F.col("vec_id") < 12).mapInPandas(
+        _make_ranker(tiny), "vec_id long, centroid_id long, rn long"
+    )
+    rows = ranked.collect()
+    assert {r.vec_id for r in rows} == set(range(12))
+    assert all(r.centroid_id < 5 for r in rows)  # only the 5 trained
+    assert all(r.rn >= 1 for r in rows)

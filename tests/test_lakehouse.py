@@ -744,3 +744,101 @@ def test_zorder_skipping_prunes_on_both_dimensions(spark):
     # the box is ~1/4 of each dimension: 2-d pruning should cut well
     # below half the files (1-d alone could not)
     assert row.files_read * 2 < row.files_total
+
+
+# -- round 8: TOCTOU-safe publish (ADVICE merge.py:486) -------------------
+
+
+def test_commit_never_clobbers_committed_competitor(spark, tmp_path, monkeypatch):
+    """A competitor commits gen-N between this writer's pre-publish
+    pointer check and its rename (the round-7 ADVICE TOCTOU). The old
+    order — rmtree an existing gen-N, then rename — destroyed the
+    competitor's COMMITTED generation with both writers reporting
+    success; now the rename runs first and the failure is classified by
+    re-reading the pointer."""
+    import pytest
+
+    from mysql_to_clickhouse_sync_spark.sinks import merge as merge_mod
+    from mysql_to_clickhouse_sync_spark.sinks.merge import (
+        CommitConflictError,
+    )
+
+    t1 = _table(spark, tmp_path)
+    t2 = _table(spark, tmp_path)
+    t1.merge(_log(spark, [(1, 1, 1.0, "upsert")]))
+    winner = _log(spark, [(2, 2, 2.0, "upsert")])
+
+    real_rename = os.rename
+    fired = {}
+
+    def racing_rename(src, dst):
+        # the competitor's whole commit lands inside the window between
+        # t2's pre-publish pointer check and this rename
+        if dst.endswith("gen-000001") and not fired:
+            fired["yes"] = True
+            t1.merge(winner)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(merge_mod.os, "rename", racing_rename)
+    with pytest.raises(CommitConflictError):
+        t2.merge(_log(spark, [(3, 3, 3.0, "upsert")]))
+    monkeypatch.undo()
+    # the winner's committed generation is INTACT — never rmtree'd
+    assert t1.current_version() == 1
+    assert _state(t1) == {1: 1.0, 2: 2.0}
+    assert t1.versions() == [0, 1]
+    # and the loser retries cleanly against the new parent
+    t2.merge(_log(spark, [(3, 3, 3.0, "upsert")]))
+    assert _state(t2) == {1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def test_commit_detects_presumed_debris_clobber(spark, tmp_path, monkeypatch):
+    """The narrowest residual race: this writer renamed gen-N, a racer
+    re-read the pointer (still at the parent), declared gen-N crash
+    debris, replaced it with its own commit, and both flipped the
+    pointer. The commit_uuid verify makes the replaced writer raise
+    instead of both silently reporting success."""
+    import json as _json
+
+    import pytest
+
+    from mysql_to_clickhouse_sync_spark.sinks import merge as merge_mod
+    from mysql_to_clickhouse_sync_spark.sinks.merge import (
+        _MANIFEST,
+        CommitConflictError,
+    )
+
+    t = _table(spark, tmp_path)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert")]))
+    real_replace = os.replace
+
+    def clobbering_replace(src, dst):
+        real_replace(src, dst)
+        if dst.endswith("_CURRENT"):
+            # a racer swapped our published generation for its own
+            mp = os.path.join(t.path, "gen-000001", _MANIFEST)
+            with open(mp) as fh:
+                m = _json.load(fh)
+            m["commit_uuid"] = "racer-nonce"
+            with open(mp, "w") as fh:
+                _json.dump(m, fh)
+
+    monkeypatch.setattr(merge_mod.os, "replace", clobbering_replace)
+    with pytest.raises(CommitConflictError, match="replaced"):
+        t.merge(_log(spark, [(2, 2, 2.0, "upsert")]))
+
+
+def test_crash_debris_generation_cleared_on_rename(spark, tmp_path):
+    """A non-empty gen-N the pointer never reached (writer died between
+    rename and pointer flip) must not block the next commit: the rename
+    fails, the pointer is still at the parent, so the debris is cleared
+    and the rename retried."""
+    t = _table(spark, tmp_path)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert")]))
+    debris = t._gen_dir(1)
+    os.makedirs(debris)
+    with open(os.path.join(debris, "junk.txt"), "w") as fh:
+        fh.write("crash debris")
+    t.merge(_log(spark, [(2, 2, 2.0, "upsert")]))
+    assert _state(t) == {1: 1.0, 2: 2.0}
+    assert t.versions() == [0, 1]
