@@ -390,10 +390,20 @@ def _make_ranker(cbase: DataFrame):
     members = [
         np.flatnonzero(c2s == si).astype(np.int64) for si in range(n_sup)
     ]
+    # The O(K)-sized index arrays ship as ONE Spark broadcast (torrent
+    # distribution, one copy per executor) instead of closure capture,
+    # which pickled them into EVERY task: at 4e8 vectors K = 1.6e6
+    # centroids is ~820 MB — per task that is a serialization wall, as
+    # a broadcast it is one transfer per executor. Ranking semantics
+    # are bit-identical: the kernel reads the same arrays either way.
+    bc = cbase.sparkSession.sparkContext.broadcast(
+        (c_ids, c_mat, c_n2, s_mat, s_n2, members)
+    )
 
     def rank_lists(batches):
         import pandas as pd
 
+        c_ids, c_mat, c_n2, s_mat, s_n2, members = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
