@@ -821,12 +821,45 @@ class LakeTable:
             shutil.rmtree(p, ignore_errors=True)
         return removed
 
-    def writer(self):
+    def merge_with_retry(
+        self,
+        changelog: DataFrame,
+        batch_id: int | None = None,
+        max_retries: int = 5,
+    ) -> DataFrame:
+        """MERGE with bounded retry on CommitConflictError. Safe for ANY
+        conflict — merge() re-reads the CURRENT state and the committed
+        last_batch watermark on every attempt, so a retry is exactly
+        "this merge serialized after the competitor", never a blind
+        republish of a stale write. Exactly-once is preserved across
+        the retry: if the conflicting commit somehow already carried
+        this batch id, the re-read watermark skips it. Bounded so two
+        writers fighting over every commit surface as an error instead
+        of livelock (the single-STREAM-writer contract still stands —
+        retry exists so maintenance commits like compact() beside the
+        stream don't kill a micro-batch)."""
+        for attempt in range(max_retries + 1):
+            try:
+                return self.merge(changelog, batch_id=batch_id)
+            except CommitConflictError:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def writer(self, max_retries: int = 5):
         """foreachBatch adapter: `.writeStream.foreachBatch(t.writer())`
-        lands every micro-batch through the exactly-once MERGE path."""
+        lands every micro-batch through the exactly-once MERGE path.
+        Conflicts with concurrent maintenance commits (compaction, a
+        vacuum-then-compact job) RETRY against the new parent instead
+        of failing the micro-batch — the reference's purpose is
+        continuous replication (mysql_to_clickhouse_sync.py main loop),
+        and a stream that dies the day compaction first runs beside it
+        is not continuous."""
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
-            self.merge(batch_df, batch_id=batch_id)
+            self.merge_with_retry(
+                batch_df, batch_id=batch_id, max_retries=max_retries
+            )
 
         return _apply
 

@@ -842,3 +842,86 @@ def test_crash_debris_generation_cleared_on_rename(spark, tmp_path):
     t.merge(_log(spark, [(2, 2, 2.0, "upsert")]))
     assert _state(t) == {1: 1.0, 2: 2.0}
     assert t.versions() == [0, 1]
+
+
+def test_stream_writer_survives_concurrent_compaction(spark, tmp_path, monkeypatch):
+    """Round-8 item 1: a compaction commit landing INSIDE a streaming
+    micro-batch's merge window must not kill the micro-batch. The
+    foreachBatch writer retries against the new parent; the final state
+    is hash-equal to the serial execution (compact, then merge), and
+    the exactly-once watermark survives the retry."""
+    from mysql_to_clickhouse_sync_spark.sinks import merge as merge_mod
+
+    t = _table(spark, tmp_path, retention=5)
+    for i in range(3):
+        t.merge(
+            _log(spark, [(10 * i + j, i + 1, float(i), "upsert") for j in range(4)]),
+            batch_id=i,
+        )
+    # serial twin: same history, compact THEN merge, no race
+    ser = _table(spark, tmp_path / "serial", retention=5)
+    for i in range(3):
+        ser.merge(
+            _log(spark, [(10 * i + j, i + 1, float(i), "upsert") for j in range(4)]),
+            batch_id=i,
+        )
+    ser.compact(cluster_by=["k"])
+    batch3 = [(5, 9, 9.0, "upsert"), (10, 9, 0.0, "delete")]
+    ser.merge(_log(spark, batch3), batch_id=3)
+
+    compactor = _table(spark, tmp_path, retention=5)
+    fired = {}
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        # the compactor's whole commit lands inside the stream writer's
+        # publish window (cluster_by always commits)
+        if dst.endswith(t._gen_name(3)) and not fired:
+            fired["yes"] = True
+            compactor.compact(cluster_by=["k"])
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(merge_mod.os, "rename", racing_rename)
+    t.writer()(_log(spark, batch3), 3)  # the foreachBatch adapter itself
+    monkeypatch.undo()
+    assert fired, "the race never fired — test is vacuous"
+    # the retry landed AFTER the compaction commit
+    assert t.current_version() == 4
+    assert t.manifest(3)["operation"] == "compact"
+    assert t.manifest(4)["operation"] == "merge"
+    assert t.manifest(4)["last_batch"] == 3
+    # state hash-equal to the serial execution
+    assert _state(t) == _state(ser)
+    rows_t = sorted(map(tuple, t.raw().drop("bucket").collect()))
+    rows_s = sorted(map(tuple, ser.raw().collect()))
+    assert rows_t == rows_s
+    # exactly-once across the retry: re-delivery of batch 3 is a no-op
+    v = t.current_version()
+    t.writer()(_log(spark, batch3), 3)
+    assert t.current_version() == v
+
+
+def test_merge_with_retry_is_bounded(spark, tmp_path, monkeypatch):
+    """Perpetual conflicts surface as CommitConflictError after the
+    retry budget, never a livelock."""
+    import pytest
+
+    from mysql_to_clickhouse_sync_spark.sinks.merge import (
+        CommitConflictError,
+    )
+
+    t = _table(spark, tmp_path)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert")]), batch_id=0)
+    calls = {"n": 0}
+    real = t._commit
+
+    def always_conflict(*a, **kw):
+        calls["n"] += 1
+        raise CommitConflictError("injected")
+
+    monkeypatch.setattr(t, "_commit", always_conflict)
+    with pytest.raises(CommitConflictError):
+        t.merge_with_retry(
+            _log(spark, [(2, 2, 2.0, "upsert")]), batch_id=1, max_retries=2
+        )
+    assert calls["n"] == 3  # initial attempt + 2 retries
