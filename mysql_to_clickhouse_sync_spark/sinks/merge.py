@@ -54,6 +54,7 @@ from mysql_to_clickhouse_sync_spark.streaming.cdc import (
 
 _POINTER = "_CURRENT"
 _MANIFEST = "_MANIFEST.json"
+_CHECKPOINT = "_CHECKPOINT.json"
 _UNSET = object()  # "caller did not declare the parent it computed against"
 
 
@@ -186,8 +187,47 @@ class LakeTable:
             name = fh.read().strip()
         return int(name.split("-")[1]) if name else None
 
+    def _checkpoint(self) -> dict | None:
+        """The commit-log checkpoint, or None when absent/stale. Every
+        _commit rewrites it (retained manifests are a bounded set, so
+        the rewrite is O(retention + owners), and the commit already
+        pays a directory walk); a checkpoint naming the CURRENT pointer
+        version makes every read-side resolution O(1) file reads — the
+        Delta `_last_checkpoint` discipline. A stale checkpoint (crash
+        between the pointer flip and the checkpoint write, or a foreign
+        writer) is simply ignored and the directory walk runs once."""
+        p = os.path.join(self.path, _CHECKPOINT)
+        try:
+            with open(p) as fh:
+                ck = json.load(fh)
+        except (OSError, ValueError):
+            return None
+        return ck if ck.get("version") == self.current_version() else None
+
+    def _write_checkpoint(self, new_v: int) -> None:
+        vs = self._scan_versions()
+        ck = {
+            "version": new_v,
+            "versions": vs,
+            "manifests": {str(v): self._scan_manifest(v) for v in vs},
+        }
+        tmp = os.path.join(self.path, _CHECKPOINT + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(ck, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.path, _CHECKPOINT))
+
     def versions(self) -> list[int]:
-        """Committed, still-retained versions (time-travel window)."""
+        """Committed, still-retained versions (time-travel window).
+        Served from the commit-log checkpoint when fresh — O(1) reads,
+        no directory walk; the walk is the fallback only."""
+        ck = self._checkpoint()
+        if ck is not None:
+            return list(ck["versions"])
+        return self._scan_versions()
+
+    def _scan_versions(self) -> list[int]:
         cur = self.current_version()
         if cur is None:
             return []
@@ -206,6 +246,12 @@ class LakeTable:
         return sorted(v for v in found if v <= cur)
 
     def manifest(self, version: int) -> dict:
+        ck = self._checkpoint()
+        if ck is not None and str(version) in ck["manifests"]:
+            return ck["manifests"][str(version)]
+        return self._scan_manifest(version)
+
+    def _scan_manifest(self, version: int) -> dict:
         p = os.path.join(self._gen_dir(version), _MANIFEST)
         if not os.path.exists(p):
             # legacy bootstrap generation: synthesize the minimal record
@@ -548,6 +594,12 @@ class LakeTable:
             name = self._gen_name(v)
             if v < new_v - self.retention and name not in referenced:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        # Commit-log checkpoint LAST: it aggregates the retained
+        # manifests so every subsequent read resolves versions in O(1)
+        # file reads instead of a directory walk per read (the Delta
+        # `_last_checkpoint` discipline). Crash-safe: a missing or
+        # stale checkpoint just falls back to the walk.
+        self._write_checkpoint(new_v)
         return new_v
 
     def merge(

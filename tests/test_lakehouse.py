@@ -925,3 +925,59 @@ def test_merge_with_retry_is_bounded(spark, tmp_path, monkeypatch):
             _log(spark, [(2, 2, 2.0, "upsert")]), batch_id=1, max_retries=2
         )
     assert calls["n"] == 3  # initial attempt + 2 retries
+
+
+def test_checkpoint_makes_read_resolution_o1_in_history(spark, tmp_path, monkeypatch):
+    """Round-8 item 2: version resolution must not walk the table
+    directory per read. At ~10^3 commits the read path (current ->
+    versions -> manifest -> data_paths) does ZERO os.listdir calls —
+    served entirely from the commit-log checkpoint — and the count does
+    not grow with history."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_to_clickhouse_sync_spark.sinks import merge as merge_mod
+
+    t = _table(spark, tmp_path)
+
+    def commit_one(i: int) -> None:
+        def write(stage: str) -> None:
+            os.makedirs(stage, exist_ok=True)
+            pq.write_table(
+                pa.table({"k": [i], "v": [float(i)], "op": ["upsert"]}),
+                os.path.join(stage, "part-0.parquet"),
+            )
+
+        t._commit(write, {"operation": "merge", "last_batch": i})
+
+    def read_side() -> None:
+        cur = t.current_version()
+        assert t.versions()[-1] == cur
+        assert t.manifest(cur)["last_batch"] == cur
+        assert len(t.data_paths()) == 1
+
+    real_listdir = os.listdir
+
+    def count_listdirs() -> int:
+        calls = {"n": 0}
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return real_listdir(*a, **kw)
+
+        monkeypatch.setattr(merge_mod.os, "listdir", counting)
+        read_side()
+        monkeypatch.undo()
+        return calls["n"]
+
+    for i in range(100):
+        commit_one(i)
+    c_100 = count_listdirs()
+    for i in range(100, 1000):
+        commit_one(i)
+    c_1000 = count_listdirs()
+    assert t.current_version() == 999
+    assert c_100 == c_1000 == 0
+    # stale/missing checkpoint falls back to the walk and still resolves
+    os.remove(os.path.join(t.path, "_CHECKPOINT.json"))
+    read_side()
