@@ -584,3 +584,98 @@ def q_lake_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_committed_table(
         spark, batches, None, feeds, ["version", "change_type", *_COLS]
     )
+
+
+# -- deletion vectors (round 8) -------------------------------------------
+
+_DV_ORACLE = f"""
+    {EVENTS_US_CTE}
+    , c AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               CASE WHEN ts < TIMESTAMP '{MERGE_T1}' THEN 0
+                    WHEN ts < TIMESTAMP '{MERGE_T2}' THEN 1
+                    ELSE 2 END AS b,
+               (event_type = 'error') AS is_del
+        FROM events_us WHERE ts IS NOT NULL
+    ), avail AS (
+        -- commit 1 = dv of window-1 deletes; commit 2 = dv of window-2
+        -- deletes; commit 3 = merge of window-2 upserts (the fold).
+        -- Window-1 upserts are never applied in this sequence.
+        SELECT *, CASE WHEN b = 0 THEN 1
+                       WHEN b = 1 AND is_del THEN 1
+                       WHEN b = 2 AND is_del THEN 2
+                       WHEN b = 2 THEN 3 END AS since
+        FROM c WHERE NOT (b = 1 AND NOT is_del)
+    ), v(version) AS (VALUES (1), (2), (3)),
+    ranked AS (
+        SELECT v.version, a.user_id, a.event_id, a.ts, a.event_type,
+               a.value, a.is_del,
+               row_number() OVER (
+                   PARTITION BY v.version, a.user_id
+                   ORDER BY a.ts DESC, a.event_id DESC) AS rn
+        FROM v JOIN avail a ON a.since <= v.version
+    )
+    SELECT CAST(version AS BIGINT) AS version, user_id, event_id, ts,
+           event_type, value
+    FROM ranked WHERE rn = 1 AND NOT is_del
+"""
+
+
+@declare("q_lake_delete_vectors", oracle=_DV_ORACLE, tier="P2")
+def q_lake_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR deletes (merge-on-read): after a seeding MERGE,
+    two delete waves land as dv commits — O(deleted keys) written
+    bytes, data files untouched — and a final MERGE folds the vectors
+    into a rewritten generation. Reads at the dv versions apply the
+    vectors at read time; the oracle states each version's live state
+    as pure latest-per-key SQL, so apply-at-read (versions 1-2) and
+    fold-at-write (version 3) are BOTH hash-checked to be equal to the
+    rewrite path's semantics (same apply_changelog law as
+    q_merge_snapshot; only the physical delete cost differs).
+
+    Scale notes: a sparse delete on a 100 TB table writes one skinny
+    dv file and a manifest — commit cost O(deleted keys), zero data
+    rewrite; readers pay one O(deleted keys) changelog application
+    until the next merge/compaction folds it (the Delta deletion-
+    vector / Hudi merge-on-read trade). The dv commit's commit_bytes
+    field pins the accounting (tests/test_lakehouse.py)."""
+    batches = _changelog_batches(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="lake_dv_")
+    try:
+        table = LakeTable(
+            spark,
+            f"{workdir}/state",
+            keys=["user_id"],
+            version_cols=["ts", "event_id"],
+            retention=4,
+        )
+        table.merge(batches[0], batch_id=0)
+        table.delete(
+            batches[1].filter(F.col(OP_COL) == DELETE), batch_id=1
+        )
+        table.delete(
+            batches[2].filter(F.col(OP_COL) == DELETE), batch_id=2
+        )
+        m2 = table.manifest(2)
+        if m2["operation"] != "delete-vector" or len(m2["dv"]) != 2:
+            raise ValueError(
+                "delete() must commit accumulating deletion vectors,"
+                f" got {m2.get('operation')!r} / {m2.get('dv')!r}"
+            )
+        table.merge(
+            batches[2].filter(F.col(OP_COL) == UPSERT), batch_id=3
+        )
+        if table.manifest(3).get("dv"):
+            raise ValueError("the folding merge must clear the dv list")
+        frames = [
+            table.read(version=v).withColumn(
+                "version", F.lit(v).cast("long")
+            )
+            for v in (1, 2, 3)
+        ]
+        out = reduce(lambda a, b: a.unionByName(b), frames).select(
+            "version", *_COLS
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -291,9 +291,13 @@ class LakeTable:
         manifest to the generation that last rewrote it — the manifest
         IS the table, directories are just storage."""
         v = self._resolve(version)
-        buckets = self.manifest(v).get("buckets")
+        m = self.manifest(v)
+        buckets = m.get("buckets")
         if buckets is None:
-            return [self._gen_dir(v)]
+            # a deletion-vector commit owns no data: it points at the
+            # generation that does (data_owner) and layers dv files on top
+            owner = m.get("data_owner") or self._gen_name(v)
+            return [os.path.join(self.path, owner)]
         return [
             os.path.join(self.path, owner, f"bucket={b}")
             for b, owner in sorted(
@@ -301,11 +305,29 @@ class LakeTable:
             )
         ]
 
+    def _dv_frame(self, version: int) -> DataFrame | None:
+        """The accumulated deletion-vector changelog for `version`, or
+        None when the version carries no outstanding vectors."""
+        dvs = self.manifest(version).get("dv") or []
+        if not dvs:
+            return None
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, g) for g in dvs]
+        )
+
     def raw(self, version: int | None = None) -> DataFrame:
         """Stored state INCLUDING tombstones, as of `version` (default:
         current). The returned frame is bound to immutable generation
-        directories — later merges never mutate what it reads."""
-        return self.spark.read.parquet(*self.data_paths(version))
+        directories — later merges never mutate what it reads. A version
+        with outstanding deletion vectors applies them here (merge-on-
+        read): the result is row-identical to the rewrite path because
+        both run the same apply_changelog under the same version order."""
+        v = self._resolve(version)
+        df = self.spark.read.parquet(*self.data_paths(v))
+        dv = self._dv_frame(v)
+        if dv is not None:
+            df = apply_changelog(df, dv, self.keys, self.version_cols)
+        return df
 
     def read(self, version: int | None = None) -> DataFrame:
         """Live rows (tombstones filtered) as of `version`."""
@@ -350,11 +372,22 @@ class LakeTable:
                 "read_pruned applies to unbucketed tables (bucketed state"
                 " prunes by key-hash bucket)"
             )
-        gen = self._gen_dir(v)
+        # a dv-bearing version prunes against the OWNER's files (its
+        # inherited file_stats describe them — conservative: deleted
+        # rows may widen a file's [min,max]) and applies the vectors
+        # after the pruned scan; per-query dv cost is O(deleted keys)
+        gen = self.data_paths(v)[0]
+        dv = self._dv_frame(v)
+
+        def finish(df: DataFrame) -> DataFrame:
+            if dv is not None:
+                df = apply_changelog(df, dv, self.keys, self.version_cols)
+            return live_rows(df)
+
         fs = m.get("file_stats")
         if fs is None:
             n = len(_parquet_files(gen))
-            return live_rows(self.spark.read.parquet(gen)), n, n
+            return finish(self.spark.read.parquet(gen)), n, n
         keep = []
         for rel in sorted(fs):
             ok = True
@@ -376,7 +409,7 @@ class LakeTable:
             df = self.spark.read.option("basePath", gen).parquet(
                 *[os.path.join(gen, r) for r in keep]
             )
-        return live_rows(df), len(fs), len(keep)
+        return finish(df), len(fs), len(keep)
 
     # -- writes (write-audit-publish) -----------------------------------
 
@@ -496,9 +529,30 @@ class LakeTable:
                         else os.path.join(self.path, owner, f"bucket={b}")
                     )
                     stat_files.extend(_parquet_files(d))
+            elif meta.get("data_owner"):
+                # deletion-vector commit: the snapshot = the owner's data
+                # files + every referenced dv file (this one is still in
+                # the stage dir); file_stats are INHERITED from the owner
+                # (set by the caller) — they describe the data files the
+                # pruned reads will scan
+                stat_files = list(files)
+                stat_files.extend(
+                    _parquet_files(
+                        os.path.join(self.path, meta["data_owner"])
+                    )
+                )
+                for g in meta.get("dv") or []:
+                    if g != self._gen_name(new_v):
+                        stat_files.extend(
+                            _parquet_files(os.path.join(self.path, g))
+                        )
             else:
                 stat_files = files
                 meta["file_stats"] = self._footer_stats(files, stage)
+            # bytes this commit physically WROTE (vs `bytes`, which is
+            # snapshot-scoped) — the deletion-vector accounting: a
+            # delete's commit_bytes is O(deleted keys), not O(table)
+            meta["commit_bytes"] = sum(os.path.getsize(f) for f in files)
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=16) as pool:
@@ -587,9 +641,11 @@ class LakeTable:
         retained = [v for v in self.versions() if v >= new_v - self.retention]
         referenced = {self._gen_name(v) for v in retained}
         for v in retained:
-            referenced.update(
-                (self.manifest(v).get("buckets") or {}).values()
-            )
+            mm = self.manifest(v)
+            referenced.update((mm.get("buckets") or {}).values())
+            if mm.get("data_owner"):
+                referenced.add(mm["data_owner"])
+            referenced.update(mm.get("dv") or [])
         for v in self.versions():
             name = self._gen_name(v)
             if v < new_v - self.retention and name not in referenced:
@@ -711,6 +767,16 @@ class LakeTable:
         # cost is O(touched bytes) — at 100 TB with a daily changelog
         # hitting a few hundred of 2^14 buckets, that is the whole
         # difference between an incremental commit and a table rewrite.
+        outstanding = None if cur is None else self._dv_frame(cur)
+        if outstanding is not None:
+            # fold outstanding deletion vectors into this commit: their
+            # rows join the changelog, so every dv-touched bucket is
+            # rewritten with the vector applied and the new manifest
+            # carries no dv entries (the unbucketed path folds through
+            # raw(), which applies the vectors before the rewrite)
+            changelog = changelog.select(*payload_cols, "op").unionByName(
+                outstanding.select(*payload_cols, "op")
+            )
         bcol = F.pmod(
             F.hash(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets)
         ).cast("int")
@@ -764,6 +830,70 @@ class LakeTable:
             meta["buckets"] = untouched
 
         self._commit(write, meta, expected_parent=cur)
+        return self.read()
+
+    def delete(
+        self, changelog: DataFrame, batch_id: int | None = None
+    ) -> DataFrame:
+        """DELETE via DELETION VECTORS (merge-on-read — the Delta DV /
+        Hudi MoR shape): commit ONLY the delete changelog as a dv file,
+        no data rewrite, and apply it at read. Delete cost is O(deleted
+        keys) written bytes (the manifest's commit_bytes pins it)
+        instead of O(table bytes) / O(touched-bucket bytes); the
+        vectors fold into the data on the next merge() or compact().
+        Row-identical to merge(changelog): both paths run the same
+        apply_changelog under the same (version_cols) total order, so
+        dv tombstones still beat out-of-order older upserts after the
+        fold. Requires an existing table and an all-delete changelog
+        with the stored payload schema (deletes are not evolution)."""
+        from mysql_to_clickhouse_sync_spark.streaming.cdc import (
+            DELETE,
+            OP_COL,
+        )
+
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(
+                "delete() requires an existing table (a delete-only"
+                " bootstrap has nothing to delete from)"
+            )
+        m = self.manifest(cur)
+        if batch_id is not None:
+            lb = m.get("last_batch")
+            if lb is not None and batch_id <= lb:
+                return self.read()
+        if changelog.filter(F.col(OP_COL) != DELETE).limit(1).count():
+            raise ValueError("delete() accepts op='delete' rows only")
+        payload = [c for c in changelog.columns if c != OP_COL]
+        stored = [c for c, _t in (m.get("schema") or [])]
+        if stored and set(stored) != set(payload):
+            raise ValueError(
+                "deletion-vector schema must match the stored payload"
+                f" schema (stored {sorted(stored)}, got {sorted(payload)})"
+            )
+        meta: dict = {
+            "operation": "delete-vector",
+            "last_batch": (
+                batch_id if batch_id is not None else m.get("last_batch")
+            ),
+            "schema_version": m.get("schema_version", 0),
+            "schema": m.get("schema"),
+            # vectors ACCUMULATE until a fold event (merge/compact)
+            "dv": (m.get("dv") or []) + [self._gen_name(cur + 1)],
+        }
+        if m.get("buckets") is not None:
+            meta["buckets"] = dict(m["buckets"])  # ownership unchanged
+        else:
+            meta["data_owner"] = m.get("data_owner") or self._gen_name(cur)
+            meta["file_stats"] = m.get("file_stats")
+        # one file per dv commit: the vector is O(deleted keys) rows by
+        # contract — spraying it across the default partitioning writes
+        # mostly-empty files (a 100 TB deployment sizes this by bytes
+        # exactly like compaction; one file is that plan at this scale)
+        dv = changelog.select(*payload, OP_COL).coalesce(1)
+        self._commit(
+            lambda p: dv.write.parquet(p), meta, expected_parent=cur
+        )
         return self.read()
 
     def changes(
@@ -944,6 +1074,15 @@ class LakeTable:
         target = target_file_bytes or TARGET_FILE_BYTES
         v = self._resolve(None)
         m = self.manifest(v)
+        if m.get("dv"):
+            # fold outstanding deletion vectors first: merge() unions
+            # them into its changelog (bucketed) or reads them through
+            # raw() (unbucketed), so an empty changelog applies the
+            # vectors, rewrites the affected data, and clears the dv
+            # list — compaction then proceeds on a vector-free version
+            self.merge(self._dv_frame(v).limit(0))
+            v = self._resolve(None)
+            m = self.manifest(v)
         meta = {
             "operation": "compact",
             "compacted_from": v,

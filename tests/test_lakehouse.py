@@ -981,3 +981,147 @@ def test_checkpoint_makes_read_resolution_o1_in_history(spark, tmp_path, monkeyp
     # stale/missing checkpoint falls back to the walk and still resolves
     os.remove(os.path.join(t.path, "_CHECKPOINT.json"))
     read_side()
+
+
+# -- round 8: deletion vectors (merge-on-read deletes) --------------------
+
+
+def test_deletion_vectors_unbucketed_equal_to_rewrite(spark, tmp_path):
+    """delete() must be row-identical to merge() of the same delete
+    changelog, while writing only O(deleted keys) bytes and leaving the
+    data files untouched until a fold event."""
+    t = _table(spark, tmp_path)
+    rows = [(k, 1, float(k), "upsert") for k in range(500)]
+    t.merge(_log(spark, rows), batch_id=0)
+    tw = _table(spark, tmp_path / "twin")
+    tw.merge(_log(spark, rows), batch_id=0)
+
+    dels = [(7, 2, 0.0, "delete"), (23, 2, 0.0, "delete")]
+    t.delete(_log(spark, dels), batch_id=1)
+    tw.merge(_log(spark, dels), batch_id=1)
+    assert _state(t) == _state(tw)
+    assert sorted(map(tuple, t.raw().collect())) == sorted(
+        map(tuple, tw.raw().collect())
+    )
+    m = t.manifest(1)
+    assert m["operation"] == "delete-vector"
+    assert m["dv"] == ["gen-000001"]
+    assert m["data_owner"] == "gen-000000"
+    assert m["last_batch"] == 1
+    # O(deleted keys) accounting: the dv commit wrote a fraction of the
+    # data bytes the rewrite twin wrote
+    assert m["commit_bytes"] < tw.manifest(1)["commit_bytes"]
+    # data files untouched: gen-000001 holds ONLY the dv parquet
+    from mysql_to_clickhouse_sync_spark.sinks.merge import _parquet_files
+
+    dv_rows = spark.read.parquet(str(tmp_path / "state" / "gen-000001"))
+    assert dv_rows.count() == 2
+    assert set(_parquet_files(str(tmp_path / "state" / "gen-000000"))) == set(
+        _parquet_files(t.data_paths(1)[0])
+    )
+    # time travel: version 0 still reads pre-delete
+    assert len(_state(t, 0)) == 500
+
+
+def test_deletion_vectors_accumulate_and_fold(spark, tmp_path):
+    """Vectors stack across delete() calls, a tombstone beats an
+    out-of-order OLDER upsert arriving after the fold, and merge()
+    clears the dv list by rewriting with the vectors applied."""
+    t = _table(spark, tmp_path)
+    t.merge(
+        _log(spark, [(k, 1, float(k), "upsert") for k in range(10)]),
+        batch_id=0,
+    )
+    t.delete(_log(spark, [(3, 5, 0.0, "delete")]), batch_id=1)
+    t.delete(_log(spark, [(4, 6, 0.0, "delete")]), batch_id=2)
+    assert t.manifest(2)["dv"] == ["gen-000001", "gen-000002"]
+    assert set(_state(t)) == set(range(10)) - {3, 4}
+    # fold: a merge commits a vector-free generation, same live state
+    t.merge(_log(spark, [(11, 7, 11.0, "upsert")]), batch_id=3)
+    m = t.manifest(t.current_version())
+    assert not m.get("dv") and not m.get("data_owner")
+    assert set(_state(t)) == (set(range(10)) - {3, 4}) | {11}
+    # an out-of-order OLDER upsert (seq 2 < the delete's seq 5) cannot
+    # revive key 3: the folded tombstone still wins the version order
+    t.merge(_log(spark, [(3, 2, 99.0, "upsert")]), batch_id=4)
+    assert 3 not in _state(t)
+
+
+def test_deletion_vectors_compact_folds(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(
+        _log(spark, [(k, 1, float(k), "upsert") for k in range(20)]),
+        batch_id=0,
+    )
+    t.delete(_log(spark, [(1, 2, 0.0, "delete")]), batch_id=1)
+    before = _state(t)
+    t.compact(cluster_by=["k"])
+    m = t.manifest(t.current_version())
+    assert not m.get("dv")
+    assert m["operation"] == "compact"
+    assert _state(t) == before
+    # the folded rewrite persisted the tombstone physically
+    assert {r.k for r in t.raw().filter("op = 'delete'").collect()} == {1}
+
+
+def test_deletion_vectors_bucketed(spark, tmp_path):
+    """Bucketed layout: the dv commit leaves every bucket owner in
+    place; the next merge rewrites exactly the dv-touched buckets with
+    the vector applied."""
+    b = _btable(spark, tmp_path)
+    b.merge(
+        _log(spark, [(k, 1, float(k), "upsert") for k in range(16)]),
+        batch_id=0,
+    )
+    owners0 = dict(b.manifest(0)["buckets"])
+    b.delete(_log(spark, [(5, 2, 0.0, "delete")]), batch_id=1)
+    m1 = b.manifest(1)
+    assert m1["buckets"] == owners0  # ownership untouched
+    assert m1["dv"] == ["gen-000001"]
+    assert set(_state(b)) == set(range(16)) - {5}
+    # fold via merge: only key-5's bucket (plus the new row's) rewrites
+    b.merge(_log(spark, [(20, 3, 20.0, "upsert")]), batch_id=2)
+    m2 = b.manifest(2)
+    assert not m2.get("dv")
+    assert set(_state(b)) == (set(range(16)) - {5}) | {20}
+    rewritten = {
+        bk for bk, o in m2["buckets"].items() if o == "gen-000002"
+    }
+    untouched = {
+        bk for bk, o in m2["buckets"].items() if o == "gen-000000"
+    }
+    assert rewritten and untouched  # incremental, not a table rewrite
+    # the tombstone landed in the rewritten bucket
+    assert {r.k for r in b.raw().filter("op = 'delete'").collect()} == {5}
+
+
+def test_deletion_vectors_read_pruned_applies_vector(spark, tmp_path):
+    t = LakeTable(
+        spark,
+        str(tmp_path / "pstate"),
+        keys=["k"],
+        version_cols=["ts", "seq"],
+        partition_files_by="k",
+    )
+    t.merge(
+        _log(spark, [(k, 1, float(k), "upsert") for k in range(8)]),
+        batch_id=0,
+    )
+    t.delete(_log(spark, [(2, 2, 0.0, "delete")]), batch_id=1)
+    df, total, read = t.read_pruned("k", lo=0, hi=3)
+    assert read < total  # pruning still works through the dv version
+    assert {r.k for r in df.filter("k <= 3").collect()} == {0, 1, 3}
+
+
+def test_deletion_vector_rejects_upserts_and_drift(spark, tmp_path):
+    import pytest
+
+    t = _table(spark, tmp_path)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert")]), batch_id=0)
+    with pytest.raises(ValueError, match="op='delete'"):
+        t.delete(_log(spark, [(2, 2, 2.0, "upsert")]))
+    # exactly-once: re-delivered dv batch id is a no-op
+    t.delete(_log(spark, [(1, 2, 0.0, "delete")]), batch_id=1)
+    v = t.current_version()
+    t.delete(_log(spark, [(1, 3, 0.0, "delete")]), batch_id=1)
+    assert t.current_version() == v
