@@ -472,7 +472,10 @@ def _bulk_frames(spark: SparkSession, sf_dir: str):
 
 
 def _bulk_score(
-    base: DataFrame, ranked: DataFrame, labels: DataFrame | None = None
+    base: DataFrame,
+    ranked: DataFrame,
+    labels: DataFrame | None = None,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """Score the probe candidates of a (base, ranked) index pair: lists
     and their probing queries cogroup on centroid_id, one exact int64
@@ -481,16 +484,22 @@ def _bulk_score(
     `labels` (vec_id, label) switches on FILTERED retrieval: a
     candidate only counts when its label equals the query's — the
     predicate is pushed INTO the scoring kernel (mask before top-k),
-    never applied as a post-filter that could starve the result set."""
+    never applied as a post-filter that could starve the result set.
+
+    `assignment` (vec_id, centroid_id) overrides the list membership
+    (default: ranked's rn=1 rows) — the capped-list path supplies its
+    own; probing is unchanged either way."""
     import numpy as np
 
     filtered = labels is not None
     if filtered:
         base = base.join(labels, "vec_id")
     lab_cols = ["label"] if filtered else []
-    assign = (
-        ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id")
-    ).join(base, "vec_id")
+    if assignment is None:
+        assignment = ranked.filter(F.col("rn") == 1).select(
+            "vec_id", "centroid_id"
+        )
+    assign = assignment.join(base, "vec_id")
     # distinct attribute ids for the second base consumption — the two
     # cogroup sides must not share a lineage Spark could conflate
     pbase = base.select(
@@ -1025,4 +1034,278 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("mrr_micro", F.expr("CAST(_s div _c AS BIGINT)"))
         .drop("_s", "_c")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CAPPED inverted lists (round 8): the flag-gated production refinement for
+# degenerate hot lists. An adversarial blob (mass duplication upstream of
+# dedup) can pour most of the corpus into ONE inverted list, and scoring a
+# list is O(|list| x |probes of it|) — the documented O(list^2) compute
+# term. The cap bounds EVERY list at cap = ceil(n / (CAP_DIVISOR * k)):
+# each list keeps its `cap` closest members (coarse cosine, id
+# tie-break); overflow gets ONE hop to its next-nearest (rn=2) list,
+# filling only that list's remaining seats; whatever still doesn't fit is
+# dropped from the lists entirely (still a query, never a neighbor — the
+# FAISS truncation trade, taken deliberately and AUDITED: q_ann_cap_audit
+# publishes per-list before/kept/received/dropped under the same oracle).
+# Gated behind its own queries because the cap CHANGES assignment
+# semantics; the default bulk path stays uncapped.
+# ---------------------------------------------------------------------------
+
+CAP_DIVISOR = 2  # cap = ceil(n / (2k)) = half the average list — binds at
+# every SF, so the law is exercised (not vacuously green) even on fixtures
+
+
+def _capped_cte() -> str:
+    """Oracle twin of _capped_assignment — appended after _BULK_CTE."""
+    ccos = (
+        f"CAST({_IDOT_SQL.format(a='v.q', b='c.cq')} AS DOUBLE)"
+        " / sqrt(CAST(v.n2 * c.cn2 AS DOUBLE))"
+    )
+    return f"""
+    , cap AS (
+        SELECT ((SELECT count(*) FROM nn2) + {CAP_DIVISOR} * k - 1)
+                   // ({CAP_DIVISOR} * k) AS cap
+        FROM params
+    ), mem AS (
+        SELECT r.vec_id, r.centroid_id, {ccos} AS c_cos
+        FROM ranked r
+        JOIN nn2 v ON v.vec_id = r.vec_id
+        JOIN centroids c ON c.centroid_id = r.centroid_id
+        WHERE r.rn = 1
+    ), seats AS (
+        SELECT mem.*, row_number() OVER (
+                   PARTITION BY centroid_id
+                   ORDER BY c_cos DESC, vec_id ASC) AS seat
+        FROM mem
+    ), kept AS (
+        SELECT s.vec_id, s.centroid_id
+        FROM seats s CROSS JOIN cap WHERE s.seat <= cap.cap
+    ), kept_n AS (
+        SELECT centroid_id, count(*) AS n_kept FROM kept GROUP BY centroid_id
+    ), spill AS (
+        SELECT s.vec_id, r2.centroid_id, {ccos} AS c_cos
+        FROM seats s
+        CROSS JOIN cap
+        JOIN ranked r2 ON r2.vec_id = s.vec_id AND r2.rn = 2
+        JOIN nn2 v ON v.vec_id = s.vec_id
+        JOIN centroids c ON c.centroid_id = r2.centroid_id
+        WHERE s.seat > cap.cap
+    ), seats2 AS (
+        SELECT spill.*, row_number() OVER (
+                   PARTITION BY centroid_id
+                   ORDER BY c_cos DESC, vec_id ASC) AS seat2
+        FROM spill
+    ), accepted AS (
+        SELECT s2.vec_id, s2.centroid_id
+        FROM seats2 s2
+        CROSS JOIN cap
+        LEFT JOIN kept_n kn ON kn.centroid_id = s2.centroid_id
+        WHERE COALESCE(kn.n_kept, 0) + s2.seat2 <= cap.cap
+    ), cassign AS (
+        SELECT vec_id, centroid_id FROM kept
+        UNION ALL
+        SELECT vec_id, centroid_id FROM accepted
+    )"""
+
+
+_CAPPED_CTE = _capped_cte()
+
+
+def _capped_index(spark: SparkSession, sf_dir: str) -> dict:
+    """Build the capped-list index: (base, ranked) plus the capped
+    assignment and its accounting frames. All list-membership decisions
+    are single windows over skinny (vec_id, centroid_id, c_cos) rows —
+    one shuffle each on centroid_id, no candidate materialization."""
+    from mysql_to_clickhouse_sync_spark.operators.kmeans import dot_int
+
+    base, ranked = _bulk_index(spark, sf_dir)
+    n = base.count()
+    k = max(BULK_MIN_K, n // BULK_TARGET_LIST)
+    cap = (n + CAP_DIVISOR * k - 1) // (CAP_DIVISOR * k)
+    cent = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("qv").alias("cqv"),
+            F.col("n2").alias("cn2"),
+        )
+    )
+
+    def with_ccos(df: DataFrame) -> DataFrame:
+        """Attach the member->centroid coarse cosine (grid-exact int64
+        dot; float ops expression-identical to the oracle's)."""
+        return (
+            df.join(base, "vec_id")
+            .join(F.broadcast(cent), F.col("centroid_id") == F.col("c_id"))
+            .select(
+                "vec_id",
+                "centroid_id",
+                (
+                    dot_int(F.col("qv"), F.col("cqv")).cast("double")
+                    / F.sqrt(
+                        (F.col("n2") * F.col("cn2")).cast("double")
+                    )
+                ).alias("c_cos"),
+            )
+        )
+
+    w_list = Window.partitionBy("centroid_id").orderBy(
+        F.col("c_cos").desc(), F.col("vec_id").asc()
+    )
+    seats = (
+        with_ccos(ranked.filter(F.col("rn") == 1).select("vec_id", "centroid_id"))
+        .withColumn("seat", F.row_number().over(w_list))
+        .localCheckpoint(eager=True)  # feeds kept AND spill
+    )
+    kept = seats.filter(F.col("seat") <= cap).select("vec_id", "centroid_id")
+    kept_n = kept.groupBy("centroid_id").agg(
+        F.count("*").alias("n_kept")
+    )
+    spill = with_ccos(
+        seats.filter(F.col("seat") > cap)
+        .select("vec_id")
+        .join(
+            ranked.filter(F.col("rn") == 2).select("vec_id", "centroid_id"),
+            "vec_id",
+        )
+    ).localCheckpoint(eager=True)  # feeds accepted AND the audit
+    accepted = (
+        spill.withColumn("seat2", F.row_number().over(w_list))
+        .join(F.broadcast(kept_n), "centroid_id", "left")
+        .filter(
+            F.coalesce(F.col("n_kept"), F.lit(0)) + F.col("seat2")
+            <= F.lit(cap)
+        )
+        .select("vec_id", "centroid_id")
+    )
+    return {
+        "base": base,
+        "ranked": ranked,
+        "cent": cent,
+        "cap": cap,
+        "seats": seats,
+        "kept_n": kept_n,
+        "spill": spill,
+        "accepted": accepted,
+        "cassign": kept.unionByName(accepted),
+    }
+
+
+@declare(
+    "q_ann_capped",
+    oracle=f"""
+    WITH {_BULK_CTE}{_CAPPED_CTE}
+    , cscored AS (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               CAST({_IDOT_SQL.format(a='p.q', b='m.q')} AS DOUBLE)
+                   / sqrt(CAST(p.n2 * m.n2 AS DOUBLE)) AS cosine
+        FROM probes p
+        JOIN cassign a ON a.centroid_id = p.centroid_id
+        JOIN nn2 m ON m.vec_id = a.vec_id AND m.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT f.*, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM cscored f
+    ) WHERE rk <= {BULK_TOPK}
+    """,
+    tier="P2",
+)
+def q_ann_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk IVF retrieval over CAPPED inverted lists: every list bounded
+    at ceil(n/2k) members (closest-first), overflow given one hop to
+    its next-nearest list's free seats, the rest dropped from the index
+    (still queries, never neighbors). This is the flag-gated guard for
+    degenerate hot lists — with every list <= cap, list-scoring compute
+    is <= cap * n * NPROBE total no matter how pathological the data,
+    where the uncapped path keeps an O(|list|^2) term on blobs. The
+    whole eviction law (seats, one-hop spill, seat-limited acceptance)
+    runs under the oracle, so the semantic change the cap makes is
+    hash-checked, not hand-waved.
+
+    Scale notes: the cap decisions are two windows over skinny
+    (vec_id, centroid_id, cos) rows — one shuffle each on the list id;
+    scoring is the same cogrouped int64-matmul plan as q_ann_bulk_topk
+    with the capped membership swapped in."""
+    ix = _capped_index(spark, sf_dir)
+    return _bulk_score(ix["base"], ix["ranked"], assignment=ix["cassign"])
+
+
+@declare(
+    "q_ann_cap_audit",
+    oracle=f"""
+    WITH {_BULK_CTE}{_CAPPED_CTE}
+    , nb AS (SELECT centroid_id, count(*) AS n FROM mem GROUP BY centroid_id)
+    , rec AS (
+        SELECT centroid_id, count(*) AS n FROM accepted GROUP BY centroid_id
+    ), spn AS (
+        SELECT centroid_id, count(*) AS n FROM spill GROUP BY centroid_id
+    )
+    SELECT c.centroid_id,
+           CAST(cap.cap AS BIGINT) AS cap,
+           CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_before,
+           CAST(COALESCE(kn.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(rec.n, 0) AS BIGINT) AS n_received,
+           CAST(COALESCE(spn.n, 0) - COALESCE(rec.n, 0) AS BIGINT)
+               AS n_dropped,
+           CAST(COALESCE(kn.n_kept, 0) + COALESCE(rec.n, 0) AS BIGINT)
+               AS n_after
+    FROM centroids c
+    CROSS JOIN cap
+    LEFT JOIN nb ON nb.centroid_id = c.centroid_id
+    LEFT JOIN kept_n kn ON kn.centroid_id = c.centroid_id
+    LEFT JOIN rec ON rec.centroid_id = c.centroid_id
+    LEFT JOIN spn ON spn.centroid_id = c.centroid_id
+    """,
+    tier="P2",
+)
+def q_ann_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cap audits itself: per inverted list, members before the cap,
+    kept, received via one-hop spill, dropped (spilled here but no free
+    seat), and the final size — which the law guarantees is <= cap on
+    every row (visible in the hash-checked values, n_after <= cap).
+    Publishing the eviction accounting is what makes the capped index
+    operable: recall loss is attributable to named lists, and a
+    drop-heavy audit is the signal to re-run upstream dedup (the
+    documented owner of degenerate blobs)."""
+    ix = _capped_index(spark, sf_dir)
+    spine = ix["cent"].select(F.col("c_id").alias("centroid_id"))
+    nb = (
+        ix["seats"].groupBy("centroid_id").agg(F.count("*").alias("n_before"))
+    )
+    rec = (
+        ix["accepted"]
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_received"))
+    )
+    spn = ix["spill"].groupBy("centroid_id").agg(
+        F.count("*").alias("n_spilled")
+    )
+    z = F.lit(0).cast("long")
+    return (
+        spine.join(nb, "centroid_id", "left")
+        .join(ix["kept_n"], "centroid_id", "left")
+        .join(rec, "centroid_id", "left")
+        .join(spn, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.lit(ix["cap"]).cast("long").alias("cap"),
+            F.coalesce(F.col("n_before").cast("long"), z).alias("n_before"),
+            F.coalesce(F.col("n_kept").cast("long"), z).alias("n_kept"),
+            F.coalesce(F.col("n_received").cast("long"), z).alias(
+                "n_received"
+            ),
+            (
+                F.coalesce(F.col("n_spilled").cast("long"), z)
+                - F.coalesce(F.col("n_received").cast("long"), z)
+            ).alias("n_dropped"),
+            (
+                F.coalesce(F.col("n_kept").cast("long"), z)
+                + F.coalesce(F.col("n_received").cast("long"), z)
+            ).alias("n_after"),
+        )
     )

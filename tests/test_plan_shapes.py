@@ -300,3 +300,14 @@ def test_ann_filtered_is_cogrouped_no_cartesian(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "FlatMapCoGroupsInPandas" in p
+
+
+def test_ann_capped_is_cogrouped_no_cartesian(spark):
+    """Capped-list retrieval keeps the bulk-ANN plan shape: the cap
+    decisions are two windows over skinny (vec_id, centroid_id, cos)
+    rows and the scoring stays the Arrow cogroup — no cartesian, no
+    BNLJ (the cap exists to BOUND compute; it must not add any)."""
+    p = _plan(spark, "q_ann_capped")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapCoGroupsInPandas" in p

@@ -83,6 +83,12 @@ def main() -> int:
         action="store_true",
         help="also time q_semantic_dedup (the quadratic melt — slow)",
     )
+    ap.add_argument(
+        "--ann",
+        action="store_true",
+        help="time capped vs uncapped bulk ANN on the blob corpus"
+        " (round-8: the inverted-list cap's O(list^2) guard)",
+    )
     args = ap.parse_args()
 
     from mysql_to_clickhouse_sync_spark.operators.kmeans import (
@@ -142,6 +148,38 @@ def main() -> int:
             f"in {t_u:.1f}s"
         )
         print(f"melt factor: {t_u / t_g:.1f}x")
+
+    if args.ann:
+        from mysql_to_clickhouse_sync_spark.operators.ivf import (
+            q_ann_bulk_topk,
+            q_ann_cap_audit,
+            q_ann_capped,
+        )
+
+        def run_ann(q, name):
+            t0 = time.time()
+            n = q(spark, args.out).count()
+            t = time.time() - t0
+            print(f"{name}: {n} result rows in {t:.1f}s")
+            return t
+
+        t_cap = run_ann(q_ann_capped, "q_ann_capped")
+        audit = q_ann_cap_audit(spark, args.out)
+        row = audit.agg(
+            F.max("cap").alias("cap"),
+            F.max("n_before").alias("max_before"),
+            F.max("n_after").alias("max_after"),
+            F.sum("n_dropped").alias("dropped"),
+        ).collect()[0]
+        print(
+            f"cap audit: cap={row['cap']} max list before={row['max_before']}"
+            f" after={row['max_after']} dropped={row['dropped']}"
+        )
+        if row["max_after"] > row["cap"]:
+            print("VIOLATION: a list exceeds the cap", file=sys.stderr)
+            return 1
+        t_un = run_ann(q_ann_bulk_topk, "q_ann_bulk_topk (uncapped)")
+        print(f"ann melt factor: {t_un / t_cap:.1f}x")
     return 0
 
 
