@@ -476,6 +476,7 @@ def _bulk_score(
     ranked: DataFrame,
     labels: DataFrame | None = None,
     assignment: DataFrame | None = None,
+    label_partition: bool = True,
 ) -> DataFrame:
     """Score the probe candidates of a (base, ranked) index pair: lists
     and their probing queries cogroup on centroid_id, one exact int64
@@ -483,8 +484,21 @@ def _bulk_score(
 
     `labels` (vec_id, label) switches on FILTERED retrieval: a
     candidate only counts when its label equals the query's — the
-    predicate is pushed INTO the scoring kernel (mask before top-k),
-    never applied as a post-filter that could starve the result set.
+    predicate is pushed INTO the scoring, never applied as a
+    post-filter that could starve the result set. Two physically
+    different plans, result-identical (pinned by test):
+
+      * label_partition=True (default, round-8): the lists themselves
+        are LABEL-PARTITIONED — the cogroup key is (centroid_id,
+        label), so a query's block contains only eligible candidates
+        and rejected ones are never scored at all. Candidate work
+        drops from |list| x |probes| to the same-label sub-blocks;
+        under selective labels that is the whole game, and the finer
+        key also splits hot lists across more tasks.
+      * label_partition=False: one block per centroid_id; the kernel
+        scores everything and masks non-matching labels to -inf
+        before top-k. Kept as the measured baseline (and for label
+        sets so large the finer key would overwhelm the shuffle).
 
     `assignment` (vec_id, centroid_id) overrides the list membership
     (default: ranked's rn=1 rows) — the capped-list path supplies its
@@ -492,6 +506,7 @@ def _bulk_score(
     import numpy as np
 
     filtered = labels is not None
+    masked = filtered and not label_partition
     if filtered:
         base = base.join(labels, "vec_id")
     lab_cols = ["label"] if filtered else []
@@ -545,7 +560,7 @@ def _bulk_score(
         ).astype(np.int64)
         q_ids = queries["vec_id"].to_numpy().astype(np.int64)
         q_n2 = queries["n2"].to_numpy().astype(np.int64)
-        if filtered:
+        if masked:
             m_lab = members["label"].to_numpy().astype(np.int64)
             q_lab = queries["label"].to_numpy().astype(np.int64)
         # Queries chunk so the cosine block stays ~32 MB no matter how
@@ -562,10 +577,11 @@ def _bulk_score(
             cos = dp.astype(np.float64) / np.sqrt(
                 (q_n2[sl][:, None] * m_n2[None, :]).astype(np.float64)
             )
-            if filtered:
+            if masked:
                 # predicate pushdown: masked candidates sort last and
                 # are dropped below — they never displace an eligible
-                # neighbor
+                # neighbor (the label-partitioned default never scores
+                # them in the first place)
                 cos = np.where(
                     m_lab[None, :] == q_lab[sl][:, None], cos, -np.inf
                 )
@@ -588,9 +604,16 @@ def _bulk_score(
             }
         )
 
+    # label-partitioned lists: the block key carries the predicate, so
+    # only same-label (list, probes) pairs ever meet a kernel
+    keys = (
+        ["centroid_id", "label"]
+        if filtered and label_partition
+        else ["centroid_id"]
+    )
     local_topk = (
-        assign.groupBy("centroid_id")
-        .cogroup(probes.groupBy("centroid_id"))
+        assign.groupBy(*keys)
+        .cogroup(probes.groupBy(*keys))
         .applyInPandas(
             score_list, "query_id long, neighbor_id long, cosine double"
         )
@@ -793,22 +816,45 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts if its label equals the query's — the metadata-predicate +
     vector-search combination every production retrieval system needs
     (tenant isolation, language-matched mining, same-category recs).
-    The predicate is pushed INTO the cogrouped scoring kernel: masked
-    candidates sort behind every eligible one BEFORE top-K, so the
-    filter can never starve the result the way a post-filter over an
-    unfiltered top-K does. The oracle applies the same predicate as a
-    relational join inside the probed lists.
+    The predicate is pushed INTO the scoring, two physically different
+    plans under ONE oracle, chosen ADAPTIVELY from the built index
+    (round 8 — both measured, tools/label_skew_stress.py):
+
+      * LABEL-PARTITIONED lists — cogroup key (centroid_id, label):
+        rejected candidates are never scored and a hot list splits
+        across label sub-blocks. Wins exactly when a degenerate hot
+        list exists: 30k-blob stress 5.7 s vs 66.9 s masked (uniform
+        labels, 11.7x) and 68.1 s vs 81.7 s (90/10 label skew, where
+        the majority label still owns 81% of the quadratic block).
+      * MASKED kernel — cogroup key centroid_id, labels masked to
+        -inf before top-k: fewer, fuller Arrow blocks; wins on
+        healthy ~TARGET_LIST-sized lists (sf0.1 fixture: 0.8 s vs
+        1.4 s — per-block overhead beats the ~18% compute saving).
+
+    The switch is one skinny aggregate over the checkpointed index
+    (max inverted-list size): hot list present -> partitioned. Either
+    way the filter can never starve the result the way a post-filter
+    over an unfiltered top-K does, and the oracle applies the same
+    predicate as a relational join inside the probed lists.
 
     Scale notes: same plan as q_ann_bulk_topk (2-level coarse + list
-    cogroups) plus two skinny label joins; the mask is one vectorized
-    compare per candidate block. At selective predicates the production
-    refinement is label-partitioned inverted lists (centroid_id, label)
-    — the shape this query's cogroup key trivially extends to."""
+    cogroups) plus two skinny label joins; the adaptive rule keys on
+    the one quantity that decides the regime, so the worst case is
+    always the bounded one. Both plans pinned result-identical
+    (tests/test_ivf_and_stream_joins.py)."""
     base, ranked = _bulk_index(spark, sf_dir)
     labels = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("label").cast("long").alias("label")
     )
-    return _bulk_score(base, ranked, labels=labels)
+    max_list = (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("centroid_id")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    hot = max_list is not None and max_list > 4 * BULK_TARGET_LIST
+    return _bulk_score(base, ranked, labels=labels, label_partition=hot)
 
 
 @declare(

@@ -171,3 +171,39 @@ def test_bulk_ranker_tiny_training_prefix(spark):
     assert {r.vec_id for r in rows} == set(range(12))
     assert all(r.centroid_id < 5 for r in rows)  # only the 5 trained
     assert all(r.rn >= 1 for r in rows)
+
+
+def test_filtered_plans_are_result_identical(spark):
+    """The two physical plans behind q_ann_filtered — label-partitioned
+    (centroid_id, label) cogroup vs masked kernel — must return the
+    SAME rows; the adaptive switch is a performance decision only."""
+    from pyspark.sql import functions as F
+
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+    from mysql_to_clickhouse_sync_spark.operators.ivf import (
+        _bulk_index,
+        _bulk_score,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base, ranked = _bulk_index(spark, sf)
+    labels = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    part = sorted(
+        map(
+            tuple,
+            _bulk_score(
+                base, ranked, labels=labels, label_partition=True
+            ).collect(),
+        )
+    )
+    mask = sorted(
+        map(
+            tuple,
+            _bulk_score(
+                base, ranked, labels=labels, label_partition=False
+            ).collect(),
+        )
+    )
+    assert part == mask and len(part) > 0
