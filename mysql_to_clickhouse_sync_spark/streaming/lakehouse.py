@@ -208,3 +208,100 @@ def s_lake_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         return table.read().localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# -- streaming incremental ANN (round 8) ----------------------------------
+
+from mysql_to_clickhouse_sync_spark.operators.ivf import (  # noqa: E402
+    INC_TRAIN_MOD,
+    _bulk_base,
+    _bulk_cte,
+    _bulk_score,
+    _make_ranker,
+)
+
+ANN_STREAM_SLICES = 3  # micro-batches of post-training arrivals
+
+_ANN_STREAM_ORACLE = f"""
+    WITH {_bulk_cte(f"vec_id % {INC_TRAIN_MOD} <> {INC_TRAIN_MOD - 1}")}
+    SELECT query_id, neighbor_id, cosine FROM bulk
+    """
+
+
+@declare("s_ann_stream", oracle=_ANN_STREAM_ORACLE, tier="P3")
+@tuned
+def s_ann_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE incremental ANN indexing: q_ann_incremental taken to a
+    live stream. The quantizer trains once on the already-ingested
+    prefix (vec_id % 4 != 3) and commits the prefix index as version
+    0; later arrivals then flow in MICRO-BATCHES — each foreachBatch
+    ranks only its batch's vectors under the frozen quantizer (map-
+    only; the centroid arrays are a Spark broadcast) and lands one
+    exactly-once LakeTable MERGE commit. Retrieval probes the
+    committed union read back from storage. The law is ORDER-
+    INDEPENDENT given the prefix boundary — each arrival's list
+    assignment depends only on the frozen quantizer, and MERGE is
+    slicing-insensitive — so the full q_ann_incremental oracle
+    applies: how the arrivals were micro-batched must be invisible
+    in the hash.
+
+    Scale notes: per micro-batch cost is O(batch) ranking + one
+    incremental commit; the index never rebuilds while serving. A
+    restart mid-stream resumes from the committed watermark
+    (tests/test_ivf_and_stream_joins.py pins restart-equivalence)."""
+    from mysql_to_clickhouse_sync_spark.streaming.cdc import UPSERT, live_rows
+
+    train_pred = F.col("vec_id") % INC_TRAIN_MOD != INC_TRAIN_MOD - 1
+    base = _bulk_base(spark, sf_dir)
+    cbase = base.filter(train_pred)
+    ranker = _make_ranker(cbase)
+    schema = "vec_id long, centroid_id long, rn long"
+    arrivals = base.filter(~train_pred)
+
+    workdir = tempfile.mkdtemp(prefix="ann_stream_")
+    in_dir = f"{workdir}/arrivals"
+    os.makedirs(in_dir, exist_ok=True)
+    table = LakeTable(
+        spark,
+        f"{workdir}/ivf_index",
+        keys=["vec_id", "rn"],
+        version_cols=["centroid_id"],
+        retention=ANN_STREAM_SLICES + 1,
+    )
+    # version 0: the prefix index (the "already-ingested" corpus)
+    table.merge(
+        cbase.mapInPandas(ranker, schema).withColumn(OP_COL, F.lit(UPSERT))
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        ranked = batch_df.mapInPandas(ranker, schema)
+        table.merge_with_retry(
+            ranked.withColumn(OP_COL, F.lit(UPSERT)), batch_id=batch_id
+        )
+
+    query = None
+    try:
+        query = (
+            spark.readStream.schema(arrivals.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .start()
+        )
+        for i in range(ANN_STREAM_SLICES):
+            arrivals.filter(
+                F.expr(f"(vec_id div {INC_TRAIN_MOD}) % {ANN_STREAM_SLICES}")
+                == i
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+            query.processAllAvailable()
+        assert table.current_version() == ANN_STREAM_SLICES
+        assert table.last_batch() == ANN_STREAM_SLICES - 1
+        persisted = live_rows(table.raw()).select(
+            "vec_id", "centroid_id", "rn"
+        )
+        return _bulk_score(base, persisted).localCheckpoint(eager=True)
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)

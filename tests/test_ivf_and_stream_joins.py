@@ -207,3 +207,98 @@ def test_filtered_plans_are_result_identical(spark):
         )
     )
     assert part == mask and len(part) > 0
+
+
+def test_ann_stream_survives_midstream_restart(spark, tmp_path):
+    """s_ann_stream's law must hold across a connector restart: stop the
+    stream after the first arrival micro-batch, start a NEW query on the
+    same checkpoint and table, feed the rest — the final committed index
+    and retrieval must equal the batch incremental build (same frozen
+    quantizer, same lists; slicing and restarts invisible)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mysql_to_clickhouse_sync_spark.operators.ivf import (
+        INC_TRAIN_MOD,
+        _bulk_base,
+        _bulk_score,
+        _make_ranker,
+        q_ann_incremental,
+    )
+    from mysql_to_clickhouse_sync_spark.sinks.merge import LakeTable
+    from mysql_to_clickhouse_sync_spark.streaming.cdc import (
+        OP_COL,
+        UPSERT,
+        live_rows,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    train_pred = F.col("vec_id") % INC_TRAIN_MOD != INC_TRAIN_MOD - 1
+    base = _bulk_base(spark, sf)
+    cbase = base.filter(train_pred)
+    ranker = _make_ranker(cbase)
+    schema = "vec_id long, centroid_id long, rn long"
+    arrivals = base.filter(~train_pred)
+    slices = [
+        arrivals.filter(
+            F.expr(f"(vec_id div {INC_TRAIN_MOD}) % 3") == i
+        )
+        for i in range(3)
+    ]
+
+    in_dir = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    table = LakeTable(
+        spark,
+        str(tmp_path / "ivf_index"),
+        keys=["vec_id", "rn"],
+        version_cols=["centroid_id"],
+        retention=4,
+    )
+    table.merge(
+        cbase.mapInPandas(ranker, schema).withColumn(OP_COL, F.lit(UPSERT))
+    )
+
+    def land(batch_df, batch_id):
+        table.merge_with_retry(
+            batch_df.mapInPandas(ranker, schema).withColumn(
+                OP_COL, F.lit(UPSERT)
+            ),
+            batch_id=batch_id,
+        )
+
+    def start():
+        return (
+            spark.readStream.schema(arrivals.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        slices[0].coalesce(1).write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()  # the connector dies mid-stream
+    assert table.current_version() == 1
+    # restart: the checkpoint resumes; remaining slices land
+    q = start()
+    try:
+        for s in slices[1:]:
+            s.coalesce(1).write.mode("append").parquet(in_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert table.current_version() == 3
+    assert table.last_batch() == 2
+    persisted = live_rows(table.raw()).select("vec_id", "centroid_id", "rn")
+    streamed = sorted(
+        map(tuple, _bulk_score(base, persisted).collect())
+    )
+    batch = sorted(map(tuple, q_ann_incremental(spark, sf).collect()))
+    assert streamed == batch and len(streamed) > 0
