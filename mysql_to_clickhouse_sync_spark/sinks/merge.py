@@ -993,14 +993,23 @@ class LakeTable:
         removed = []
         for d in os.listdir(self.path):
             p = os.path.join(self.path, d)
-            if d.startswith("_stage-") and os.path.isdir(p):
+            if d == _CHECKPOINT + ".tmp":
+                # a checkpoint writer that died mid-replace
+                removed.append(p)
+            elif d.startswith("_stage-") and os.path.isdir(p):
                 removed.append(p)
             elif d.startswith("gen-") and os.path.isdir(p):
                 v = int(d.split("-")[1])
                 if cur is None or v > cur:
                     removed.append(p)
         for p in removed:
-            shutil.rmtree(p, ignore_errors=True)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         return removed
 
     def merge_with_retry(

@@ -1125,3 +1125,14 @@ def test_deletion_vector_rejects_upserts_and_drift(spark, tmp_path):
     v = t.current_version()
     t.delete(_log(spark, [(1, 3, 0.0, "delete")]), batch_id=1)
     assert t.current_version() == v
+
+
+def test_vacuum_clears_checkpoint_tmp_debris(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_log(spark, [(1, 1, 1.0, "upsert")]))
+    tmp = os.path.join(t.path, "_CHECKPOINT.json.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("{}")
+    removed = t.vacuum()
+    assert tmp in removed and not os.path.exists(tmp)
+    assert _state(t) == {1: 1.0}
