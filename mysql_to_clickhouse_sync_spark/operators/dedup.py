@@ -1322,6 +1322,95 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- maximal duplicated-span detection -------------------------------------
+
+SPAN_TOKENS = 8  # stride-1 shingle width: the minimal span that counts
+
+
+@declare(
+    "q_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(range(0, len(toks) - {SPAN_TOKENS} + 1)) AS pos,
+               unnest(list_transform(range(0, len(toks) - {SPAN_TOKENS} + 1),
+                   i -> md5(array_to_string(
+                       toks[i + 1 : i + {SPAN_TOKENS}], ' ')))) AS h
+        FROM toks WHERE len(toks) >= {SPAN_TOKENS}
+    ), dup AS (
+        SELECT h FROM sh GROUP BY h HAVING count(*) > 1
+    ), marked AS (
+        SELECT sh.doc_id, sh.pos,
+               sh.pos - row_number() OVER (
+                   PARTITION BY sh.doc_id ORDER BY sh.pos) AS grp
+        FROM sh JOIN dup USING (h)
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + {SPAN_TOKENS} AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_shingles
+    FROM marked GROUP BY doc_id, grp
+    """,
+    tier="P1",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-SPAN detection — the ExactSubstr recipe (dedup
+    repeated substrings, not whole docs or fixed blocks; Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better" suffix-array
+    pass, re-expressed relationally): every stride-1 {SPAN_TOKENS}-token
+    shingle that occurs >= 2 times corpus-wide (across OR within
+    documents) marks its start position as duplicated; consecutive
+    duplicated positions per document merge into maximal spans
+    (gaps-and-islands: pos - row_number is constant exactly on a
+    consecutive run). One row per maximal span with its token extent —
+    the input a span-trimming curation pass consumes. Complements
+    q_passage_dedup (fixed non-overlapping blocks miss spans straddling
+    block boundaries; stride-1 shingles cannot).
+
+    Scale notes (100 TB): stride-1 shingling is MAP-ONLY and emits
+    O(total tokens) rows — ~16x q_passage_dedup's row count, the honest
+    price of boundary-exact spans (the suffix array pays the same
+    linear blowup). Duplicate marking is one map-side-combined groupBy
+    on the shingle hash; the mark-back join is hash-equi with fan-out 1
+    (dup is a DISTINCT set); islands are a per-doc window (partition =
+    doc, never corpus-wide). Universal boilerplate concentrates on one
+    COUNT key — never a pair join, so there is no quadratic regime to
+    guard (the structural advantage over the pairwise dedups above)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= SPAN_TOKENS)
+
+    def shingle(i: Column) -> Column:
+        return F.md5(
+            F.array_join(F.slice("toks", i + 1, SPAN_TOKENS), " ")
+        )
+
+    sh = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - SPAN_TOKENS), shingle
+            )
+        ).alias("pos", "h"),
+    )
+    dup = sh.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = sh.join(dup, "h").withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return marked.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") - F.min("pos") + SPAN_TOKENS)
+        .cast("bigint")
+        .alias("span_tokens"),
+        F.count("*").alias("n_shingles"),
+    ).select("doc_id", "span_start", "span_tokens", "n_shingles")
+
+
 BOILERPLATE_TOPN = 10
 
 

@@ -1,0 +1,178 @@
+"""Incremental view maintenance (IVM) under retractions.
+
+The reference's whole purpose is keeping a derived store continuously
+consistent with upstream changes (full + incremental sync,
+mysql_to_clickhouse_sync.py S:97-116); its incremental path re-ships rows.
+The streaming half of this engine already maintains ADDITIVE materialized
+views (streaming/matview.py: mergeable count/sum/min states, no deletes).
+This module closes the remaining gap: maintaining an aggregate view under
+a CDC changelog WITH DELETES — the counting/DBToaster algorithm:
+
+  * count and sum are self-maintainable: apply signed deltas
+    (+insert, -delete), never rescan the base.
+  * min is NOT self-maintainable under deletes: a delete that removes the
+    current group minimum forces a recompute — but only for THAT group
+    (affected-group recompute, O(affected-group data), not O(table)).
+
+The declared query materializes the base view, applies a deterministic
+delete+insert changelog through the delta path, and emits the refreshed
+view plus a per-group `recomputed` audit flag; the oracle recomputes the
+view from the post-changelog state from scratch — the convergence law
+"delta maintenance == full recompute" is what gets hash-checked, and the
+audit flag pins that the recompute decision itself is taken on exactly
+the right groups (deleted-min touches base-min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_to_clickhouse_sync_spark.catalog import load_table
+from mysql_to_clickhouse_sync_spark.registry import declare
+
+# Deterministic changelog: even event_ids form the base state; odd ids are
+# the inserts; deletes remove every base row with event_id % DEL_MOD == 0
+# PLUS the current group-minimum row of every odd-name-length group (so the
+# min-recompute path is structurally exercised at every scale, while
+# even-name-length groups keep the fast self-maintained path unless a
+# modular delete happens to hit their minimum).
+DEL_MOD = 14
+
+_MV_ORACLE = f"""
+    WITH st AS (
+        SELECT event_id, event_type, value FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), base AS (
+        SELECT * FROM st WHERE event_id % 2 = 0
+    ), ins AS (
+        SELECT * FROM st WHERE event_id % 2 = 1
+    ), delk AS (
+        SELECT event_id, event_type, value FROM (
+            SELECT event_id, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value ASC, event_id ASC) AS rk
+            FROM base
+        ) WHERE event_id % {DEL_MOD} = 0
+             OR (rk = 1 AND length(event_type) % 2 = 1)
+    ), post AS (
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM delk d WHERE d.event_id = b.event_id)
+        UNION ALL
+        SELECT * FROM ins
+    ), bmv AS (
+        SELECT event_type, min(value) AS bmin FROM base GROUP BY event_type
+    ), dmn AS (
+        SELECT event_type, min(value) AS dmin FROM delk GROUP BY event_type
+    ), refreshed AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               min(value) AS min_value
+        FROM post GROUP BY event_type
+    )
+    SELECT r.event_type, r.n_rows, r.sum_cents, r.min_value,
+           coalesce(d.dmin <= b.bmin, false) AS recomputed
+    FROM refreshed r
+    LEFT JOIN bmv b ON b.event_type = r.event_type
+    LEFT JOIN dmn d ON d.event_type = r.event_type
+"""
+
+
+@declare("q_mv_delta", oracle=_MV_ORACLE, tier="P2")
+def q_mv_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance under deletes: refresh a
+    per-event_type (count, sum, min) view from a delete+insert changelog
+    by SIGNED DELTAS — count/sum never touch the base table again; min
+    recomputes only for groups whose deleted rows include the current
+    minimum (affected-group recompute). The oracle recomputes the view
+    from scratch over the post-changelog state, so the hash check IS the
+    convergence law delta-maintenance == full-recompute, per group, per
+    column, including the recompute-decision audit flag.
+
+    Scale notes (100 TB): the delta path aggregates the CHANGELOG (one
+    map-side-combined shuffle at group cardinality) and joins it to the
+    existing view (group cardinality, broadcastable); the only base-table
+    work is the min-recompute scan, restricted by a semi-join to affected
+    groups — a delete stream that never removes a group minimum costs
+    O(changelog) regardless of table size, which is the entire point of
+    IVM over periodic full refresh. Deletes arrive keyed (the CDC
+    contract), so every join here is an equi-join on the group key or the
+    row key; nothing is quadratic and nothing rescans unaffected data."""
+    st = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    base = st.filter(F.pmod("event_id", F.lit(2)) == 0).localCheckpoint(
+        eager=True
+    )
+    ins = st.filter(F.pmod("event_id", F.lit(2)) == 1)
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.col("value").asc(), F.col("event_id").asc()
+        )
+    )
+    dels = (
+        base.withColumn("rk", rk)
+        .filter(
+            (F.pmod("event_id", F.lit(DEL_MOD)) == 0)
+            | ((F.col("rk") == 1) & (F.length("event_type") % 2 == 1))
+        )
+        .drop("rk")
+        .localCheckpoint(eager=True)
+    )
+
+    def view_agg(df: DataFrame, pre: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias(f"{pre}_n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                f"{pre}_sum"
+            ),
+            F.min("value").alias(f"{pre}_min"),
+        )
+
+    # the pre-existing materialized view (conceptually persisted state)
+    bmv = view_agg(base, "b")
+    d = view_agg(dels, "d")
+    i = view_agg(ins, "i")
+    merged = bmv.join(d, "event_type", "full").join(i, "event_type", "full")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    delta = merged.select(
+        "event_type",
+        (z("b_n") - z("d_n") + z("i_n")).alias("n_rows"),
+        (z("b_sum") - z("d_sum") + z("i_sum")).alias("sum_cents"),
+        "b_min",
+        "i_min",
+        (
+            F.col("d_min").isNotNull() & (F.col("d_min") <= F.col("b_min"))
+        ).alias("recomputed"),
+    ).localCheckpoint(eager=True)
+    # affected-group min recompute: survivors of ONLY the flagged groups
+    affected = delta.filter("recomputed").select("event_type")
+    surv_min = (
+        base.join(dels.select("event_id"), "event_id", "left_anti")
+        .join(F.broadcast(affected), "event_type", "left_semi")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("s_min"))
+    )
+    out = (
+        delta.join(surv_min, "event_type", "left")
+        .filter(F.col("n_rows") > 0)
+        .select(
+            "event_type",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("sum_cents").cast("bigint").alias("sum_cents"),
+            F.when(
+                F.col("recomputed"), F.least("s_min", "i_min")
+            )
+            .otherwise(F.least("b_min", "i_min"))
+            .alias("min_value"),
+            F.coalesce("recomputed", F.lit(False)).alias("recomputed"),
+        )
+    )
+    return out

@@ -55,6 +55,163 @@ def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- runtime bloom-filter join pruning ------------------------------------
+
+# Bloom sizing: k=2 seeded positions per key, m = 10 bits/key (~2.4%
+# expected false-positive rate at this load factor with k=2).
+BJ_BITS_PER_KEY = 10
+BJ_SEEDS = (1, 2)
+# Selective dim predicate: a 2-month order window (~2.3% of orders).
+BJ_LO = "1998-01-01 00:00:00"
+BJ_HI = "1998-03-01 00:00:00"
+
+
+def _bj_pos_spark(key: Column, seed: int, m: int) -> Column:
+    """Portable bloom position: md5("key:seed") first 12 hex digits as an
+    integer, mod m — identical in Spark (conv) and DuckDB ('0x' cast),
+    the q_countmin_heavy hash idiom."""
+    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(seed))))
+    return F.pmod(F.conv(F.substring(h, 1, 12), 16, 10).cast("long"), F.lit(m))
+
+
+def _bj_pos_sql(key: str, seed: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || ':' || {seed}),"
+        f" 1, 12) AS BIGINT) % (SELECT m FROM sz)"
+    )
+
+
+@declare(
+    "q_bloom_join",
+    oracle=f"""
+    WITH okeys AS (
+        SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{BJ_LO}'
+          AND o_orderdate <  TIMESTAMP '{BJ_HI}'
+    ), sz AS (
+        SELECT greatest(64, {BJ_BITS_PER_KEY} * count(*)) AS m FROM okeys
+    ), bits AS (
+        SELECT DISTINCT {_bj_pos_sql('o_orderkey', 's')} AS p
+        FROM okeys, (SELECT unnest(['1', '2']) AS s) seeds
+    ), probed AS (
+        SELECT l_orderkey, l_extendedprice, l_discount,
+               {_bj_pos_sql('l_orderkey', "'1'")} IN (SELECT p FROM bits)
+               AND {_bj_pos_sql('l_orderkey', "'2'")} IN (SELECT p FROM bits)
+                   AS bloom_hit
+        FROM lineitem
+    ), acc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_fact_total,
+               CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fact_after_bloom
+        FROM probed
+    ), j AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lineitems,
+               {{revenue}} AS revenue
+        FROM probed JOIN okeys ON l_orderkey = o_orderkey
+        WHERE bloom_hit
+        GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_lineitems, revenue,
+           acc.n_fact_total, acc.n_fact_after_bloom
+    FROM j, acc
+    """.format(
+        revenue="""CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)"""
+    ),
+    tier="P2",
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning, built explicitly: a selective
+    predicate on the dim side (orders in a 2-month window) folds into a
+    Bloom filter over the surviving join keys; the fact side (lineitem)
+    probes the broadcast filter BEFORE the shuffle join, so only
+    bloom-surviving fact rows shuffle. Bloom false positives are removed
+    by the exact join, so the join result is IDENTICAL to the unpruned
+    plan — and because the hash is the portable md5 idiom, the pruning
+    accounting itself (n_fact_total vs n_fact_after_bloom) is re-derived
+    bit-for-bit by the DuckDB oracle, not just the final aggregate.
+
+    This is the optimization Spark's runtime row-level filtering
+    (spark.sql.optimizer.runtime.bloomFilter) performs inside the
+    optimizer, demonstrated from first principles where it is visible
+    and verifiable.
+
+    Scale notes (100 TB): the regime where this wins is a filtered dim
+    too LARGE to broadcast-hash-join (say 100M surviving keys) but whose
+    Bloom filter is small (10 bits/key = ~125 MB bitmap — one broadcast);
+    fact shuffle volume drops from |fact| to selectivity x |fact| x
+    (1 + fp_rate). The filter build is one map-side-combined distinct on
+    positions (cardinality <= 2 x keys); the probe is map-only. The
+    position-set array here is the sandbox stand-in for the packed
+    bitmap (the q_bloom_dedup note); verdict semantics are identical."""
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(BJ_LO))
+            & (F.col("o_orderdate") < F.lit(BJ_HI))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    # plan-time sizing scalar (the reference's S:163 bounds pattern)
+    m = max(64, BJ_BITS_PER_KEY * orders_f.count())
+    bloom = (
+        orders_f.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bj_pos_spark(F.col("o_orderkey"), s, m)
+                        for s in BJ_SEEDS
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .agg(F.sort_array(F.collect_set("p")).alias("bits"))
+    )
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    p1, p2 = (
+        _bj_pos_spark(F.col("l_orderkey"), s, m) for s in BJ_SEEDS
+    )
+    probed = fact.crossJoin(F.broadcast(bloom)).withColumn(
+        "bloom_hit",
+        F.array_contains(F.col("bits"), p1)
+        & F.array_contains(F.col("bits"), p2),
+    )
+    # probed feeds the audit aggregate and the pruned join — checkpoint so
+    # the scan + probe runs once
+    probed = probed.localCheckpoint(eager=True)
+    audit = probed.agg(
+        F.count("*").alias("n_fact_total"),
+        F.sum(F.col("bloom_hit").cast("bigint")).alias("n_fact_after_bloom"),
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    revenue = (price * (F.lit(1) - disc)).cast("decimal(18,6)")
+    joined = (
+        probed.filter(F.col("bloom_hit"))
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(revenue)
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    return joined.crossJoin(F.broadcast(audit)).select(
+        "o_orderpriority",
+        "n_lineitems",
+        "revenue",
+        "n_fact_total",
+        "n_fact_after_bloom",
+    )
+
+
 @declare(
     "q_semi_anti",
     oracle="""

@@ -63,6 +63,7 @@ def _load_all_modules() -> None:
         filter_pipeline,
         filters,
         ivf,
+        ivm,
         joins,
         json_ops,
         kmeans,

@@ -1,0 +1,57 @@
+"""Behavioral pins for the round-8 additions: q_bloom_join (the pruning
+must actually prune), q_substring_dedup (spans must be maximal and
+correctly sized), q_mv_delta (both maintenance paths must be exercised —
+fast signed-delta AND affected-group recompute)."""
+
+from __future__ import annotations
+
+from mysql_to_clickhouse_sync_spark.registry import queries
+from tests.conftest import SF_DIR
+
+
+def test_bloom_join_prunes_most_of_the_fact_side(spark):
+    rows = queries()["q_bloom_join"](spark, SF_DIR).collect()
+    assert rows, "bloom join returned no groups"
+    total = rows[0]["n_fact_total"]
+    after = rows[0]["n_fact_after_bloom"]
+    # dim selectivity is ~2.3%; with a 10-bits/key k=2 bloom the fact
+    # survivor fraction must stay well below 20% — otherwise the runtime
+    # filter isn't filtering and the shuffle-volume claim is false.
+    assert after < 0.2 * total, (after, total)
+    # and the pruned fraction fed the join: every group's lineitems are
+    # a subset of the bloom survivors
+    assert sum(r["n_lineitems"] for r in rows) <= after
+
+
+def test_substring_spans_are_maximal_and_sized(spark):
+    rows = queries()["q_substring_dedup"](spark, SF_DIR).collect()
+    assert rows, "no duplicated spans found at sf0.001"
+    from mysql_to_clickhouse_sync_spark.operators.dedup import SPAN_TOKENS
+
+    by_doc: dict = {}
+    for r in rows:
+        # span width = shingle run length + (W - 1), by construction
+        assert r["span_tokens"] == r["n_shingles"] + SPAN_TOKENS - 1
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # maximality: two spans of one doc never touch (a gap of >= 1
+    # non-duplicated position separates them, else they'd be one island)
+    for spans in by_doc.values():
+        spans.sort(key=lambda r: r["span_start"])
+        for a, b in zip(spans, spans[1:]):
+            assert b["span_start"] > a["span_start"] + a["n_shingles"], (
+                a,
+                b,
+            )
+
+
+def test_mv_delta_exercises_both_maintenance_paths(spark):
+    rows = queries()["q_mv_delta"](spark, SF_DIR).collect()
+    flags = {r["event_type"]: r["recomputed"] for r in rows}
+    # odd-length type names get their group minimum deleted by
+    # construction -> must take the recompute path; 'view' (4) and
+    # 'signup' (6) should normally keep the fast path (a modular delete
+    # could coincidentally hit their min, so assert only the guaranteed
+    # direction plus that the fast path exists somewhere)
+    assert flags["click"] is True
+    assert flags["error"] is True
+    assert any(not v for v in flags.values()), flags
