@@ -411,6 +411,159 @@ def q_lake_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+# -- bloom-filter (membership) data skipping --------------------------------
+
+
+def _fb_pos_sql(key: str, seed: str) -> str:
+    """SQL twin of sinks.merge._bloom_pos (same idiom as q_bloom_join)."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || ':{seed}'),"
+        f" 1, 12) AS BIGINT)"
+    )
+
+
+_BLOOM_SKIP_ORACLE = f"""
+    {EVENTS_US_CTE}
+    , st AS MATERIALIZED (
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events_us WHERE ts IS NOT NULL
+    ), w AS (
+        SELECT greatest({SKIP_MIN_WIDTH},
+                        (1 + max(event_id)) // {SKIP_TARGET_FILES}) AS width
+        FROM st
+    ), probes AS (
+        SELECT 'present' AS probe_kind,
+               (SELECT user_id FROM st
+                GROUP BY user_id
+                ORDER BY count(*) ASC, user_id ASC LIMIT 1) AS probe_user
+        UNION ALL
+        SELECT 'absent', (SELECT 1 + max(user_id) FROM st)
+    ), bu AS (
+        SELECT DISTINCT event_id // (SELECT width FROM w) AS band, user_id
+        FROM st
+    ), bm AS (
+        SELECT band, greatest(64, 10 * count(*)) AS m FROM bu GROUP BY band
+    ), hits AS (
+        SELECT p.probe_kind, bu.band,
+               max(CASE WHEN {_fb_pos_sql('bu.user_id', '1')} % bm.m
+                           = {_fb_pos_sql('p.probe_user', '1')}
+                             % bm.m THEN 1 ELSE 0 END) AS h1,
+               max(CASE WHEN {_fb_pos_sql('bu.user_id', '2')} % bm.m
+                           = {_fb_pos_sql('p.probe_user', '2')}
+                             % bm.m THEN 1 ELSE 0 END) AS h2
+        FROM bu JOIN bm USING (band) CROSS JOIN probes p
+        GROUP BY p.probe_kind, bu.band
+    ), acc AS (
+        SELECT probe_kind,
+               CAST(count(*) AS BIGINT) AS files_total,
+               CAST(sum(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS files_read
+        FROM hits GROUP BY probe_kind
+    )
+    SELECT p.probe_kind,
+           CAST(p.probe_user AS BIGINT) AS probe_user,
+           CAST((SELECT count(*) FROM st
+                 WHERE st.user_id = p.probe_user) AS BIGINT) AS n_rows,
+           acc.files_total, acc.files_read
+    FROM probes p JOIN acc USING (probe_kind)
+"""
+
+
+@declare("q_lake_bloom_skipping", oracle=_BLOOM_SKIP_ORACLE, tier="P2")
+def q_lake_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER (membership) data skipping — the axis range stats
+    cannot cover: the table is clustered on arrival order (event_id
+    bands, the natural CDC landing layout), and the query is a point
+    lookup on user_id, a column every file's [min,max] nearly spans —
+    range pruning reads everything. Each commit therefore records a
+    per-file Bloom filter of the file's distinct user_ids (k=2 portable
+    md5 positions, 10 bits/value) in the manifest; read_bloom_pruned
+    drops every file whose filter cannot contain the probed user BEFORE
+    Spark sees a path. Two probes, both deterministic: a PRESENT user
+    (fewest events, min user_id tiebreak — an active-everywhere user
+    honestly reads every file, and the no-false-negative law says their
+    row count survives pruning intact) and an ABSENT user (max+1 — the
+    classic Bloom win: a lookup for a key the table does not hold reads
+    ~zero files instead of all of them, which is what point-lookup and
+    join-probe traffic against a CDC landing table mostly is). The
+    per-probe n_rows and files_total/files_read accounting are all
+    re-derived by the oracle — including Bloom false positives, which
+    are portable because every bit is the same md5 arithmetic on both
+    engines (a file is read iff for EACH seed, SOME resident user
+    collides with the probe's position — exactly Bloom semantics,
+    stated relationally).
+
+    Scale notes (100 TB): the prune decision is manifest JSON — zero
+    data I/O; a user with k events is read from O(k + fp x files)
+    files instead of all of them, which is the difference between a
+    point lookup and a table scan on a non-clustered column (Delta's
+    bloom filter index, Iceberg's ndv/bloom metrics). Filter build cost
+    is one columnar pass over exactly the files the commit wrote,
+    thread-pooled; production folds it into the writer. String columns
+    — which have NO pruning-safe footer stats at all — get the same
+    treatment for free."""
+    import shutil
+    import tempfile
+
+    from mysql_to_clickhouse_sync_spark.streaming.cdc import UPSERT as _UP
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    # plan-time scalars (the reference's S:163 bounds pattern): the band
+    # width and the two probed users
+    max_eid, max_user = ev.agg(F.max("event_id"), F.max("user_id")).collect()[
+        0
+    ]
+    width = max(SKIP_MIN_WIDTH, (1 + max_eid) // SKIP_TARGET_FILES)
+    present = (
+        ev.groupBy("user_id")
+        .count()
+        .orderBy(F.col("count").asc(), F.col("user_id").asc())
+        .limit(1)
+        .collect()[0][0]
+    )
+    log = ev.withColumn(
+        "band", F.expr(f"event_id div {width}")
+    ).withColumn(OP_COL, F.lit(_UP))
+    workdir = tempfile.mkdtemp(prefix="lake_bloom_")
+    try:
+        table = LakeTable(
+            spark,
+            f"{workdir}/state",
+            keys=["event_id"],
+            version_cols=["ts"],
+            retention=0,
+            partition_files_by="band",
+            bloom_cols=["user_id"],
+        )
+        table.merge(log, batch_id=0)
+
+        def one(kind: str, pu: int) -> DataFrame:
+            pruned, total, nread = table.read_bloom_pruned("user_id", pu)
+            assert nread <= total
+            return (
+                pruned.filter(F.col("user_id") == pu)
+                .agg(F.count("*").alias("n_rows"))
+                .select(
+                    F.lit(kind).alias("probe_kind"),
+                    F.lit(int(pu)).cast("long").alias("probe_user"),
+                    F.col("n_rows"),
+                    F.lit(total).cast("long").alias("files_total"),
+                    F.lit(nread).cast("long").alias("files_read"),
+                )
+            )
+
+        out = one("present", present).unionByName(
+            one("absent", int(max_user) + 1)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 # -- schema evolution ------------------------------------------------------
 
 _EVOLVE_ORACLE = f"""

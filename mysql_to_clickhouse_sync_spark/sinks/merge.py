@@ -57,6 +57,23 @@ _MANIFEST = "_MANIFEST.json"
 _CHECKPOINT = "_CHECKPOINT.json"
 _UNSET = object()  # "caller did not declare the parent it computed against"
 
+# Per-file Bloom filter sizing (bloom_cols): k=2 seeded positions per
+# distinct value, m = 10 bits/value (~2.4% false-positive rate — a false
+# positive here only costs one extra file read).
+FILE_BLOOM_BITS_PER_KEY = 10
+FILE_BLOOM_SEEDS = (1, 2)
+
+
+def _bloom_pos(value, seed: int, m: int) -> int:
+    """Portable Bloom position: md5("value:seed") first 12 hex digits as
+    an integer, mod m — the engine's cross-engine hash idiom (identical
+    to Spark conv(substr(md5(..)),16,10) and DuckDB '0x'||substr(md5(..))
+    casts), so a SQL oracle can re-derive every stored bit."""
+    import hashlib
+
+    h = hashlib.md5(f"{value}:{seed}".encode()).hexdigest()[:12]
+    return int(h, 16) % m
+
 
 class CommitConflictError(RuntimeError):
     """Another writer committed between this writer reading the table and
@@ -144,6 +161,7 @@ class LakeTable:
         retention: int = 3,
         n_buckets: int | None = None,
         partition_files_by: str | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -168,6 +186,14 @@ class LakeTable:
         # Iceberg manifest-pruning shape). Merge cost becomes
         # O(touched-bucket bytes), not O(table bytes).
         self.n_buckets = n_buckets
+        # bloom_cols adds per-file Bloom filters (k=2 seeded md5
+        # positions, 10 bits/distinct-value) to unbucketed commits —
+        # MEMBERSHIP pruning for point lookups on columns the file
+        # layout is NOT clustered on, where [min,max] ranges prune
+        # nothing (and where string columns have no footer stats at
+        # all). read_bloom_pruned consumes them. Delta calls the same
+        # idea dataSkippingStatsColumns + bloom filter indexes.
+        self.bloom_cols = list(bloom_cols) if bloom_cols else None
         os.makedirs(path, exist_ok=True)
 
     # -- commit log -----------------------------------------------------
@@ -411,7 +437,104 @@ class LakeTable:
             )
         return finish(df), len(fs), len(keep)
 
+    def read_bloom_pruned(
+        self, col: str, value, version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """MEMBERSHIP data skipping: drop every data file whose manifest
+        Bloom filter for `col` cannot contain `value`, then hand Spark
+        only the survivors. Returns (live_rows_df, files_total,
+        files_read). The complement of read_pruned's range skipping —
+        ranges prune a clustered column; Blooms prune POINT lookups on
+        any other column (including strings, which have no pruning-safe
+        footer stats). No false negatives by construction: a file
+        holding `value` always sets both probe bits, so pruning never
+        loses rows; false positives only cost an extra file read.
+        Callers still apply the exact residual predicate."""
+        v = self._resolve(version)
+        m = self.manifest(v)
+        if m.get("buckets") is not None:
+            raise ValueError(
+                "read_bloom_pruned applies to unbucketed tables (bucketed"
+                " state prunes by key-hash bucket)"
+            )
+        gen = self.data_paths(v)[0]
+        dv = self._dv_frame(v)
+
+        def finish(df: DataFrame) -> DataFrame:
+            if dv is not None:
+                df = apply_changelog(df, dv, self.keys, self.version_cols)
+            return live_rows(df)
+
+        fb = m.get("file_blooms")
+        if fb is None:
+            n = len(_parquet_files(gen))
+            return finish(self.spark.read.parquet(gen)), n, n
+        keep = []
+        for rel in sorted(fb):
+            ent = fb[rel].get(col)
+            if ent is None:
+                keep.append(rel)  # no filter for col: conservatively read
+                continue
+            bits_m, bits = ent
+            bset = set(bits)
+            if all(
+                _bloom_pos(value, s, bits_m) in bset
+                for s in FILE_BLOOM_SEEDS
+            ):
+                keep.append(rel)
+        if not keep:
+            df = self.spark.read.parquet(gen).filter(F.lit(False))
+        else:
+            df = self.spark.read.option("basePath", gen).parquet(
+                *[os.path.join(gen, r) for r in keep]
+            )
+        return finish(df), len(fb), len(keep)
+
     # -- writes (write-audit-publish) -----------------------------------
+
+    def _file_blooms(self, files: list[str], base: str) -> dict:
+        """Per-file, per-column Bloom filters over the DISTINCT values
+        of each bloom_col: m = max(64, 10 x distinct) bits, k=2 seeded
+        positions per value (the engine's portable md5 idiom, so an SQL
+        oracle can re-derive every bit). Unlike _footer_stats this is a
+        data read, not metadata — but a COLUMNAR one (only bloom_cols
+        are fetched), thread-pooled across files, and paid once per
+        commit on exactly the files that commit wrote. A production
+        writer folds the hashing into the write itself (one pass) and
+        packs bits into roaring bitmaps; the sorted position list keeps
+        the filter JSON-manifest-friendly and oracle-checkable."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        cols = self.bloom_cols or []
+
+        def one(f: str) -> tuple[str, dict]:
+            rel = os.path.relpath(f, base)
+            schema_names = pq.read_schema(f).names
+            present = [c for c in cols if c in schema_names]
+            out: dict = {}
+            if present:
+                t = pq.read_table(f, columns=present)
+                for c in present:
+                    vals = {
+                        v for v in t.column(c).to_pylist() if v is not None
+                    }
+                    bm = max(64, FILE_BLOOM_BITS_PER_KEY * len(vals))
+                    out[c] = [
+                        bm,
+                        sorted(
+                            {
+                                _bloom_pos(v, s, bm)
+                                for v in vals
+                                for s in FILE_BLOOM_SEEDS
+                            }
+                        ),
+                    ]
+            return rel, out
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            return dict(pool.map(one, files))
 
     @staticmethod
     def _footer_stats(files: list[str], base: str) -> dict:
@@ -549,6 +672,8 @@ class LakeTable:
             else:
                 stat_files = files
                 meta["file_stats"] = self._footer_stats(files, stage)
+                if self.bloom_cols:
+                    meta["file_blooms"] = self._file_blooms(files, stage)
             # bytes this commit physically WROTE (vs `bytes`, which is
             # snapshot-scoped) — the deletion-vector accounting: a
             # delete's commit_bytes is O(deleted keys), not O(table)

@@ -44,6 +44,21 @@ def test_substring_spans_are_maximal_and_sized(spark):
             )
 
 
+def test_lake_bloom_skipping_prunes_absent_probe_reads(spark):
+    rows = {
+        r["probe_kind"]: r
+        for r in queries()["q_lake_bloom_skipping"](spark, SF_DIR).collect()
+    }
+    a, p = rows["absent"], rows["present"]
+    # absent-key lookup is the Bloom win: ~zero files read (allow FP
+    # headroom: expected 3.3%/file); without blooms this reads ALL files
+    assert a["n_rows"] == 0
+    assert a["files_read"] <= max(2, a["files_total"] // 4), a
+    # no false negatives: the present user's rows all survive pruning
+    assert p["n_rows"] > 0
+    assert p["files_read"] <= p["files_total"]
+
+
 def test_mv_delta_exercises_both_maintenance_paths(spark):
     rows = queries()["q_mv_delta"](spark, SF_DIR).collect()
     flags = {r["event_type"]: r["recomputed"] for r in rows}
