@@ -201,3 +201,249 @@ def s_agg_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if query is not None:
             query.stop()
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# -- retraction-capable streaming materialized view -------------------------
+#
+# s_agg_state_stream above maintains an ADDITIVE view: every aggregate is
+# mergeable, so deletes cannot be expressed. s_mv_stream is the streaming
+# half of q_mv_delta (operators/ivm.py): the changelog carries DELETES
+# (with the old row image, as a binlog DELETE does), count/sum refresh by
+# signed deltas, and min recomputes only for groups whose deleted rows
+# touch the current view minimum — reading the CDC landing LakeTable the
+# same foreachBatch maintains, never reprocessing raw history.
+
+MV_T1 = "2024-01-11 00:00:00"
+MV_T2 = "2024-01-21 00:00:00"
+MV_DEL_MOD = 14
+
+# The converged view law: odd event_ids are upserted (batch 2) and never
+# deleted; even ids enter only while ts < T2 (batches 0-1) and those
+# = 0 (mod 14) are deleted by the following batch.
+MV_STREAM_ORACLE = f"""
+    WITH st AS (
+        SELECT event_id, ts, event_type, value FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), surv AS (
+        SELECT * FROM st
+        WHERE (event_id % 2 = 1)
+           OR (event_id % 2 = 0 AND ts < TIMESTAMP '{MV_T2}'
+               AND event_id % {MV_DEL_MOD} <> 0)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum({{cents}}) AS BIGINT) AS sum_cents,
+           min(value) AS min_value
+    FROM surv GROUP BY event_type
+""".format(cents="CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)")
+
+
+class MvDeltaSink:
+    """foreachBatch sink maintaining (state table, aggregate view) as two
+    LakeTables with independent exactly-once batch watermarks. A crash
+    between the two commits is safe: on redelivery the state merge skips
+    (already applied) while the view merge applies — and the view delta
+    reads (a) the BATCH for signed count/sum deltas, (b) the committed
+    VIEW for the pre-batch minima (still pre-batch, since its commit
+    never happened), and (c) the post-batch STATE for affected-group min
+    recompute (correct whenever it runs). Every input is well-defined on
+    the retry path, so the view converges identically."""
+
+    def __init__(self, spark: SparkSession, workdir: str) -> None:
+        from mysql_to_clickhouse_sync_spark.sinks.merge import LakeTable
+
+        # the state's version is the LOG POSITION (vb, the batch index
+        # stamped into the changelog) — a binlog DELETE carries the same
+        # row timestamp as the row it kills, so event time cannot order
+        # an upsert against its own delete; log position always can.
+        self.state = LakeTable(
+            spark,
+            f"{workdir}/state",
+            keys=["event_id"],
+            version_cols=["vb"],
+            retention=1,
+        )
+        self.view = LakeTable(
+            spark,
+            f"{workdir}/view",
+            keys=["event_type"],
+            version_cols=["vb"],
+            retention=1,
+        )
+
+    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        from mysql_to_clickhouse_sync_spark.streaming.cdc import (
+            DELETE,
+            OP_COL,
+            UPSERT,
+        )
+
+        batch_df = batch_df.localCheckpoint(eager=True)
+        # 1. land the raw CDC batch (idempotent via the batch watermark)
+        self.state.merge(batch_df, batch_id=batch_id)
+        lb = self.view.last_batch()
+        if lb is not None and batch_id <= lb:
+            return  # re-delivered batch: view already folded it
+
+        def agg(df: DataFrame, pre: str) -> DataFrame:
+            return df.groupBy("event_type").agg(
+                F.count("*").alias(f"{pre}_n"),
+                F.sum(_cents()).alias(f"{pre}_s"),
+                F.min("value").alias(f"{pre}_min"),
+            )
+
+        i = agg(batch_df.filter(F.col(OP_COL) == UPSERT), "i")
+        d = agg(batch_df.filter(F.col(OP_COL) == DELETE), "d")
+        prev = (
+            self.view.read().select(
+                "event_type", "n_rows", "sum_cents", "min_value"
+            )
+            if self.view.current_version() is not None
+            else None
+        )
+        if prev is None:
+            prev = i.sparkSession.createDataFrame(
+                [], "event_type string, n_rows long, sum_cents long,"
+                " min_value double"
+            )
+        z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+        merged = (
+            prev.join(d, "event_type", "full")
+            .join(i, "event_type", "full")
+            .select(
+                "event_type",
+                (z("n_rows") - z("d_n") + z("i_n")).alias("n_rows"),
+                (z("sum_cents") - z("d_s") + z("i_s")).alias("sum_cents"),
+                F.col("min_value").alias("p_min"),
+                "i_min",
+                (
+                    F.col("d_min").isNotNull()
+                    & (F.col("d_min") <= F.col("min_value"))
+                ).alias("recomputed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # affected-group min recompute against the POST-batch state table
+        affected = merged.filter("recomputed").select("event_type")
+        surv_min = (
+            self.state.read()
+            .join(F.broadcast(affected), "event_type", "left_semi")
+            .groupBy("event_type")
+            .agg(F.min("value").alias("s_min"))
+        )
+        upserts = (
+            merged.join(surv_min, "event_type", "left")
+            .filter(F.col("n_rows") > 0)
+            .select(
+                "event_type",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("sum_cents").cast("long").alias("sum_cents"),
+                F.when(F.col("recomputed"), F.col("s_min"))
+                .otherwise(F.least("p_min", "i_min"))
+                .alias("min_value"),
+                F.lit(batch_id).cast("long").alias("vb"),
+                F.lit(UPSERT).alias(OP_COL),
+            )
+        )
+        drops = (
+            merged.filter(F.col("n_rows") <= 0)
+            .select(
+                "event_type",
+                F.lit(None).cast("long").alias("n_rows"),
+                F.lit(None).cast("long").alias("sum_cents"),
+                F.lit(None).cast("double").alias("min_value"),
+                F.lit(batch_id).cast("long").alias("vb"),
+                F.lit(DELETE).alias(OP_COL),
+            )
+        )
+        # 2. commit the view delta (its own watermark arms the retry path)
+        self.view.merge(upserts.unionByName(drops), batch_id=batch_id)
+
+    def readout(self) -> DataFrame:
+        return self.view.read().select(
+            "event_type", "n_rows", "sum_cents", "min_value"
+        )
+
+
+def mv_stream_batches(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The deterministic 3-batch delete-bearing changelog: even ids land
+    in event-time order (batches 0-1), odd ids in batch 2; each batch
+    deletes the previous batch's ids = 0 (mod {MV_DEL_MOD}), carrying
+    the full old row image the way a binlog DELETE does."""
+    from mysql_to_clickhouse_sync_spark.streaming.cdc import (
+        DELETE,
+        OP_COL,
+        UPSERT,
+    )
+
+    st = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_id", "ts", "event_type", "value")
+    )
+    even = st.filter(F.pmod("event_id", F.lit(2)) == 0)
+    up0 = even.filter(F.col("ts") < F.lit(MV_T1))
+    up1 = even.filter(
+        (F.col("ts") >= F.lit(MV_T1)) & (F.col("ts") < F.lit(MV_T2))
+    )
+    up2 = st.filter(F.pmod("event_id", F.lit(2)) == 1)
+    mod0 = F.pmod("event_id", F.lit(MV_DEL_MOD)) == 0
+    d1 = up0.filter(mod0)
+    d2 = up1.filter(mod0)
+    u, dl = F.lit(UPSERT).alias(OP_COL), F.lit(DELETE).alias(OP_COL)
+
+    def vb(i: int):
+        return F.lit(i).cast("long").alias("vb")
+
+    return [
+        up0.select("*", vb(0), u),
+        up1.select("*", vb(1), u).unionByName(d1.select("*", vb(1), dl)),
+        up2.select("*", vb(2), u).unionByName(d2.select("*", vb(2), dl)),
+    ]
+
+
+@declare("s_mv_stream", oracle=MV_STREAM_ORACLE, tier="P3")
+@tuned
+def s_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental view maintenance UNDER DELETES — q_mv_delta
+    taken online: a delete-bearing CDC changelog arrives in micro-batches;
+    foreachBatch lands each batch in the LakeTable state AND folds signed
+    deltas into a persisted aggregate view, recomputing min only for
+    groups whose deletes touch the current minimum. The readout is the
+    committed view; the oracle recomputes the view from the post-changelog
+    survivors from scratch — convergence of the incremental path is the
+    hash check, independent of how rows were sliced into batches.
+
+    Scale notes (100 TB/day): per batch the view work is O(batch) +
+    O(affected-group state); the state merge is the LakeTable's
+    incremental commit. Neither step ever reprocesses history — the
+    defining property that makes a continuously-maintained view cheaper
+    than periodic full refresh, now with the reference's delete semantics
+    (binlog DELETE, S:97-116) instead of append-only."""
+    batches = mv_stream_batches(spark, sf_dir)
+    schema = batches[0].schema
+
+    workdir = tempfile.mkdtemp(prefix="mv_stream_")
+    in_dir = f"{workdir}/in"
+    ckpt = f"{workdir}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+    sink = MvDeltaSink(spark, workdir)
+
+    query = None
+    try:
+        query = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(sink.apply)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(in_dir)
+            query.processAllAvailable()
+        return sink.readout().localCheckpoint(eager=True)
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -218,3 +218,36 @@ def test_complete_unpublished_generation_is_not_believed(spark, tmp_path):
     # and a further redelivery after the real commit is a no-op
     sink_r.apply(half2, 1)
     assert _readout_rows(sink_r) == _readout_rows(clean)
+
+
+def test_mv_delta_sink_redelivery_and_partial_crash(spark, tmp_path):
+    """MvDeltaSink commits state and view as two independent exactly-once
+    LakeTables. Re-delivered batches must be no-ops, and a crash BETWEEN
+    the state commit and the view commit must heal on redelivery (state
+    skips, view folds) — the torn-commit path the class docstring argues
+    is safe."""
+    from mysql_to_clickhouse_sync_spark.streaming.matview import (
+        MvDeltaSink,
+        mv_stream_batches,
+    )
+
+    batches = [b.localCheckpoint(eager=True) for b in mv_stream_batches(spark, SF_DIR)]
+    ref = MvDeltaSink(spark, str(tmp_path / "ref"))
+    for i, b in enumerate(batches):
+        ref.apply(b, i)
+    expect = sorted(tuple(r) for r in ref.readout().collect())
+
+    # retry storm: every batch delivered twice
+    s2 = MvDeltaSink(spark, str(tmp_path / "retry"))
+    for i, b in enumerate(batches):
+        s2.apply(b, i)
+        s2.apply(b, i)
+    assert sorted(tuple(r) for r in s2.readout().collect()) == expect
+
+    # torn commit: state lands, view commit dies; redelivery heals
+    s3 = MvDeltaSink(spark, str(tmp_path / "torn"))
+    s3.apply(batches[0], 0)
+    s3.state.merge(batches[1], batch_id=1)  # the crash: view never saw b1
+    s3.apply(batches[1], 1)  # redelivery: state skips, view folds
+    s3.apply(batches[2], 2)
+    assert sorted(tuple(r) for r in s3.readout().collect()) == expect
