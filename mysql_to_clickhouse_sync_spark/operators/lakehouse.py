@@ -443,16 +443,24 @@ _BLOOM_SKIP_ORACLE = f"""
         FROM st
     ), bm AS (
         SELECT band, greatest(64, 10 * count(*)) AS m FROM bu GROUP BY band
+    ), ub AS (
+        -- every bit any resident value sets: the UNION across seeds (a
+        -- Bloom bitmap has one bit space; a probe position may be
+        -- satisfied by a resident's other-seed bit — cross-seed
+        -- collisions are part of Bloom semantics and DO occur at scale)
+        SELECT band, {_fb_pos_sql('bu.user_id', '1')} % bm.m AS p
+        FROM bu JOIN bm USING (band)
+        UNION
+        SELECT band, {_fb_pos_sql('bu.user_id', '2')} % bm.m AS p
+        FROM bu JOIN bm USING (band)
     ), hits AS (
-        SELECT p.probe_kind, bu.band,
-               max(CASE WHEN {_fb_pos_sql('bu.user_id', '1')} % bm.m
-                           = {_fb_pos_sql('p.probe_user', '1')}
-                             % bm.m THEN 1 ELSE 0 END) AS h1,
-               max(CASE WHEN {_fb_pos_sql('bu.user_id', '2')} % bm.m
-                           = {_fb_pos_sql('p.probe_user', '2')}
-                             % bm.m THEN 1 ELSE 0 END) AS h2
-        FROM bu JOIN bm USING (band) CROSS JOIN probes p
-        GROUP BY p.probe_kind, bu.band
+        SELECT pr.probe_kind, ub.band,
+               max(CASE WHEN ub.p = {_fb_pos_sql('pr.probe_user', '1')}
+                                    % bm.m THEN 1 ELSE 0 END) AS h1,
+               max(CASE WHEN ub.p = {_fb_pos_sql('pr.probe_user', '2')}
+                                    % bm.m THEN 1 ELSE 0 END) AS h2
+        FROM ub JOIN bm USING (band) CROSS JOIN probes pr
+        GROUP BY pr.probe_kind, ub.band
     ), acc AS (
         SELECT probe_kind,
                CAST(count(*) AS BIGINT) AS files_total,
