@@ -1337,8 +1337,8 @@ SPAN_TOKENS = 8  # stride-1 shingle width: the minimal span that counts
         SELECT doc_id,
                unnest(range(0, len(toks) - {SPAN_TOKENS} + 1)) AS pos,
                unnest(list_transform(range(0, len(toks) - {SPAN_TOKENS} + 1),
-                   i -> md5(array_to_string(
-                       toks[i + 1 : i + {SPAN_TOKENS}], ' ')))) AS h
+                   i -> array_to_string(
+                       toks[i + 1 : i + {SPAN_TOKENS}], ' '))) AS h
         FROM toks WHERE len(toks) >= {SPAN_TOKENS}
     ), dup AS (
         SELECT h FROM sh GROUP BY h HAVING count(*) > 1
@@ -1385,10 +1385,18 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("toks") >= SPAN_TOKENS)
 
     def shingle(i: Column) -> Column:
-        return F.md5(
-            F.array_join(F.slice("toks", i + 1, SPAN_TOKENS), " ")
-        )
+        # the RAW shingle text is the group key — grouping by a hash of
+        # it would only save ~2 bytes/row of shuffle while paying two
+        # full md5 passes over O(total tokens) rows (and introducing a
+        # cross-engine collision surface the oracle can't see)
+        return F.array_join(F.slice("toks", i + 1, SPAN_TOKENS), " ")
 
+    # sh feeds BOTH the duplicate-marking groupBy and the mark-back join —
+    # left lazy, Spark recomputes the scan+shingle+md5 subtree (the whole
+    # cost) for each consumer; materialize it once (the q_source_overlap
+    # lesson). A window-count formulation would also single-scan but
+    # buffers each hash partition in one task — hot boilerplate shingles
+    # make that the worse trade.
     sh = toks.select(
         "doc_id",
         F.posexplode(
@@ -1396,7 +1404,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0), F.size("toks") - SPAN_TOKENS), shingle
             )
         ).alias("pos", "h"),
-    )
+    ).localCheckpoint(eager=True)
     dup = sh.groupBy("h").count().filter(F.col("count") > 1).select("h")
     w = Window.partitionBy("doc_id").orderBy("pos")
     marked = sh.join(dup, "h").withColumn(
