@@ -57,27 +57,32 @@ def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- runtime bloom-filter join pruning ------------------------------------
 
-# Bloom sizing: k=2 seeded positions per key, m = 10 bits/key (~2.4%
-# expected false-positive rate at this load factor with k=2).
+# Bloom sizing: k=2 positions per key, m = 10 bits/key (~2.4% expected
+# false-positive rate at this load factor with k=2). Both positions come
+# from ONE md5 digest (two disjoint 12-hex slices — double hashing): the
+# md5 is the dominant per-fact-row cost, so one digest instead of two
+# seeded ones halves the probe work (measured at 100x).
 BJ_BITS_PER_KEY = 10
-BJ_SEEDS = (1, 2)
+BJ_SLICES = (1, 13)  # 1-based start of each 12-hex slice in the digest
 # Selective dim predicate: a 2-month order window (~2.3% of orders).
 BJ_LO = "1998-01-01 00:00:00"
 BJ_HI = "1998-03-01 00:00:00"
 
 
-def _bj_pos_spark(key: Column, seed: int, m: int) -> Column:
-    """Portable bloom position: md5("key:seed") first 12 hex digits as an
-    integer, mod m — identical in Spark (conv) and DuckDB ('0x' cast),
+def _bj_pos_spark(key: Column, start: int, m: int) -> Column:
+    """Portable bloom position: md5(key) hex digits [start, start+12) as
+    an integer, mod m — identical in Spark (conv) and DuckDB ('0x' cast),
     the q_countmin_heavy hash idiom."""
-    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(seed))))
-    return F.pmod(F.conv(F.substring(h, 1, 12), 16, 10).cast("long"), F.lit(m))
+    h = F.md5(key.cast("string"))
+    return F.pmod(
+        F.conv(F.substring(h, start, 12), 16, 10).cast("long"), F.lit(m)
+    )
 
 
-def _bj_pos_sql(key: str, seed: str) -> str:
+def _bj_pos_sql(key: str, start) -> str:
     return (
-        f"CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || ':' || {seed}),"
-        f" 1, 12) AS BIGINT) % (SELECT m FROM sz)"
+        f"CAST('0x' || substr(md5(CAST({key} AS VARCHAR)),"
+        f" {start}, 12) AS BIGINT) % (SELECT m FROM sz)"
     )
 
 
@@ -92,11 +97,14 @@ def _bj_pos_sql(key: str, seed: str) -> str:
         SELECT greatest(64, {BJ_BITS_PER_KEY} * count(*)) AS m FROM okeys
     ), bits AS (
         SELECT DISTINCT {_bj_pos_sql('o_orderkey', 's')} AS p
-        FROM okeys, (SELECT unnest(['1', '2']) AS s) seeds
+        FROM okeys, (SELECT unnest([{BJ_SLICES[0]}, {BJ_SLICES[1]}]) AS s)
+            slices
     ), probed AS (
         SELECT l_orderkey, l_extendedprice, l_discount,
-               {_bj_pos_sql('l_orderkey', "'1'")} IN (SELECT p FROM bits)
-               AND {_bj_pos_sql('l_orderkey', "'2'")} IN (SELECT p FROM bits)
+               {_bj_pos_sql('l_orderkey', BJ_SLICES[0])}
+                   IN (SELECT p FROM bits)
+               AND {_bj_pos_sql('l_orderkey', BJ_SLICES[1])}
+                   IN (SELECT p FROM bits)
                    AS bloom_hit
         FROM lineitem
     ), acc AS (
@@ -172,7 +180,7 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(
                     *[
                         _bj_pos_spark(F.col("o_orderkey"), s, m)
-                        for s in BJ_SEEDS
+                        for s in BJ_SLICES
                     ]
                 )
             ).alias("p")
@@ -201,8 +209,13 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     p1, p2 = (
-        _bj_pos_spark(F.col("l_orderkey"), s, m) for s in BJ_SEEDS
+        _bj_pos_spark(F.col("l_orderkey"), s, m) for s in BJ_SLICES
     )
+    # probed feeds the audit aggregate and the pruned join. It is NOT
+    # materialized: recomputing it costs one extra parquet scan + one md5
+    # pass (cheap, parallel), while checkpointing it writes O(|fact|)
+    # rows — measured at 100x the checkpoint saves nothing and adds
+    # storage churn, and at 100 TB it would be pure write amplification.
     probed = (
         fact.withColumn("_p1", p1)
         .withColumn("_p2", p2)
@@ -213,9 +226,6 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_p1", "_p2", "bits")
     )
-    # probed feeds the audit aggregate and the pruned join — checkpoint so
-    # the scan + probe runs once
-    probed = probed.localCheckpoint(eager=True)
     audit = probed.agg(
         F.count("*").alias("n_fact_total"),
         F.sum(F.col("bloom_hit").cast("bigint")).alias("n_fact_after_bloom"),
