@@ -311,3 +311,19 @@ def test_ann_capped_is_cogrouped_no_cartesian(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "FlatMapCoGroupsInPandas" in p
+
+
+def test_bloom_join_pushes_date_filter_and_probes_o1(spark):
+    p = _plan(spark, "q_bloom_join")
+    # dim predicate reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    # the fact probe is the O(1) bitmap form (element_at + mask), never
+    # an O(set) array_contains scan (the measured 100x regression)
+    assert "element_at" in p
+    assert "array_contains" not in p
+
+
+def test_mv_delta_restricts_min_recompute_with_semi_join(spark):
+    # the affected-group min recompute must reach the base table through
+    # a semi join — the O(affected groups) claim, not a full re-agg
+    assert "LeftSemi" in _plan(spark, "q_mv_delta")
