@@ -166,3 +166,41 @@ def test_foreach_batch_token_is_run_scoped(monkeypatch):
     )
     w3(_FakeBatch(), 0)
     assert tokens[3] is None
+
+
+def test_bloom_pruned_read_on_string_column(spark, tmp_path):
+    """read_bloom_pruned on a STRING column — the case range skipping
+    cannot serve at all (string footer stats aren't pruning-safe): no
+    false negatives for a present value, near-total pruning for an
+    absent one, and rows identical to the unpruned read."""
+    from mysql_to_clickhouse_sync_spark.sinks.merge import LakeTable
+
+    # 6 bands x 40 rows; each band holds ONE label so pruning can bite
+    rows = [
+        (band * 40 + i, band, f"label_{band}", "upsert")
+        for band in range(6)
+        for i in range(40)
+    ]
+    log = spark.createDataFrame(
+        rows, "k bigint, band int, label string, op string"
+    )
+    t = LakeTable(
+        spark,
+        str(tmp_path / "state"),
+        keys=["k"],
+        version_cols=["k"],
+        retention=0,
+        partition_files_by="band",
+        bloom_cols=["label"],
+    )
+    t.merge(log, batch_id=0)
+
+    pruned, total, nread = t.read_bloom_pruned("label", "label_3")
+    got = pruned.filter("label = 'label_3'").count()
+    assert got == 40  # no false negatives: every row of the value survives
+    assert total == 6
+    assert 1 <= nread <= 2  # its own file + at most FP headroom
+
+    pruned, total, nread = t.read_bloom_pruned("label", "no_such_label")
+    assert pruned.filter("label = 'no_such_label'").count() == 0
+    assert nread <= 1  # absent key reads ~zero files
