@@ -433,14 +433,18 @@ _BLOOM_SKIP_ORACLE = f"""
         FROM st
     ), probes AS (
         SELECT 'present' AS probe_kind,
-               (SELECT user_id FROM st
+               (SELECT user_id FROM st WHERE user_id IS NOT NULL
                 GROUP BY user_id
                 ORDER BY count(*) ASC, user_id ASC LIMIT 1) AS probe_user
         UNION ALL
         SELECT 'absent', (SELECT 1 + max(user_id) FROM st)
     ), bu AS (
+        -- NULLs never enter a Bloom filter (_file_blooms drops None
+        -- values), so they must not inflate m here either — a nullable
+        -- corpus would otherwise size the filter over a different value
+        -- set than the manifest and desync every bit position
         SELECT DISTINCT event_id // (SELECT width FROM w) AS band, user_id
-        FROM st
+        FROM st WHERE user_id IS NOT NULL
     ), bm AS (
         SELECT band, greatest(64, 10 * count(*)) AS m FROM bu GROUP BY band
     ), ub AS (
@@ -527,7 +531,8 @@ def q_lake_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     width = max(SKIP_MIN_WIDTH, (1 + max_eid) // SKIP_TARGET_FILES)
     present = (
-        ev.groupBy("user_id")
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
         .count()
         .orderBy(F.col("count").asc(), F.col("user_id").asc())
         .limit(1)

@@ -1011,6 +1011,11 @@ class LakeTable:
         else:
             meta["data_owner"] = m.get("data_owner") or self._gen_name(cur)
             meta["file_stats"] = m.get("file_stats")
+            # Blooms survive a dv commit: deletes only REMOVE values, so
+            # a stale filter can never produce a false negative — losing
+            # it would silently disable read_bloom_pruned until the next
+            # full merge (pruning gone, results still right).
+            meta["file_blooms"] = m.get("file_blooms")
         # one file per dv commit: the vector is O(deleted keys) rows by
         # contract — spraying it across the default partitioning writes
         # mostly-empty files (a 100 TB deployment sizes this by bytes

@@ -7,6 +7,8 @@ from __future__ import annotations
 import datetime
 import os
 
+from pyspark.sql import functions as F
+
 from mysql_to_clickhouse_sync_spark.sinks.merge import (
     merge_into_parquet,
     read_state,
@@ -204,3 +206,49 @@ def test_bloom_pruned_read_on_string_column(spark, tmp_path):
     pruned, total, nread = t.read_bloom_pruned("label", "no_such_label")
     assert pruned.filter("label = 'no_such_label'").count() == 0
     assert nread <= 1  # absent key reads ~zero files
+
+
+def test_bloom_pruning_survives_dv_delete(spark, tmp_path):
+    """A deletion-vector commit must CARRY the manifest's file_blooms
+    (stale blooms are safe — deletes only remove values, so no false
+    negative is possible): before the fix, any dv delete on a
+    bloom_cols table silently dropped the filters and read_bloom_pruned
+    read every file until the next full merge."""
+    from mysql_to_clickhouse_sync_spark.sinks.merge import LakeTable
+
+    rows = [
+        (band * 40 + i, band, f"label_{band}", 0, "upsert")
+        for band in range(6)
+        for i in range(40)
+    ]
+    log = spark.createDataFrame(
+        rows, "k bigint, band int, label string, seq bigint, op string"
+    )
+    t = LakeTable(
+        spark,
+        str(tmp_path / "state"),
+        keys=["k"],
+        version_cols=["seq"],
+        retention=0,
+        partition_files_by="band",
+        bloom_cols=["label"],
+    )
+    t.merge(log, batch_id=0)
+    # delete half of band 3 through the dv path (no data rewrite)
+    dels = (
+        log.filter("band = 3 AND k % 2 = 0")
+        .withColumn("seq", F.lit(1).cast("bigint"))
+        .withColumn("op", F.lit("delete"))
+    )
+    t.delete(dels, batch_id=1)
+    assert t.manifest(t.current_version())["operation"] == "delete-vector"
+    assert t.manifest(t.current_version()).get("file_blooms")
+
+    pruned, total, nread = t.read_bloom_pruned("label", "label_3")
+    assert total == 6
+    assert 1 <= nread <= 2  # pruning still bites after the dv commit
+    # and the dv is applied on the pruned read: half of band 3 is gone
+    assert pruned.filter("label = 'label_3'").count() == 20
+
+    pruned, total, nread = t.read_bloom_pruned("label", "no_such_label")
+    assert nread <= 1
