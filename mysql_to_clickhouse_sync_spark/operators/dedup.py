@@ -1326,10 +1326,10 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPAN_TOKENS = 8  # stride-1 shingle width: the minimal span that counts
 
-
-@declare(
-    "q_substring_dedup",
-    oracle=f"""
+# Shared by q_substring_dedup and s_substring_stream: the stream's
+# converged spans must equal the batch answer (shingle counts are
+# associative — batch boundaries cannot change which shingles reach 2).
+SUBSTR_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         FROM documents
@@ -1353,9 +1353,10 @@ SPAN_TOKENS = 8  # stride-1 shingle width: the minimal span that counts
            CAST(max(pos) - min(pos) + {SPAN_TOKENS} AS BIGINT) AS span_tokens,
            CAST(count(*) AS BIGINT) AS n_shingles
     FROM marked GROUP BY doc_id, grp
-    """,
-    tier="P1",
-)
+    """
+
+
+@declare("q_substring_dedup", oracle=SUBSTR_ORACLE, tier="P1")
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal duplicated-SPAN detection — the ExactSubstr recipe (dedup
     repeated substrings, not whole docs or fixed blocks; Lee et al.'s
@@ -1380,37 +1381,49 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT key — never a pair join, so there is no quadratic regime to
     guard (the structural advantage over the pairwise dedups above)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
-    ).filter(F.size("toks") >= SPAN_TOKENS)
-
-    def shingle(i: Column) -> Column:
-        # the RAW shingle text is the group key — grouping by a hash of
-        # it would only save ~2 bytes/row of shuffle while paying two
-        # full md5 passes over O(total tokens) rows (and introducing a
-        # cross-engine collision surface the oracle can't see)
-        return F.array_join(F.slice("toks", i + 1, SPAN_TOKENS), " ")
-
     # sh feeds BOTH the duplicate-marking groupBy and the mark-back join —
     # left lazy, Spark recomputes the scan+shingle+md5 subtree (the whole
     # cost) for each consumer; materialize it once (the q_source_overlap
     # lesson). A window-count formulation would also single-scan but
     # buffers each hash partition in one task — hot boilerplate shingles
     # make that the worse trade.
-    sh = toks.select(
+    sh = shingle_positions(docs).localCheckpoint(eager=True)
+    dup = sh.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    return spans_from_marked(sh.join(dup, "h"))
+
+
+def shingle_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): every stride-1 SPAN_TOKENS-token shingle of
+    every document, by start position. The RAW shingle text is the key —
+    grouping by a hash of it would only save ~2 bytes/row of shuffle
+    while paying two full md5 passes over O(total tokens) rows (and
+    introducing a cross-engine collision surface the oracle can't see).
+    Map-only; shared by q_substring_dedup and s_substring_stream."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= SPAN_TOKENS)
+
+    def shingle(i: Column) -> Column:
+        return F.array_join(F.slice("toks", i + 1, SPAN_TOKENS), " ")
+
+    return toks.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.size("toks") - SPAN_TOKENS), shingle
             )
         ).alias("pos", "h"),
-    ).localCheckpoint(eager=True)
-    dup = sh.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    )
+
+
+def spans_from_marked(marked: DataFrame) -> DataFrame:
+    """Gaps-and-islands: merge consecutive duplicated positions per doc
+    into maximal spans (pos - row_number is constant exactly on a run)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
-    marked = sh.join(dup, "h").withColumn(
+    runs = marked.withColumn(
         "grp", F.col("pos") - F.row_number().over(w)
     )
-    return marked.groupBy("doc_id", "grp").agg(
+    return runs.groupBy("doc_id", "grp").agg(
         F.min("pos").cast("bigint").alias("span_start"),
         (F.max("pos") - F.min("pos") + SPAN_TOKENS)
         .cast("bigint")

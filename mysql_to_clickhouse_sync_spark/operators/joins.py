@@ -86,6 +86,66 @@ def _bj_pos_sql(key: str, start) -> str:
     )
 
 
+def _bj_build_bitmap(
+    spark: SparkSession, keys: DataFrame, key_col: str, m: int
+) -> DataFrame:
+    """Build the k=2 Bloom bitmap over `keys[key_col]` as a ONE-ROW
+    DataFrame `bits array<long>` ready to crossJoin-broadcast.
+
+    Fully executor-side: the position set aggregates distributed
+    (map-side-combined distinct, then bit_or per 64-bit word over a
+    dense range-union zero-fill), and the final global aggregate lays
+    the words out as ONE array<long> value via
+    sort_array(collect_list(...)) — the treeAggregate-to-one-value
+    shape of Spark's own runtime BloomFilter aggregate. The bitmap then
+    travels driver->executors inside the JVM broadcast relation as
+    compact UnsafeRow bytes (~m/8 bytes for the 125 MB filter the
+    docstring regime implies). Nothing per-word EVER exists in Python:
+    no Row-per-word collect (multi-GB of driver Row overhead at 100M
+    keys), no 15M-element Python list pickled into a rebroadcast, not
+    even a bytes round-trip (a binary-blob rebroadcast was measured
+    superlinear: each element access of a lambda over the blob re-copies
+    the whole binary out of the UnsafeRow)."""
+    n_words = (m + 63) // 64
+    spark = keys.sparkSession
+    # Dense zero-fill BEFORE the per-word bit_or: every word index then
+    # exists exactly once, so the final layout is a sort + project —
+    # never a per-index map lookup (Spark's GetMapValue is a linear
+    # scan; a map-based layout measured O(n^2) and unusable at 10M
+    # keys). The filler is m/64 skinny rows from a range scan.
+    filler = spark.range(n_words).select(
+        F.col("id").cast("int").alias("w"),
+        F.lit(0).cast("long").alias("mask"),
+    )
+    return (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bj_pos_spark(F.col(key_col), s, m)
+                        for s in BJ_SLICES
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("mask"),
+        )
+        .unionByName(filler)
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(w, word))),"
+                " e -> e.word)"
+            ).alias("bits")
+        )
+    )
+
+
 @declare(
     "q_bloom_join",
     oracle=f"""
@@ -151,10 +211,12 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bloom filter is small (10 bits/key = ~125 MB bitmap — one broadcast);
     fact shuffle volume drops from |fact| to selectivity x |fact| x
     (1 + fp_rate). The filter build is one map-side-combined distinct on
-    positions folded to 64-bit words (at most m/64 rows reach the
-    driver, which lays them out dense and rebroadcasts — exactly how
-    Spark assembles its own runtime bloom filters); the probe is
-    map-only O(1) per row (element_at + mask, whole-stage codegen)."""
+    positions folded to 64-bit words and laid out as ONE array<long>
+    value ENTIRELY in the JVM (see _bj_build_bitmap) — the broadcast
+    ships ~m/8 bytes of UnsafeRow, and nothing per-word ever exists in
+    Python (the old Row-per-word collect was a multi-GB driver
+    bottleneck at the 100M-key regime); the probe is map-only O(1) per
+    row (element_at + mask, whole-stage codegen)."""
     orders_f = (
         load_table(spark, sf_dir, "orders")
         .filter(
@@ -165,39 +227,7 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # plan-time sizing scalar (the reference's S:163 bounds pattern)
     m = max(64, BJ_BITS_PER_KEY * orders_f.count())
-    # Pack the filter into a DENSE 64-bit-word bitmap: the position set
-    # aggregates distributed (map-side-combined distinct, then bit_or per
-    # word — at most m/64 rows reach the driver), the driver lays the
-    # words out dense, and the probe is O(1) per row: element_at + mask,
-    # all whole-stage codegen. (A sorted position ARRAY probed with
-    # array_contains is an O(set) linear scan per fact row — measured
-    # unusable past fixture scale. Spark's own runtime bloom filter does
-    # exactly this driver-side assemble-then-rebroadcast.)
-    n_words = (m + 63) // 64
-    word_rows = (
-        orders_f.select(
-            F.explode(
-                F.array(
-                    *[
-                        _bj_pos_spark(F.col("o_orderkey"), s, m)
-                        for s in BJ_SLICES
-                    ]
-                )
-            ).alias("p")
-        )
-        .distinct()
-        .select(
-            (F.col("p") / 64).cast("int").alias("w"),
-            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("mask"),
-        )
-        .groupBy("w")
-        .agg(F.expr("bit_or(mask)").alias("word"))
-        .collect()
-    )
-    words = [0] * n_words
-    for r in word_rows:
-        words[r["w"]] = r["word"]
-    bitmap = spark.createDataFrame([(words,)], "bits array<long>")
+    bitmap = _bj_build_bitmap(spark, orders_f, "o_orderkey", m)
 
     def bit_set(p: str) -> str:
         return (

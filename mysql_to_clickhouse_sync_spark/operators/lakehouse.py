@@ -845,3 +845,144 @@ def q_lake_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# -- deletion-vector auto-fold policy (round 9) -----------------------------
+
+# Read-amplification threshold: outstanding dv rows / stored base rows.
+# 0.1 makes the three %17 delete waves below produce BOTH outcomes at
+# every fixture SF (wave sizes ~1/17 of users: no fold at one wave, fold
+# once two accumulate) — and the oracle re-derives the decision itself,
+# so the pin is the LAW (fold iff amp >= ratio), not a hardcoded wave.
+DV_FOLD_RATIO = 0.1
+
+_DV_FOLD_ORACLE = f"""
+    {EVENTS_US_CTE}
+    , e AS (
+        SELECT user_id, ts FROM events_us WHERE ts IS NOT NULL
+    ), b AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM e
+    ), c AS (
+        SELECT
+          CAST(count(DISTINCT CASE WHEN user_id % 17 = 1
+                     THEN user_id END) AS BIGINT) AS c1,
+          CAST(count(DISTINCT CASE WHEN user_id % 17 = 2
+                     THEN user_id END) AS BIGINT) AS c2,
+          CAST(count(DISTINCT CASE WHEN user_id % 17 = 3
+                     THEN user_id END) AS BIGINT) AS c3,
+          CAST(count(DISTINCT CASE WHEN user_id % 17 <> 1
+                     THEN user_id END) AS BIGINT) AS l1,
+          CAST(count(DISTINCT CASE WHEN user_id % 17 NOT IN (1, 2)
+                     THEN user_id END) AS BIGINT) AS l2,
+          CAST(count(DISTINCT CASE WHEN user_id % 17 NOT IN (1, 2, 3)
+                     THEN user_id END) AS BIGINT) AS l3
+        FROM e
+    ), d AS (
+        -- the policy unrolled: outstanding rows accumulate until a fold
+        -- zeroes them; fold iff dv_rows / base_rows >= ratio (double
+        -- compare on both engines — IEEE division is engine-identical)
+        SELECT *,
+               c1 AS cum1,
+               (CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   >= {DV_FOLD_RATIO} AS f1
+        FROM b, c
+    ), d2 AS (
+        SELECT *, c2 + CASE WHEN f1 THEN 0 ELSE cum1 END AS cum2 FROM d
+    ), d3 AS (
+        SELECT *, (CAST(cum2 AS DOUBLE) / CAST(n AS DOUBLE))
+                      >= {DV_FOLD_RATIO} AS f2
+        FROM d2
+    ), d4 AS (
+        SELECT *, c3 + CASE WHEN f2 THEN 0 ELSE cum2 END AS cum3 FROM d3
+    ), d5 AS (
+        SELECT *, (CAST(cum3 AS DOUBLE) / CAST(n AS DOUBLE))
+                      >= {DV_FOLD_RATIO} AS f3
+        FROM d4
+    )
+    SELECT CAST(1 AS BIGINT) AS wave, CAST(1 AS BIGINT) AS dv_files,
+           cum1 AS dv_rows, n AS base_rows,
+           CAST(CASE WHEN f1 THEN 1 ELSE 0 END AS BIGINT) AS folded,
+           l1 AS live_rows
+    FROM d5
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           CAST(CASE WHEN f1 THEN 1 ELSE 2 END AS BIGINT),
+           cum2, n, CAST(CASE WHEN f2 THEN 1 ELSE 0 END AS BIGINT), l2
+    FROM d5
+    UNION ALL
+    SELECT CAST(3 AS BIGINT),
+           CAST(CASE WHEN f2 THEN 1
+                     WHEN f1 THEN 2 ELSE 3 END AS BIGINT),
+           cum3, n, CAST(CASE WHEN f3 THEN 1 ELSE 0 END AS BIGINT), l3
+    FROM d5
+"""
+
+
+@declare("q_lake_dv_fold", oracle=_DV_FOLD_ORACLE, tier="P2")
+def q_lake_dv_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR AUTO-FOLD policy, decision audited: a seeded
+    table takes three sparse delete waves through the dv path (commit
+    cost O(deleted keys), zero data rewrite), and after each commit
+    LakeTable.maintenance() compares outstanding dv rows against stored
+    base rows — parquet FOOTER metadata only, never a scan — and folds
+    the vectors into a rewritten generation when read amplification
+    crosses DV_FOLD_RATIO. Every field of every decision (outstanding
+    dv files and rows at decision time, base rows, fold verdict, live
+    rows after the wave) is re-derived by the oracle, so the policy's
+    LAW is hash-checked, not just its effect — the q_ann_cap_audit
+    discipline applied to lakehouse maintenance. Without this policy a
+    delete-heavy merge-quiet table accumulates O(total deleted keys)
+    read-side apply cost forever (the wall Delta's DV metrics and
+    Hudi's compaction triggers exist to close).
+
+    Scale notes (100 TB): the trigger reads manifest + footers (KBs);
+    the fold itself is merge()'s rewrite — O(dv-touched buckets) on the
+    bucketed layout. Folds amortize: read amplification is bounded by
+    the ratio, while delete commits stay O(deleted keys)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(*_COLS)
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    users = ev.select("user_id").distinct()
+    workdir = tempfile.mkdtemp(prefix="lake_dvfold_")
+    try:
+        table = LakeTable(
+            spark,
+            f"{workdir}/state",
+            keys=["user_id"],
+            version_cols=["ts", "event_id"],
+            retention=2,
+        )
+        table.merge(ev.withColumn(OP_COL, F.lit(UPSERT)), batch_id=0)
+        out_rows = []
+        for w in (1, 2, 3):
+            dels = users.filter(F.col("user_id") % 17 == w).select(
+                "user_id",
+                F.lit(0).cast("long").alias("event_id"),
+                (F.lit(mx) + F.expr(f"INTERVAL {w} SECOND")).alias("ts"),
+                F.lit("dv_delete").alias("event_type"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit(DELETE).alias(OP_COL),
+            )
+            table.delete(dels, batch_id=w)
+            acct = table.maintenance(DV_FOLD_RATIO)
+            live = table.read().count()
+            out_rows.append(
+                (
+                    w,
+                    acct["dv_files"],
+                    acct["dv_rows"],
+                    acct["base_rows"],
+                    int(acct["folded"]),
+                    live,
+                )
+            )
+        return spark.createDataFrame(
+            out_rows,
+            "wave bigint, dv_files bigint, dv_rows bigint,"
+            " base_rows bigint, folded bigint, live_rows bigint",
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

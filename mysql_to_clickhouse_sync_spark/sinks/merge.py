@@ -162,6 +162,7 @@ class LakeTable:
         n_buckets: int | None = None,
         partition_files_by: str | None = None,
         bloom_cols: list[str] | None = None,
+        dv_fold_ratio: float | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -194,6 +195,16 @@ class LakeTable:
         # all). read_bloom_pruned consumes them. Delta calls the same
         # idea dataSkippingStatsColumns + bloom filter indexes.
         self.bloom_cols = list(bloom_cols) if bloom_cols else None
+        # dv_fold_ratio arms the read-amplification trigger for deletion
+        # vectors: after each delete() commit, outstanding dv rows are
+        # compared (FOOTER metadata only, zero data I/O) against the
+        # stored base rows, and crossing the ratio folds the vectors
+        # into a rewritten generation. Without it (None) vectors fold
+        # only when a merge/compact happens to run — a delete-heavy,
+        # merge-quiet table would otherwise accumulate O(total deleted
+        # keys) read-side apply cost forever (the wall Delta/Hudi gate
+        # with exactly this kind of threshold).
+        self.dv_fold_ratio = dv_fold_ratio
         os.makedirs(path, exist_ok=True)
 
     # -- commit log -----------------------------------------------------
@@ -1024,7 +1035,71 @@ class LakeTable:
         self._commit(
             lambda p: dv.write.parquet(p), meta, expected_parent=cur
         )
+        if self.dv_fold_ratio is not None:
+            self.maintenance(self.dv_fold_ratio)
         return self.read()
+
+    @staticmethod
+    def _footer_rows(paths: list[str]) -> int:
+        """Exact row count from parquet FOOTER metadata only — no data
+        I/O, thread-pooled. The dv fold decision runs after every
+        delete() commit; at 100 TB it must never cost a table scan."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        files = [f for p in paths for f in _parquet_files(p)]
+        if not files:
+            return 0
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            return sum(
+                pool.map(lambda f: pq.ParquetFile(f).metadata.num_rows, files)
+            )
+
+    def dv_stats(self, version: int | None = None) -> dict:
+        """Deletion-vector READ-AMPLIFICATION accounting for `version`
+        (default current), from footer metadata alone: outstanding dv
+        files/rows, stored base rows (tombstones included — that is
+        what readers physically scan), and their ratio. This is the
+        quantity every reader pays per query until the vectors fold."""
+        v = self._resolve(version)
+        m = self.manifest(v)
+        dvs = m.get("dv") or []
+        dv_rows = self._footer_rows(
+            [os.path.join(self.path, g) for g in dvs]
+        )
+        base_rows = self._footer_rows(self.data_paths(v))
+        return {
+            "version": v,
+            "dv_files": len(dvs),
+            "dv_rows": dv_rows,
+            "base_rows": base_rows,
+            "read_amp": dv_rows / base_rows if base_rows else 0.0,
+        }
+
+    def maintenance(self, dv_fold_ratio: float | None = None) -> dict:
+        """Fold outstanding deletion vectors when their read
+        amplification crosses `dv_fold_ratio` (None = fold whenever any
+        vector is outstanding — the unconditional sweep). The fold is a
+        merge with an empty changelog: merge() unions the vectors into
+        its input (bucketed) or reads them through raw() (unbucketed),
+        so ONLY dv-touched buckets rewrite on the bucketed layout.
+        Returns the accounting that justified the decision plus
+        `folded` and the resulting version — the same audited-decision
+        discipline as q_ann_cap_audit, so an oracle can re-derive every
+        field (q_lake_dv_fold)."""
+        stats = self.dv_stats()
+        trigger = stats["dv_rows"] > 0 and (
+            dv_fold_ratio is None or stats["read_amp"] >= dv_fold_ratio
+        )
+        if trigger:
+            v = stats["version"]
+            self.merge(self._dv_frame(v).limit(0))
+        return {
+            **stats,
+            "folded": trigger,
+            "version_after": self._resolve(None),
+        }
 
     def changes(
         self, version: int | None = None, since: int | None = None
@@ -1158,12 +1233,35 @@ class LakeTable:
         writers fighting over every commit surface as an error instead
         of livelock (the single-STREAM-writer contract still stands —
         retry exists so maintenance commits like compact() beside the
-        stream don't kill a micro-batch)."""
+        stream don't kill a micro-batch).
+
+        A stale-snapshot read failure is ALSO a conflict: between this
+        attempt's snapshot read and its commit, a competitor may commit
+        enough times that retention deletes a generation (data files or
+        manifest) the attempt was still reading — that surfaces as a
+        missing file, not CommitConflictError. When the table has moved
+        since the attempt started, retry re-reads the current state; a
+        missing file with the table NOT moved is a real error and
+        re-raises (N-writer soak: tests/test_multiwriter_soak.py)."""
         for attempt in range(max_retries + 1):
+            start_v = self.current_version()
             try:
                 return self.merge(changelog, batch_id=batch_id)
             except CommitConflictError:
                 if attempt == max_retries:
+                    raise
+            except Exception as e:  # noqa: BLE001 - classified below
+                s = repr(e)
+                stale = (
+                    "FileNotFound" in s
+                    or "PATH_NOT_FOUND" in s
+                    or "FileNotFoundException" in s
+                )
+                if (
+                    not stale
+                    or attempt == max_retries
+                    or self.current_version() == start_v
+                ):
                     raise
         raise AssertionError("unreachable")
 

@@ -70,3 +70,35 @@ def test_mv_delta_exercises_both_maintenance_paths(spark):
     assert flags["click"] is True
     assert flags["error"] is True
     assert any(not v for v in flags.values()), flags
+
+
+def test_bloom_bitmap_jvm_layout_matches_naive(spark):
+    """_bj_build_bitmap's collect-free JVM layout (dense zero-fill +
+    bit_or + one sort_array(collect_list) aggregate) must produce
+    bit-for-bit the bitmap a naive per-word layout would: sparse keys
+    over a wide m (whole zero regions between populated words) and
+    full-range 64-bit words (high bit set) both survive."""
+    import hashlib
+
+    from mysql_to_clickhouse_sync_spark.operators.joins import (
+        BJ_SLICES,
+        _bj_build_bitmap,
+    )
+
+    m = 64 * 65_536 * 3  # wide enough that most words are zero-filled
+    keys = list(range(1, 65))
+    kdf = spark.createDataFrame([(x,) for x in keys], "o_orderkey bigint")
+    bits = _bj_build_bitmap(spark, kdf, "o_orderkey", m).collect()[0][
+        "bits"
+    ]
+    n_words = (m + 63) // 64
+    assert len(bits) == n_words
+    expect = [0] * n_words
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        for s in BJ_SLICES:
+            p = int(h[s - 1 : s - 1 + 12], 16) % m
+            expect[p // 64] |= 1 << (p % 64)
+    # two's complement: python's unbounded int -> signed 64-bit
+    expect = [w - (1 << 64) if w >= (1 << 63) else w for w in expect]
+    assert bits == expect
