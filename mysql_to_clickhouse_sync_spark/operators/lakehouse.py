@@ -268,19 +268,10 @@ def q_lake_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- z-order (multi-column) data skipping -----------------------------------
 
-ZBITS = 3  # 3 bits per dimension -> up to 64 z-cells / data files
-
-
-def _z_expr(u3: str, v3: str, div: str) -> str:
-    """Bit-interleave two {ZBITS}-bit cell coordinates into the Morton
-    z-value, in pure integer arithmetic so Spark (`div`) and DuckDB
-    (`//`) compute it identically."""
-    terms = [
-        f"((({u3}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}"
-        f" + ((({v3}) {div} {1 << i}) % 2) * {1 << (2 * i)}"
-        for i in range(ZBITS)
-    ]
-    return " + ".join(terms)
+from mysql_to_clickhouse_sync_spark.zorder import (  # noqa: E402
+    ZBITS,
+    z_expr as _z_expr,
+)
 
 
 _ZORDER_ORACLE = f"""
@@ -984,5 +975,152 @@ def q_lake_dv_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wave bigint, dv_files bigint, dv_rows bigint,"
             " base_rows bigint, folded bigint, live_rows bigint",
         )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# -- OPTIMIZE ZORDER on an existing table (round 9) --------------------------
+
+_OPT_ZORDER_ORACLE = f"""
+    {EVENTS_US_CTE}
+    , st AS MATERIALIZED (
+        SELECT user_id, event_id, ts, event_type, value,
+               CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM (
+            SELECT user_id, event_id, ts, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events_us WHERE ts IS NOT NULL
+        ) WHERE rn = 1
+    ), w AS (
+        SELECT greatest({SKIP_MIN_WIDTH},
+                        (1 + max(event_id)) // {SKIP_TARGET_FILES}) AS width
+        FROM st
+    ), bands AS (
+        -- the PRE-optimize layout: arrival order (event_id bands), so
+        -- each file's user_id/vc ranges are nearly full-width
+        SELECT event_id // (SELECT width FROM w) AS band,
+               min(user_id) AS cumn, max(user_id) AS cumx,
+               min(vc) AS cvmn, max(vc) AS cvmx
+        FROM st GROUP BY 1
+    ), bnd AS (
+        SELECT min(user_id) AS umn, max(user_id) AS umx,
+               min(vc) AS vmn, max(vc) AS vmx
+        FROM st
+    ), box AS (
+        SELECT umn + (umx - umn) // 8 AS ulo,
+               umn + (umx - umn) // 3 AS uhi,
+               vmn + (vmx - vmn) // 8 AS vlo,
+               vmn + (vmx - vmn) // 3 AS vhi
+        FROM bnd
+    ), acc AS (
+        SELECT CAST(count(*) AS BIGINT) AS files_total_before,
+               CAST(sum(CASE WHEN cumx >= ulo AND cumn <= uhi
+                              AND cvmx >= vlo AND cvmn <= vhi
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS files_read_before
+        FROM bands, box
+    )
+    SELECT st.user_id, st.event_id, st.ts, st.event_type, st.value,
+           st.vc, acc.files_total_before, acc.files_read_before,
+           CAST(1 AS BIGINT) AS improved
+    FROM st, box, acc
+    WHERE st.user_id BETWEEN box.ulo AND box.uhi
+      AND st.vc BETWEEN box.vlo AND box.vhi
+"""
+
+
+@declare("q_lake_optimize_zorder", oracle=_OPT_ZORDER_ORACLE, tier="P2")
+def q_lake_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY on an EXISTING table: the state lands in
+    ARRIVAL order (event_id bands — the natural CDC layout, where a 2-d
+    (user_id, value-cents) box predicate must read nearly every file
+    because each band spans both dimensions), then
+    LakeTable.optimize(["user_id","vc"]) re-clusters the SAME rows
+    along the Morton z-value as a retention-safe maintenance commit.
+    The declared output is the box read FROM THE OPTIMIZED table
+    (hash-checked: the re-cluster must be semantically invisible) plus
+    the pre-optimize pruning accounting (oracle-exact per-band ranges)
+    and an `improved` flag the oracle fixes at 1 — if the optimized
+    layout ever fails to prune strictly better than arrival order, the
+    Spark side emits 0 and the hash check fails. The post-optimize
+    file count depends on range-sampling boundaries (as in Delta), so
+    the WIN is oracle-pinned as an invariant while the exact after
+    count is pinned by unit test (tests/test_optimize_zorder.py).
+
+    Scale notes (100 TB): re-clustering is one sort-shuffle of the
+    table (amortized maintenance, same cost class as compaction) that
+    converts every later 2-d point/box query from O(files) to
+    O(box-overlapping files); readers of prior versions and concurrent
+    writers are untouched (same conflict rules as compact)."""
+    from mysql_to_clickhouse_sync_spark.sinks.compaction import (
+        data_file_sizes,
+    )
+    from mysql_to_clickhouse_sync_spark.streaming.cdc import (
+        UPSERT as _UP,
+        latest_per_key,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+    latest = latest_per_key(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).withColumn("vc", F.expr("CAST(floor(value * 100) AS BIGINT)"))
+    mx_eid, umn, umx, vmn, vmx = (
+        int(x)
+        for x in latest.agg(
+            F.max("event_id"),
+            F.min("user_id"),
+            F.max("user_id"),
+            F.min("vc"),
+            F.max("vc"),
+        ).collect()[0]
+    )
+    width = max(SKIP_MIN_WIDTH, (1 + mx_eid) // SKIP_TARGET_FILES)
+    log = latest.withColumn(
+        "band", F.expr(f"event_id div {width}")
+    ).withColumn(OP_COL, F.lit(_UP))
+    ulo, uhi = umn + (umx - umn) // 8, umn + (umx - umn) // 3
+    vlo, vhi = vmn + (vmx - vmn) // 8, vmn + (vmx - vmn) // 3
+    boxes = [("user_id", ulo, uhi), ("vc", vlo, vhi)]
+    workdir = tempfile.mkdtemp(prefix="lake_optz_")
+    try:
+        table = LakeTable(
+            spark,
+            f"{workdir}/state",
+            keys=["user_id"],
+            version_cols=["ts", "event_id"],
+            retention=1,
+            partition_files_by="band",
+        )
+        table.merge(log, batch_id=0)
+        _, total_b, read_b = table.read_pruned_all(boxes)
+        gen = table.data_paths(table.current_version())[0]
+        total_bytes = sum(data_file_sizes(gen))
+        table.optimize(
+            ["user_id", "vc"],
+            target_file_bytes=max(1, total_bytes // 16),
+        )
+        pruned, total_a, read_a = table.read_pruned_all(boxes)
+        out = (
+            pruned.filter(
+                F.col("user_id").between(ulo, uhi)
+                & F.col("vc").between(vlo, vhi)
+            )
+            .select(
+                "user_id", "event_id", "ts", "event_type", "value", "vc"
+            )
+            .withColumn("files_total_before", F.lit(total_b).cast("long"))
+            .withColumn("files_read_before", F.lit(read_b).cast("long"))
+            .withColumn(
+                "improved",
+                F.lit(1 if read_a < read_b else 0).cast("long"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

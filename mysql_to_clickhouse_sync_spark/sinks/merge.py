@@ -1243,10 +1243,28 @@ class LakeTable:
         since the attempt started, retry re-reads the current state; a
         missing file with the table NOT moved is a real error and
         re-raises (N-writer soak: tests/test_multiwriter_soak.py)."""
+        return self._retrying(
+            lambda: self.merge(changelog, batch_id=batch_id), max_retries
+        )
+
+    def delete_with_retry(
+        self,
+        changelog: DataFrame,
+        batch_id: int | None = None,
+        max_retries: int = 5,
+    ) -> DataFrame:
+        """delete() under the same bounded-retry/conflict classification
+        as merge_with_retry — a dv commit racing a compactor must retry
+        against the new parent, not kill the micro-batch."""
+        return self._retrying(
+            lambda: self.delete(changelog, batch_id=batch_id), max_retries
+        )
+
+    def _retrying(self, attempt_fn, max_retries: int) -> DataFrame:
         for attempt in range(max_retries + 1):
             start_v = self.current_version()
             try:
-                return self.merge(changelog, batch_id=batch_id)
+                return attempt_fn()
             except CommitConflictError:
                 if attempt == max_retries:
                     raise
@@ -1265,7 +1283,7 @@ class LakeTable:
                     raise
         raise AssertionError("unreachable")
 
-    def writer(self, max_retries: int = 5):
+    def writer(self, max_retries: int = 5, dv_deletes: bool = False):
         """foreachBatch adapter: `.writeStream.foreachBatch(t.writer())`
         lands every micro-batch through the exactly-once MERGE path.
         Conflicts with concurrent maintenance commits (compaction, a
@@ -1273,12 +1291,39 @@ class LakeTable:
         of failing the micro-batch — the reference's purpose is
         continuous replication (mysql_to_clickhouse_sync.py main loop),
         and a stream that dies the day compaction first runs beside it
-        is not continuous."""
+        is not continuous.
+
+        dv_deletes routes ALL-DELETE micro-batches through the
+        deletion-vector path: commit cost O(deleted keys) with zero data
+        rewrite (the sparse-delete shape CDC feeds produce in bursts),
+        folding later at the next merge/compaction or under the armed
+        dv_fold_ratio. Semantically identical to the rewrite path —
+        both run apply_changelog under the same version total order —
+        so the stream's converged state is unchanged
+        (s_lake_merge_dv pins it against the same oracle)."""
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
-            self.merge_with_retry(
-                batch_df, batch_id=batch_id, max_retries=max_retries
+            if batch_df.isEmpty():
+                return  # the reference's own empty-batch guard (P:119)
+            from mysql_to_clickhouse_sync_spark.streaming.cdc import (
+                DELETE,
+                OP_COL,
             )
+
+            if (
+                dv_deletes
+                and self.current_version() is not None
+                and not batch_df.filter(F.col(OP_COL) != DELETE)
+                .limit(1)
+                .count()
+            ):
+                self.delete_with_retry(
+                    batch_df, batch_id=batch_id, max_retries=max_retries
+                )
+            else:
+                self.merge_with_retry(
+                    batch_df, batch_id=batch_id, max_retries=max_retries
+                )
 
         return _apply
 
@@ -1379,6 +1424,81 @@ class LakeTable:
             meta["buckets"] = bmap
 
         return self._commit(write, meta, expected_parent=v)
+
+    def optimize(
+        self,
+        zorder_cols: list[str],
+        target_file_bytes: int | None = None,
+    ) -> int:
+        """OPTIMIZE ... ZORDER BY on an EXISTING table (Delta's
+        maintenance shape): a retention-safe commit that re-clusters
+        the current generation's files along the Morton interleaving of
+        two numeric columns. Unlike write-time z-ordering
+        (q_lake_zorder_skipping lands one file per cell AT MERGE TIME),
+        this serves the table every CDC feed actually produces: data
+        landed in ARRIVAL order, and someone later adds a second query
+        pattern that needs multi-column skipping.
+
+        Rows sort by z-value and files split at byte-sized z-range
+        boundaries, so every file covers a small (user-col x value-col)
+        bounding box and read_pruned_all eliminates multiplicatively on
+        BOTH columns. Logically a no-op commit: same rows, same schema
+        (the z-value is a sort key, never a payload column), lineage
+        and last_batch carried — readers of prior versions, and
+        concurrent merge_with_retry writers, are untouched (the same
+        conflict rules as compact()). file_stats and file_blooms are
+        recomputed by _commit for the new layout."""
+        from mysql_to_clickhouse_sync_spark.sinks.compaction import (
+            TARGET_FILE_BYTES,
+            data_file_sizes,
+            plan_file_count,
+        )
+        from mysql_to_clickhouse_sync_spark.zorder import ZBITS, z_expr
+
+        if len(zorder_cols) != 2:
+            raise ValueError("zorder re-clustering takes exactly 2 columns")
+        v = self._resolve(None)
+        m = self.manifest(v)
+        if m.get("buckets") is not None:
+            raise ValueError(
+                "optimize(zorder) applies to the unbucketed layout"
+                " (bucketed state is key-clustered by construction)"
+            )
+        if m.get("dv"):
+            # fold outstanding deletion vectors first, like compact()
+            self.merge(self._dv_frame(v).limit(0))
+            v = self._resolve(None)
+            m = self.manifest(v)
+        gen = self.data_paths(v)[0]
+        df = self.spark.read.parquet(gen)  # WITH tombstones: state form
+        a, b = zorder_cols
+        # plan-time bounds scalars (the reference's S:163 pattern)
+        r = df.agg(F.min(a), F.max(a), F.min(b), F.max(b)).collect()[0]
+        if any(x is None for x in r):
+            return v  # empty table: nothing to lay out
+        amn, amx, bmn, bmx = (int(x) for x in r)
+        cells = 1 << ZBITS
+        u3 = f"(({a} - {amn}) * {cells}) div {max(1, amx - amn + 1)}"
+        v3 = f"(({b} - {bmn}) * {cells}) div {max(1, bmx - bmn + 1)}"
+        zcol = F.expr(z_expr(u3, v3, "div"))
+        n_target = plan_file_count(
+            sum(data_file_sizes(gen)),
+            target_file_bytes or TARGET_FILE_BYTES,
+        )
+        clustered = df.repartitionByRange(
+            n_target, zcol
+        ).sortWithinPartitions(zcol)
+        meta = {
+            "operation": "optimize",
+            "compacted_from": v,
+            "last_batch": m.get("last_batch"),
+            "schema_version": m.get("schema_version", 0),
+            "schema": m.get("schema"),
+            "zordered_by": list(zorder_cols),
+        }
+        return self._commit(
+            lambda p: clustered.write.parquet(p), meta, expected_parent=v
+        )
 
 
 def merge_into_parquet(

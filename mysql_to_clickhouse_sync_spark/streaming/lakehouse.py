@@ -35,7 +35,9 @@ from mysql_to_clickhouse_sync_spark.catalog import (
 from mysql_to_clickhouse_sync_spark.registry import declare
 from mysql_to_clickhouse_sync_spark.sinks.merge import LakeTable
 from mysql_to_clickhouse_sync_spark.streaming.cdc import (
+    DELETE as DELETE_OP,
     OP_COL,
+    UPSERT as UPSERT_OP,
     as_state,
     latest_per_key,
 )
@@ -102,6 +104,89 @@ def s_lake_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one commit per micro-batch landed, watermark at the last batch
         assert table.current_version() == N_STREAM_FILES
         assert table.last_batch() == N_STREAM_FILES - 1
+        return table.read().localCheckpoint(eager=True)
+    finally:
+        if query is not None:
+            query.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@declare("s_lake_merge_dv", oracle=_CDC_APPLY_ORACLE, tier="P3")
+@tuned
+def s_lake_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The s_lake_merge pipeline with SPARSE DELETE micro-batches routed
+    through the DELETION-VECTOR path (writer(dv_deletes=True)): the
+    all-delete batch commits O(deleted keys) bytes with zero data
+    rewrite, the stream keeps flowing, and the NEXT merge batch folds
+    the vectors into its rewrite — maintenance beside the stream through
+    the same retry-classified commit path. Identical oracle to
+    s_lake_merge: the physical delete route must be semantically
+    invisible (both paths run apply_changelog under the same version
+    total order, so dv tombstones still beat out-of-order older
+    upserts after the fold).
+
+    Scale notes (100 TB CDC): delete bursts (GDPR erasure sweeps,
+    retention jobs) are exactly the batches where a rewrite-path commit
+    costs O(touched-bucket bytes) for a few thousand keys; the dv route
+    makes them O(deleted keys) while reads stay exact (apply-at-read)
+    and read amplification stays bounded by the armed fold policy."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    snapshot = as_state(
+        latest_per_key(
+            events.filter(F.col("ts") < F.lit(SPLIT_TS)).select(cols),
+            ["user_id"],
+            [F.col("ts").desc(), F.col("event_id").desc()],
+        )
+    )
+    changelog = _changelog_from_events(events).select(*cols, OP_COL)
+    # slice so the MIDDLE micro-batch is PURE deletes: convergence is
+    # slicing-independent (the s_cdc_apply law), so regrouping by op is
+    # as valid as regrouping by event_id — and it produces exactly the
+    # delete-burst shape the dv route exists for
+    ups = changelog.filter(F.col(OP_COL) == UPSERT_OP)
+    slices = [
+        ups.filter(F.col("event_id") % 2 == 0),
+        changelog.filter(F.col(OP_COL) == DELETE_OP),
+        ups.filter(F.col("event_id") % 2 == 1),
+    ]
+
+    workdir = tempfile.mkdtemp(prefix="lake_cdc_dv_")
+    in_dir = f"{workdir}/changelog"
+    ckpt = f"{workdir}/ckpt"
+    os.makedirs(in_dir, exist_ok=True)
+    table = LakeTable(
+        spark,
+        f"{workdir}/state",
+        keys=["user_id"],
+        version_cols=["ts", "event_id"],
+        retention=len(slices),
+    )
+    table.merge(snapshot)  # version 0: the reference's bulk copy
+
+    query = None
+    try:
+        stream = (
+            spark.readStream.schema(changelog.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(table.writer(dv_deletes=True))
+            .option("checkpointLocation", ckpt)
+        )
+        query = stream.start()
+        ops = []
+        for part in slices:
+            part.coalesce(1).write.mode("append").parquet(in_dir)
+            query.processAllAvailable()
+            ops.append(table.manifest(table.current_version())["operation"])
+        if ops != ["merge", "delete-vector", "merge"]:
+            raise ValueError(
+                f"dv routing did not take the expected paths: {ops}"
+            )
+        if table.manifest(table.current_version()).get("dv"):
+            raise ValueError("the post-delete merge must fold the vectors")
         return table.read().localCheckpoint(eager=True)
     finally:
         if query is not None:

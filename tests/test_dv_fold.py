@@ -88,3 +88,45 @@ def test_maintenance_below_ratio_is_a_no_op(spark, tmp_path):
     t2.merge(_seed(spark), batch_id=0)
     acct2 = t2.maintenance()
     assert not acct2["folded"] and acct2["dv_rows"] == 0
+
+
+def test_writer_routes_sparse_deletes_through_dv(spark, tmp_path):
+    """writer(dv_deletes=True): an all-delete micro-batch commits as a
+    deletion vector with commit_bytes O(deleted keys) — a small fraction
+    of the table's data bytes — while mixed batches keep the merge
+    path; the empty batch short-circuits entirely."""
+    import os
+
+    t = LakeTable(
+        spark, str(tmp_path / "t"), keys=["k"], version_cols=["seq"]
+    )
+    apply = t.writer(dv_deletes=True)
+    apply(_seed(spark, 2000), 0)
+    v_seed = t.current_version()
+    data_bytes = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d in t.data_paths(v_seed)
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    # all-delete batch -> dv path
+    apply(_wave(spark, 0), 1)
+    m = t.manifest(t.current_version())
+    assert m["operation"] == "delete-vector"
+    assert m["commit_bytes"] < max(4096, data_bytes // 10), (
+        m["commit_bytes"],
+        data_bytes,
+    )
+    # empty batch -> guard, no commit
+    v = t.current_version()
+    apply(spark.createDataFrame([], SCHEMA), 2)
+    assert t.current_version() == v
+    # mixed batch -> merge path, folds the vector
+    mixed = _wave(spark, 1).union(
+        spark.createDataFrame([(5000, 99, 1.0, "upsert")], SCHEMA)
+    )
+    apply(mixed, 3)
+    m = t.manifest(t.current_version())
+    assert m["operation"] == "merge"
+    assert not m.get("dv")
+    assert t.read().count() == 2000 - 20 + 1
