@@ -176,3 +176,199 @@ def q_mv_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# -- k-deep min-candidate maintenance (round 9) ------------------------------
+
+# Candidate depth: the view state keeps each group's K smallest
+# (value, event_id) rows (the ClickHouse -SimpleState idea applied to a
+# non-self-maintainable aggregate). A delete storm that keeps removing
+# group minima forces the 1-deep law (q_mv_delta) into a recompute per
+# group per batch; with K candidates, recompute triggers only when ALL K
+# die — the storm must spend K deletes per group per recompute.
+MV_K = 3
+
+_MV_CAND_ORACLE = f"""
+    WITH st AS (
+        SELECT event_id, event_type, value FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), base AS (
+        SELECT * FROM st WHERE event_id % 2 = 0
+    ), ins AS (
+        SELECT * FROM st WHERE event_id % 2 = 1
+    ), ranked AS (
+        SELECT event_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value ASC, event_id ASC) AS rk
+        FROM base
+    ), delk AS (
+        -- odd-name-length groups lose ALL {MV_K} candidates (the storm
+        -- case: recompute is genuinely unavoidable); even groups only
+        -- the modular deletes (a candidate usually survives)
+        SELECT event_id, event_type, value FROM ranked
+        WHERE event_id % {DEL_MOD} = 0
+           OR (rk <= {MV_K} AND length(event_type) % 2 = 1)
+    ), cand AS (
+        SELECT * FROM ranked WHERE rk <= {MV_K}
+    ), dec AS (
+        SELECT c.event_type,
+               count(*) FILTER (WHERE NOT EXISTS (
+                   SELECT 1 FROM delk d WHERE d.event_id = c.event_id
+               )) AS n_surv,
+               min(c.value) FILTER (WHERE NOT EXISTS (
+                   SELECT 1 FROM delk d WHERE d.event_id = c.event_id
+               )) AS cand_min
+        FROM cand c GROUP BY c.event_type
+    ), post AS (
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM delk d WHERE d.event_id = b.event_id)
+        UNION ALL
+        SELECT * FROM ins
+    ), refreshed AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               min(value) AS min_value
+        FROM post GROUP BY event_type
+    )
+    SELECT r.event_type, r.n_rows, r.sum_cents, r.min_value,
+           coalesce(dec.n_surv = 0, false) AS recomputed
+    FROM refreshed r
+    LEFT JOIN dec ON dec.event_type = r.event_type
+"""
+
+
+def candidate_decision(
+    base: DataFrame, dels: DataFrame, k: int
+) -> DataFrame:
+    """The k-deep maintenance decision, per group: `recomputed` (all k
+    min-candidates deleted — only then does min need a base rescan) and
+    `cand_min` (the smallest SURVIVING candidate, which IS the survivors'
+    minimum whenever any candidate survives — the k-deep invariant).
+    Inputs are keyed rows (event_id unique), so everything is equi-join
+    + one bounded per-group window; candidate rows per group are <= k."""
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.col("value").asc(), F.col("event_id").asc()
+        )
+    )
+    cand = (
+        base.withColumn("rk", rk).filter(F.col("rk") <= k).drop("rk")
+    )
+    surv = cand.join(dels.select("event_id"), "event_id", "left_anti")
+    return (
+        cand.groupBy("event_type")
+        .agg(F.count("*").alias("_nc"))
+        .join(
+            surv.groupBy("event_type").agg(
+                F.count("*").alias("_ns"),
+                F.min("value").alias("cand_min"),
+            ),
+            "event_type",
+            "left",
+        )
+        .select(
+            "event_type",
+            (F.coalesce(F.col("_ns"), F.lit(0)) == 0).alias("recomputed"),
+            "cand_min",
+        )
+    )
+
+
+@declare("q_mv_candidates", oracle=_MV_CAND_ORACLE, tier="P2")
+def q_mv_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_mv_delta hardened against MINIMUM-DELETE STORMS: the view state
+    carries each group's {MV_K} smallest rows as candidates, so a delete
+    that removes the current minimum promotes the next candidate with
+    ZERO base-table work — recompute (the expensive path) triggers only
+    when ALL candidates die in one maintenance window. The changelog
+    deliberately kills every candidate of the odd-name-length groups
+    (recompute genuinely required) while even groups keep survivors
+    (candidate promotion suffices); the oracle re-derives the refreshed
+    view AND the all-candidates-dead decision per group, so both
+    maintenance paths and the decision law itself are hash-checked.
+
+    Scale notes (100 TB): candidate state is k rows per group (view
+    cardinality x k — broadcastable); an adversarial stream deleting a
+    group's minimum every batch costs O(changelog) until it has spent k
+    deletes on one group inside one window, turning the 1-deep law's
+    per-batch recompute into a 1/k-frequency event
+    (tests/test_ivm_storm.py measures exactly this)."""
+    st = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    base = st.filter(F.pmod("event_id", F.lit(2)) == 0).localCheckpoint(
+        eager=True
+    )
+    ins = st.filter(F.pmod("event_id", F.lit(2)) == 1)
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.col("value").asc(), F.col("event_id").asc()
+        )
+    )
+    dels = (
+        base.withColumn("rk", rk)
+        .filter(
+            (F.pmod("event_id", F.lit(DEL_MOD)) == 0)
+            | (
+                (F.col("rk") <= MV_K)
+                & (F.length("event_type") % 2 == 1)
+            )
+        )
+        .drop("rk")
+        .localCheckpoint(eager=True)
+    )
+
+    def view_agg(df: DataFrame, pre: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias(f"{pre}_n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                f"{pre}_sum"
+            ),
+            F.min("value").alias(f"{pre}_min"),
+        )
+
+    bmv = view_agg(base, "b")
+    d = view_agg(dels, "d")
+    i = view_agg(ins, "i")
+    dec = candidate_decision(base, dels, MV_K)
+    merged = (
+        bmv.join(d, "event_type", "full")
+        .join(i, "event_type", "full")
+        .join(dec, "event_type", "left")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    delta = merged.select(
+        "event_type",
+        (z("b_n") - z("d_n") + z("i_n")).alias("n_rows"),
+        (z("b_sum") - z("d_sum") + z("i_sum")).alias("sum_cents"),
+        "i_min",
+        "cand_min",
+        F.coalesce("recomputed", F.lit(False)).alias("recomputed"),
+    ).localCheckpoint(eager=True)
+    # base rescan ONLY for all-candidates-dead groups
+    affected = delta.filter("recomputed").select("event_type")
+    surv_min = (
+        base.join(dels.select("event_id"), "event_id", "left_anti")
+        .join(F.broadcast(affected), "event_type", "left_semi")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("s_min"))
+    )
+    return (
+        delta.join(surv_min, "event_type", "left")
+        .filter(F.col("n_rows") > 0)
+        .select(
+            "event_type",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("sum_cents").cast("bigint").alias("sum_cents"),
+            F.when(F.col("recomputed"), F.least("s_min", "i_min"))
+            .otherwise(F.least("cand_min", "i_min"))
+            .alias("min_value"),
+            "recomputed",
+        )
+    )
