@@ -242,3 +242,187 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rarity").alias("rarity_sum"),
         (F.sum("rarity").cast("double") / F.count("*")).alias("mean_rarity"),
     )
+
+
+# -- bloom-gated decontamination (round 9) ---------------------------------
+#
+# The module docstring's 100 TB note — "pre-filter through a Bloom filter
+# built from the benchmark shingles" — made real: the benchmark shingle
+# set folds into a k=2 / 10-bits-per-key Bloom bitmap (the q_bloom_join
+# sizing and collect-free build), and training documents are gated by a
+# MAP-ONLY probe with no join against the benchmark at all. The gate
+# over-admits by the filter's false-positive rate (~2.4 % of clean docs
+# at this load factor) and NEVER under-admits (no false negatives), which
+# is the correct failure direction for decontamination: a false positive
+# costs one dropped clean document, a false negative leaks benchmark text
+# into training data. q_decontam_gate_audit states the exact/bloom gap
+# per language so the over-drop cost is measured, not assumed.
+
+DECONTAM_BITS_PER_KEY = 10  # the q_bloom_join load factor (~2.4 % fp)
+
+
+def bench_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct 8-word-shingle hashes of the held-out benchmark source."""
+    return (
+        docs.filter(F.col("source") == _BENCH_SOURCE)
+        .withColumn("words", F.split(F.col("text"), " "))
+        .select(F.expr(_SHINGLES_EXPR).alias("shingles"))
+        .select(F.explode("shingles").alias("h"))
+        .distinct()
+    )
+
+
+def decontam_probe_expr(m: int, shingle_col: str = "shingles") -> str:
+    """Map-only Bloom membership over a document's shingle array: true iff
+    ANY shingle hits both k=2 positions of the broadcast `bits` bitmap.
+    One md5 per shingle (the transform), two 12-hex slices per digest
+    (double hashing, the q_bloom_join idiom) — all whole-stage codegen."""
+
+    def bit_set(start: int) -> str:
+        p = (
+            f"pmod(CAST(conv(substring(h, {start}, 12), 16, 10)"
+            f" AS BIGINT), {m})"
+        )
+        return (
+            f"(element_at(bits, CAST({p} / 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST({p} % 64 AS INT))) != 0L"
+        )
+
+    return (
+        f"exists(transform({shingle_col}, s -> md5(s)),"
+        f" h -> ({bit_set(1)}) AND ({bit_set(13)}))"
+    )
+
+
+def decontam_bloom_sql(extra_cte: str = "") -> str:
+    """Shared oracle CTE chain: words -> shingles -> benchmark set ->
+    bitmap positions -> per-document bloom verdict. Cross-seed with the
+    Spark side: both engines derive the SAME positions from md5 hex, so
+    even the false positives are re-derived bit-for-bit."""
+    return f"""
+    WITH words AS (
+        SELECT doc_id, source, lang, string_split(text, ' ') AS w
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, source, lang,
+               unnest(list_transform(
+                   range(1, greatest(len(w) - {_SHINGLE - 1}, 0) + 1),
+                   i -> md5(array_to_string(w[i:i + {_SHINGLE - 1}], ' '))))
+                   AS h
+        FROM words
+    ), bench AS (
+        SELECT DISTINCT h FROM sh WHERE source = '{_BENCH_SOURCE}'
+    ), sz AS (
+        SELECT greatest(64, {DECONTAM_BITS_PER_KEY} * count(*)) AS m
+        FROM bench
+    ), bits AS (
+        SELECT DISTINCT CAST('0x' || substr(md5(h), s, 12) AS BIGINT)
+                   % (SELECT m FROM sz) AS p
+        FROM bench, (SELECT unnest([1, 13]) AS s) slices
+    ), bloom_cont AS (
+        SELECT DISTINCT doc_id FROM sh
+        WHERE source <> '{_BENCH_SOURCE}'
+          AND CAST('0x' || substr(md5(h), 1, 12) AS BIGINT)
+                  % (SELECT m FROM sz) IN (SELECT p FROM bits)
+          AND CAST('0x' || substr(md5(h), 13, 12) AS BIGINT)
+                  % (SELECT m FROM sz) IN (SELECT p FROM bits)
+    ){extra_cte}
+    """
+
+
+def bench_bloom(spark: SparkSession, docs: DataFrame) -> tuple[DataFrame, int]:
+    """Build the benchmark Bloom bitmap: a ONE-ROW `bits array<long>`
+    DataFrame ready to broadcast, plus its sizing m. Reuses the
+    collect-free q_bloom_join builder — nothing per-word ever exists in
+    Python (see joins._bj_build_bitmap)."""
+    from mysql_to_clickhouse_sync_spark.operators.joins import (
+        _bj_build_bitmap,
+    )
+
+    bench = bench_shingles(docs)
+    # plan-time sizing scalar (the reference's S:163 bounds pattern)
+    m = max(64, DECONTAM_BITS_PER_KEY * bench.count())
+    return _bj_build_bitmap(spark, bench, "h", m), m
+
+
+@declare(
+    "q_decontam_gate_audit",
+    oracle=decontam_bloom_sql(
+        f""", exact_cont AS (
+        SELECT DISTINCT s.doc_id
+        FROM sh s JOIN bench b USING (h)
+        WHERE s.source <> '{_BENCH_SOURCE}'
+    )"""
+    )
+    + f"""
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN bl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_bloom,
+           CAST(sum(CASE WHEN bl.doc_id IS NOT NULL AND e.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM documents d
+    LEFT JOIN exact_cont e USING (doc_id)
+    LEFT JOIN bloom_cont bl USING (doc_id)
+    WHERE d.source <> '{_BENCH_SOURCE}'
+    GROUP BY d.lang
+    """,
+    tier="P2",
+)
+def q_decontam_gate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-AUDIT of the Bloom decontamination gate (the q_ann_cap_audit
+    discipline): per language, the exact shingle-join contamination count
+    next to the bloom-gated count and the gap between them — the measured
+    over-drop cost of replacing the benchmark semi-join with a map-only
+    probe. The filter's one-sidedness (n_bloom >= n_exact, every exact
+    hit also a bloom hit) is pinned by test; THIS query makes the fp rate
+    a number the pipeline owner sees, not a constant in a docstring.
+
+    Scale notes (100 TB): the exact arm shuffles shingles (the
+    q_decontaminate plan); the bloom arm is map-only after one broadcast.
+    In production you run the bloom arm always and THIS audit on a
+    sampled slice — the audit's own cost is the exact arm's."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.withColumn("words", F.split(F.col("text"), " "))
+        .select(
+            "doc_id", "source", F.expr(_SHINGLES_EXPR).alias("shingles")
+        )
+        .select("doc_id", "source", F.explode("shingles").alias("h"))
+    )
+    bench = (
+        sh.filter(F.col("source") == _BENCH_SOURCE).select("h").distinct()
+    )
+    exact = (
+        sh.filter(F.col("source") != _BENCH_SOURCE)
+        .join(F.broadcast(bench), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_hit", F.lit(1))
+    )
+    bitmap, m = bench_bloom(spark, docs)
+    train = docs.filter(F.col("source") != _BENCH_SOURCE)
+    bloom = (
+        train.withColumn("words", F.split(F.col("text"), " "))
+        .withColumn("shingles", F.expr(_SHINGLES_EXPR))
+        .crossJoin(F.broadcast(bitmap))
+        .filter(F.expr(decontam_probe_expr(m)))
+        .select("doc_id")
+        .withColumn("bloom_hit", F.lit(1))
+    )
+    return (
+        train.join(exact, "doc_id", "left")
+        .join(bloom, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum(F.coalesce("exact_hit", F.lit(0))).alias("n_exact"),
+            F.sum(F.coalesce("bloom_hit", F.lit(0))).alias("n_bloom"),
+            F.sum(
+                F.coalesce("bloom_hit", F.lit(0))
+                * (1 - F.coalesce("exact_hit", F.lit(0)))
+            ).alias("n_false_pos"),
+        )
+    )

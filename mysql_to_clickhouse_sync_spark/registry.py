@@ -118,6 +118,9 @@ def _load_all_modules() -> None:
     from mysql_to_clickhouse_sync_spark.streaming import (  # noqa: F401
         substr as _substr_stream,
     )
+    from mysql_to_clickhouse_sync_spark.streaming import (  # noqa: F401
+        decontam as _decontam_stream,
+    )
     from mysql_to_clickhouse_sync_spark.sources import binlog as _binlog  # noqa: F401
     from mysql_to_clickhouse_sync_spark.streaming import (  # noqa: F401
         binlog_replay as _binlog_replay,
