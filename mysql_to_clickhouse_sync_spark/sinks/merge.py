@@ -81,6 +81,27 @@ class CommitConflictError(RuntimeError):
     Nothing was published; re-read the table and retry the operation."""
 
 
+def _is_stale_miss(e: BaseException) -> bool:
+    """True when `e` is a missing-file/path error as surfaced by ANY
+    layer: Python's FileNotFoundError, a JVM FileNotFoundException
+    through Py4J, or Spark's AnalysisException [PATH_NOT_FOUND].
+    Classify on repr AND str: PySpark exception reprs can be BARE
+    (repr(AnalysisException) is 'AnalysisException()' — the message
+    lives only in str()), which silently defeated a repr-only match
+    under the N-writer soak."""
+    s = f"{e!r} {e}"
+    return (
+        "FileNotFound" in s
+        or "PATH_NOT_FOUND" in s
+        or "FileNotFoundException" in s
+        # a swept-mid-read directory can surface as a schema-inference
+        # failure (the path exists but its parquet files are gone);
+        # callers additionally require the table to have MOVED before
+        # classifying, so a genuine empty-table read still raises
+        or "UNABLE_TO_INFER_SCHEMA" in s
+    )
+
+
 def _parquet_files(path: str) -> list[str]:
     return [
         os.path.join(root, f)
@@ -1094,7 +1115,8 @@ class LakeTable:
         )
         if trigger:
             v = stats["version"]
-            self.merge(self._dv_frame(v).limit(0))
+            with self._conflict_on_sweep(v):
+                self.merge(self._dv_frame(v).limit(0))
         return {
             **stats,
             "folded": trigger,
@@ -1260,6 +1282,35 @@ class LakeTable:
             lambda: self.delete(changelog, batch_id=batch_id), max_retries
         )
 
+    def _conflict_on_sweep(self, v: int | None):
+        """Context manager: classify a stale-snapshot file miss inside a
+        maintenance operation (compact/optimize/dv-fold) as a
+        CommitConflictError when the table has MOVED past the snapshot
+        the operation planned against — a competitor committed enough
+        times that retention swept generation `v` out from under the
+        plan (bucket scan, parquet read, footer stat). Maintenance
+        losing a race is a conflict, not a crash: callers loop
+        `except CommitConflictError` and re-plan against the new head.
+        A miss with the table NOT moved is a real error and re-raises
+        (N-writer soak: tests/test_multiwriter_soak.py)."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def guard():
+            try:
+                yield
+            except CommitConflictError:
+                raise
+            except Exception as e:  # noqa: BLE001 - classified below
+                if _is_stale_miss(e) and self.current_version() != v:
+                    raise CommitConflictError(
+                        f"snapshot gen {v} swept by a competitor"
+                        " mid-maintenance"
+                    ) from e
+                raise
+
+        return guard()
+
     def _retrying(self, attempt_fn, max_retries: int) -> DataFrame:
         for attempt in range(max_retries + 1):
             start_v = self.current_version()
@@ -1269,14 +1320,8 @@ class LakeTable:
                 if attempt == max_retries:
                     raise
             except Exception as e:  # noqa: BLE001 - classified below
-                s = repr(e)
-                stale = (
-                    "FileNotFound" in s
-                    or "PATH_NOT_FOUND" in s
-                    or "FileNotFoundException" in s
-                )
                 if (
-                    not stale
+                    not _is_stale_miss(e)
                     or attempt == max_retries
                     or self.current_version() == start_v
                 ):
@@ -1349,8 +1394,6 @@ class LakeTable:
         key-clustered by construction)."""
         from mysql_to_clickhouse_sync_spark.sinks.compaction import (
             TARGET_FILE_BYTES,
-            data_file_sizes,
-            plan_file_count,
         )
 
         target = target_file_bytes or TARGET_FILE_BYTES
@@ -1362,9 +1405,25 @@ class LakeTable:
             # raw() (unbucketed), so an empty changelog applies the
             # vectors, rewrites the affected data, and clears the dv
             # list — compaction then proceeds on a vector-free version
-            self.merge(self._dv_frame(v).limit(0))
+            with self._conflict_on_sweep(v):
+                self.merge(self._dv_frame(v).limit(0))
             v = self._resolve(None)
             m = self.manifest(v)
+        with self._conflict_on_sweep(v):
+            return self._compact_plan(v, m, target, cluster_by)
+
+    def _compact_plan(
+        self,
+        v: int,
+        m: dict,
+        target: int,
+        cluster_by: list[str] | None,
+    ) -> int:
+        from mysql_to_clickhouse_sync_spark.sinks.compaction import (
+            data_file_sizes,
+            plan_file_count,
+        )
+
         meta = {
             "operation": "compact",
             "compacted_from": v,
@@ -1448,13 +1507,6 @@ class LakeTable:
         concurrent merge_with_retry writers, are untouched (the same
         conflict rules as compact()). file_stats and file_blooms are
         recomputed by _commit for the new layout."""
-        from mysql_to_clickhouse_sync_spark.sinks.compaction import (
-            TARGET_FILE_BYTES,
-            data_file_sizes,
-            plan_file_count,
-        )
-        from mysql_to_clickhouse_sync_spark.zorder import ZBITS, z_expr
-
         if len(zorder_cols) != 2:
             raise ValueError("zorder re-clustering takes exactly 2 columns")
         v = self._resolve(None)
@@ -1466,9 +1518,27 @@ class LakeTable:
             )
         if m.get("dv"):
             # fold outstanding deletion vectors first, like compact()
-            self.merge(self._dv_frame(v).limit(0))
+            with self._conflict_on_sweep(v):
+                self.merge(self._dv_frame(v).limit(0))
             v = self._resolve(None)
             m = self.manifest(v)
+        with self._conflict_on_sweep(v):
+            return self._optimize_plan(v, m, zorder_cols, target_file_bytes)
+
+    def _optimize_plan(
+        self,
+        v: int,
+        m: dict,
+        zorder_cols: list[str],
+        target_file_bytes: int | None,
+    ) -> int:
+        from mysql_to_clickhouse_sync_spark.sinks.compaction import (
+            TARGET_FILE_BYTES,
+            data_file_sizes,
+            plan_file_count,
+        )
+        from mysql_to_clickhouse_sync_spark.zorder import ZBITS, z_expr
+
         gen = self.data_paths(v)[0]
         df = self.spark.read.parquet(gen)  # WITH tombstones: state form
         a, b = zorder_cols

@@ -103,7 +103,10 @@ def test_n_writers_plus_compactor_serialize(spark, tmp_path):
     done.set()
     sweeper.join()
 
-    assert not errors, errors
+    # full text, not repr: JVM-captured PySpark exceptions repr BARE
+    # (AnalysisException() with the message only in str — the round-9
+    # classification bug hid behind exactly that)
+    assert not errors, [f"{type(e).__name__}: {e}" for e in errors]
     assert committed == [BATCHES_PER_WRITER] * N_WRITERS
 
     # Expected: the fold of seed + every committed batch (any serial
