@@ -327,3 +327,51 @@ def test_mv_delta_restricts_min_recompute_with_semi_join(spark):
     # the affected-group min recompute must reach the base table through
     # a semi join — the O(affected groups) claim, not a full re-agg
     assert "LeftSemi" in _plan(spark, "q_mv_delta")
+
+
+def test_decontam_bloom_probe_is_map_only_broadcast(spark):
+    """The bloom arm's contract: the training-document side reaches its
+    verdict through ONE broadcast of the one-row bitmap and a codegen'd
+    exists() probe — no shuffle, no sort-merge join against the
+    benchmark on the probe path. (The exact arm of the audit still
+    joins — that's its job; the pin is on the streaming gate's probe
+    expression, exercised here through its batch twin.)"""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from mysql_to_clickhouse_sync_spark.catalog import load_table
+    from mysql_to_clickhouse_sync_spark.operators.quality import (
+        _BENCH_SOURCE,
+        _SHINGLES_EXPR,
+        bench_bloom,
+        decontam_probe_expr,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bitmap, m = bench_bloom(spark, docs)
+    probe = (
+        docs.filter(F.col("source") != _BENCH_SOURCE)
+        .withColumn("words", F.split(F.col("text"), " "))
+        .withColumn("shingles", F.expr(_SHINGLES_EXPR))
+        .crossJoin(F.broadcast(bitmap))
+        .withColumn("contaminated", F.expr(decontam_probe_expr(m)))
+        .select("doc_id", "contaminated")
+    )
+    def plan_of(df) -> str:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    p = plan_of(probe)
+    build = plan_of(bitmap)
+    assert "SortMergeJoin" not in p
+    # every Exchange belongs to the one-time bitmap BUILD subtree (plus
+    # its single BroadcastExchange); the document side reaches its
+    # verdict shuffle-free — self-calibrated against the build-only plan
+    # "Exchange (" matches tree nodes only (details render as "(N) Exchange")
+    assert p.count("Exchange (") <= build.count("Exchange (") + 1, p
+    assert "element_at" in p  # the O(1) bitmap probe, not a set scan
+    assert "array_contains" not in p
