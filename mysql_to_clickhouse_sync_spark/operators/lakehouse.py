@@ -743,6 +743,81 @@ def q_lake_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDF_RANGE_ORACLE = f"""
+    {EVENTS_US_CTE}
+    , c AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               CASE WHEN ts < TIMESTAMP '{MERGE_T1}' THEN 0
+                    WHEN ts < TIMESTAMP '{MERGE_T2}' THEN 1
+                    ELSE 2 END AS b
+        FROM events_us WHERE ts IS NOT NULL
+    ), v(version) AS (VALUES (0), (2)),
+    ranked AS (
+        SELECT v.version, c.user_id, c.event_id, c.ts, c.event_type,
+               c.value,
+               row_number() OVER (
+                   PARTITION BY v.version, c.user_id
+                   ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM v JOIN c ON c.b <= v.version
+    ), st AS MATERIALIZED (
+        SELECT version, user_id, event_id, ts, event_type, value
+        FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT CAST(2 AS BIGINT) AS version, 'insert' AS change_type,
+           n.user_id, n.event_id, n.ts, n.event_type, n.value
+    FROM st n LEFT JOIN st p
+      ON p.version = 0 AND p.user_id = n.user_id
+    WHERE n.version = 2 AND p.user_id IS NULL
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delete',
+           p.user_id, p.event_id, p.ts, p.event_type, p.value
+    FROM st p LEFT JOIN st n
+      ON n.version = 2 AND n.user_id = p.user_id
+    WHERE p.version = 0 AND n.user_id IS NULL
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'update_preimage',
+           p.user_id, p.event_id, p.ts, p.event_type, p.value
+    FROM st n JOIN st p
+      ON p.version = 0 AND n.version = 2 AND p.user_id = n.user_id
+     AND p.event_id <> n.event_id
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'update_postimage',
+           n.user_id, n.event_id, n.ts, n.event_type, n.value
+    FROM st n JOIN st p
+      ON p.version = 0 AND n.version = 2 AND p.user_id = n.user_id
+     AND p.event_id <> n.event_id
+"""
+
+
+@declare("q_lake_cdf_range", oracle=_CDF_RANGE_ORACLE, tier="P2")
+def q_lake_cdf_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLAPSED change-data-feed over a version RANGE —
+    `changes(version=2, since=0)`, Delta's readChangeFeed between two
+    non-adjacent retained versions: the NET diff, where intermediate
+    flip-flops CANCEL (a key updated in commit 1 and reverted in commit
+    2 emits nothing; inserted-then-deleted emits nothing). q_lake_cdf
+    checks every per-commit feed; this checks the documented range
+    semantics the API also offers — the oracle diffs the prefix states
+    at version 0 and version 2 directly, which is the collapsed law.
+
+    Scale notes: ONE co-partitioned full-outer join of the two endpoint
+    snapshots, independent of how many commits lie between them — the
+    reason the range form exists (re-deriving N per-commit feeds and
+    folding them costs N joins and produces exactly this)."""
+    batches = _changelog_batches(spark, sf_dir)
+
+    def feeds(table: LakeTable) -> list[DataFrame]:
+        return [
+            table.changes(version=2, since=0)
+            .withColumnRenamed("_commit_version", "version")
+            .withColumnRenamed("_change_type", "change_type")
+        ]
+
+    return _with_committed_table(
+        spark, batches, None, feeds, ["version", "change_type", *_COLS]
+    )
+
+
 # -- deletion vectors (round 8) -------------------------------------------
 
 _DV_ORACLE = f"""
