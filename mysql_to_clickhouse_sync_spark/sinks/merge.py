@@ -1206,28 +1206,52 @@ class LakeTable:
         out = inserts.unionByName(deletes).unionByName(pre).unionByName(post)
         return out.withColumn("_commit_version", F.lit(v).cast("long"))
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_s: float = 600.0) -> list[str]:
         """Remove crash debris: stage directories whose writer died
         before publishing, and generation directories BEYOND the
         committed pointer (a crash between the gen rename and the
         pointer flip). Both are invisible to every read path — vacuum
         only reclaims disk. Never touches committed or retained
-        generations; do not run while another writer is mid-commit
-        (same single-operator contract as compaction). Returns the
-        removed paths (Delta's VACUUM shape, minus time-based retention
-        which the commit-path reference counting already handles)."""
+        generations.
+
+        `min_age_s` makes vacuum SAFE TO RUN BESIDE LIVE WRITERS
+        (Delta's time-based retention discipline): only debris whose
+        mtime is older than the threshold is removed, so a concurrent
+        writer's seconds-old in-flight stage directory is never swept
+        — crash debris, by the time a vacuum job visits it, is old.
+        Size it above the longest plausible single commit (default
+        10 min); pass 0 only from a context that KNOWS no writer is
+        mid-commit (the old whole-table-quiesced contract). If a
+        pathological commit outlives the threshold anyway, the writer
+        fails with a stale-miss the retry path classifies as a
+        conflict and re-attempts (tests/test_multiwriter_soak.py) —
+        wasteful, never silent. Returns the removed paths."""
+        import time
+
         cur = self.current_version()
+        now = time.time()
+
+        def old_enough(p: str) -> bool:
+            try:
+                return now - os.stat(p).st_mtime >= min_age_s
+            except OSError:
+                return False  # raced away already — nothing to remove
+
         removed = []
         for d in os.listdir(self.path):
             p = os.path.join(self.path, d)
-            if d == _CHECKPOINT + ".tmp":
+            if d == _CHECKPOINT + ".tmp" and old_enough(p):
                 # a checkpoint writer that died mid-replace
                 removed.append(p)
-            elif d.startswith("_stage-") and os.path.isdir(p):
+            elif (
+                d.startswith("_stage-")
+                and os.path.isdir(p)
+                and old_enough(p)
+            ):
                 removed.append(p)
             elif d.startswith("gen-") and os.path.isdir(p):
                 v = int(d.split("-")[1])
-                if cur is None or v > cur:
+                if (cur is None or v > cur) and old_enough(p):
                     removed.append(p)
         for p in removed:
             if os.path.isdir(p):

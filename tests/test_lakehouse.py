@@ -720,7 +720,8 @@ def test_vacuum_clears_stage_and_overshoot_debris(spark, tmp_path):
     overshoot = os.path.join(t.path, "gen-000005")
     os.makedirs(overshoot)
     assert t.versions() == [0]  # debris is invisible
-    removed = t.vacuum()
+    assert t.vacuum() == []  # young debris: a live writer's dir is safe
+    removed = t.vacuum(min_age_s=0)
     assert sorted(os.path.basename(p) for p in removed) == [
         "_stage-gen-000001-deadbeef",
         "gen-000005",
@@ -1133,6 +1134,7 @@ def test_vacuum_clears_checkpoint_tmp_debris(spark, tmp_path):
     tmp = os.path.join(t.path, "_CHECKPOINT.json.tmp")
     with open(tmp, "w") as fh:
         fh.write("{}")
-    removed = t.vacuum()
+    assert t.vacuum() == []  # young debris survives the age threshold
+    removed = t.vacuum(min_age_s=0)
     assert tmp in removed and not os.path.exists(tmp)
     assert _state(t) == {1: 1.0}

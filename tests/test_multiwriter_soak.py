@@ -89,6 +89,10 @@ def test_n_writers_plus_compactor_serialize(spark, tmp_path):
                 t.compact()
             except CommitConflictError:
                 pass  # maintenance losing a race is fine; writers must not
+            # vacuum beside LIVE writers: the default age threshold must
+            # keep every in-flight stage directory untouched (a sweep of
+            # one would surface as a writer error or a lost commit below)
+            t.vacuum()
             time.sleep(0.2)
 
     threads = [
