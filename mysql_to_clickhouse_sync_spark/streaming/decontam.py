@@ -131,6 +131,11 @@ def s_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     and per-lang GroupState accumulates (n_train, n_contaminated)."""
     docs = load_table(spark, sf_dir, "documents")
     bitmap, m = bench_bloom(spark, docs)
+    # materialize the bitmap ONCE: a stream-static join re-executes the
+    # static side's plan every trigger, which would rebuild the filter
+    # (shingle explode + distinct + fold) per micro-batch — the whole
+    # point of the gate is that the benchmark folds once
+    bitmap = bitmap.localCheckpoint(eager=True)
     train = docs.filter(F.col("source") != _BENCH_SOURCE).select(
         "doc_id", "lang", "text"
     )
