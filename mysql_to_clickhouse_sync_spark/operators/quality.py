@@ -275,8 +275,13 @@ def bench_shingles(docs: DataFrame) -> DataFrame:
 def decontam_probe_expr(m: int, shingle_col: str = "shingles") -> str:
     """Map-only Bloom membership over a document's shingle array: true iff
     ANY shingle hits both k=2 positions of the broadcast `bits` bitmap.
-    One md5 per shingle (the transform), two 12-hex slices per digest
-    (double hashing, the q_bloom_join idiom) — all whole-stage codegen."""
+    One md5 per shingle (the transform), one 12-hex digest slice per
+    BJ_SLICES seed (double hashing, the q_bloom_join idiom) — all
+    whole-stage codegen. Offsets derive from joins.BJ_SLICES, the SAME
+    constant _bj_build_bitmap sets bits with, so build and probe cannot
+    drift (a divergence here would silently gain false negatives —
+    benchmark leakage — until the subset test caught it)."""
+    from mysql_to_clickhouse_sync_spark.operators.joins import BJ_SLICES
 
     def bit_set(start: int) -> str:
         p = (
@@ -288,17 +293,25 @@ def decontam_probe_expr(m: int, shingle_col: str = "shingles") -> str:
             f" & shiftleft(1L, CAST({p} % 64 AS INT))) != 0L"
         )
 
-    return (
-        f"exists(transform({shingle_col}, s -> md5(s)),"
-        f" h -> ({bit_set(1)}) AND ({bit_set(13)}))"
-    )
+    probes = " AND ".join(f"({bit_set(s)})" for s in BJ_SLICES)
+    return f"exists(transform({shingle_col}, s -> md5(s)), h -> {probes})"
 
 
 def decontam_bloom_sql(extra_cte: str = "") -> str:
     """Shared oracle CTE chain: words -> shingles -> benchmark set ->
     bitmap positions -> per-document bloom verdict. Cross-seed with the
     Spark side: both engines derive the SAME positions from md5 hex, so
-    even the false positives are re-derived bit-for-bit."""
+    even the false positives are re-derived bit-for-bit. Digest slice
+    offsets derive from joins.BJ_SLICES (same constant as the builder
+    and decontam_probe_expr), so build, probe, and oracle cannot drift."""
+    from mysql_to_clickhouse_sync_spark.operators.joins import BJ_SLICES
+
+    slice_list = ", ".join(str(s) for s in BJ_SLICES)
+    probe = "\n          AND ".join(
+        f"CAST('0x' || substr(md5(h), {s}, 12) AS BIGINT)"
+        f"\n                  % (SELECT m FROM sz) IN (SELECT p FROM bits)"
+        for s in BJ_SLICES
+    )
     return f"""
     WITH words AS (
         SELECT doc_id, source, lang, string_split(text, ' ') AS w
@@ -318,14 +331,11 @@ def decontam_bloom_sql(extra_cte: str = "") -> str:
     ), bits AS (
         SELECT DISTINCT CAST('0x' || substr(md5(h), s, 12) AS BIGINT)
                    % (SELECT m FROM sz) AS p
-        FROM bench, (SELECT unnest([1, 13]) AS s) slices
+        FROM bench, (SELECT unnest([{slice_list}]) AS s) slices
     ), bloom_cont AS (
         SELECT DISTINCT doc_id FROM sh
         WHERE source <> '{_BENCH_SOURCE}'
-          AND CAST('0x' || substr(md5(h), 1, 12) AS BIGINT)
-                  % (SELECT m FROM sz) IN (SELECT p FROM bits)
-          AND CAST('0x' || substr(md5(h), 13, 12) AS BIGINT)
-                  % (SELECT m FROM sz) IN (SELECT p FROM bits)
+          AND {probe}
     ){extra_cte}
     """
 

@@ -346,12 +346,16 @@ class LakeTable:
     def data_paths(self, version: int | None = None) -> list[str]:
         """The directories holding `version`'s data. Unbucketed: the one
         generation dir. Bucketed: each bucket resolved through the
-        manifest to the generation that last rewrote it — the manifest
-        IS the table, directories are just storage."""
+        manifest to the generation that last rewrote it. A file-refs
+        manifest (incremental optimize): the distinct owner generations.
+        The manifest IS the table, directories are just storage."""
         v = self._resolve(version)
         m = self.manifest(v)
         buckets = m.get("buckets")
         if buckets is None:
+            refs = m.get("file_refs")
+            if refs is not None:
+                return sorted({os.path.join(self.path, o) for o, _r in refs})
             # a deletion-vector commit owns no data: it points at the
             # generation that does (data_owner) and layers dv files on top
             owner = m.get("data_owner") or self._gen_name(v)
@@ -362,6 +366,36 @@ class LakeTable:
                 buckets.items(), key=lambda kv: int(kv[0])
             )
         ]
+
+    def data_files(self, version: int | None = None) -> list[str]:
+        """The parquet data files holding `version`'s stored state. For a
+        file-refs manifest this is exactly the referenced files (per-file
+        ownership — the incremental-optimize contract); otherwise every
+        data file under data_paths()."""
+        v = self._resolve(version)
+        refs = self.manifest(v).get("file_refs")
+        if refs is not None:
+            return [os.path.join(self.path, o, r) for o, r in refs]
+        return [f for p in self.data_paths(v) for f in _parquet_files(p)]
+
+    def _read_refs(self, refs: list) -> DataFrame:
+        """Read an explicit [owner_gen, rel_path] file list, grouped by
+        owner so each owner directory reads under its own basePath (a
+        partition_files_by owner keeps its Hive path columns; a chunk
+        generation carries them physically) and unioned BY NAME."""
+        from collections import defaultdict
+
+        by_owner: dict[str, list[str]] = defaultdict(list)
+        for o, r in refs:
+            by_owner[o].append(r)
+        df = None
+        for o in sorted(by_owner):
+            base = os.path.join(self.path, o)
+            part = self.spark.read.option("basePath", base).parquet(
+                *[os.path.join(base, r) for r in sorted(by_owner[o])]
+            )
+            df = part if df is None else df.unionByName(part)
+        return df
 
     def _dv_frame(self, version: int) -> DataFrame | None:
         """The accumulated deletion-vector changelog for `version`, or
@@ -381,7 +415,11 @@ class LakeTable:
         read): the result is row-identical to the rewrite path because
         both run the same apply_changelog under the same version order."""
         v = self._resolve(version)
-        df = self.spark.read.parquet(*self.data_paths(v))
+        refs = self.manifest(v).get("file_refs")
+        if refs is not None:
+            df = self._read_refs(refs)
+        else:
+            df = self.spark.read.parquet(*self.data_paths(v))
         dv = self._dv_frame(v)
         if dv is not None:
             df = apply_changelog(df, dv, self.keys, self.version_cols)
@@ -434,7 +472,6 @@ class LakeTable:
         # inherited file_stats describe them — conservative: deleted
         # rows may widen a file's [min,max]) and applies the vectors
         # after the pruned scan; per-query dv cost is O(deleted keys)
-        gen = self.data_paths(v)[0]
         dv = self._dv_frame(v)
 
         def finish(df: DataFrame) -> DataFrame:
@@ -442,32 +479,55 @@ class LakeTable:
                 df = apply_changelog(df, dv, self.keys, self.version_cols)
             return live_rows(df)
 
-        fs = m.get("file_stats")
+        refs, fs = self._stats_keyed_refs(v, m, "file_stats")
         if fs is None:
-            n = len(_parquet_files(gen))
-            return finish(self.spark.read.parquet(gen)), n, n
-        keep = []
-        for rel in sorted(fs):
+            n = len(refs)
+            return finish(self._read_refs([r for _k, r in refs])), n, n
+        keep_refs = []
+        for key, ref in refs:
+            st_file = fs.get(key)
             ok = True
-            for col, lo, hi in preds:
-                st = fs[rel].get(col)
-                if st is None:
-                    continue  # no stats: conservatively unprunable
-                mn, mx = st
-                if (lo is not None and mx < lo) or (
-                    hi is not None and mn > hi
-                ):
-                    ok = False
-                    break
+            if st_file is not None:
+                for col, lo, hi in preds:
+                    st = st_file.get(col)
+                    if st is None:
+                        continue  # no stats: conservatively unprunable
+                    mn, mx = st
+                    if (lo is not None and mx < lo) or (
+                        hi is not None and mn > hi
+                    ):
+                        ok = False
+                        break
             if ok:
-                keep.append(rel)
-        if not keep:
-            df = self.spark.read.parquet(gen).filter(F.lit(False))
+                keep_refs.append(ref)
+        if not keep_refs:
+            df = self._read_refs([r for _k, r in refs]).filter(F.lit(False))
         else:
-            df = self.spark.read.option("basePath", gen).parquet(
-                *[os.path.join(gen, r) for r in keep]
-            )
-        return finish(df), len(fs), len(keep)
+            df = self._read_refs(keep_refs)
+        return finish(df), len(refs), len(keep_refs)
+
+    def _stats_keyed_refs(self, v: int, m: dict, stats_field: str):
+        """(refs, stats) for the pruned readers, layout-normalized: refs
+        is [(stats_key, [owner, rel]), ...] covering every data file of
+        version v in sorted-key order; stats is the manifest's per-file
+        map keyed compatibly (plain manifests key by rel path, file-refs
+        manifests by 'owner/rel'), or None when the commit carries no
+        stats. A ref missing from stats is conservatively read."""
+        stats = m.get(stats_field)
+        mrefs = m.get("file_refs")
+        if mrefs is not None:
+            out = [(f"{o}/{r}", [o, r]) for o, r in mrefs]
+        else:
+            gen = self.data_paths(v)[0]
+            owner = os.path.basename(gen)
+            if stats is None:
+                rels = sorted(
+                    os.path.relpath(f, gen) for f in _parquet_files(gen)
+                )
+            else:
+                rels = sorted(stats)
+            out = [(r, [owner, r]) for r in rels]
+        return sorted(out, key=lambda kr: kr[0]), stats
 
     def read_bloom_pruned(
         self, col: str, value, version: int | None = None
@@ -489,7 +549,6 @@ class LakeTable:
                 "read_bloom_pruned applies to unbucketed tables (bucketed"
                 " state prunes by key-hash bucket)"
             )
-        gen = self.data_paths(v)[0]
         dv = self._dv_frame(v)
 
         def finish(df: DataFrame) -> DataFrame:
@@ -497,15 +556,16 @@ class LakeTable:
                 df = apply_changelog(df, dv, self.keys, self.version_cols)
             return live_rows(df)
 
-        fb = m.get("file_blooms")
+        refs, fb = self._stats_keyed_refs(v, m, "file_blooms")
         if fb is None:
-            n = len(_parquet_files(gen))
-            return finish(self.spark.read.parquet(gen)), n, n
-        keep = []
-        for rel in sorted(fb):
-            ent = fb[rel].get(col)
+            n = len(refs)
+            return finish(self._read_refs([r for _k, r in refs])), n, n
+        keep_refs = []
+        for key, ref in refs:
+            ent = (fb.get(key) or {}).get(col)
             if ent is None:
-                keep.append(rel)  # no filter for col: conservatively read
+                # no filter for this col/file: conservatively read
+                keep_refs.append(ref)
                 continue
             bits_m, bits = ent
             bset = set(bits)
@@ -513,14 +573,12 @@ class LakeTable:
                 _bloom_pos(value, s, bits_m) in bset
                 for s in FILE_BLOOM_SEEDS
             ):
-                keep.append(rel)
-        if not keep:
-            df = self.spark.read.parquet(gen).filter(F.lit(False))
+                keep_refs.append(ref)
+        if not keep_refs:
+            df = self._read_refs([r for _k, r in refs]).filter(F.lit(False))
         else:
-            df = self.spark.read.option("basePath", gen).parquet(
-                *[os.path.join(gen, r) for r in keep]
-            )
-        return finish(df), len(fb), len(keep)
+            df = self._read_refs(keep_refs)
+        return finish(df), len(refs), len(keep_refs)
 
     # -- writes (write-audit-publish) -----------------------------------
 
@@ -659,13 +717,37 @@ class LakeTable:
         )
         try:
             write_fn(stage)
-            # bucket owners recorded by the write closure name the stage
-            # dir — rewrite them to the final generation name
+            # owners recorded by the write closure name the stage dir —
+            # rewrite them to the final generation name (bucket owners,
+            # z-order markers, file refs, and cube file lists alike)
+            sname = os.path.basename(stage)
+            gname = self._gen_name(new_v)
+
+            def _fix_owner(o: str) -> str:
+                return gname if o == sname else o
+
             if meta.get("buckets"):
-                sname = os.path.basename(stage)
                 meta["buckets"] = {
-                    b: (self._gen_name(new_v) if o == sname else o)
-                    for b, o in meta["buckets"].items()
+                    b: _fix_owner(o) for b, o in meta["buckets"].items()
+                }
+            if meta.get("bucket_zorder"):
+                meta["bucket_zorder"] = {
+                    b: [_fix_owner(mk[0]), mk[1]]
+                    for b, mk in meta["bucket_zorder"].items()
+                }
+            if meta.get("file_refs") is not None:
+                meta["file_refs"] = [
+                    [_fix_owner(o), r] for o, r in meta["file_refs"]
+                ]
+            if meta.get("zcubes"):
+                meta["zcubes"] = {
+                    cid: {
+                        **cube,
+                        "files": [
+                            [_fix_owner(o), r] for o, r in cube["files"]
+                        ],
+                    }
+                    for cid, cube in meta["zcubes"].items()
                 }
             files = _parquet_files(stage)
             # Stats from parquet FOOTERS — metadata-only, never a scan.
@@ -675,32 +757,68 @@ class LakeTable:
             # mean the same thing across layouts.
             import pyarrow.parquet as pq
 
+            def _resolve_ref(o: str, r: str) -> str:
+                # refs naming the NEW generation still live in the stage
+                return os.path.join(
+                    stage if o == gname else os.path.join(self.path, o), r
+                )
+
             if meta.get("buckets") is not None:
                 stat_files: list[str] = []
                 for b, owner in meta["buckets"].items():
                     d = (
                         os.path.join(stage, f"bucket={b}")
-                        if owner == self._gen_name(new_v)
+                        if owner == gname
                         else os.path.join(self.path, owner, f"bucket={b}")
                     )
                     stat_files.extend(_parquet_files(d))
-            elif meta.get("data_owner"):
+            elif meta.get("operation") == "delete-vector":
                 # deletion-vector commit: the snapshot = the owner's data
-                # files + every referenced dv file (this one is still in
+                # files (a single data_owner generation, or the file-refs
+                # list) + every referenced dv file (this one is still in
                 # the stage dir); file_stats are INHERITED from the owner
                 # (set by the caller) — they describe the data files the
                 # pruned reads will scan
                 stat_files = list(files)
-                stat_files.extend(
-                    _parquet_files(
-                        os.path.join(self.path, meta["data_owner"])
+                if meta.get("file_refs") is not None:
+                    stat_files.extend(
+                        _resolve_ref(o, r) for o, r in meta["file_refs"]
                     )
-                )
+                else:
+                    stat_files.extend(
+                        _parquet_files(
+                            os.path.join(self.path, meta["data_owner"])
+                        )
+                    )
                 for g in meta.get("dv") or []:
-                    if g != self._gen_name(new_v):
+                    if g != gname:
                         stat_files.extend(
                             _parquet_files(os.path.join(self.path, g))
                         )
+            elif meta.get("file_refs") is not None:
+                # incremental-optimize chunk commit: the snapshot is the
+                # refs list (kept files inherit their stats, re-keyed by
+                # the caller; this chunk's new files get fresh stats)
+                stat_files = [
+                    _resolve_ref(o, r) for o, r in meta["file_refs"]
+                ]
+                new_stats = self._footer_stats(files, stage)
+                meta["file_stats"] = {
+                    **(meta.get("file_stats") or {}),
+                    **{
+                        f"{gname}/{rel}": st
+                        for rel, st in new_stats.items()
+                    },
+                }
+                if self.bloom_cols:
+                    new_blooms = self._file_blooms(files, stage)
+                    meta["file_blooms"] = {
+                        **(meta.get("file_blooms") or {}),
+                        **{
+                            f"{gname}/{rel}": bl
+                            for rel, bl in new_blooms.items()
+                        },
+                    }
             else:
                 stat_files = files
                 meta["file_stats"] = self._footer_stats(files, stage)
@@ -751,6 +869,14 @@ class LakeTable:
             # pointer still cannot reach it; even then the residual
             # window (competitor renamed but not yet flipped) is closed
             # by the commit_uuid verify after the pointer flip below.
+            # Refresh the stage mtime so the renamed gen-N is ALWAYS
+            # younger than vacuum's min_age_s during the rename-to-flip
+            # window: a writer stalled longer than the threshold between
+            # manifest fsync and pointer flip would otherwise have its
+            # already-renamed generation swept as overshoot debris, after
+            # which the flip publishes a pointer to a missing generation
+            # (reader-visible corruption, not a retryable conflict).
+            os.utime(stage)
             try:
                 os.rename(stage, gen)
             except OSError as exc:
@@ -759,6 +885,7 @@ class LakeTable:
                         f"concurrent commit already published {gen}"
                     ) from exc
                 shutil.rmtree(gen, ignore_errors=True)
+                os.utime(stage)
                 try:
                     os.rename(stage, gen)
                 except OSError as exc2:
@@ -803,6 +930,7 @@ class LakeTable:
             if mm.get("data_owner"):
                 referenced.add(mm["data_owner"])
             referenced.update(mm.get("dv") or [])
+            referenced.update(o for o, _r in mm.get("file_refs") or [])
         for v in self.versions():
             name = self._gen_name(v)
             if v < new_v - self.retention and name not in referenced:
@@ -985,6 +1113,21 @@ class LakeTable:
             }
             untouched.update({b: os.path.basename(p) for b in written})
             meta["buckets"] = untouched
+            # z-order markers survive ONLY for buckets this merge left
+            # alone AND whose marker still names the current owner — a
+            # rewritten bucket loses its marker (ownership moved), so
+            # the next optimize() revisits exactly the drifted buckets
+            markers = {
+                b: mk
+                for b, mk in (
+                    prev_manifest.get("bucket_zorder") or {}
+                ).items()
+                if b in untouched
+                and int(b) not in set(touched)
+                and mk[0] == prev.get(b)
+            }
+            if markers:
+                meta["bucket_zorder"] = markers
 
         self._commit(write, meta, expected_parent=cur)
         return self.read()
@@ -1040,6 +1183,17 @@ class LakeTable:
         }
         if m.get("buckets") is not None:
             meta["buckets"] = dict(m["buckets"])  # ownership unchanged
+            if m.get("bucket_zorder"):
+                meta["bucket_zorder"] = dict(m["bucket_zorder"])
+        elif m.get("file_refs") is not None:
+            # file-refs snapshot (mid-incremental-optimize): ownership,
+            # cubes, and stats all carry forward unchanged — a dv commit
+            # layers vectors on top of whatever layout exists
+            meta["file_refs"] = [list(r) for r in m["file_refs"]]
+            if m.get("zcubes"):
+                meta["zcubes"] = m["zcubes"]
+            meta["file_stats"] = m.get("file_stats")
+            meta["file_blooms"] = m.get("file_blooms")
         else:
             meta["data_owner"] = m.get("data_owner") or self._gen_name(cur)
             meta["file_stats"] = m.get("file_stats")
@@ -1069,7 +1223,11 @@ class LakeTable:
 
         import pyarrow.parquet as pq
 
-        files = [f for p in paths for f in _parquet_files(p)]
+        files = [
+            f
+            for p in paths
+            for f in (_parquet_files(p) if os.path.isdir(p) else [p])
+        ]
         if not files:
             return 0
         with ThreadPoolExecutor(max_workers=16) as pool:
@@ -1089,7 +1247,7 @@ class LakeTable:
         dv_rows = self._footer_rows(
             [os.path.join(self.path, g) for g in dvs]
         )
-        base_rows = self._footer_rows(self.data_paths(v))
+        base_rows = self._footer_rows(self.data_files(v))
         return {
             "version": v,
             "dv_files": len(dvs),
@@ -1432,7 +1590,11 @@ class LakeTable:
             with self._conflict_on_sweep(v):
                 self.merge(self._dv_frame(v).limit(0))
             v = self._resolve(None)
-            m = self.manifest(v)
+            # the re-resolve's manifest read can ALSO lose a race with a
+            # competitor's retention sweep — classify it as a conflict,
+            # not a raw FileNotFoundError callers were never told about
+            with self._conflict_on_sweep(v):
+                m = self.manifest(v)
         with self._conflict_on_sweep(v):
             return self._compact_plan(v, m, target, cluster_by)
 
@@ -1457,13 +1619,20 @@ class LakeTable:
             "schema": m.get("schema"),
         }
         if m.get("buckets") is None:
-            gen = self._gen_dir(v)
-            sizes = data_file_sizes(gen)
+            refs = m.get("file_refs")
+            if refs is not None:
+                # mid-incremental-optimize snapshot: compacting folds the
+                # refs into one plain generation (cubes restart clean)
+                sizes = [os.path.getsize(f) for f in self.data_files(v)]
+                stored = self._read_refs(refs)
+            else:
+                gen = self._gen_dir(v)
+                sizes = data_file_sizes(gen)
+                stored = self.spark.read.parquet(gen)
             n_target = plan_file_count(sum(sizes), target)
             if cluster_by:
-                df = self.spark.read.parquet(gen)
                 cols = [F.col(c) for c in cluster_by]
-                clustered = df.repartitionByRange(
+                clustered = stored.repartitionByRange(
                     n_target, *cols
                 ).sortWithinPartitions(*cols)
                 meta["clustered_by"] = list(cluster_by)
@@ -1472,11 +1641,10 @@ class LakeTable:
                     meta,
                     expected_parent=v,
                 )
-            if len(sizes) <= n_target:
+            if len(sizes) <= n_target and refs is None:
                 return v
-            df = self.spark.read.parquet(gen)
             return self._commit(
-                lambda p: df.coalesce(n_target).write.parquet(p),
+                lambda p: stored.coalesce(n_target).write.parquet(p),
                 meta,
                 expected_parent=v,
             )
@@ -1496,6 +1664,15 @@ class LakeTable:
                 frag[b] = (d, n_target)
         if not frag:
             return v
+        # z-order markers survive for untouched buckets only: coalescing
+        # a bucket's files destroys its file-level clustering
+        markers = {
+            b: mk
+            for b, mk in (m.get("bucket_zorder") or {}).items()
+            if b not in frag and mk[0] == m["buckets"].get(b)
+        }
+        if markers:
+            meta["bucket_zorder"] = markers
 
         def write(p: str) -> None:
             for b, (d, n_target) in frag.items():
@@ -1512,15 +1689,16 @@ class LakeTable:
         self,
         zorder_cols: list[str],
         target_file_bytes: int | None = None,
+        max_scopes: int | None = None,
     ) -> int:
         """OPTIMIZE ... ZORDER BY on an EXISTING table (Delta's
-        maintenance shape): a retention-safe commit that re-clusters
-        the current generation's files along the Morton interleaving of
-        two numeric columns. Unlike write-time z-ordering
-        (q_lake_zorder_skipping lands one file per cell AT MERGE TIME),
-        this serves the table every CDC feed actually produces: data
-        landed in ARRIVAL order, and someone later adds a second query
-        pattern that needs multi-column skipping.
+        maintenance shape): retention-safe commits that re-cluster the
+        stored state along the Morton interleaving of two numeric
+        columns. Unlike write-time z-ordering (q_lake_zorder_skipping
+        lands one file per cell AT MERGE TIME), this serves the table
+        every CDC feed actually produces: data landed in ARRIVAL order,
+        and someone later adds a second query pattern that needs
+        multi-column skipping.
 
         Rows sort by z-value and files split at byte-sized z-range
         boundaries, so every file covers a small (user-col x value-col)
@@ -1530,24 +1708,353 @@ class LakeTable:
         and last_batch carried — readers of prior versions, and
         concurrent merge_with_retry writers, are untouched (the same
         conflict rules as compact()). file_stats and file_blooms are
-        recomputed by _commit for the new layout."""
+        recomputed by _commit for the new layout.
+
+        UNBUCKETED tables rewrite the current generation in one commit
+        (a global sort — the strongest clustering; for a table too big
+        for one atomic rewrite, use optimize_incremental, which commits
+        bounded chunks and resumes). BUCKETED tables re-cluster
+        BUCKET-BY-BUCKET: each bucket's files are z-ordered within the
+        bucket in its OWN commit through the same optimistic-concurrency
+        rules as merge, so a 100 TB CDC landing table re-clusters
+        incrementally — resumable after a crash (committed buckets carry
+        a manifest marker and are skipped on re-run), transient storage
+        bounded by one bucket, concurrent writers conflict-and-retry per
+        bucket instead of racing one table-sized commit. A later merge
+        that rewrites a bucket stales that bucket's marker (ownership
+        moved), so the next optimize revisits exactly the buckets that
+        drifted. `max_scopes` bounds how many per-bucket commits THIS
+        call makes (None = run to completion)."""
         if len(zorder_cols) != 2:
             raise ValueError("zorder re-clustering takes exactly 2 columns")
         v = self._resolve(None)
         m = self.manifest(v)
         if m.get("buckets") is not None:
-            raise ValueError(
-                "optimize(zorder) applies to the unbucketed layout"
-                " (bucketed state is key-clustered by construction)"
+            return self._optimize_buckets(
+                zorder_cols, target_file_bytes, max_scopes
             )
         if m.get("dv"):
             # fold outstanding deletion vectors first, like compact()
             with self._conflict_on_sweep(v):
                 self.merge(self._dv_frame(v).limit(0))
             v = self._resolve(None)
-            m = self.manifest(v)
+            # classify a swept-mid-re-resolve miss as a conflict (compact
+            # rule): maintenance losing a race re-plans, never crashes
+            with self._conflict_on_sweep(v):
+                m = self.manifest(v)
         with self._conflict_on_sweep(v):
             return self._optimize_plan(v, m, zorder_cols, target_file_bytes)
+
+    def _optimize_buckets(
+        self,
+        zorder_cols: list[str],
+        target_file_bytes: int | None,
+        max_scopes: int | None,
+    ) -> int:
+        """Per-bucket incremental z-order (see optimize docstring). Each
+        iteration re-resolves the head (so a concurrent merge between
+        bucket commits just re-plans), picks the first bucket whose
+        marker is missing or stale, and commits that bucket's rewrite."""
+        done = 0
+        while max_scopes is None or done < max_scopes:
+            v = self._resolve(None)
+            with self._conflict_on_sweep(v):
+                m = self.manifest(v)
+            if m.get("dv"):
+                # fold vectors first so the rewrite sees applied state
+                with self._conflict_on_sweep(v):
+                    self.merge(self._dv_frame(v).limit(0))
+                continue
+            buckets = m["buckets"]
+            markers = m.get("bucket_zorder") or {}
+            want = list(zorder_cols)
+            pending = sorted(
+                (
+                    b
+                    for b, owner in buckets.items()
+                    if markers.get(b) != [owner, want]
+                ),
+                key=int,
+            )
+            if not pending:
+                break
+            self._optimize_one_bucket(
+                v, m, pending[0], zorder_cols, target_file_bytes
+            )
+            done += 1
+        return self._resolve(None)
+
+    def _optimize_one_bucket(
+        self,
+        v: int,
+        m: dict,
+        b: str,
+        zorder_cols: list[str],
+        target_file_bytes: int | None,
+    ) -> int:
+        from mysql_to_clickhouse_sync_spark.sinks.compaction import (
+            TARGET_FILE_BYTES,
+            data_file_sizes,
+            plan_file_count,
+        )
+
+        with self._conflict_on_sweep(v):
+            d = os.path.join(self.path, m["buckets"][b], f"bucket={b}")
+            df = self.spark.read.parquet(d)  # WITH tombstones: state form
+            clustered, empty = self._z_clustered(
+                df,
+                zorder_cols,
+                plan_file_count(
+                    sum(data_file_sizes(d)),
+                    target_file_bytes or TARGET_FILE_BYTES,
+                ),
+            )
+            meta = {
+                "operation": "optimize",
+                "compacted_from": v,
+                "last_batch": m.get("last_batch"),
+                "schema_version": m.get("schema_version", 0),
+                "schema": m.get("schema"),
+                "zordered_by": list(zorder_cols),
+                "optimize_scope": {"bucket": int(b)},
+            }
+
+            def write(p: str) -> None:
+                clustered.write.parquet(os.path.join(p, f"bucket={b}"))
+                sname = os.path.basename(p)
+                meta["buckets"] = {**m["buckets"], b: sname}
+                # carry only CURRENT markers; stamp this bucket's
+                markers = {
+                    bb: mk
+                    for bb, mk in (m.get("bucket_zorder") or {}).items()
+                    if bb != b and mk[0] == m["buckets"].get(bb)
+                }
+                markers[b] = [sname, list(zorder_cols)]
+                meta["bucket_zorder"] = markers
+
+            return self._commit(write, meta, expected_parent=v)
+
+    def _z_clustered(
+        self, df: DataFrame, zorder_cols: list[str], n_target: int
+    ) -> tuple[DataFrame, bool]:
+        """(z-clustered frame, was_empty): rows range-partitioned and
+        sorted on the Morton z-value of the two columns, bounds taken
+        from THIS frame (plan-time scalars, the reference's S:163
+        pattern). An all-NULL/empty frame clusters trivially."""
+        from mysql_to_clickhouse_sync_spark.zorder import ZBITS, z_expr
+
+        a, b = zorder_cols
+        r = df.agg(F.min(a), F.max(a), F.min(b), F.max(b)).collect()[0]
+        if any(x is None for x in r):
+            return df.coalesce(max(1, n_target)), True
+        amn, amx, bmn, bmx = (int(x) for x in r)
+        cells = 1 << ZBITS
+        u3 = f"(({a} - {amn}) * {cells}) div {max(1, amx - amn + 1)}"
+        v3 = f"(({b} - {bmn}) * {cells}) div {max(1, bmx - bmn + 1)}"
+        zcol = F.expr(z_expr(u3, v3, "div"))
+        return (
+            df.repartitionByRange(max(1, n_target), zcol)
+            .sortWithinPartitions(zcol),
+            False,
+        )
+
+    def optimize_incremental(
+        self,
+        zorder_cols: list[str],
+        target_file_bytes: int | None = None,
+        chunk_files: int | None = None,
+        chunk_bytes: int | None = None,
+        max_scopes: int | None = None,
+    ) -> list[dict]:
+        """Incremental OPTIMIZE ZORDER for unbucketed tables too large
+        for optimize()'s single atomic rewrite: each commit z-orders ONE
+        bounded chunk of not-yet-clustered files (<= chunk_bytes or
+        chunk_files, whichever is given; default 16 target files of
+        bytes) into a new 'z-cube' — the Databricks liquid-clustering
+        shape. The manifest gains per-file ownership (`file_refs`: every
+        data file named by [owner_generation, rel_path]) and a `zcubes`
+        record of which files are already clustered, so the operation is
+        RESUMABLE: a crash loses at most one chunk's work, a re-run (even
+        from a fresh LakeTable handle) skips completed cubes, transient
+        storage is bounded by one chunk, and every commit obeys the same
+        optimistic-concurrency rules as merge (a concurrent writer
+        conflicts per-chunk, not per-table). Files are clustered within
+        their cube; cross-cube z-ranges may overlap — read_pruned_all
+        still skips per FILE, so the conjunction prunes multiplicatively
+        within every cube (a global sort via optimize() remains the
+        strongest layout when one commit is affordable; a merge folds
+        refs back to a plain generation and clears the cubes).
+
+        Returns one accounting record per committed chunk:
+        {scope, version, cube, files_in, bytes_in, files_out}.
+        `max_scopes` bounds this call's commits (None = run until no
+        unclustered files remain)."""
+        from mysql_to_clickhouse_sync_spark.sinks.compaction import (
+            TARGET_FILE_BYTES,
+        )
+
+        if len(zorder_cols) != 2:
+            raise ValueError("zorder re-clustering takes exactly 2 columns")
+        if chunk_files is not None and chunk_bytes is not None:
+            raise ValueError("chunk_files and chunk_bytes are exclusive")
+        budget = chunk_bytes or 16 * (target_file_bytes or TARGET_FILE_BYTES)
+        records: list[dict] = []
+        while max_scopes is None or len(records) < max_scopes:
+            v = self._resolve(None)
+            with self._conflict_on_sweep(v):
+                m = self.manifest(v)
+            if m.get("buckets") is not None:
+                raise ValueError(
+                    "optimize_incremental applies to unbucketed tables"
+                    " (the bucketed layout re-clusters per bucket via"
+                    " optimize())"
+                )
+            if m.get("dv"):
+                with self._conflict_on_sweep(v):
+                    self.merge(self._dv_frame(v).limit(0))
+                continue
+            rec = self._optimize_chunk(
+                v,
+                m,
+                zorder_cols,
+                target_file_bytes,
+                chunk_files,
+                budget,
+                scope=len(records),
+            )
+            if rec is None:
+                break
+            records.append(rec)
+        return records
+
+    def _optimize_chunk(
+        self,
+        v: int,
+        m: dict,
+        zorder_cols: list[str],
+        target_file_bytes: int | None,
+        chunk_files: int | None,
+        chunk_bytes: int,
+        scope: int,
+    ) -> dict | None:
+        from mysql_to_clickhouse_sync_spark.sinks.compaction import (
+            TARGET_FILE_BYTES,
+            plan_file_count,
+        )
+
+        with self._conflict_on_sweep(v):
+            refs = m.get("file_refs")
+            had_refs = refs is not None
+            if not had_refs:
+                gen = self.data_paths(v)[0]
+                owner = os.path.basename(gen)
+                refs = [
+                    [owner, r]
+                    for r in sorted(
+                        os.path.relpath(f, gen)
+                        for f in _parquet_files(gen)
+                    )
+                ]
+            cubes = dict(m.get("zcubes") or {})
+            want = list(zorder_cols)
+            cubed = {
+                tuple(f)
+                for c in cubes.values()
+                if c["zordered_by"] == want
+                for f in c["files"]
+            }
+            pending = [r for r in refs if tuple(r) not in cubed]
+            if not pending:
+                return None
+            take: list[list] = []
+            tot = 0
+            for o, r in pending:
+                sz = os.path.getsize(os.path.join(self.path, o, r))
+                if take and (
+                    (chunk_files is not None and len(take) >= chunk_files)
+                    or (chunk_files is None and tot + sz > chunk_bytes)
+                ):
+                    break
+                take.append([o, r])
+                tot += sz
+            df = self._read_refs(take)
+            clustered, _empty = self._z_clustered(
+                df,
+                zorder_cols,
+                plan_file_count(
+                    tot, target_file_bytes or TARGET_FILE_BYTES
+                ),
+            )
+            cube_id = f"cube-{v + 1:06d}"
+            keep = [r for r in refs if r not in take]
+            meta: dict = {
+                "operation": "optimize-chunk",
+                "compacted_from": v,
+                "last_batch": m.get("last_batch"),
+                "schema_version": m.get("schema_version", 0),
+                "schema": m.get("schema"),
+                "zordered_by": want,
+                "optimize_scope": {
+                    "cube": cube_id,
+                    "files_in": len(take),
+                    "bytes_in": tot,
+                },
+            }
+            old_fs = m.get("file_stats") or {}
+            old_fb = m.get("file_blooms") or {}
+
+            def _old_key(o: str, r: str) -> str:
+                return f"{o}/{r}" if had_refs else r
+
+            def write(p: str) -> None:
+                clustered.write.parquet(p)
+                sname = os.path.basename(p)
+                new_refs = [
+                    [sname, r]
+                    for r in sorted(
+                        os.path.relpath(f, p) for f in _parquet_files(p)
+                    )
+                ]
+                meta["file_refs"] = keep + new_refs
+                # kept cubes lose any file this chunk re-took (a
+                # zorder_cols change re-clusters old cubes)
+                taken = {tuple(t) for t in take}
+                kept_cubes = {}
+                for cid, c in cubes.items():
+                    rem = [f for f in c["files"] if tuple(f) not in taken]
+                    if rem:
+                        kept_cubes[cid] = {**c, "files": rem}
+                kept_cubes[cube_id] = {
+                    "zordered_by": want,
+                    "files": new_refs,
+                }
+                meta["zcubes"] = kept_cubes
+                # inherit kept files' stats under owner-qualified keys;
+                # _commit adds this chunk's fresh stats
+                inh_fs = {}
+                inh_fb = {}
+                for o, r in keep:
+                    k_old = _old_key(o, r)
+                    if k_old in old_fs:
+                        inh_fs[f"{o}/{r}"] = old_fs[k_old]
+                    if k_old in old_fb:
+                        inh_fb[f"{o}/{r}"] = old_fb[k_old]
+                meta["file_stats"] = inh_fs
+                if self.bloom_cols:
+                    meta["file_blooms"] = inh_fb
+
+            new_v = self._commit(write, meta, expected_parent=v)
+            return {
+                "scope": scope,
+                "version": new_v,
+                "cube": cube_id,
+                "files_in": len(take),
+                "bytes_in": tot,
+                "files_out": sum(
+                    1 for o, _r in self.manifest(new_v)["file_refs"]
+                    if o == self._gen_name(new_v)
+                ),
+            }
 
     def _optimize_plan(
         self,
@@ -1558,30 +2065,24 @@ class LakeTable:
     ) -> int:
         from mysql_to_clickhouse_sync_spark.sinks.compaction import (
             TARGET_FILE_BYTES,
-            data_file_sizes,
             plan_file_count,
         )
-        from mysql_to_clickhouse_sync_spark.zorder import ZBITS, z_expr
 
-        gen = self.data_paths(v)[0]
-        df = self.spark.read.parquet(gen)  # WITH tombstones: state form
-        a, b = zorder_cols
-        # plan-time bounds scalars (the reference's S:163 pattern)
-        r = df.agg(F.min(a), F.max(a), F.min(b), F.max(b)).collect()[0]
-        if any(x is None for x in r):
-            return v  # empty table: nothing to lay out
-        amn, amx, bmn, bmx = (int(x) for x in r)
-        cells = 1 << ZBITS
-        u3 = f"(({a} - {amn}) * {cells}) div {max(1, amx - amn + 1)}"
-        v3 = f"(({b} - {bmn}) * {cells}) div {max(1, bmx - bmn + 1)}"
-        zcol = F.expr(z_expr(u3, v3, "div"))
+        refs = m.get("file_refs")
+        if refs is not None:
+            # full rewrite of a mid-incremental snapshot: folds the refs
+            # back to one globally-sorted plain generation
+            df = self._read_refs(refs)
+        else:
+            df = self.spark.read.parquet(self.data_paths(v)[0])
+        # WITH tombstones: state form
         n_target = plan_file_count(
-            sum(data_file_sizes(gen)),
+            sum(os.path.getsize(f) for f in self.data_files(v)),
             target_file_bytes or TARGET_FILE_BYTES,
         )
-        clustered = df.repartitionByRange(
-            n_target, zcol
-        ).sortWithinPartitions(zcol)
+        clustered, empty = self._z_clustered(df, zorder_cols, n_target)
+        if empty:
+            return v  # empty table: nothing to lay out
         meta = {
             "operation": "optimize",
             "compacted_from": v,

@@ -164,7 +164,17 @@ def s_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(bitmap.withColumn("__one", F.lit(1))),
             F.lit(1) == F.col("__one"),
         )
-        .withColumn("contaminated", F.expr(decontam_probe_expr(m)))
+        # coalesce the verdict to false: the shingle expr short-circuits
+        # under-length docs to array() (exists() then yields false, not
+        # NULL), but the stateful counter's int(sum) and the non-nullable
+        # output schema must not depend on that short-circuit surviving a
+        # refactor. lang is non-null by the documents fixture contract
+        # (a null lang group key would violate DECONTAM_OUT_SCHEMA and
+        # diverge from the oracle's GROUP BY — precondition, not guard).
+        .withColumn(
+            "contaminated",
+            F.coalesce(F.expr(decontam_probe_expr(m)), F.lit(False)),
+        )
         .select("lang", "contaminated")
     )
     counters = flags.groupBy("lang").applyInPandasWithState(
