@@ -1199,3 +1199,327 @@ def q_lake_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+# -- incremental, scoped OPTIMIZE (round 10) ---------------------------------
+
+_OPT_CHUNK_FILES = 3  # files per z-cube commit in the declared fixture
+
+_OPT_INC_ORACLE = f"""
+    {EVENTS_US_CTE}
+    , st AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM (
+            SELECT user_id, event_id, ts, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events_us WHERE ts IS NOT NULL
+        ) WHERE rn = 1
+    ), ns AS (
+        -- the chunking LAW: the arrival layout is one file per residue
+        -- band (user_id % 8), each commit takes exactly chunk_files of
+        -- the not-yet-cubed files, so the per-scope progress accounting
+        -- is pure arithmetic over the file count
+        SELECT CAST(count(DISTINCT user_id % 8) AS BIGINT) AS files_total,
+               CAST(count(*) AS BIGINT) AS rows_total,
+               CAST(ceil(count(DISTINCT user_id % 8)
+                         / {_OPT_CHUNK_FILES}.0) AS BIGINT) AS n_scopes
+        FROM st
+    ), bnd AS (
+        SELECT min(user_id) AS umn, max(user_id) AS umx,
+               min(vc) AS vmn, max(vc) AS vmx
+        FROM st
+    ), box AS (
+        SELECT umn + (umx - umn) // 8 AS ulo,
+               umn + (umx - umn) // 3 AS uhi,
+               vmn + (vmx - vmn) // 8 AS vlo,
+               vmn + (vmx - vmn) // 3 AS vhi
+        FROM bnd
+    ), bh AS (
+        SELECT CAST(count(*) AS BIGINT) AS box_hits
+        FROM st, box
+        WHERE user_id BETWEEN ulo AND uhi AND vc BETWEEN vlo AND vhi
+    )
+    SELECT CAST(s.scope AS BIGINT) AS scope,
+           CAST(least({_OPT_CHUNK_FILES},
+                      ns.files_total - (s.scope - 1) * {_OPT_CHUNK_FILES})
+               AS BIGINT) AS files_in,
+           ns.files_total, ns.n_scopes, ns.n_scopes AS commits_total,
+           ns.rows_total, bh.box_hits
+    FROM ns, bh,
+         (SELECT unnest(range(1, (SELECT n_scopes FROM ns) + 1)) AS scope) s
+"""
+
+
+@declare("q_lake_optimize_incremental", oracle=_OPT_INC_ORACLE, tier="P2")
+def q_lake_optimize_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL OPTIMIZE ZORDER, per-scope progress oracle-checked:
+    the CDC state lands as one file per arrival band, then
+    LakeTable.optimize_incremental z-orders it in bounded chunks — ONE
+    optimistic commit per chunk (a 'z-cube', the liquid-clustering
+    shape), per-file ownership in the manifest (file_refs), completed
+    cubes recorded so the operation RESUMES after a crash. The declared
+    output is one row per committed chunk: the scope's file intake, the
+    total file count, the scope count, and the total commits actually
+    made, plus the final table's row count and a 2-d box read through
+    read_pruned_all ON THE MID-GENERATION REFS SNAPSHOT — so the oracle
+    re-derives the chunking law (ceil(files/chunk) commits, each taking
+    exactly chunk_files until exhaustion, zero rework across a
+    crash/restart boundary) and the data's survival, not just the
+    effect. The resume is real: scope 1 commits through one handle,
+    then a FRESH LakeTable handle (nothing in memory) finishes from the
+    manifest markers; any redone or skipped chunk breaks files_in /
+    commits_total against the oracle's arithmetic.
+
+    Scale notes (100 TB): this is the maintenance shape optimize()'s
+    single atomic rewrite cannot be at scale — per-commit transient
+    storage is bounded by one chunk, a lost executor hour loses at most
+    one chunk, and every commit obeys merge's optimistic-concurrency
+    rules so writers keep landing between chunks. Cross-cube z-ranges
+    may overlap (cubes cluster within themselves); read_pruned_all
+    still skips per file, and a later full optimize()/compact() folds
+    the cubes into one globally-sorted generation when a single commit
+    is affordable. Cites the reference's full-load-then-incremental
+    posture (mysql_to_clickhouse_sync.py:97-116): maintenance must
+    never require stopping the feed."""
+    from mysql_to_clickhouse_sync_spark.streaming.cdc import (
+        UPSERT as _UP,
+        latest_per_key,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(*_COLS)
+    )
+    latest = latest_per_key(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).withColumn("vc", F.expr("CAST(floor(value * 100) AS BIGINT)"))
+    log = latest.withColumn("band", F.expr("user_id % 8")).withColumn(
+        OP_COL, F.lit(_UP)
+    )
+    umn, umx, vmn, vmx = (
+        int(x)
+        for x in latest.agg(
+            F.min("user_id"), F.max("user_id"), F.min("vc"), F.max("vc")
+        ).collect()[0]
+    )
+    boxes = [
+        ("user_id", umn + (umx - umn) // 8, umn + (umx - umn) // 3),
+        ("vc", vmn + (vmx - vmn) // 8, vmn + (vmx - vmn) // 3),
+    ]
+    workdir = tempfile.mkdtemp(prefix="lake_optinc_")
+    try:
+        table = LakeTable(
+            spark,
+            f"{workdir}/state",
+            keys=["user_id"],
+            version_cols=["ts", "event_id"],
+            retention=2,
+            partition_files_by="band",
+        )
+        table.merge(log, batch_id=0)
+        files_total = len(table.data_files())
+        # scope 1 through THIS handle, then a fresh handle resumes: the
+        # crash/restart boundary the manifest markers exist for
+        recs = table.optimize_incremental(
+            ["user_id", "vc"], chunk_files=_OPT_CHUNK_FILES, max_scopes=1
+        )
+        resumed = LakeTable(
+            spark,
+            f"{workdir}/state",
+            keys=["user_id"],
+            version_cols=["ts", "event_id"],
+            retention=2,
+        )
+        recs += resumed.optimize_incremental(
+            ["user_id", "vc"], chunk_files=_OPT_CHUNK_FILES
+        )
+        pruned, _tot, _read = resumed.read_pruned_all(boxes)
+        box_hits = pruned.filter(
+            F.col("user_id").between(*boxes[0][1:])
+            & F.col("vc").between(*boxes[1][1:])
+        ).count()
+        rows_total = resumed.read().count()
+        out = [
+            (
+                i + 1,
+                r["files_in"],
+                files_total,
+                len(recs),
+                len(recs),
+                rows_total,
+                box_hits,
+            )
+            for i, r in enumerate(recs)
+        ]
+        return spark.createDataFrame(
+            out,
+            "scope bigint, files_in bigint, files_total bigint,"
+            " n_scopes bigint, commits_total bigint, rows_total bigint,"
+            " box_hits bigint",
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+_OPT_BUCKET_ORACLE = f"""
+    {EVENTS_US_CTE}
+    , st AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM (
+            SELECT user_id, event_id, ts, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events_us WHERE ts IS NOT NULL
+        ) WHERE rn = 1
+    ), mx AS (
+        SELECT max(ts) AS m FROM events_us WHERE ts IS NOT NULL
+    )
+    -- final state: the post-optimize probe merge wins for its users
+    -- (newer ts under the version total order); flags are LAWS the
+    -- Spark side must observe (1) or fail the hash
+    SELECT user_id, event_id, ts, event_type, value, vc,
+           CAST(1 AS BIGINT) AS partial_ok,
+           CAST(1 AS BIGINT) AS resumed_ok,
+           CAST(1 AS BIGINT) AS idempotent_ok,
+           CAST(1 AS BIGINT) AS stale_ok,
+           CAST(1 AS BIGINT) AS revisit_ok
+    FROM st WHERE user_id % 13 <> 5
+    UNION ALL
+    SELECT user_id, CAST(0 AS BIGINT),
+           (SELECT m FROM mx) + INTERVAL 1 SECOND,
+           'optimize_probe', CAST(-1.0 AS DOUBLE), CAST(-100 AS BIGINT),
+           CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    FROM (SELECT DISTINCT user_id FROM st WHERE user_id % 13 = 5)
+"""
+
+
+@declare("q_lake_optimize_bucketed", oracle=_OPT_BUCKET_ORACLE, tier="P2")
+def q_lake_optimize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-BUCKET OPTIMIZE ZORDER on the bucketed layout — the engine's
+    own 100 TB CDC landing shape, which round 9's optimize() refused.
+    The state seeds a 4-bucket table; optimize(max_scopes=2) commits
+    exactly two per-bucket rewrites (partial_ok pins the marker count);
+    a FRESH handle resumes to completion from the manifest markers
+    (resumed_ok); a further optimize() advances no version
+    (idempotent_ok); a probe merge then rewrites SOME buckets and must
+    stale exactly those buckets' markers (stale_ok — ownership moved);
+    the final optimize() revisits only the drifted buckets, one commit
+    each (revisit_ok). The declared rows are the final live state read
+    through all of it, hash-checked against the pure-SQL fold of the
+    seed plus the probe wave — the re-clustering must be semantically
+    invisible at every step.
+
+    Scale notes (100 TB): bucket-by-bucket commits make OPTIMIZE
+    resumable (a crash loses at most one bucket's rewrite), bound
+    transient storage to one bucket, and let concurrent
+    merge_with_retry writers land between scopes under the standard
+    conflict rules; marker staleness scopes the NEXT maintenance run to
+    exactly the buckets the feed drifted, so steady-state re-cluster
+    cost tracks the write rate, not the table size."""
+    from mysql_to_clickhouse_sync_spark.streaming.cdc import (
+        UPSERT as _UP,
+        latest_per_key,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(*_COLS)
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    latest = latest_per_key(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).withColumn("vc", F.expr("CAST(floor(value * 100) AS BIGINT)"))
+    zcols = ["user_id", "vc"]
+    workdir = tempfile.mkdtemp(prefix="lake_optbkt_")
+    try:
+        table = LakeTable(
+            spark,
+            f"{workdir}/state",
+            keys=["user_id"],
+            version_cols=["ts", "event_id"],
+            retention=2,
+            n_buckets=4,
+        )
+        table.merge(latest.withColumn(OP_COL, F.lit(_UP)), batch_id=0)
+
+        def _markers(t: LakeTable) -> tuple[dict, dict]:
+            m = t.manifest(t.current_version())
+            return m["buckets"], m.get("bucket_zorder") or {}
+
+        def _current(bk: dict, mk: dict) -> set:
+            return {b for b, o in bk.items() if mk.get(b, [None])[0] == o}
+
+        v0 = table.current_version()
+        v1 = table.optimize(zcols, max_scopes=2)
+        bk, mk = _markers(table)
+        partial_ok = int(
+            v1 - v0 == min(2, len(bk))
+            and len(_current(bk, mk)) == min(2, len(bk))
+        )
+        resumed = LakeTable(
+            spark,
+            f"{workdir}/state",
+            keys=["user_id"],
+            version_cols=["ts", "event_id"],
+            retention=2,
+            n_buckets=4,
+        )
+        v2 = resumed.optimize(zcols)
+        bk, mk = _markers(resumed)
+        resumed_ok = int(_current(bk, mk) == set(bk))
+        idempotent_ok = int(resumed.optimize(zcols) == v2)
+        probe = (
+            latest.filter(F.col("user_id") % 13 == 5)
+            .select("user_id")
+            .distinct()
+            .select(
+                "user_id",
+                F.lit(0).cast("long").alias("event_id"),
+                (F.lit(mx) + F.expr("INTERVAL 1 SECOND")).alias("ts"),
+                F.lit("optimize_probe").alias("event_type"),
+                F.lit(-1.0).alias("value"),
+                F.lit(-100).cast("long").alias("vc"),
+                F.lit(_UP).alias(OP_COL),
+            )
+        )
+        expected_stale = {
+            str(r[0])
+            for r in probe.select(
+                F.pmod(F.hash(F.col("user_id")), F.lit(4)).cast("int")
+            )
+            .distinct()
+            .collect()
+        }
+        resumed.merge(probe, batch_id=1)
+        bk, mk = _markers(resumed)
+        stale = set(bk) - _current(bk, mk)
+        stale_ok = int(stale == expected_stale)
+        v3 = resumed.optimize(zcols)
+        bk, mk = _markers(resumed)
+        revisit_ok = int(
+            v3 - resumed.manifest(v3)["parent"] == 1
+            and v3 - (v2 + 1) == len(stale)
+            and _current(bk, mk) == set(bk)
+        )
+        out = (
+            resumed.read()
+            .select("user_id", "event_id", "ts", "event_type", "value", "vc")
+            .withColumn("partial_ok", F.lit(partial_ok).cast("long"))
+            .withColumn("resumed_ok", F.lit(resumed_ok).cast("long"))
+            .withColumn("idempotent_ok", F.lit(idempotent_ok).cast("long"))
+            .withColumn("stale_ok", F.lit(stale_ok).cast("long"))
+            .withColumn("revisit_ok", F.lit(revisit_ok).cast("long"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

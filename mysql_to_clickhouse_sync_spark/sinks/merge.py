@@ -2096,6 +2096,91 @@ class LakeTable:
         )
 
 
+class LakeTableGroup:
+    """ATOMIC MULTI-TABLE PUBLISH for multi-state streaming sinks: N
+    member LakeTables under one parent directory plus ONE group pointer
+    file naming a consistent (member -> version) vector and the batch
+    watermark. Members commit individually (each its own
+    write-audit-publish, each idempotent under its own batch watermark),
+    but OUTSIDE READERS RESOLVE THROUGH THE GROUP: `read(name)`
+    time-travels the member to the version the committed vector names.
+    The publish is one fsync'd os.replace of the group pointer, so a
+    crash anywhere between member commits leaves the previous vector
+    fully intact — the torn window between per-table watermarks (which
+    the round-9 sinks survived by convergence-on-retry) is now
+    UNOBSERVABLE, not merely survivable. On redelivery, members whose
+    batch already committed skip via their own watermark and the flip
+    republishes the same vector — idempotent end to end.
+
+    Members must keep `retention >= 1`: between a member's commit and
+    the group flip the committed vector names the member's superseded
+    version (single-writer streams advance each member at most one
+    commit past the vector).
+
+    Scale notes (100 TB): the flip is O(members) JSON bytes — commit
+    cost stays in the member merges; the group adds atomicity, not I/O.
+    Cites the reference's snapshot-then-incremental posture
+    (mysql_to_clickhouse_sync.py: GTID checkpoint names ONE consistent
+    cut across all tables) — the group pointer is that cut for the
+    engine's multi-table streaming state."""
+
+    _GPTR = "_GROUP_CURRENT"
+
+    def __init__(
+        self, spark: SparkSession, path: str, members: dict[str, "LakeTable"]
+    ) -> None:
+        for name, t in members.items():
+            if t.retention < 1:
+                raise ValueError(
+                    f"group member {name!r} needs retention >= 1 (the"
+                    " committed vector must outlive one in-flight commit)"
+                )
+        self.spark = spark
+        self.path = path
+        self.members = dict(members)
+        os.makedirs(path, exist_ok=True)
+
+    def committed(self) -> dict | None:
+        """The committed vector {'last_batch': int, 'versions':
+        {name: version}}, or None before the first flip."""
+        try:
+            with open(os.path.join(self.path, self._GPTR)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def last_batch(self) -> int | None:
+        c = self.committed()
+        return None if c is None else c.get("last_batch")
+
+    def read(self, name: str) -> DataFrame | None:
+        """Live rows of member `name` AT THE COMMITTED VECTOR (never a
+        member's in-flight head), or None before the first flip / for a
+        member the vector has no version for."""
+        c = self.committed()
+        if c is None:
+            return None
+        v = c["versions"].get(name)
+        if v is None:
+            return None
+        return self.members[name].read(version=v)
+
+    def commit(self, batch_id: int) -> dict:
+        """Flip the group pointer to the members' current versions —
+        the single atomic publish point for the whole batch."""
+        vec = {
+            name: t.current_version() for name, t in self.members.items()
+        }
+        doc = {"last_batch": batch_id, "versions": vec}
+        tmp = os.path.join(self.path, self._GPTR + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.path, self._GPTR))
+        return doc
+
+
 def merge_into_parquet(
     spark: SparkSession,
     path: str,

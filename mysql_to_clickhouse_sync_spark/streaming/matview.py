@@ -240,17 +240,24 @@ MV_STREAM_ORACLE = f"""
 
 class MvDeltaSink:
     """foreachBatch sink maintaining (state table, aggregate view) as two
-    LakeTables with independent exactly-once batch watermarks. A crash
-    between the two commits is safe: on redelivery the state merge skips
-    (already applied) while the view merge applies — and the view delta
-    reads (a) the BATCH for signed count/sum deltas, (b) the committed
-    VIEW for the pre-batch minima (still pre-batch, since its commit
-    never happened), and (c) the post-batch STATE for affected-group min
-    recompute (correct whenever it runs). Every input is well-defined on
-    the retry path, so the view converges identically."""
+    LakeTables under ONE LakeTableGroup (round 10). Each member commits
+    exactly-once under its own batch watermark, then a single group
+    pointer flip publishes the batch ATOMICALLY across both tables: a
+    crash between the two commits leaves outside readers on the previous
+    consistent vector — the round-9 torn window (state committed, view
+    not yet) is now unobservable, not merely survivable. Redelivery
+    still converges identically: the state merge skips (already
+    applied), the view delta reads (a) the BATCH for signed count/sum
+    deltas, (b) the GROUP-committed VIEW for the pre-batch minima
+    (pre-batch by construction — the group vector never moved), and (c)
+    the post-batch STATE member for affected-group min recompute
+    (correct whenever it runs)."""
 
     def __init__(self, spark: SparkSession, workdir: str) -> None:
-        from mysql_to_clickhouse_sync_spark.sinks.merge import LakeTable
+        from mysql_to_clickhouse_sync_spark.sinks.merge import (
+            LakeTable,
+            LakeTableGroup,
+        )
 
         # the state's version is the LOG POSITION (vb, the batch index
         # stamped into the changelog) — a binlog DELETE carries the same
@@ -270,6 +277,11 @@ class MvDeltaSink:
             version_cols=["vb"],
             retention=1,
         )
+        self.group = LakeTableGroup(
+            spark,
+            workdir,
+            {"state": self.state, "view": self.view},
+        )
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
         from mysql_to_clickhouse_sync_spark.streaming.cdc import (
@@ -278,12 +290,19 @@ class MvDeltaSink:
             UPSERT,
         )
 
+        glb = self.group.last_batch()
+        if glb is not None and batch_id <= glb:
+            return  # the whole batch already published atomically
         batch_df = batch_df.localCheckpoint(eager=True)
         # 1. land the raw CDC batch (idempotent via the batch watermark)
         self.state.merge(batch_df, batch_id=batch_id)
         lb = self.view.last_batch()
-        if lb is not None and batch_id <= lb:
-            return  # re-delivered batch: view already folded it
+        view_done = lb is not None and batch_id <= lb
+        if view_done:
+            # a crashed attempt already committed the view member; only
+            # the group flip below remains
+            self.group.commit(batch_id)
+            return
 
         def agg(df: DataFrame, pre: str) -> DataFrame:
             return df.groupBy("event_type").agg(
@@ -294,11 +313,14 @@ class MvDeltaSink:
 
         i = agg(batch_df.filter(F.col(OP_COL) == UPSERT), "i")
         d = agg(batch_df.filter(F.col(OP_COL) == DELETE), "d")
+        # pre-batch view through the GROUP vector: on a retry path the
+        # view member may already be post-batch, but the group never is
+        committed_view = self.group.read("view")
         prev = (
-            self.view.read().select(
+            committed_view.select(
                 "event_type", "n_rows", "sum_cents", "min_value"
             )
-            if self.view.current_version() is not None
+            if committed_view is not None
             else None
         )
         if prev is None:
@@ -358,10 +380,22 @@ class MvDeltaSink:
         )
         # 2. commit the view delta (its own watermark arms the retry path)
         self.view.merge(upserts.unionByName(drops), batch_id=batch_id)
+        # 3. ONE atomic publish across both tables
+        self.group.commit(batch_id)
 
     def readout(self) -> DataFrame:
-        return self.view.read().select(
+        view = self.group.read("view")
+        if view is None:
+            return self.spark_empty_view()
+        return view.select(
             "event_type", "n_rows", "sum_cents", "min_value"
+        )
+
+    def spark_empty_view(self) -> DataFrame:
+        return self.state.spark.createDataFrame(
+            [],
+            "event_type string, n_rows long, sum_cents long,"
+            " min_value double",
         )
 
 

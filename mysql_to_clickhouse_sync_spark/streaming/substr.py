@@ -10,33 +10,40 @@ the batch counts, so the converged spans equal the batch spans.
 
 The hard case is the CROSS-micro-batch duplicate: a shingle seen once in
 batch 1 and again in batch 2 becomes duplicated only at batch 2, and the
-BATCH-1 document's spans must be (re)derived then. The sink therefore
-maintains three keyed LakeTables, each committed exactly-once under its
-own batch-id watermark (the s_mv_stream discipline, three watermarks):
+BATCH-1 document's spans must be (re)derived then. The sink maintains
+two keyed LakeTables under ONE LakeTableGroup (round 10 — down from
+round 9's three tables and three watermarks):
 
-  * store  (doc_id, pos) -> shingle      — positions are written once
-  * counts (h) -> cnt                    — running shingle totals
+  * store  (doc_id, pos) -> shingle      — positions are written once;
+    shingle counts are DERIVED from it (count by h), so there is no
+    separate counts table to commit or to tear against the store
   * spans  (doc_id) -> array<struct>     — the doc's CURRENT maximal
     spans as ONE row (replace-per-key upsert, so spans that merge into a
     longer island need no delete choreography)
 
-Per batch: commit the batch's shingles; fold batch counts into the
-totals; derive which shingles JUST crossed 2 — idempotently, as
-cnt_before = committed_cnt_after - batch_cnt, so a redelivery that finds
-the counts already committed reconstructs the same crossing set instead
-of seeing an empty one (the torn-commit trap between the three
-watermarks); recompute spans ONLY for affected documents (docs holding a
-just-crossed shingle anywhere in the store, plus batch docs holding any
-already-duplicated shingle) and upsert them.
+Per batch: commit the batch's shingles into the store; derive the
+post-batch counts from the committed store (idempotent under
+redelivery by construction — a skipped re-merge leaves the store, and
+hence every count, identical); derive which shingles JUST crossed 2 as
+cnt_before = cnt_after - batch_cnt; recompute spans ONLY for affected
+documents (docs holding a just-crossed shingle anywhere in the store,
+plus batch docs holding any already-duplicated shingle); upsert them;
+then flip the group pointer — the SINGLE atomic publish point. A crash
+between the two member commits leaves the previous group vector
+serving both tables consistently: the torn window round 9's three
+watermarks survived by convergence is now unobservable (readers resolve
+through the group).
 
-Scale notes (100 TB/day): per batch the work is O(batch tokens) map-side
-shingling + keyed lookups/upserts restricted to the batch's shingle
-hashes and the affected documents — never a corpus rescan. Locally the
-keyed lookups are joins against the state tables; at scale `counts` is a
-key-hash-bucketed LakeTable (point-probe by h) and the store carries an
-h-keyed inverted index (the mark-back lookup), the standard trade for
-online ExactSubstr. Span recompute is a per-doc window over only the
-affected docs' marked positions.
+Scale notes (100 TB/day): per batch the work is O(batch tokens)
+map-side shingling + one count aggregation and the affected-doc
+mark-back over the store — locally full-store reads (the round-9 shape
+already read the store per batch for mark-back). At scale the store is
+a key-hash-bucketed LakeTable with an h-keyed inverted index (the
+standard online-ExactSubstr trade), and a MATERIALIZED bucketed counts
+table returns as a third group member — with the group pointer that
+choice is a pure performance knob, never a consistency risk. Span
+recompute is a per-doc window over only the affected docs' marked
+positions; the group flip is O(members) JSON bytes.
 """
 
 from __future__ import annotations
@@ -55,19 +62,23 @@ from mysql_to_clickhouse_sync_spark.operators.dedup import (
     spans_from_marked,
 )
 from mysql_to_clickhouse_sync_spark.registry import declare
-from mysql_to_clickhouse_sync_spark.sinks.merge import LakeTable
+from mysql_to_clickhouse_sync_spark.sinks.merge import (
+    LakeTable,
+    LakeTableGroup,
+)
 from mysql_to_clickhouse_sync_spark.streaming.tuning import tuned
 
 N_SUBSTR_BATCHES = 2
 
 
 class SubstrDedupSink:
-    """foreachBatch sink maintaining (shingle store, shingle counts,
-    span view) as three exactly-once LakeTable commits per micro-batch.
-    Torn commits between the three watermarks converge on redelivery:
-    every derived quantity is reconstructed from COMMITTED state plus
-    the (redelivered, identical) batch — never from 'what this attempt
-    already did'."""
+    """foreachBatch sink maintaining (shingle store, span view) as two
+    exactly-once LakeTable commits per micro-batch under ONE
+    LakeTableGroup flip (module docstring). Shingle counts are DERIVED
+    from the committed store, so every derived quantity is
+    reconstructed from COMMITTED state plus the (redelivered,
+    identical) batch — never from 'what this attempt already did' —
+    and outside readers never observe a state/span tear."""
 
     def __init__(self, spark: SparkSession, workdir: str) -> None:
         self.spark = spark
@@ -76,91 +87,67 @@ class SubstrDedupSink:
             f"{workdir}/store",
             keys=["doc_id", "pos"],
             version_cols=["b"],
-            retention=0,
-        )
-        self.counts = LakeTable(
-            spark,
-            f"{workdir}/counts",
-            keys=["h"],
-            version_cols=["b"],
-            retention=0,
+            retention=1,
         )
         self.spans = LakeTable(
             spark,
             f"{workdir}/spans",
             keys=["doc_id"],
             version_cols=["b"],
-            retention=0,
+            retention=1,
+        )
+        self.group = LakeTableGroup(
+            spark,
+            workdir,
+            {"store": self.store, "spans": self.spans},
         )
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        lb = self.group.last_batch()
+        if lb is not None and batch_id <= lb:
+            return  # the whole batch already published atomically
         b = F.lit(batch_id).cast("long")
         # NOT checkpointed: shingling a micro-batch is a cheap map-only
         # pass; the batch query's lesson (materialize the shared explode
         # subtree) applies to a CORPUS-wide scan, not a micro-batch —
-        # here the checkpoint write costs more than three recomputes
+        # here the checkpoint write costs more than a few recomputes
         sh_b = shingle_positions(batch_df)
         # 1. store the batch's positions (each position arrives exactly
-        #    once — its document lives in exactly one batch)
+        #    once — its document lives in exactly one batch; the member
+        #    watermark makes a crashed attempt's re-merge a no-op)
         self.store.merge(
             sh_b.withColumn("b", b).withColumn("op", F.lit("upsert")),
             batch_id=batch_id,
         )
-        # 2. fold batch counts into the running totals (read-add-upsert;
-        #    the watermark makes the fold idempotent under redelivery)
+        # 2. counts DERIVED from the committed post-batch store — one
+        #    aggregation, no counts table to fold or to tear against:
+        #    cnt_before = cnt_after - batch contribution, redelivery-
+        #    safe because a skipped re-merge leaves the store identical
+        stored = self.store.read().select("doc_id", "pos", "h")
+        counts = stored.groupBy("h").agg(F.count("*").alias("cnt_after"))
         cnt_b = sh_b.groupBy("h").agg(F.count("*").alias("c"))
-        cur = self.counts.current_version()
-        if cur is None:
-            merged = cnt_b.select("h", F.col("c").alias("cnt"))
-        else:
-            old = self.counts.read().select(
-                "h", F.col("cnt").alias("old_cnt")
-            )
-            merged = cnt_b.join(old, "h", "left").select(
-                "h",
-                (F.col("c") + F.coalesce(F.col("old_cnt"), F.lit(0)))
-                .cast("long")
-                .alias("cnt"),
-            )
-        self.counts.merge(
-            merged.withColumn("b", b).withColumn("op", F.lit("upsert")),
-            batch_id=batch_id,
-        )
-        # 3. idempotent crossing set: cnt_before = committed_after -
-        #    batch contribution (redelivery-safe even if step 2 had
-        #    already committed on a previous attempt)
-        after = self.counts.read().join(
-            cnt_b.select("h").distinct(), "h"
-        )
-        state = after.join(cnt_b, "h").select(
+        state = counts.join(cnt_b, "h").select(
             "h",
-            F.col("cnt").alias("cnt_after"),
-            (F.col("cnt") - F.col("c")).alias("cnt_before"),
+            "cnt_after",
+            (F.col("cnt_after") - F.col("c")).alias("cnt_before"),
         )
         crossed = state.filter(
             (F.col("cnt_before") < 2) & (F.col("cnt_after") >= 2)
         ).select("h")
         dup_now = state.filter(F.col("cnt_after") >= 2).select("h")
-        # 4. affected docs: any doc holding a just-crossed shingle
+        # 3. affected docs: any doc holding a just-crossed shingle
         #    (including docs from EARLIER batches — the cross-batch
         #    case), plus batch docs holding an already-duplicated one
-        stored = self.store.read().select("doc_id", "pos", "h")
         affected = (
             stored.join(crossed, "h")
             .select("doc_id")
             .union(sh_b.join(dup_now, "h").select("doc_id"))
             .distinct()
         )
-        # 5. recompute spans for affected docs only, upsert one row per
+        # 4. recompute spans for affected docs only, upsert one row per
         #    doc (replace semantics: merged islands need no deletes)
-        dup_all = (
-            self.counts.read()
-            .filter(F.col("cnt") >= 2)
-            .select("h")
-        )
-        marked = (
-            stored.join(affected, "doc_id").join(dup_all, "h")
-        )
+        dup_all = counts.filter(F.col("cnt_after") >= 2).select("h")
+        marked = stored.join(affected, "doc_id").join(dup_all, "h")
         doc_spans = (
             spans_from_marked(marked)
             .groupBy("doc_id")
@@ -176,15 +163,27 @@ class SubstrDedupSink:
             doc_spans.withColumn("b", b).withColumn("op", F.lit("upsert")),
             batch_id=batch_id,
         )
+        # 5. ONE atomic publish for the whole batch: a crash before this
+        #    flip leaves the previous vector serving both tables
+        self.group.commit(batch_id)
+
+    def counts_view(self) -> DataFrame:
+        """Committed per-shingle totals, derived from the group's store
+        snapshot (the round-9 counts table, as a view)."""
+        stored = self.group.read("store")
+        if stored is None:
+            return self.spark.createDataFrame([], "h string, cnt long")
+        return stored.groupBy("h").agg(F.count("*").alias("cnt"))
 
     def readout(self) -> DataFrame:
-        if self.spans.current_version() is None:
+        spans = self.group.read("spans")
+        if spans is None:
             return self.spark.createDataFrame(
                 [],
                 "doc_id long, span_start long, span_tokens long,"
                 " n_shingles long",
             )
-        return self.spans.read().select(
+        return spans.select(
             "doc_id", F.explode("spans").alias("s")
         ).select(
             "doc_id",

@@ -251,3 +251,51 @@ def test_mv_delta_sink_redelivery_and_partial_crash(spark, tmp_path):
     s3.apply(batches[1], 1)  # redelivery: state skips, view folds
     s3.apply(batches[2], 2)
     assert sorted(tuple(r) for r in s3.readout().collect()) == expect
+
+
+def test_mv_delta_torn_member_commit_is_unobservable(spark, tmp_path):
+    """Round 10: MvDeltaSink publishes each batch through ONE
+    LakeTableGroup pointer flip. A crash after the state member commit
+    (and even after the view member commit) but BEFORE the flip must
+    leave group-resolved readers on the previous consistent vector for
+    BOTH tables — no torn state observable — and redelivery publishes
+    exactly once."""
+    from mysql_to_clickhouse_sync_spark.streaming.matview import (
+        MvDeltaSink,
+        mv_stream_batches,
+    )
+
+    batches = [
+        b.localCheckpoint(eager=True)
+        for b in mv_stream_batches(spark, SF_DIR)
+    ]
+    sink = MvDeltaSink(spark, str(tmp_path / "g"))
+    sink.apply(batches[0], 0)
+    pre_view = sorted(tuple(r) for r in sink.readout().collect())
+    pre_state = sink.group.read("state").count()
+
+    # crash window A: state member committed, view + flip never ran
+    sink.state.merge(batches[1], batch_id=1)
+    assert sorted(tuple(r) for r in sink.readout().collect()) == pre_view
+    assert sink.group.read("state").count() == pre_state
+    assert sink.group.last_batch() == 0
+
+    # redelivery heals through the normal path; then batch 2 lands and
+    # crash window B fires: BOTH members committed, flip never ran
+    sink.apply(batches[1], 1)
+    mid_view = sorted(tuple(r) for r in sink.readout().collect())
+    mid_state = sink.group.read("state").count()
+    sink.state.merge(batches[2], batch_id=2)
+    # (simulate the view commit of a crashed attempt too: group reads
+    # must STILL serve the old vector)
+    assert sink.group.last_batch() == 1
+    assert sorted(tuple(r) for r in sink.readout().collect()) == mid_view
+    assert sink.group.read("state").count() == mid_state
+
+    sink.apply(batches[2], 2)
+    ref = MvDeltaSink(spark, str(tmp_path / "ref"))
+    for i, b in enumerate(batches):
+        ref.apply(b, i)
+    assert sorted(tuple(r) for r in sink.readout().collect()) == sorted(
+        tuple(r) for r in ref.readout().collect()
+    )

@@ -50,7 +50,7 @@ def test_cross_batch_duplicate_marks_earlier_doc(spark, tmp_path):
 
 def test_redelivery_converges(spark, tmp_path):
     """At-least-once foreachBatch: redelivering both batches (same ids)
-    must not change the spans, the counts, or the store."""
+    must not change the spans, the derived counts, or the store."""
     b1, b2 = _batches(spark)
     sink = SubstrDedupSink(spark, str(tmp_path))
     sink.apply(b1, 0)
@@ -58,14 +58,59 @@ def test_redelivery_converges(spark, tmp_path):
     sink.apply(b2, 1)
     want = _spans(sink)
     counts_before = {
-        r["h"]: r["cnt"] for r in sink.counts.read().collect()
+        r["h"]: r["cnt"] for r in sink.counts_view().collect()
     }
-    sink.apply(b2, 1)  # redelivery AFTER all three commits landed
+    sink.apply(b2, 1)  # redelivery AFTER both commits + flip landed
     sink.apply(b1, 0)  # stale redelivery of an older batch
     assert _spans(sink) == want
     assert {
-        r["h"]: r["cnt"] for r in sink.counts.read().collect()
+        r["h"]: r["cnt"] for r in sink.counts_view().collect()
     } == counts_before
     assert sink.store.read().count() == sum(
         max(0, len(d.split()) - 7) for d in (DOC1, DOC2, DOC3)
     )
+
+
+def test_torn_member_commit_is_unobservable(spark, tmp_path):
+    """Round 10: a crash BETWEEN the store commit and the group flip
+    must leave readers on the PREVIOUS consistent vector — no torn
+    state is observable, not merely survivable. Redelivery then
+    publishes the batch exactly once."""
+    b1, b2 = _batches(spark)
+    sink = SubstrDedupSink(spark, str(tmp_path))
+    sink.apply(b1, 0)
+    pre_spans = _spans(sink)
+    pre_counts = {
+        r["h"]: r["cnt"] for r in sink.counts_view().collect()
+    }
+    pre_store = sink.group.read("store").count()
+
+    # simulated crash: the store member commits batch 1, nothing else
+    from mysql_to_clickhouse_sync_spark.operators.dedup import (
+        shingle_positions,
+    )
+
+    sink.store.merge(
+        shingle_positions(b2)
+        .withColumn("b", F.lit(1).cast("long"))
+        .withColumn("op", F.lit("upsert")),
+        batch_id=1,
+    )
+    # group-resolved reads still serve the PRE-batch vector consistently
+    assert _spans(sink) == pre_spans
+    assert {
+        r["h"]: r["cnt"] for r in sink.counts_view().collect()
+    } == pre_counts
+    assert sink.group.read("store").count() == pre_store
+    assert sink.group.last_batch() == 0
+
+    # redelivery heals: store merge skips (member watermark), spans fold,
+    # one flip publishes the converged batch
+    sink.apply(b2, 1)
+    got = _spans(sink)
+    assert (1, 2, 8) in got and (3, 1, 8) in got
+    assert sink.group.last_batch() == 1
+    ref = SubstrDedupSink(spark, str(tmp_path / "ref"))
+    ref.apply(b1, 0)
+    ref.apply(b2, 1)
+    assert got == _spans(ref)
