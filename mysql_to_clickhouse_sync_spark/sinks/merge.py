@@ -1494,6 +1494,19 @@ class LakeTable:
         return guard()
 
     def _retrying(self, attempt_fn, max_retries: int) -> DataFrame:
+        import random
+        import time
+
+        def backoff(attempt: int) -> None:
+            # full-jitter exponential backoff (the Delta commit-conflict
+            # discipline): under N-way contention, retrying immediately
+            # makes fast committers (dv deletes, per-bucket optimize
+            # scopes) starve slow ones (full bucketed merges) — the
+            # round-10 soak reproduced exactly that as retry exhaustion.
+            # Jitter desynchronizes the herd; the cap bounds added
+            # latency to ~1 s per lost round.
+            time.sleep(random.random() * min(1.0, 0.05 * (2 ** min(attempt, 4))))
+
         for attempt in range(max_retries + 1):
             start_v = self.current_version()
             try:
@@ -1501,6 +1514,7 @@ class LakeTable:
             except CommitConflictError:
                 if attempt == max_retries:
                     raise
+                backoff(attempt)
             except Exception as e:  # noqa: BLE001 - classified below
                 if (
                     not _is_stale_miss(e)
@@ -1508,6 +1522,7 @@ class LakeTable:
                     or self.current_version() == start_v
                 ):
                     raise
+                backoff(attempt)
         raise AssertionError("unreachable")
 
     def writer(self, max_retries: int = 5, dv_deletes: bool = False):
