@@ -686,7 +686,158 @@ class LakeTable:
         with ThreadPoolExecutor(max_workers=16) as pool:
             return dict(pool.map(one, files))
 
-    def _commit(self, write_fn, meta: dict, expected_parent=_UNSET) -> int:
+    def _resolved_manifest(
+        self,
+        meta: dict,
+        *,
+        stage: str,
+        sname: str,
+        new_v: int,
+        parent: int | None,
+        commit_uuid: str,
+        files: list[str],
+        stage_stats: dict | None,
+        stage_blooms: dict | None,
+        commit_bytes: int,
+    ) -> dict:
+        """Build the manifest for one publish attempt WITHOUT mutating
+        `meta`: owners recorded by the write closure name the stage dir
+        and are rewritten to this attempt's generation name (bucket
+        owners, z-order markers, file refs, cube file lists alike), and
+        the snapshot-scoped stats (n_files/bytes/rows, per-file
+        stats/blooms) are recomputed against this attempt's ownership —
+        a rebase onto a new head changes both the target generation
+        name and the inherited owners, so nothing here may be cached
+        across attempts except the stage's own footer stats."""
+        import pyarrow.parquet as pq
+
+        gname = self._gen_name(new_v)
+
+        def _fix_owner(o: str) -> str:
+            return gname if o == sname else o
+
+        out = dict(meta)
+        if out.get("buckets"):
+            out["buckets"] = {
+                b: _fix_owner(o) for b, o in out["buckets"].items()
+            }
+        if out.get("bucket_zorder"):
+            out["bucket_zorder"] = {
+                b: [_fix_owner(mk[0]), mk[1]]
+                for b, mk in out["bucket_zorder"].items()
+            }
+        if out.get("file_refs") is not None:
+            out["file_refs"] = [
+                [_fix_owner(o), r] for o, r in out["file_refs"]
+            ]
+        if out.get("zcubes"):
+            out["zcubes"] = {
+                cid: {
+                    **cube,
+                    "files": [
+                        [_fix_owner(o), r] for o, r in cube["files"]
+                    ],
+                }
+                for cid, cube in out["zcubes"].items()
+            }
+
+        def _resolve_ref(o: str, r: str) -> str:
+            # refs naming the NEW generation still live in the stage
+            return os.path.join(
+                stage if o == gname else os.path.join(self.path, o), r
+            )
+
+        # Stats from parquet FOOTERS — metadata-only, never a scan. For
+        # bucketed commits the n_files/bytes/rows triple covers the whole
+        # SNAPSHOT the manifest references (this commit's rewritten
+        # buckets + every inherited owner), so the fields mean the same
+        # thing across layouts.
+        if out.get("buckets") is not None:
+            stat_files: list[str] = []
+            for b, owner in out["buckets"].items():
+                d = (
+                    os.path.join(stage, f"bucket={b}")
+                    if owner == gname
+                    else os.path.join(self.path, owner, f"bucket={b}")
+                )
+                stat_files.extend(_parquet_files(d))
+        elif out.get("operation") == "delete-vector":
+            # deletion-vector commit: the snapshot = the owner's data
+            # files (a single data_owner generation, or the file-refs
+            # list) + every referenced dv file (this one is still in the
+            # stage dir); file_stats are INHERITED from the owner (set by
+            # the caller) — they describe the data files the pruned reads
+            # will scan
+            stat_files = list(files)
+            if out.get("file_refs") is not None:
+                stat_files.extend(
+                    _resolve_ref(o, r) for o, r in out["file_refs"]
+                )
+            else:
+                stat_files.extend(
+                    _parquet_files(
+                        os.path.join(self.path, out["data_owner"])
+                    )
+                )
+            for g in out.get("dv") or []:
+                if g != gname:
+                    stat_files.extend(
+                        _parquet_files(os.path.join(self.path, g))
+                    )
+        elif out.get("file_refs") is not None:
+            # incremental-optimize chunk commit: the snapshot is the refs
+            # list (kept files inherit their stats, re-keyed by the
+            # caller; this chunk's new files get fresh stats)
+            stat_files = [
+                _resolve_ref(o, r) for o, r in out["file_refs"]
+            ]
+            out["file_stats"] = {
+                **(out.get("file_stats") or {}),
+                **{
+                    f"{gname}/{rel}": st
+                    for rel, st in (stage_stats or {}).items()
+                },
+            }
+            if self.bloom_cols:
+                out["file_blooms"] = {
+                    **(out.get("file_blooms") or {}),
+                    **{
+                        f"{gname}/{rel}": bl
+                        for rel, bl in (stage_blooms or {}).items()
+                    },
+                }
+        else:
+            stat_files = files
+            out["file_stats"] = stage_stats
+            if self.bloom_cols:
+                out["file_blooms"] = stage_blooms
+        # bytes this commit physically WROTE (vs `bytes`, which is
+        # snapshot-scoped) — the deletion-vector accounting: a delete's
+        # commit_bytes is O(deleted keys), not O(table)
+        out["commit_bytes"] = commit_bytes
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            n_rows = sum(
+                pool.map(
+                    lambda f: pq.read_metadata(f).num_rows, stat_files
+                )
+            )
+        return {
+            "version": new_v,
+            "commit_uuid": commit_uuid,
+            "parent": parent,
+            "keys": self.keys,
+            "version_cols": self.version_cols,
+            "n_files": len(stat_files),
+            "bytes": sum(os.path.getsize(f) for f in stat_files),
+            "rows": n_rows,
+            **out,
+        }
+
+    def _commit(
+        self, write_fn, meta: dict, expected_parent=_UNSET, rebase=None
+    ) -> int:
         """Write-audit-publish one generation. `expected_parent` is the
         version the caller READ before computing its write (None for a
         bootstrap); if any other writer commits in between, the publish
@@ -694,7 +845,21 @@ class LakeTable:
         survives — Delta-style optimistic concurrency. The data is
         staged in a writer-private directory and the rename onto the
         final generation name is the race arbiter: two same-parent
-        writers both target gen-N, the loser's rename fails."""
+        writers both target gen-N, the loser's rename fails.
+
+        `rebase` (optional) is LOGICAL CONFLICT DETECTION, Delta's
+        second line of defense: when a competitor commits during this
+        writer's (slow) data write, `rebase(meta, parent_v, head_v)`
+        may return an updated meta that is valid ON TOP OF the new head
+        (e.g. a bucketed merge whose touched buckets are disjoint from
+        every intervening commit re-points its untouched-bucket owners
+        at the head's). The staged DATA is reused as-is — only the
+        manifest is rebuilt — so a slow writer no longer redoes its
+        write just because fast committers (dv deletes, per-bucket
+        optimize scopes) landed meanwhile; returning None falls back to
+        the physical conflict (raise, caller retries). The round-10
+        soak starved without this: 5-way contention made every full
+        merge window contain a competitor commit."""
         cur = self.current_version()
         if expected_parent is _UNSET:
             expected_parent = cur
@@ -703,8 +868,6 @@ class LakeTable:
                 f"table moved to version {cur} since this writer read"
                 f" version {expected_parent}; re-read and retry"
             )
-        new_v = 0 if cur is None else cur + 1
-        gen = self._gen_dir(new_v)
         import uuid
 
         # The nonce names THIS attempt in its manifest; the post-publish
@@ -712,186 +875,109 @@ class LakeTable:
         # racer that mistook this generation for crash debris and
         # replaced it can never leave BOTH writers reporting success.
         commit_uuid = uuid.uuid4().hex
+        parent = expected_parent
+        first_v = 0 if parent is None else parent + 1
         stage = os.path.join(
-            self.path, f"_stage-{self._gen_name(new_v)}-{uuid.uuid4().hex[:8]}"
+            self.path,
+            f"_stage-{self._gen_name(first_v)}-{uuid.uuid4().hex[:8]}",
         )
         try:
             write_fn(stage)
-            # owners recorded by the write closure name the stage dir —
-            # rewrite them to the final generation name (bucket owners,
-            # z-order markers, file refs, and cube file lists alike)
             sname = os.path.basename(stage)
-            gname = self._gen_name(new_v)
-
-            def _fix_owner(o: str) -> str:
-                return gname if o == sname else o
-
-            if meta.get("buckets"):
-                meta["buckets"] = {
-                    b: _fix_owner(o) for b, o in meta["buckets"].items()
-                }
-            if meta.get("bucket_zorder"):
-                meta["bucket_zorder"] = {
-                    b: [_fix_owner(mk[0]), mk[1]]
-                    for b, mk in meta["bucket_zorder"].items()
-                }
-            if meta.get("file_refs") is not None:
-                meta["file_refs"] = [
-                    [_fix_owner(o), r] for o, r in meta["file_refs"]
-                ]
-            if meta.get("zcubes"):
-                meta["zcubes"] = {
-                    cid: {
-                        **cube,
-                        "files": [
-                            [_fix_owner(o), r] for o, r in cube["files"]
-                        ],
-                    }
-                    for cid, cube in meta["zcubes"].items()
-                }
             files = _parquet_files(stage)
-            # Stats from parquet FOOTERS — metadata-only, never a scan.
-            # For bucketed commits the n_files/bytes/rows triple covers
-            # the whole SNAPSHOT the manifest references (this commit's
-            # rewritten buckets + every inherited owner), so the fields
-            # mean the same thing across layouts.
-            import pyarrow.parquet as pq
-
-            def _resolve_ref(o: str, r: str) -> str:
-                # refs naming the NEW generation still live in the stage
-                return os.path.join(
-                    stage if o == gname else os.path.join(self.path, o), r
-                )
-
-            if meta.get("buckets") is not None:
-                stat_files: list[str] = []
-                for b, owner in meta["buckets"].items():
-                    d = (
-                        os.path.join(stage, f"bucket={b}")
-                        if owner == gname
-                        else os.path.join(self.path, owner, f"bucket={b}")
-                    )
-                    stat_files.extend(_parquet_files(d))
-            elif meta.get("operation") == "delete-vector":
-                # deletion-vector commit: the snapshot = the owner's data
-                # files (a single data_owner generation, or the file-refs
-                # list) + every referenced dv file (this one is still in
-                # the stage dir); file_stats are INHERITED from the owner
-                # (set by the caller) — they describe the data files the
-                # pruned reads will scan
-                stat_files = list(files)
-                if meta.get("file_refs") is not None:
-                    stat_files.extend(
-                        _resolve_ref(o, r) for o, r in meta["file_refs"]
-                    )
-                else:
-                    stat_files.extend(
-                        _parquet_files(
-                            os.path.join(self.path, meta["data_owner"])
-                        )
-                    )
-                for g in meta.get("dv") or []:
-                    if g != gname:
-                        stat_files.extend(
-                            _parquet_files(os.path.join(self.path, g))
-                        )
-            elif meta.get("file_refs") is not None:
-                # incremental-optimize chunk commit: the snapshot is the
-                # refs list (kept files inherit their stats, re-keyed by
-                # the caller; this chunk's new files get fresh stats)
-                stat_files = [
-                    _resolve_ref(o, r) for o, r in meta["file_refs"]
-                ]
-                new_stats = self._footer_stats(files, stage)
-                meta["file_stats"] = {
-                    **(meta.get("file_stats") or {}),
-                    **{
-                        f"{gname}/{rel}": st
-                        for rel, st in new_stats.items()
-                    },
-                }
+            # Stage-local footer stats are attempt-independent: compute
+            # once, splice into each attempt's resolved manifest.
+            stage_stats = None
+            stage_blooms = None
+            if meta.get("buckets") is None and meta.get(
+                "operation"
+            ) != "delete-vector":
+                stage_stats = self._footer_stats(files, stage)
                 if self.bloom_cols:
-                    new_blooms = self._file_blooms(files, stage)
-                    meta["file_blooms"] = {
-                        **(meta.get("file_blooms") or {}),
-                        **{
-                            f"{gname}/{rel}": bl
-                            for rel, bl in new_blooms.items()
-                        },
-                    }
-            else:
-                stat_files = files
-                meta["file_stats"] = self._footer_stats(files, stage)
-                if self.bloom_cols:
-                    meta["file_blooms"] = self._file_blooms(files, stage)
-            # bytes this commit physically WROTE (vs `bytes`, which is
-            # snapshot-scoped) — the deletion-vector accounting: a
-            # delete's commit_bytes is O(deleted keys), not O(table)
-            meta["commit_bytes"] = sum(os.path.getsize(f) for f in files)
-            from concurrent.futures import ThreadPoolExecutor
+                    stage_blooms = self._file_blooms(files, stage)
+            commit_bytes = sum(os.path.getsize(f) for f in files)
+            while True:
+                new_v = 0 if parent is None else parent + 1
+                gen = self._gen_dir(new_v)
+                manifest = self._resolved_manifest(
+                    meta,
+                    stage=stage,
+                    sname=sname,
+                    new_v=new_v,
+                    parent=parent,
+                    commit_uuid=commit_uuid,
+                    files=files,
+                    stage_stats=stage_stats,
+                    stage_blooms=stage_blooms,
+                    commit_bytes=commit_bytes,
+                )
+                with open(os.path.join(stage, _MANIFEST), "w") as fh:
+                    json.dump(manifest, fh, indent=1)
+                    fh.flush()
+                    os.fsync(fh.fileno())
 
-            with ThreadPoolExecutor(max_workers=16) as pool:
-                n_rows = sum(
-                    pool.map(
-                        lambda f: pq.read_metadata(f).num_rows, stat_files
-                    )
-                )
-            manifest = {
-                "version": new_v,
-                "commit_uuid": commit_uuid,
-                "parent": cur,
-                "keys": self.keys,
-                "version_cols": self.version_cols,
-                "n_files": len(stat_files),
-                "bytes": sum(os.path.getsize(f) for f in stat_files),
-                "rows": n_rows,
-                **meta,
-            }
-            with open(os.path.join(stage, _MANIFEST), "w") as fh:
-                json.dump(manifest, fh, indent=1)
-                fh.flush()
-                os.fsync(fh.fileno())
-            # Conflict check after the (slow) write, right before publish.
-            now = self.current_version()
-            if now != expected_parent:
-                raise CommitConflictError(
-                    f"concurrent commit moved the table from version"
-                    f" {expected_parent} to {now} during this write;"
-                    f" re-read and retry"
-                )
-            # Rename FIRST; only on failure decide debris-vs-competitor.
-            # (The previous order — rmtree an existing gen-N, then
-            # rename — had a TOCTOU hole: a competitor could publish
-            # gen-N between the pointer check and the rmtree, and this
-            # writer would destroy a COMMITTED generation while both
-            # reported success.) A pre-existing gen-N is only treated as
-            # crash debris if, at the moment the rename fails, the
-            # pointer still cannot reach it; even then the residual
-            # window (competitor renamed but not yet flipped) is closed
-            # by the commit_uuid verify after the pointer flip below.
-            # Refresh the stage mtime so the renamed gen-N is ALWAYS
-            # younger than vacuum's min_age_s during the rename-to-flip
-            # window: a writer stalled longer than the threshold between
-            # manifest fsync and pointer flip would otherwise have its
-            # already-renamed generation swept as overshoot debris, after
-            # which the flip publishes a pointer to a missing generation
-            # (reader-visible corruption, not a retryable conflict).
-            os.utime(stage)
-            try:
-                os.rename(stage, gen)
-            except OSError as exc:
-                if self.current_version() != expected_parent:
+                def _rebased(now) -> bool:
+                    nonlocal meta, parent
+                    if rebase is None or now is None:
+                        return False
+                    meta2 = rebase(meta, parent, now)
+                    if meta2 is None:
+                        return False
+                    meta = meta2
+                    parent = now
+                    return True
+
+                # Conflict check after the (slow) write, right before
+                # publish: a moved table either rebases or conflicts.
+                now = self.current_version()
+                if now != parent:
+                    if _rebased(now):
+                        continue
                     raise CommitConflictError(
-                        f"concurrent commit already published {gen}"
-                    ) from exc
-                shutil.rmtree(gen, ignore_errors=True)
+                        f"concurrent commit moved the table from version"
+                        f" {parent} to {now} during this write;"
+                        f" re-read and retry"
+                    )
+                # Rename FIRST; only on failure decide debris-vs-
+                # competitor. (The previous order — rmtree an existing
+                # gen-N, then rename — had a TOCTOU hole: a competitor
+                # could publish gen-N between the pointer check and the
+                # rmtree, and this writer would destroy a COMMITTED
+                # generation while both reported success.) A pre-existing
+                # gen-N is only treated as crash debris if, at the moment
+                # the rename fails, the pointer still cannot reach it;
+                # even then the residual window (competitor renamed but
+                # not yet flipped) is closed by the commit_uuid verify
+                # after the pointer flip below.
+                # Refresh the stage mtime so the renamed gen-N is ALWAYS
+                # younger than vacuum's min_age_s during the
+                # rename-to-flip window: a writer stalled longer than the
+                # threshold between manifest fsync and pointer flip would
+                # otherwise have its already-renamed generation swept as
+                # overshoot debris, after which the flip publishes a
+                # pointer to a missing generation (reader-visible
+                # corruption, not a retryable conflict).
                 os.utime(stage)
                 try:
                     os.rename(stage, gen)
-                except OSError as exc2:
-                    raise CommitConflictError(
-                        f"concurrent commit already published {gen}"
-                    ) from exc2
+                    break
+                except OSError as exc:
+                    now = self.current_version()
+                    if now != parent:
+                        if _rebased(now):
+                            continue
+                        raise CommitConflictError(
+                            f"concurrent commit already published {gen}"
+                        ) from exc
+                    shutil.rmtree(gen, ignore_errors=True)
+                    os.utime(stage)
+                    try:
+                        os.rename(stage, gen)
+                        break
+                    except OSError as exc2:
+                        raise CommitConflictError(
+                            f"concurrent commit already published {gen}"
+                        ) from exc2
         except BaseException:
             shutil.rmtree(stage, ignore_errors=True)
             raise
@@ -1129,8 +1215,103 @@ class LakeTable:
             if markers:
                 meta["bucket_zorder"] = markers
 
-        self._commit(write, meta, expected_parent=cur)
+        rebase = self._bucket_merge_rebase(
+            my_touched=set(touched),
+            batch_id=batch_id,
+            folded_dv=prev_manifest.get("dv") or [],
+            schema_version=meta["schema_version"],
+        )
+        self._commit(write, meta, expected_parent=cur, rebase=rebase)
         return self.read()
+
+    def _bucket_merge_rebase(
+        self,
+        my_touched: set[int],
+        batch_id: int | None,
+        folded_dv: list[str],
+        schema_version: int,
+    ):
+        """LOGICAL CONFLICT DETECTION for bucketed merges (the Delta
+        read/write-set check at bucket granularity): a merge whose
+        touched buckets are DISJOINT from every bucket an intervening
+        MERGE rewrote serializes cleanly on top of the new head — its
+        staged bucket data is reused, only the manifest re-points:
+        untouched buckets take the head's owners, touched buckets stay
+        this writer's, z-order markers re-derive, and deletion vectors
+        committed since this writer's snapshot carry forward (the ones
+        its own snapshot folded do not). Intervening OPTIMIZE/COMPACT
+        commits are row-identical no-ops and never conflict, even on
+        overlapping buckets — the merge computed its rewrite from a
+        row-identical snapshot (their re-cluster is simply superseded
+        and the marker stales). Intervening dv commits never rewrite
+        buckets. An overlapping MERGE (including a maintenance dv-FOLD,
+        which applies deletions this writer never saw) refuses the
+        rebase — that is a real lost-update risk, so the physical
+        conflict stands and the caller retries."""
+
+        def rebase(meta: dict, parent_v, head_v):
+            if parent_v is None:
+                return None  # racing bootstraps: no snapshot to reason from
+            try:
+                head = self.manifest(head_v)
+                intervening = [
+                    self.manifest(v) for v in range(parent_v + 1, head_v + 1)
+                ]
+            except Exception:  # noqa: BLE001 - swept mid-read: can't prove safety
+                return None
+            if (
+                head.get("buckets") is None
+                or head.get("schema_version", 0) != schema_version
+            ):
+                return None
+            if batch_id is not None:
+                hlb = head.get("last_batch")
+                if hlb is not None and batch_id <= hlb:
+                    return None  # head already covers this batch id
+            for mm in intervening:
+                if mm.get("buckets") is None:
+                    return None
+                op = mm.get("operation")
+                if op == "delete-vector" or op in ("optimize", "compact"):
+                    continue
+                gname_v = self._gen_name(mm["version"])
+                rewritten = {
+                    int(b)
+                    for b, o in mm["buckets"].items()
+                    if o == gname_v
+                }
+                if rewritten & my_touched:
+                    return None
+            out = dict(meta)
+            mine = {
+                b: o
+                for b, o in meta["buckets"].items()
+                if o.startswith("_stage-")
+            }
+            out["buckets"] = {**head["buckets"], **mine}
+            markers = {
+                b: mk
+                for b, mk in (head.get("bucket_zorder") or {}).items()
+                if int(b) not in my_touched
+                and mk[0] == head["buckets"].get(b)
+            }
+            if markers:
+                out["bucket_zorder"] = markers
+            else:
+                out.pop("bucket_zorder", None)
+            new_dv = [
+                d for d in head.get("dv") or [] if d not in set(folded_dv)
+            ]
+            if new_dv:
+                out["dv"] = new_dv
+            else:
+                out.pop("dv", None)
+            out["last_batch"] = (
+                batch_id if batch_id is not None else head.get("last_batch")
+            )
+            return out
+
+        return rebase
 
     def delete(
         self, changelog: DataFrame, batch_id: int | None = None
@@ -2080,20 +2261,24 @@ class LakeTable:
     ) -> int:
         from mysql_to_clickhouse_sync_spark.sinks.compaction import (
             TARGET_FILE_BYTES,
+            data_file_sizes,
             plan_file_count,
         )
 
         refs = m.get("file_refs")
         if refs is not None:
             # full rewrite of a mid-incremental snapshot: folds the refs
-            # back to one globally-sorted plain generation
+            # back to one globally-sorted plain generation, sized from
+            # the referenced files' real bytes
             df = self._read_refs(refs)
+            total = sum(os.path.getsize(f) for f in self.data_files(v))
         else:
-            df = self.spark.read.parquet(self.data_paths(v)[0])
+            gen = self.data_paths(v)[0]
+            df = self.spark.read.parquet(gen)
+            total = sum(data_file_sizes(gen))
         # WITH tombstones: state form
         n_target = plan_file_count(
-            sum(os.path.getsize(f) for f in self.data_files(v)),
-            target_file_bytes or TARGET_FILE_BYTES,
+            total, target_file_bytes or TARGET_FILE_BYTES
         )
         clustered, empty = self._z_clustered(df, zorder_cols, n_target)
         if empty:

@@ -166,10 +166,16 @@ def test_n_writers_plus_compactor_serialize(spark, tmp_path):
         (r["k"], r["seq"]): r["v"] for r in t.read().collect()
     }
     assert got == expected
-    # the manifest chain stayed a single line: every retained version's
-    # parent is the preceding version (no forked history survived)
-    vs = t.versions()
-    for a, b in zip(vs, vs[1:]):
-        assert t.manifest(b).get("parent") == a or t.manifest(b).get(
-            "compacted_from"
-        ) in (a, None)
+    # the manifest chain stayed a single line: every commit targets
+    # head+1, so every retained version's parent is EXACTLY v-1 (no
+    # forked history survived). Retained versions need not be adjacent
+    # — reference-counted retention keeps old generations that still
+    # own buckets/refs — so adjacency in versions() is NOT the pin.
+    for v in t.versions():
+        m = t.manifest(v)
+        if m.get("operation") == "legacy-bootstrap":
+            continue
+        assert m.get("parent") == (None if v == 0 else v - 1), (
+            v,
+            m.get("parent"),
+        )
