@@ -38,19 +38,23 @@ The DuckDB oracle unrolls every round and every DP position as CTEs
 multiply-referenced CTEs and the dp chain references each stage twice).
 
 Scale notes (100 TB): word counting is the standard one-shuffle
-wordcount; everything after runs on the BOUNDED vocabulary (<= UNI_VOCAB
-rows): the piece table is collected into a broadcast map column (one
-row, map<piece,int>), the DP is a single projection of integer CASE
-expressions per word (no joins, no UDFs), and each EM round is one
-map-side-combined count over exploded segmentations. Production trains
-on the full Heaps'-law word table with the identical loop; rounds cost
-O(vocab), not O(corpus). Public algorithm (arXiv:1804.10959); no
-reference cite — the reference has no text processing.
+wordcount + bounded TakeOrdered — the only corpus-dependent stage, and
+it stays in Spark. Everything after runs on the BOUNDED vocabulary
+(<= UNI_VOCAB rows of a few bytes each) on the DRIVER — the ivf.py
+K-row-quantizer rule. Round 10 moved the EM there from an all-Spark
+DP-projection chain: the 2 x 11 stages of ~20-arm CASE expressions
+cost ~14 s of driver-side plan analysis + codegen COMPILATION per run
+(measured at sf0.1 — a bill a real cluster pays identically, since
+compilation is driver work repeated every run) to evaluate 80 rows.
+Production trains on the full Heaps'-law word table with the identical
+loop once the vocab bound is raised; rounds cost O(vocab), not
+O(corpus). Public algorithm (arXiv:1804.10959); no reference cite —
+the reference has no text processing.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_sync_spark.catalog import load_table
@@ -217,132 +221,64 @@ def _unigram_oracle() -> str:
     """
 
 
-def _int_log_t(m: Column) -> Column:
-    """t = 64 * (1024*e + (m*1024) // 2^e - 1024) - 1, e = floor(log2 m)
-    — the same CASE-chain fixed-point log as the oracle, no libm."""
-    e = F.lit(0)
-    for v in range(1, _E_MAX + 1):
-        e = F.when(m >= (1 << v), F.lit(v)).otherwise(e)
-    po = F.lit(1).cast("bigint")
-    for v in range(1, _E_MAX + 1):
-        po = F.when(e == v, F.lit(1 << v).cast("bigint")).otherwise(po)
-    # (m * 1024) // po via subtract-mod-then-divide: the numerator is an
-    # exact multiple, so the double division is exact and equals the
-    # oracle's integer floor // (operands nonnegative throughout).
-    frac = (m * F.lit(1024)).cast("bigint")
-    # the -20480 recenters l to 1024*log2(m / 10^6) = 1024*log2(P) < 0:
-    # every piece COSTS, so Viterbi's maximization trades piece count
-    # against probability exactly as the unigram LM demands — a bigram
-    # wins iff P(ab) > P(a)*P(b) (up to quantization; the -1 per piece
-    # is the fewer-pieces tie-break).
-    log_fp = (
-        F.lit(1024) * e
-        + ((frac - frac % po) / po).cast("bigint")
-        - F.lit(1024)
-        - F.lit(20480)
-    )
-    return (F.lit(64) * log_fp - F.lit(1)).cast("bigint")
+def _int_log_t_py(m: int) -> int:
+    """t = 64 * (1024*e + (m*1024) // 2^e - 1024 - 20480) - 1 with
+    e = floor(log2 m) — the oracle's fixed-point log, plain integers.
+    The -20480 recenters l to 1024*log2(m / 10^6) = 1024*log2(P) < 0:
+    every piece COSTS, so Viterbi's maximization trades piece count
+    against probability exactly as the unigram LM demands — a bigram
+    wins iff P(ab) > P(a)*P(b) (up to quantization; the -1 per piece
+    is the fewer-pieces tie-break)."""
+    e = 0
+    for v in range(_E_MAX, 0, -1):
+        if m >= (1 << v):
+            e = v
+            break
+    log_fp = 1024 * e + (m * 1024) // (1 << e) - 1024 - 20480
+    return 64 * log_fp - 1
 
 
-def _scores_frame(pieces: DataFrame) -> DataFrame:
-    """(piece, t): fixed-point transition weights from a count table."""
-    tot = pieces.agg(F.sum("cnt").cast("bigint").alias("tot"))
-    m = (
-        (F.col("cnt") * UNI_SCALE - (F.col("cnt") * UNI_SCALE) % F.col("tot"))
-        / F.col("tot")
-    ).cast("bigint") + F.lit(1)
-    return pieces.crossJoin(F.broadcast(tot)).select(
-        "piece", _int_log_t(m.cast("bigint")).alias("t")
-    )
+def _scores_py(counts: dict[str, int]) -> dict[str, int]:
+    """piece -> t: quantized-probability transition weights (m = cnt *
+    10^6 // tot + 1, floor division on nonnegative ints — the exact
+    arithmetic the DuckDB oracle runs)."""
+    tot = sum(counts.values())
+    return {
+        p: _int_log_t_py(cnt * UNI_SCALE // tot + 1)
+        for p, cnt in counts.items()
+    }
 
 
-def _viterbi(words: DataFrame, scores: DataFrame) -> DataFrame:
-    """(word, freq, fin_s, fin_g): the bounded-lattice Viterbi as ONE
-    projection of integer CASE expressions — piece weights ride along as
-    a broadcast map column, so there are no joins and no Python."""
-    pm = scores.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("piece", "t"))
-        ).alias("pm")
-    )
-
-    def t_at(pos: int, ln: int) -> Column:
-        return F.element_at(
-            F.col("pm"), F.substring(F.col("word"), pos, ln)
-        ).cast("bigint")
-
-    def cat(prev_g: Column, piece: Column) -> Column:
-        return F.when(prev_g == "", piece).otherwise(
-            F.concat(prev_g, F.lit(" "), piece)
+def _viterbi_py(word: str, scores: dict[str, int]) -> tuple[int, str]:
+    """(fin_s, fin_g): the bounded-lattice Viterbi over one word —
+    positionally identical to the oracle's unrolled dp_r_k CTE chain
+    (c1 extends the best prefix by one char, c2 extends the k-2 prefix
+    by the bigram ending at k; NULL bigram scores propagate as None;
+    ties break on c1g <= c2g, the lexicographically smaller
+    segmentation — ASCII-only strings, so Python's str order equals
+    both engines' binary collation)."""
+    s_prev: int | None = 0
+    g_prev = ""
+    s_cur: int | None = scores.get(word[0])
+    g_cur = word[0]
+    for k in range(2, len(word) + 1):
+        t1 = scores.get(word[k - 1 : k])
+        c1s = None if (s_cur is None or t1 is None) else s_cur + t1
+        c1g = word[k - 1] if g_cur == "" else g_cur + " " + word[k - 1]
+        t2 = scores.get(word[k - 2 : k])
+        c2s = None if (s_prev is None or t2 is None) else s_prev + t2
+        c2g = (
+            word[k - 2 : k]
+            if g_prev == ""
+            else g_prev + " " + word[k - 2 : k]
         )
-
-    # Each DP stage is a NAMED projection (two selects, exactly the
-    # oracle's nested-CTE shape) — folding stages into one expression
-    # tree multiplies its size ~6x per position and overflows the
-    # column-normalization stack before analysis even starts.
-    ln = F.length("word")
-    w = words.crossJoin(F.broadcast(pm)).select(
-        "word",
-        "freq",
-        "pm",
-        F.lit(0).cast("bigint").alias("s_prev"),
-        F.lit("").alias("g_prev"),
-        t_at(1, 1).alias("s_cur"),
-        F.substring(F.col("word"), 1, 1).alias("g_cur"),
-        F.when(ln == 1, t_at(1, 1)).alias("fin_s"),
-        F.when(ln == 1, F.substring(F.col("word"), 1, 1)).alias("fin_g"),
-    )
-    for k in range(2, UNI_MAXW + 1):
-        w = w.select(
-            "word",
-            "freq",
-            "pm",
-            "s_cur",
-            "g_cur",
-            "fin_s",
-            "fin_g",
-            (F.col("s_cur") + t_at(k, 1)).alias("c1s"),
-            cat(F.col("g_cur"), F.substring(F.col("word"), k, 1)).alias(
-                "c1g"
-            ),
-            (F.col("s_prev") + t_at(k - 1, 2)).alias("c2s"),
-            cat(
-                F.col("g_prev"), F.substring(F.col("word"), k - 1, 2)
-            ).alias("c2g"),
+        take1 = c2s is None or (
+            c1s is not None
+            and (c1s > c2s or (c1s == c2s and c1g <= c2g))
         )
-        take1 = F.col("c2s").isNull() | (
-            F.col("c1s").isNotNull()
-            & (
-                (F.col("c1s") > F.col("c2s"))
-                | (
-                    (F.col("c1s") == F.col("c2s"))
-                    & (F.col("c1g") <= F.col("c2g"))
-                )
-            )
-        )
-        chosen_s = F.when(take1, F.col("c1s")).otherwise(F.col("c2s"))
-        chosen_g = F.when(take1, F.col("c1g")).otherwise(F.col("c2g"))
-        w = w.select(
-            "word",
-            "freq",
-            "pm",
-            F.col("s_cur").alias("s_prev"),
-            F.col("g_cur").alias("g_prev"),
-            chosen_s.alias("s_cur"),
-            chosen_g.alias("g_cur"),
-            F.when(ln == k, chosen_s).otherwise(F.col("fin_s")).alias(
-                "fin_s"
-            ),
-            F.when(ln == k, chosen_g).otherwise(F.col("fin_g")).alias(
-                "fin_g"
-            ),
-        )
-    return w.select(
-        "word",
-        "freq",
-        F.col("fin_s").cast("bigint").alias("fin_s"),
-        F.col("fin_g").alias("fin_g"),
-    )
+        s_prev, g_prev = s_cur, g_cur
+        s_cur, g_cur = (c1s, c1g) if take1 else (c2s, c2g)
+    return s_cur, g_cur
 
 
 @declare("q_unigram_lm", oracle=_unigram_oracle(), tier="P1")
@@ -354,8 +290,12 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_bpe_train/q_bpe_encode this covers both dominant public
     subword-tokenizer algorithms."""
     docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(
+    # The corpus-scale half: one standard wordcount shuffle + bounded
+    # TakeOrdered — this is the ONLY part whose cost grows with the
+    # corpus, and it stays in Spark unchanged.
+    words = [
+        (r[0], int(r[1]))
+        for r in docs.select(
             F.explode(
                 F.split(
                     F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
@@ -368,61 +308,50 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("freq"))
         .orderBy(F.col("freq").desc(), "word")
         .limit(UNI_VOCAB)
-        .localCheckpoint(eager=True)
+        .collect()
+    ]
+    # Everything below runs on the BOUNDED vocabulary (<= UNI_VOCAB = 80
+    # rows, corpus-size-independent) — the ivf.py K-row-quantizer rule:
+    # bounded K-row state is driver work, exactly like the reference's
+    # own MIN/MAX scalars (S:163). The previous all-Spark EM expressed
+    # the identical integer arithmetic as 2 rounds x 11 DP projection
+    # stages of ~20-arm CASE chains over those 80 rows: ~14 s of plan
+    # analysis + whole-stage-codegen COMPILATION (measured this round at
+    # sf0.1; profile in plans/r10/q_unigram_lm_before.txt) for
+    # microseconds of actual evaluation, and the compile bill recurs on
+    # a real cluster too (driver-side, per run). Same fixed-point
+    # integers, same oracle, same hash — verified at sf0.001/0.01/0.1.
+    singles: dict[str, int] = {}
+    big: dict[str, int] = {}
+    for wd, fq in words:
+        for ch in wd:
+            singles[ch] = singles.get(ch, 0) + fq
+        for i in range(len(wd) - 1):
+            p = wd[i : i + 2]
+            big[p] = big.get(p, 0) + fq
+    bigrams = dict(
+        sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))[:UNI_PAIRS]
     )
-    singles = (
-        words.select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(word)),"
-                    " i -> substring(word, i, 1))"
-                )
-            ).alias("piece"),
-        )
-        .groupBy("piece")
-        .agg(F.sum("freq").cast("bigint").alias("cnt"))
-    )
-    bigrams = (
-        words.filter(F.length("word") >= 2)
-        .select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(word) - 1),"
-                    " i -> substring(word, i, 2))"
-                )
-            ).alias("piece"),
-        )
-        .groupBy("piece")
-        .agg(F.sum("freq").cast("bigint").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "piece")
-        .limit(UNI_PAIRS)
-    )
-    pieces = singles.unionByName(bigrams).localCheckpoint(eager=True)
-    piece_set = pieces.select("piece")
-    seg = None
-    counts = pieces
+    # single-char and 2-char key spaces are disjoint, so the UNION ALL
+    # of the oracle's pieces_0 is a plain dict merge
+    counts: dict[str, int] = {**singles, **bigrams}
+    pieces0 = list(counts)
+    seg: dict[str, tuple[int, int, str]] = {}
     for _ in range(UNI_ROUNDS):
-        scores = _scores_frame(counts).localCheckpoint(eager=True)
-        seg = _viterbi(words, scores).localCheckpoint(eager=True)
-        used = (
-            seg.select(
-                "freq", F.explode(F.split("fin_g", " ")).alias("piece")
-            )
-            .groupBy("piece")
-            .agg(F.sum("freq").cast("bigint").alias("used"))
-        )
-        counts = piece_set.join(used, "piece", "left").select(
-            "piece",
-            (F.coalesce(F.col("used"), F.lit(0)) + 1)
-            .cast("bigint")
-            .alias("cnt"),
-        )
-    return seg.select(
-        "word",
-        "freq",
-        F.size(F.split("fin_g", " ")).cast("bigint").alias("n_pieces"),
-        F.col("fin_g").alias("seg"),
-        F.col("fin_s").cast("bigint").alias("score"),
+        scores = _scores_py(counts)
+        seg = {
+            wd: (fq, *_viterbi_py(wd, scores)) for wd, fq in words
+        }
+        used: dict[str, int] = {}
+        for _wd, (fq, _s, g) in seg.items():
+            for p in g.split(" "):
+                used[p] = used.get(p, 0) + fq
+        counts = {p: used.get(p, 0) + 1 for p in pieces0}
+    return spark.createDataFrame(
+        [
+            (wd, fq, len(g.split(" ")), g, s)
+            for wd, (fq, s, g) in seg.items()
+        ],
+        "word string, freq bigint, n_pieces bigint, seg string,"
+        " score bigint",
     )
