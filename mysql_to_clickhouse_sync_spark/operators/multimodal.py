@@ -2014,11 +2014,17 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte, conv to int) — keeps the checksum out of Python.
     hexstr = F.hex(F.col("frame"))
     n_bytes = F.octet_length(F.col("frame")).cast("bigint")
+    # Split the hex string into 2-char cells ONCE and transform over that
+    # array: the previous transform(sequence(0, n-1), i -> hexstr.substr)
+    # re-evaluated hex(frame) PER BYTE inside the lambda (HOF bodies are
+    # interpreted, no subexpression reuse) — O(n_bytes^2) per frame,
+    # measured 7.3 s for q_frame_sample at sf0.1. The slice drops the
+    # trailing empty cell Java's split keeps at limit -1.
     pairs = F.transform(
-        F.sequence(F.lit(0), n_bytes.cast("int") - 1),
-        lambda i: F.conv(hexstr.substr(i * 2 + 1, F.lit(2)), 16, 10).cast(
-            "bigint"
+        F.slice(
+            F.split(hexstr, "(?<=\\G..)"), F.lit(1), n_bytes.cast("int")
         ),
+        lambda h2: F.conv(h2, 16, 10).cast("bigint"),
     )
     byte_sum = F.aggregate(
         pairs, F.lit(0).cast("bigint"), lambda acc, x: acc + x
