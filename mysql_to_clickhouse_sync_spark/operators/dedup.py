@@ -347,6 +347,18 @@ def minhash_lsh_candidates(
         from mysql_to_clickhouse_sync_spark.functions.lsh_guard import cap_buckets
 
         bands, _ = cap_buckets(bands, ["band_idx", "bucket"], max_bucket)
+    return minhash_pairs_from_bands(bands, sigs, num_hashes)
+
+
+def minhash_pairs_from_bands(
+    bands: DataFrame, sigs: DataFrame, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """The back half of MinHash-LSH candidate generation: bucket
+    self-join over an (already guarded) band table -> distinct pairs ->
+    signature-agreement Jaccard estimate. Split out (round 10) so a
+    caller that ALSO needs the band table for bucket auditing
+    (q_neardup_pipeline) computes bands and the bucket-size groupBy
+    once instead of once per consumer."""
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (
@@ -627,6 +639,17 @@ def simhash_banded_pairs(
         bands, _ = cap_buckets(
             bands, ["lang", "chunk_idx", "chunk_val"], max_bucket
         )
+    return simhash_pairs_from_bands(bands, sh, max_hamming)
+
+
+def simhash_pairs_from_bands(
+    bands: DataFrame, sh: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """The back half of the pigeonhole plan: chunk-cell self-join over an
+    (already guarded) banding table -> distinct pairs -> exact-hamming
+    re-score against the fingerprint table. Split out (round 10) so
+    q_neardup_pipeline shares ONE banding table between candidate
+    generation and the dropped-bucket audit."""
     cand = (
         bands.alias("a")
         .join(

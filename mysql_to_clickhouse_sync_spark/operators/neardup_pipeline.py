@@ -57,17 +57,17 @@ from mysql_to_clickhouse_sync_spark.operators.dedup import (
     _simhash_chunks_sql,
     _simhash_sh_cte,
     minhash_band_table,
-    minhash_lsh_candidates,
+    minhash_pairs_from_bands,
     minhash_signatures_table,
-    simhash_banded_pairs,
+    simhash_pairs_from_bands,
     simhash_table,
 )
 from mysql_to_clickhouse_sync_spark.operators.similarity import (
     _EMB_BANDS_UNION,
     EMB_AUDIT_CAP,
     NEARDUP_THRESHOLD,
-    banded_neardup_pairs,
     embedding_band_table,
+    neardup_pairs_from_bands,
     with_norm,
 )
 from mysql_to_clickhouse_sync_spark.functions.vectors import (
@@ -255,15 +255,19 @@ def neardup_pipeline(
         F.lit(0).cast("bigint").alias("n_rows_dropped"),
     )
 
-    mh_pairs = minhash_lsh_candidates(reps, max_bucket=mh_cap)
-    mh_bands = minhash_band_table(
-        minhash_signatures_table(reps, "doc_id", "text", NUM_HASHES)
-    )
-    _, mh_drop = cap_buckets(mh_bands, ["band_idx", "bucket"], mh_cap)
+    # Round 10: each family computes its banding table ONCE — candidate
+    # generation and the dropped-bucket audit share the same kept/drop
+    # split from a single cap_buckets call (one bucket-size groupBy per
+    # family), instead of the pairs helper and the audit each rebuilding
+    # the band table (which doubled the signature/banding work and ran
+    # the sizing groupBy twice per family).
+    sigs = minhash_signatures_table(reps, "doc_id", "text", NUM_HASHES).cache()
+    mh_bands = minhash_band_table(sigs)
+    mh_kept, mh_drop = cap_buckets(mh_bands, ["band_idx", "bucket"], mh_cap)
+    mh_pairs = minhash_pairs_from_bands(mh_kept, sigs)
     minhash = stage("minhash", n_reps, mh_pairs, mh_drop)
 
     sh = simhash_table(reps, extra_cols=("lang",)).cache()
-    sh_pairs = simhash_banded_pairs(sh, max_bucket=sh_cap)
     chunk_cols = [
         F.shiftright(F.col("simhash"), start).bitwiseAND(
             F.lit((1 << width) - 1)
@@ -275,17 +279,19 @@ def neardup_pipeline(
         "lang",
         F.posexplode(F.array(*chunk_cols)).alias("chunk_idx", "chunk_val"),
     )
-    _, sh_drop = cap_buckets(
+    sh_kept, sh_drop = cap_buckets(
         sh_bands, ["lang", "chunk_idx", "chunk_val"], sh_cap
     )
+    sh_pairs = simhash_pairs_from_bands(sh_kept, sh)
     simhash = stage("simhash", n_reps, sh_pairs, sh_drop)
 
     emb = load_table(spark, sf_dir, "embeddings")
-    nz = with_norm(emb).filter(F.col("norm") > 0)
-    e_pairs = banded_neardup_pairs(emb, max_bucket=emb_cap)
-    _, e_drop = cap_buckets(
-        embedding_band_table(nz), ["label", "band", "bucket"], emb_cap
+    nz = with_norm(emb).filter(F.col("norm") > 0).cache()
+    e_bands = embedding_band_table(nz)
+    e_kept, e_drop = cap_buckets(
+        e_bands, ["label", "band", "bucket"], emb_cap
     )
+    e_pairs = neardup_pairs_from_bands(e_kept, nz)
     embedding = stage(
         "embedding", nz.agg(F.count("*").alias("n_in")), e_pairs, e_drop
     )

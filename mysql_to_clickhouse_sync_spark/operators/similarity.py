@@ -254,6 +254,19 @@ def banded_neardup_pairs(
         from mysql_to_clickhouse_sync_spark.functions.lsh_guard import cap_buckets
 
         banded, _ = cap_buckets(banded, ["label", "band", "bucket"], max_bucket)
+    return neardup_pairs_from_bands(banded, emb, threshold)
+
+
+def neardup_pairs_from_bands(
+    banded: DataFrame,
+    emb: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+) -> DataFrame:
+    """The back half of the sign-LSH plan: cell self-join over an
+    (already guarded) banding table -> distinct pairs -> exact-cosine
+    re-score against the norm-filtered embedding frame. Split out
+    (round 10) so q_neardup_pipeline shares ONE banding table between
+    candidate generation and the dropped-bucket audit."""
     a = banded.select(
         F.col("label"), F.col("band"), F.col("bucket"), F.col("vec_id").alias("vec_a")
     )
