@@ -111,6 +111,76 @@ def _parquet_files(path: str) -> list[str]:
     ]
 
 
+def _footer_minmax(
+    pairs: list[tuple[str, str]], cols: list[str]
+) -> dict | None:
+    """Exact global [min, max] per `col` over exactly the files in
+    `pairs` ((abs_path, rel_path), rel carrying any Hive segments) —
+    the METADATA-ONLY twin of `df.agg(min, max)` over those files,
+    merging parquet footer statistics across row groups the same way
+    _footer_stats does. Returns {col: [mn, mx] | None} with None
+    meaning the column is all-NULL / zero rows everywhere (the agg
+    would return NULL too), or None for the whole call when any footer
+    lacks trustworthy numeric stats — the caller then falls back to
+    the Spark agg, so this is purely a fast path."""
+    import pyarrow.parquet as pq
+
+    out: dict = {c: None for c in cols}
+    for f, rel in pairs:
+        part: dict = {}
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                name, _, val = seg.partition("=")
+                try:
+                    part[name] = int(val)
+                except ValueError:
+                    pass
+        try:
+            md = pq.read_metadata(f)
+        except Exception:
+            return None
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in cols:
+            if c in part:
+                if md.num_rows == 0:
+                    continue
+                lo = hi = part[c]
+            elif c in idx:
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    row = md.row_group(rg)
+                    st = row.column(idx[c]).statistics
+                    if st is None:
+                        return None
+                    if not st.has_min_max:
+                        # an all-NULL row group legitimately has no
+                        # min/max and contributes nothing; anything
+                        # else is a writer that skipped stats
+                        if (
+                            st.has_null_count
+                            and st.null_count == row.num_rows
+                        ):
+                            continue
+                        return None
+                    if isinstance(st.min, bool) or not isinstance(
+                        st.min, (int, float)
+                    ):
+                        return None
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is None:
+                    continue
+            else:
+                return None
+            cur = out[c]
+            out[c] = (
+                [lo, hi]
+                if cur is None
+                else [min(cur[0], lo), max(cur[1], hi)]
+            )
+    return out
+
+
 def _current_generation(path: str) -> str | None:
     ptr = os.path.join(path, _POINTER)
     if not os.path.exists(ptr):
@@ -2004,6 +2074,9 @@ class LakeTable:
                     sum(data_file_sizes(d)),
                     target_file_bytes or TARGET_FILE_BYTES,
                 ),
+                files=[
+                    (f, os.path.relpath(f, d)) for f in _parquet_files(d)
+                ],
             )
             meta = {
                 "operation": "optimize",
@@ -2031,16 +2104,39 @@ class LakeTable:
             return self._commit(write, meta, expected_parent=v)
 
     def _z_clustered(
-        self, df: DataFrame, zorder_cols: list[str], n_target: int
+        self,
+        df: DataFrame,
+        zorder_cols: list[str],
+        n_target: int,
+        files: list[tuple[str, str]] | None = None,
     ) -> tuple[DataFrame, bool]:
         """(z-clustered frame, was_empty): rows range-partitioned and
         sorted on the Morton z-value of the two columns, bounds taken
         from THIS frame (plan-time scalars, the reference's S:163
-        pattern). An all-NULL/empty frame clusters trivially."""
+        pattern). An all-NULL/empty frame clusters trivially.
+
+        `files` ((abs, rel) pairs for exactly the files `df` reads)
+        lets the bounds come from parquet FOOTER stats on the driver —
+        metadata I/O instead of a full min/max scan job, so every
+        optimize scope runs one fewer pass over its data (round 10,
+        guide §6.2); footers without trustworthy numeric stats fall
+        back to the agg."""
         from mysql_to_clickhouse_sync_spark.zorder import ZBITS, z_expr
 
         a, b = zorder_cols
-        r = df.agg(F.min(a), F.max(a), F.min(b), F.max(b)).collect()[0]
+        r = None
+        if files is not None:
+            fb = _footer_minmax(files, [a, b])
+            if fb is not None:
+                ra, rb = fb[a], fb[b]
+                r = [
+                    ra[0] if ra else None,
+                    ra[1] if ra else None,
+                    rb[0] if rb else None,
+                    rb[1] if rb else None,
+                ]
+        if r is None:
+            r = df.agg(F.min(a), F.max(a), F.min(b), F.max(b)).collect()[0]
         if any(x is None for x in r):
             return df.coalesce(max(1, n_target)), True
         amn, amx, bmn, bmx = (int(x) for x in r)
@@ -2180,6 +2276,9 @@ class LakeTable:
                 plan_file_count(
                     tot, target_file_bytes or TARGET_FILE_BYTES
                 ),
+                files=[
+                    (os.path.join(self.path, o, r), r) for o, r in take
+                ],
             )
             cube_id = f"cube-{v + 1:06d}"
             keep = [r for r in refs if r not in take]
@@ -2272,15 +2371,23 @@ class LakeTable:
             # the referenced files' real bytes
             df = self._read_refs(refs)
             total = sum(os.path.getsize(f) for f in self.data_files(v))
+            pairs = [
+                (os.path.join(self.path, o, r), r) for o, r in refs
+            ]
         else:
             gen = self.data_paths(v)[0]
             df = self.spark.read.parquet(gen)
             total = sum(data_file_sizes(gen))
+            pairs = [
+                (f, os.path.relpath(f, gen)) for f in _parquet_files(gen)
+            ]
         # WITH tombstones: state form
         n_target = plan_file_count(
             total, target_file_bytes or TARGET_FILE_BYTES
         )
-        clustered, empty = self._z_clustered(df, zorder_cols, n_target)
+        clustered, empty = self._z_clustered(
+            df, zorder_cols, n_target, files=pairs
+        )
         if empty:
             return v  # empty table: nothing to lay out
         meta = {
