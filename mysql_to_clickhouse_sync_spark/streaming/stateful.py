@@ -270,24 +270,49 @@ def s_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin stated relationally (bands joined to bucket minima), reusing
     the shared _minhash_cand_cte banding SQL. The signature/banding
     parity Spark-vs-DuckDB is already pinned by q_minhash_dedup; what
-    this query adds to the contract is the STATE machinery: admission
-    flags must survive the micro-batch boundary (bucket seen in batch 1
-    must veto a batch-2 doc via GroupState, not via batch-local data).
+    this query adds to the contract is the STATE machinery: bucket
+    ownership must survive the micro-batch boundary (a bucket seen in
+    batch 1 must veto a batch-2 doc via the state store, not via
+    batch-local data).
+
+    The per-bucket state ("smallest doc_id ever seen") is an ASSOCIATIVE
+    MIN, so since round 10 it runs as a JVM-native streaming aggregation
+    in update mode instead of applyInPandasWithState: the state store
+    still carries batch-1 minima into batch 2 (same veto machinery), but
+    there is no Python worker round-trip and no per-group pandas frame —
+    the guide §4.1 rule (replace a row/group-at-a-time Python UDF with a
+    built-in aggregate). Update mode emits one row per bucket whose min
+    CHANGED in the batch; the converged owner of a bucket is the min
+    over its emitted rows, and the admission flags are re-derived by
+    joining the banding table to the converged owners — bit-for-bit the
+    oracle's relational form.
 
     Scale notes: state size = number of distinct buckets (bounded by
     corpus bands, ~NUM_BANDS per admitted doc), keyed exactly like the
     batch LSH shuffle; RocksDB state store holds it off-heap at real
-    scale. The degenerate-bucket guard story carries over: a hot bucket
-    here costs one state row + per-arrival rejection, NOT a quadratic
-    join — streaming admission is inherently guarded."""
+    scale. Update mode also fixes the scale posture: per batch the sink
+    receives only CHANGED buckets, never a state-sized re-emission. The
+    degenerate-bucket guard story carries over: a hot bucket here costs
+    one state row + per-arrival rejection, NOT a quadratic join —
+    streaming admission is inherently guarded."""
     from mysql_to_clickhouse_sync_spark.operators.dedup import (
         minhash_band_table,
         minhash_signatures_table,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    bands = minhash_band_table(minhash_signatures_table(docs)).select(
-        "doc_id", F.col("band_idx").cast("long").alias("band_idx"), "bucket"
+    # Materialize the banding ONCE (parallel): the per-wave writes below
+    # coalesce to one file each, and without the checkpoint each wave
+    # re-ran the whole signature/banding computation INSIDE its single
+    # coalesced task (round 10, guide §1.3/§2.1).
+    bands = (
+        minhash_band_table(minhash_signatures_table(docs))
+        .select(
+            "doc_id",
+            F.col("band_idx").cast("long").alias("band_idx"),
+            "bucket",
+        )
+        .localCheckpoint(eager=True)
     )
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     split = (int(lo) + int(hi)) // 2  # scalar bounds: the reference's
@@ -306,26 +331,15 @@ def s_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
-    ensure_package_shipped(spark)
-    out_schema = StructType(
-        [
-            StructField("doc_id", LongType(), False),
-            StructField("fresh", BooleanType(), False),
-        ]
-    )
-    flags = stream.groupBy("band_idx", "bucket").applyInPandasWithState(
-        admit_bucket,
-        outputStructType=out_schema,
-        stateStructType=BUCKET_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    owners = stream.groupBy("band_idx", "bucket").agg(
+        F.min("doc_id").alias("owner")
     )
     sink = f"minhash_admit_{abs(hash(workdir)) % 10**9}"
     query = None
     try:
         early.coalesce(1).write.mode("append").parquet(in_dir)
         query = (
-            flags.writeStream.outputMode("append")
+            owners.writeStream.outputMode("update")
             .format("memory")
             .queryName(sink)
             .option("checkpointLocation", ckpt)
@@ -334,12 +348,17 @@ def s_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.processAllAvailable()
         late.coalesce(1).write.mode("append").parquet(in_dir)
         query.processAllAvailable()
-        fresh_flags = spark.table(sink)
+        converged = spark.table(sink).groupBy("band_idx", "bucket").agg(
+            F.min("owner").alias("owner")
+        )
         final = (
-            fresh_flags.groupBy("doc_id")
+            bands.join(converged, ["band_idx", "bucket"])
+            .groupBy("doc_id")
             .agg(
                 F.count("*").cast("bigint").alias("n_bands"),
-                F.sum(F.when(F.col("fresh"), 1).otherwise(0))
+                F.sum(
+                    F.when(F.col("doc_id") == F.col("owner"), 1).otherwise(0)
+                )
                 .cast("bigint")
                 .alias("n_owned_bands"),
             )
