@@ -184,50 +184,6 @@ def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Streaming near-dup admission (MinHash-LSH bucket state) ----------------
 
-BUCKET_STATE_SCHEMA = StructType(
-    [StructField("min_id", LongType(), False)]
-)
-
-
-def admit_bucket(
-    key: tuple[Any, ...],
-    batches: Iterator["pd.DataFrame"],
-    state: GroupState,
-) -> Iterator["pd.DataFrame"]:
-    """Per-(band, bucket) admission state: a band emission is FRESH iff
-    no smaller doc_id has ever produced this bucket — previous batches
-    via GroupState, the current batch via its own minimum.
-
-    PRECONDITION (asserted): the feed must be doc_id-ordered ACROSS
-    micro-batches — every doc_id in this batch is larger than anything
-    the bucket has already seen. The bucket LAW ("fresh iff no smaller
-    id ever produced the bucket") is order-independent, but this
-    GroupState realization is not: append-mode output can never retract
-    an earlier batch's fresh flag, so an out-of-order smaller id would
-    be wrongly rejected while the larger id it should have displaced
-    stays admitted. s_minhash_stream satisfies the precondition by
-    construction (its rate-limited file source replays the corpus in
-    doc_id order); any other caller must, too, or use the batch
-    relational form (q_minhash_dedup) instead."""
-    import pandas as pd
-
-    prev = state.get[0] if state.exists else None
-    ids: list[int] = []
-    for batch in batches:
-        ids.extend(int(v) for v in batch["doc_id"])
-    bmin = min(ids)
-    # data-dependent runtime precondition: raise explicitly (a bare
-    # assert is stripped under python -O and would silently mis-admit)
-    if prev is not None and bmin <= prev:
-        raise ValueError(
-            f"admit_bucket fed out of doc_id order: batch min {bmin} <= "
-            f"already-seen bucket min {prev}"
-        )
-    fresh = [prev is None and i == bmin for i in ids]
-    state.update((bmin if prev is None else min(prev, bmin),))
-    yield pd.DataFrame({"doc_id": ids, "fresh": fresh})
-
-
 def _minhash_stream_oracle() -> str:
     from mysql_to_clickhouse_sync_spark.operators.dedup import (
         _minhash_cand_cte,
@@ -376,50 +332,6 @@ def s_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Streaming learned quality gate (per-lang admission counters) -----------
 
-QUALITY_STATE_SCHEMA = StructType(
-    [
-        StructField("n_seen", LongType(), False),
-        StructField("n_kept", LongType(), False),
-        StructField("sum_p_milli", LongType(), False),
-    ]
-)
-
-QUALITY_OUT_SCHEMA = StructType(
-    [
-        StructField("lang", StringType(), False),
-        StructField("n_seen", LongType(), False),
-        StructField("n_kept", LongType(), False),
-        StructField("sum_p_milli", LongType(), False),
-    ]
-)
-
-
-def update_quality_gate(
-    key: tuple[Any, ...],
-    batches: Iterator["pd.DataFrame"],
-    state: GroupState,
-) -> Iterator["pd.DataFrame"]:
-    """Per-lang running admission counters: arrivals were scored by the
-    stateless logistic chain on the stream; the state is three exact
-    integers, so the converged totals are replay-order independent."""
-    import pandas as pd
-
-    n, kept, sp = state.get if state.exists else (0, 0, 0)
-    for batch in batches:
-        n += len(batch)
-        kept += int(batch["keep"].sum())
-        sp += int(batch["p_milli"].sum())
-    state.update((n, kept, sp))
-    yield pd.DataFrame(
-        {
-            "lang": [key[0]],
-            "n_seen": [n],
-            "n_kept": [kept],
-            "sum_p_milli": [sp],
-        }
-    )
-
-
 def _quality_stream_oracle() -> str:
     from mysql_to_clickhouse_sync_spark.operators.mlscore import logistic_cte
 
@@ -445,15 +357,15 @@ def s_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     features + fixed-point exp2 sigmoid — `logistic_scored` runs
     unchanged on a streaming DataFrame, which is the point: the Q8
     kernel is plain codegen, so batch and streaming scoring cannot
-    diverge), and per-lang GroupState keeps running (seen, kept, sum_p)
-    admission counters — the live acceptance-rate dashboard a curation
+    diverge), and a per-lang JVM streaming aggregation keeps running (seen,
+    kept, sum_p) admission counters in the state store — the live acceptance-rate dashboard a curation
     ingest pipeline watches for drift.
 
     FULL ORACLE: the counters are exact integer sums, replay-order
     independent, so the converged state equals the batch GROUP BY over
     the shared `logistic_cte` relation. What the streaming form adds to
     the contract is the state boundary: batch-1 counts must survive
-    into batch 2 via GroupState.
+    into batch 2 via the streaming aggregation's state store.
 
     Scale notes: state is three BIGINTs per lang (a handful of keys);
     one lang-keyed shuffle per micro-batch; scoring stays map-side in
@@ -483,14 +395,17 @@ def s_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
-    ensure_package_shipped(spark)
     scored = logistic_scored(stream).select("lang", "p_milli", "keep")
-    counters = scored.groupBy("lang").applyInPandasWithState(
-        update_quality_gate,
-        outputStructType=QUALITY_OUT_SCHEMA,
-        stateStructType=QUALITY_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    # The counters are exact integer SUMS — associative — so they run
+    # as a JVM-native streaming aggregation (state store still carries
+    # batch-1 counts into batch 2); round 10 removed the
+    # applyInPandasWithState Python round-trip per guide §4.1.
+    counters = scored.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum("p_milli").cast("long").alias("sum_p_milli"),
     )
     sink = f"quality_gate_{abs(hash(workdir)) % 10**9}"
     query = None
@@ -683,50 +598,6 @@ def s_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- s_drift_stream ----------------------------------------------------------
 
-DRIFT_OUT_SCHEMA = StructType(
-    [
-        StructField("bin", LongType(), False),
-        StructField("n_base", LongType(), False),
-        StructField("n_cur", LongType(), False),
-        StructField("diff_micro", LongType(), False),
-    ]
-)
-
-DRIFT_STATE_SCHEMA = StructType(
-    [
-        StructField("n_base", LongType(), False),
-        StructField("n_cur", LongType(), False),
-    ]
-)
-
-
-def update_drift_bins(
-    key: tuple[Any, ...],
-    pdfs: "Iterator[pd.DataFrame]",
-    state: GroupState,
-) -> "Iterator[pd.DataFrame]":
-    """Accumulate per-score-bin counts of the baseline and current
-    populations; emit the refreshed counts and the micro share gap
-    (computed downstream against the totals — here raw counts only,
-    exact integers, replay-order independent)."""
-    import pandas as pd
-
-    (bin_,) = key
-    nb, nc = state.get if state.exists else (0, 0)
-    for pdf in pdfs:
-        nb += int(pdf["is_base"].sum())
-        nc += int((~pdf["is_base"].astype(bool)).sum())
-    state.update((nb, nc))
-    yield pd.DataFrame(
-        {
-            "bin": [bin_],
-            "n_base": [nb],
-            "n_cur": [nc],
-            "diff_micro": [0],  # filled by the finalizer against totals
-        }
-    )
-
-
 def _drift_stream_oracle() -> str:
     from mysql_to_clickhouse_sync_spark.operators.mlscore import logistic_cte
 
@@ -759,8 +630,9 @@ def s_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     taken online: the baseline (even doc_id) half arrives in
     micro-batch 1, the "current" (odd) half in micro-batch 2, each row
     scored on the stream by the stateless logistic chain and bucketed
-    into score deciles; per-bin GroupState keeps (n_base, n_cur)
-    counters across the batch boundary. The finalizer computes each
+    into score deciles; a per-bin JVM streaming aggregation keeps
+    (n_base, n_cur) counters in the state store across the batch
+    boundary. The finalizer computes each
     bin's share gap against the converged totals — the per-bin table a
     PSI/KS alarm reads every trigger.
 
@@ -794,18 +666,24 @@ def s_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
-    ensure_package_shipped(spark)
     binned = logistic_scored(stream).select(
         F.expr("least(p_milli div 100, 9)").alias("bin"),
         F.expr("CAST(doc_id % 2 = 0 AS BOOLEAN)").alias("is_base"),
     )
-    counters = binned.groupBy("bin").applyInPandasWithState(
-        update_drift_bins,
-        outputStructType=DRIFT_OUT_SCHEMA,
-        stateStructType=DRIFT_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    # Exact integer SUMS per bin — associative — so the state runs as a
+    # JVM-native streaming aggregation (state store still carries
+    # batch-1 counts into batch 2); round 10 removed the
+    # applyInPandasWithState Python round-trip per guide §4.1.
+    # diff_micro is filled by the finalizer against the converged
+    # totals, exactly as the pandas handler left it.
+    counters = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_base"),
+        F.sum(F.when(F.col("is_base"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_cur"),
+    ).withColumn("diff_micro", F.lit(0).cast("long"))
     sink = f"drift_stream_{abs(hash(workdir)) % 10**9}"
     query = None
     try:
@@ -894,9 +772,10 @@ def update_funnel(
     event_id) order through the same transition law, vectorized —
     running maxima via np.maximum.accumulate, no per-event Python loop.
 
-    PRECONDITION (asserted, the admit_bucket discipline): arrivals are
-    event-time-ordered ACROSS micro-batches — the feed replays disjoint
-    increasing time slices. Within a batch, rows are sorted here."""
+    PRECONDITION (asserted — raise, never a strippable assert):
+    arrivals are event-time-ordered ACROSS micro-batches — the feed
+    replays disjoint increasing time slices. Within a batch, rows are
+    sorted here."""
     import numpy as np
     import pandas as pd
 
