@@ -6,9 +6,9 @@ An ingest pipeline cannot re-run corpus-wide decontamination per
 arrival; the production shape is: fold the (static, small) benchmark
 shingle set into a Bloom bitmap ONCE, broadcast it, and gate every
 arriving document with a MAP-ONLY probe — no join against the benchmark
-on the stream at all. Per-language GroupState keeps running
-(n_train, n_contaminated) admission counters, the live contamination
-dashboard.
+on the stream at all. A per-language JVM streaming aggregation
+keeps running (n_train, n_contaminated) admission counters in the
+state store, the live contamination dashboard.
 
 FULL ORACLE: the gate verdict is deterministic per document (the
 cross-seed bloom construction — both engines derive the same positions,
@@ -16,7 +16,7 @@ so even false positives replay bit-for-bit), and the counters are exact
 integer sums, replay-order independent; the converged totals therefore
 equal a batch GROUP BY, which the oracle states directly. What the
 streaming form adds to the contract is the state boundary: batch-1
-counts must survive into batch 2 via GroupState (pinned by test).
+counts must survive into batch 2 via the state store (pinned by test).
 
 The gate over-admits by the filter's fp rate and never under-admits —
 the correct failure direction (a false positive drops one clean
@@ -67,46 +67,6 @@ from mysql_to_clickhouse_sync_spark.streaming.tuning import tuned
 if TYPE_CHECKING:
     import pandas as pd
 
-DECONTAM_OUT_SCHEMA = StructType(
-    [
-        StructField("lang", StringType(), False),
-        StructField("n_train", LongType(), False),
-        StructField("n_contaminated", LongType(), False),
-    ]
-)
-
-DECONTAM_STATE_SCHEMA = StructType(
-    [
-        StructField("n_train", LongType(), False),
-        StructField("n_contaminated", LongType(), False),
-    ]
-)
-
-
-def update_decontam_gate(
-    key: tuple[Any, ...],
-    batches: Iterator["pd.DataFrame"],
-    state: GroupState,
-) -> Iterator["pd.DataFrame"]:
-    """Per-lang running admission counters: arrivals carry their bloom
-    verdict from the map-only probe; the state is two exact integers, so
-    the converged totals are replay-order independent."""
-    import pandas as pd
-
-    n, cont = state.get if state.exists else (0, 0)
-    for batch in batches:
-        n += len(batch)
-        cont += int(batch["contaminated"].sum())
-    state.update((n, cont))
-    yield pd.DataFrame(
-        {
-            "lang": [key[0]],
-            "n_train": [n],
-            "n_contaminated": [cont],
-        }
-    )
-
-
 _STREAM_ORACLE = (
     decontam_bloom_sql()
     + f"""
@@ -128,7 +88,8 @@ def s_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     in two micro-batches (split on doc_id, the reference's MIN/MAX
     chunking); each is shingled and probed against the broadcast
     benchmark bitmap ON THE STREAM (map-only — see module docstring),
-    and per-lang GroupState accumulates (n_train, n_contaminated)."""
+    and a per-lang JVM streaming aggregation accumulates
+    (n_train, n_contaminated) in the state store."""
     docs = load_table(spark, sf_dir, "documents")
     bitmap, m = bench_bloom(spark, docs)
     # materialize the bitmap ONCE: a stream-static join re-executes the
@@ -177,12 +138,15 @@ def s_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "contaminated")
     )
-    counters = flags.groupBy("lang").applyInPandasWithState(
-        update_decontam_gate,
-        outputStructType=DECONTAM_OUT_SCHEMA,
-        stateStructType=DECONTAM_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    # Exact integer SUMS per lang — associative — so the state runs as
+    # a JVM-native streaming aggregation (state store still carries
+    # batch-1 counts into batch 2); round 10 removed the
+    # applyInPandasWithState Python round-trip per guide §4.1.
+    counters = flags.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_train"),
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
     )
     sink = f"decontam_gate_{abs(hash(workdir)) % 10**9}"
     query = None

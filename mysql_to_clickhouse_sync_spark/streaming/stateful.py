@@ -1,16 +1,20 @@
-"""Custom stateful streaming operator via applyInPandasWithState.
+"""Stateful streaming operators.
 
 The reference has no stateful processing at all; this provides the extension
-point a CDC pipeline needs for logic that windowed aggregation can't express
-— here a per-user running profile (event count, value sum, last-seen ts)
-maintained across micro-batches with explicit state.
+points a CDC pipeline needs beyond windowed aggregation. Two tiers (the
+guide §4.1 rule, applied in round 10):
 
-The handler is engine-grade: state is a single compact tuple per key,
-updates are Arrow-batched, and the same function serves batch backfill
-(applyInPandas over the whole history) and streaming (applyInPandasWithState
-per micro-batch). Output after draining a bounded replay equals the batch
-groupBy — asserted in tests and exposed as declared query s_stateful_profile
-(rows-only: GroupState isn't SQL-expressible)."""
+- ASSOCIATIVE state (running counters/sums/min/max — s_stateful_profile,
+  s_quality_stream, s_drift_stream, s_minhash_stream) runs as JVM-native
+  streaming aggregations: the state store still carries batch-1 state into
+  batch 2, but there is no Python worker round-trip.
+- ORDER-DEPENDENT state (the Holt recurrence, funnel chain starts) keeps
+  the custom applyInPandasWithState handler: state is a compact tuple per
+  key, updates are Arrow-batched, and each handler documents the replay
+  precondition its law needs.
+
+Output after draining a bounded replay equals the batch groupBy — asserted
+in tests and pinned by each query's full DuckDB oracle."""
 
 from __future__ import annotations
 
@@ -40,65 +44,6 @@ from mysql_to_clickhouse_sync_spark.shipping import ensure_package_shipped
 if TYPE_CHECKING:
     import pandas as pd
 
-PROFILE_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType(), False),
-        StructField("n_events", LongType(), False),
-        StructField("sum_value_cents", LongType(), False),
-        StructField("last_ts", TimestampType(), True),
-    ]
-)
-
-STATE_SCHEMA = StructType(
-    [
-        StructField("n_events", LongType(), False),
-        StructField("sum_value_cents", LongType(), False),
-        StructField("last_ts_us", LongType(), True),
-    ]
-)
-
-
-def update_profile(
-    key: tuple[Any, ...],
-    batches: Iterator["pd.DataFrame"],
-    state: GroupState,
-) -> Iterator["pd.DataFrame"]:
-    """Merge a user's micro-batch rows into their running profile. Values
-    accumulate as integer cents so results are exact and replay-order-
-    independent."""
-    import pandas as pd
-
-    n, cents, last_us = state.get if state.exists else (0, 0, None)
-    for batch in batches:
-        n += len(batch)
-        # round() on the scaled double matches decimal(18,2) casting of the
-        # 2-decimal fixture values; integer accumulation keeps it exact.
-        cents += int(batch["value"].mul(100).round().sum())
-        ts_us = (batch["ts"].astype("int64") // 1000).max()
-        last_us = ts_us if last_us is None else max(last_us, ts_us)
-    state.update((n, cents, last_us))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "sum_value_cents": [cents],
-            "last_ts": [pd.Timestamp(last_us, unit="us") if last_us is not None else None],
-        }
-    )
-
-
-def streaming_profiles(stream: DataFrame) -> DataFrame:
-    """Wire the stateful handler onto a streaming DataFrame of events."""
-    ensure_package_shipped(stream.sparkSession)
-    return stream.groupBy("user_id").applyInPandasWithState(
-        update_profile,
-        outputStructType=PROFILE_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-
-
 _STATEFUL_PROFILE_ORACLE = f"""
     {EVENTS_US_CTE}
     SELECT user_id,
@@ -115,9 +60,9 @@ _STATEFUL_PROFILE_ORACLE = f"""
 @declare("s_stateful_profile", oracle=_STATEFUL_PROFILE_ORACLE, tier="P3")
 @tuned
 def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user running profile maintained by applyInPandasWithState across
-    two deterministic micro-batches; returns each user's FINAL profile (the
-    last update emitted per user).
+    """Per-user running profile maintained by a JVM streaming
+    aggregation across two deterministic micro-batches; returns each
+    user's FINAL profile (the last update emitted per user).
 
     FULL ORACLE (the sixth streaming query to carry one — the roster's
     rows-only set is now empty): integer-cent accumulation makes the
@@ -126,8 +71,8 @@ def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     max |value*100 - round(value*100)| = 3.6e-12 at every SF), so
     pandas' half-even, Spark's HALF_UP and DuckDB's half-away all land
     on the same integer. The final state is then exactly the batch
-    GROUP BY stated in the oracle. GroupState itself isn't
-    SQL-expressible; its CONVERGED RESULT is."""
+    GROUP BY stated in the oracle; the state store carries batch-1
+    profiles into batch 2."""
     # NULL-ts contract pin, as in every sibling stream.
     events = (
         load_table(spark, sf_dir, "events")
@@ -148,7 +93,17 @@ def s_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
-    out = streaming_profiles(stream)
+    # count/sum/max are associative, so the profile runs as a JVM
+    # streaming aggregation (guide §4.1; see module docstring). The
+    # cents rounding is tie-free on this data (docstring above), so
+    # Spark HALF_UP lands on the same integers the oracle's round does.
+    out = stream.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_value_cents"),
+        F.max("ts").alias("last_ts"),
+    )
     sink = f"profiles_{abs(hash(workdir)) % 10**9}"
     query = None
     try:
