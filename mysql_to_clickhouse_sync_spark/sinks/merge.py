@@ -296,7 +296,30 @@ class LakeTable:
         # keys) read-side apply cost forever (the wall Delta/Hudi gate
         # with exactly this kind of threshold).
         self.dv_fold_ratio = dv_fold_ratio
+        # Schema memo for generation reads (round 10): published
+        # generation directories are IMMUTABLE (the rename race arbiter
+        # guarantees a gen name is written once), so the parquet schema
+        # of an exact path set never changes — re-inferring it on every
+        # read.parquet costs a footer-read job apiece (~0.1 s driver
+        # time each, dozens of reads per maintenance query). Keyed by
+        # (basePath, sorted paths); dies with the handle, so a fresh
+        # handle still proves everything from disk alone.
+        self._schema_memo: dict = {}
         os.makedirs(path, exist_ok=True)
+
+    def _read_parquet(self, *paths: str, base: str | None = None):
+        """spark.read.parquet over immutable generation paths, inferring
+        each distinct path set's schema exactly once per handle."""
+        key = (base, tuple(sorted(paths)))
+        reader = self.spark.read
+        if base is not None:
+            reader = reader.option("basePath", base)
+        sch = self._schema_memo.get(key)
+        if sch is not None:
+            return reader.schema(sch).parquet(*paths)
+        df = reader.parquet(*paths)
+        self._schema_memo[key] = df.schema
+        return df
 
     # -- commit log -----------------------------------------------------
 
@@ -461,8 +484,9 @@ class LakeTable:
         df = None
         for o in sorted(by_owner):
             base = os.path.join(self.path, o)
-            part = self.spark.read.option("basePath", base).parquet(
-                *[os.path.join(base, r) for r in sorted(by_owner[o])]
+            part = self._read_parquet(
+                *[os.path.join(base, r) for r in sorted(by_owner[o])],
+                base=base,
             )
             df = part if df is None else df.unionByName(part)
         return df
@@ -473,7 +497,7 @@ class LakeTable:
         dvs = self.manifest(version).get("dv") or []
         if not dvs:
             return None
-        return self.spark.read.parquet(
+        return self._read_parquet(
             *[os.path.join(self.path, g) for g in dvs]
         )
 
@@ -489,7 +513,7 @@ class LakeTable:
         if refs is not None:
             df = self._read_refs(refs)
         else:
-            df = self.spark.read.parquet(*self.data_paths(v))
+            df = self._read_parquet(*self.data_paths(v))
         dv = self._dv_frame(v)
         if dv is not None:
             df = apply_changelog(df, dv, self.keys, self.version_cols)
@@ -1250,7 +1274,7 @@ class LakeTable:
             for f in changelog.schema.fields
             if f.name != "op"
         ]
-        state_t = self.spark.read.parquet(*paths) if paths else empty
+        state_t = self._read_parquet(*paths) if paths else empty
         new_state = apply_changelog(
             state_t, log_b.drop("_b"), self.keys, self.version_cols
         ).withColumn("bucket", bcol)
@@ -1894,7 +1918,7 @@ class LakeTable:
             else:
                 gen = self._gen_dir(v)
                 sizes = data_file_sizes(gen)
-                stored = self.spark.read.parquet(gen)
+                stored = self._read_parquet(gen)
             n_target = plan_file_count(sum(sizes), target)
             if cluster_by:
                 cols = [F.col(c) for c in cluster_by]
@@ -1942,7 +1966,7 @@ class LakeTable:
 
         def write(p: str) -> None:
             for b, (d, n_target) in frag.items():
-                self.spark.read.parquet(d).coalesce(n_target).write.parquet(
+                self._read_parquet(d).coalesce(n_target).write.parquet(
                     os.path.join(p, f"bucket={b}")
                 )
             bmap = {b: o for b, o in m["buckets"].items() if b not in frag}
@@ -2066,7 +2090,7 @@ class LakeTable:
 
         with self._conflict_on_sweep(v):
             d = os.path.join(self.path, m["buckets"][b], f"bucket={b}")
-            df = self.spark.read.parquet(d)  # WITH tombstones: state form
+            df = self._read_parquet(d)  # WITH tombstones: state form
             clustered, empty = self._z_clustered(
                 df,
                 zorder_cols,
@@ -2376,7 +2400,7 @@ class LakeTable:
             ]
         else:
             gen = self.data_paths(v)[0]
-            df = self.spark.read.parquet(gen)
+            df = self._read_parquet(gen)
             total = sum(data_file_sizes(gen))
             pairs = [
                 (f, os.path.relpath(f, gen)) for f in _parquet_files(gen)
