@@ -149,7 +149,11 @@ def _footer_minmax(
                 lo = hi = None
                 for rg in range(md.num_row_groups):
                     row = md.row_group(rg)
-                    st = row.column(idx[c]).statistics
+                    try:
+                        st = row.column(idx[c]).statistics
+                    except Exception:
+                        # pyarrow raises (not None) for stat-less types
+                        return None
                     if st is None:
                         return None
                     if not st.has_min_max:
@@ -179,6 +183,25 @@ def _footer_minmax(
                 else [min(cur[0], lo), max(cur[1], hi)]
             )
     return out
+
+
+def _nullable(dt):
+    """`dt` with every field/element/value recursively nullable — the
+    schema parquet read-back reports for a frame written with `dt`."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _nullable(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_nullable(dt.keyType), _nullable(dt.valueType), True)
+    return dt
 
 
 def _current_generation(path: str) -> str | None:
@@ -306,6 +329,18 @@ class LakeTable:
         # handle still proves everything from disk alone.
         self._schema_memo: dict = {}
         os.makedirs(path, exist_ok=True)
+
+    def _seed_schema(self, version: int, schema) -> None:
+        """Pre-populate the schema memo for a PLAIN unbucketed generation
+        this handle just committed: parquet read-back reports every field
+        nullable, so the written frame's schema relaxed to all-nullable
+        IS what inference would return — the post-commit read() skips
+        the inference job entirely. Only called for non-partitioned,
+        non-bucketed writes (partitioned gens add path-derived columns
+        inference must discover)."""
+        self._schema_memo[(None, (self._gen_dir(version),))] = _nullable(
+            schema
+        )
 
     def _read_parquet(self, *paths: str, base: str | None = None):
         """spark.read.parquet over immutable generation paths, inferring
@@ -757,13 +792,20 @@ class LakeTable:
                 for i, name in enumerate(names):
                     if name not in usable:
                         continue
-                    st = row.column(i).statistics
-                    if (
-                        st is None
-                        or not st.has_min_max
-                        or isinstance(st.min, bool)
-                        or not isinstance(st.min, (int, float))
-                    ):
+                    try:
+                        st = row.column(i).statistics
+                        unusable = (
+                            st is None
+                            or not st.has_min_max
+                            or isinstance(st.min, bool)
+                            or not isinstance(st.min, (int, float))
+                        )
+                    except Exception:
+                        # pyarrow raises ArrowNotImplementedError (rather
+                        # than returning None) for types it cannot extract
+                        # statistics for, e.g. decimal — not pruning-safe
+                        unusable = True
+                    if unusable:
                         usable.discard(name)
                         continue
                     mins[name] = (
@@ -1219,11 +1261,12 @@ class LakeTable:
                     expected_parent=cur,
                 )
             else:
-                self._commit(
+                v = self._commit(
                     lambda p: new_state.write.mode("overwrite").parquet(p),
                     meta,
                     expected_parent=cur,
                 )
+                self._seed_schema(v, new_state.schema)
             return self.read()
 
         # Bucketed: only the key-hash buckets the changelog touches are

@@ -252,3 +252,35 @@ def test_bloom_pruning_survives_dv_delete(spark, tmp_path):
 
     pruned, total, nread = t.read_bloom_pruned("label", "no_such_label")
     assert nread <= 1
+
+
+def test_seeded_schema_equals_fresh_inference(spark, tmp_path):
+    """The commit-time schema seed (round 10) must equal what a fresh
+    parquet inference of the generation returns — including the
+    all-nullable relaxation of nested struct/array fields — or every
+    post-commit read through the memo would run under a wrong schema."""
+    from mysql_to_clickhouse_sync_spark.sinks.merge import LakeTable
+
+    log = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.current_timestamp().alias("ts"),
+        (F.col("id") * 1.5).alias("value"),
+        F.array(
+            F.struct(
+                F.lit(1).alias("span_start"), F.lit(2).alias("span_tokens")
+            )
+        ).alias("spans"),
+        F.col("id").cast("decimal(18,2)").alias("money"),
+        F.lit("upsert").alias("op"),
+    )
+    t = LakeTable(
+        spark, str(tmp_path / "state"), keys=["k"], version_cols=["ts"]
+    )
+    t.merge(log, batch_id=0)
+    v = t.current_version()
+    key = (None, (t._gen_dir(v),))
+    assert key in t._schema_memo
+    inferred = spark.read.parquet(t._gen_dir(v)).schema
+    assert t._schema_memo[key] == inferred
+    # and the memoized read round-trips the rows
+    assert t.read().count() == 5
