@@ -1090,8 +1090,13 @@ def q_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = simhash_table(reps, extra_cols=("lang",)).cache()
     # max_bucket=None: the oracle states the uncapped stage-2 result (and
     # stage 1 has already collapsed the replica mass that melts buckets).
-    pairs = simhash_banded_pairs(sh, max_bucket=None).join(
-        sh.select(F.col("doc_id").alias("doc_a"), "lang"), "doc_a"
+    # The pair table feeds two consumers (pair count, implicated-doc
+    # count) — cache it so the banded self-join + hamming re-score runs
+    # once (round 10, guide §1.3 shared subplans).
+    pairs = (
+        simhash_banded_pairs(sh, max_bucket=None)
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "lang"), "doc_a")
+        .cache()
     )
     pair_docs = pairs.select("lang", F.col("doc_a").alias("d")).union(
         pairs.select("lang", F.col("doc_b").alias("d"))
@@ -1571,9 +1576,13 @@ def containment_pairs(
     # without the cap one hot shingle ("all rights reserved ...") goes
     # quadratic exactly like a hot LSH bucket (q_lsh_bucket_audit). With
     # it, pair count <= cap * |pruned rows| — linear in the corpus.
+    # Three consumers (sizes, both index-join sides) — cache the pruned
+    # index so the shingle explode + distinct + df join run once
+    # (round 10, guide §1.3 shared subplans).
     pruned = (
         srows.join(df_counts.filter(F.col("df") <= df_cap), "s")
         .select("doc_id", "s")
+        .cache()
     )
     sizes = pruned.groupBy("doc_id").agg(F.count("*").alias("size_a"))
     a = pruned.select(F.col("doc_id").alias("doc_a"), "s")
