@@ -821,9 +821,12 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(rel, "doc_id", "left")
         .select("pos", "doc_id", F.coalesce("rel", F.lit(0)).alias("rel"))
     )
+    # Two consumers (the DCG curve and the ideal re-ranking) — cache the
+    # <= NDCG_K-row graded frame so the whole upstream ranking pipeline
+    # (BM25 + vector + RRF fusion) runs once (round 10, guide §1.3).
     graded = with_fixed_log2_q8(
         graded.withColumn("x", F.expr("pos + 1")), "x", "lq8"
-    )
+    ).cache()
     wpos = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
     dcg = graded.select(
         "pos",
