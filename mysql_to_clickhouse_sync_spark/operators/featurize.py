@@ -286,9 +286,11 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = feats.selectExpr(
         "doc_id", "y", f"stack({len(_MI_FEATS)}, {stack_expr}) AS (feat, b)"
     )
+    # Four consumers (three margins + the cell join) — cache the <=128-
+    # row cell table so the featurize scan runs once (round 10, §1.3).
     cells = st.groupBy("feat", "b", "y").agg(
         F.count("*").cast("long").alias("cxy")
-    )
+    ).cache()
     mx = cells.groupBy("feat", "b").agg(F.sum("cxy").cast("long").alias("cx"))
     my = cells.groupBy("feat", "y").agg(F.sum("cxy").cast("long").alias("cy"))
     nt = cells.groupBy("feat").agg(F.sum("cxy").cast("long").alias("n"))

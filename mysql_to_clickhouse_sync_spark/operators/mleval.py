@@ -870,6 +870,9 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.sparkSession.range(CAL_BINS)
         .select(F.col("id").cast("long").alias("bin"))
     )
+    # Two consumers (the Laplace totals and the per-bin terms) — cache
+    # the 10-row binned frame so the scoring scan runs once (round 10,
+    # guide §1.3 shared subplans).
     g = (
         spine.join(cnt, "bin", "left")
         .select(
@@ -877,6 +880,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("ca"), F.lit(0)) + 1).cast("long").alias("a1"),
             (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("long").alias("b1"),
         )
+        .cache()
     )
     tot = g.agg(
         F.sum("a1").cast("long").alias("na"),

@@ -817,12 +817,14 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") > 0
     )
+    # split(text, '') enumerates the same code points as the
+    # substring(text, i, 1) transform, but in ONE pass — substring is
+    # O(i) per call (UTF8 byte scan from the start), so the transform
+    # was O(len^2) per document (round 10, guide §1.2 step 2;
+    # equivalence pinned in tests/test_bm25.py).
     chars = docs.select(
         "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(text)),"
-                   " i -> substring(text, i, 1))")
-        ).alias("ch"),
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
     )
     cc = chars.groupBy("doc_id", "ch").agg(
         F.count("*").cast("bigint").alias("c")

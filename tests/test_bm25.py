@@ -223,3 +223,22 @@ def test_ndcg_curve_properties(spark):
         run += r.gain
         assert r.dcg_cum == run
         assert 0 <= r.ndcg_milli <= 1000
+
+
+def test_char_split_equals_substring_enumeration(spark):
+    """q_char_entropy's split(text, '') enumeration (round 10) must equal
+    the substring(text, i, 1) transform it replaced, code point by code
+    point — including multibyte characters and whitespace."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("héllo wörld",), ("a",), ("xy  z",), ("日本語 text",)],
+        "text string",
+    )
+    old = df.select(
+        F.expr(
+            "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+        ).alias("c")
+    ).collect()
+    new = df.select(F.split("text", "").alias("c")).collect()
+    assert [r.c for r in old] == [r.c for r in new]
