@@ -183,22 +183,22 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen. No Python, no doubles, no driver collect — at
     100 TB the model table is still tiny and everything else is linear."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # split(text, '') enumerates the same code points as the
+    # substring(text, i, 1) transform, but in ONE pass (substring is
+    # O(i) per call — the q_char_entropy fix, round 10); and the corpus
+    # model folds from the CACHED per-doc counts instead of re-exploding
+    # the corpus a second time (guide §1.2 step 1: fewer passes).
     chars = docs.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text)),"
-                " i -> substring(text, i, 1))"
-            )
-        ).alias("ch"),
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
     )
-    corpus = chars.groupBy("ch").agg(F.count("*").cast("bigint").alias("c"))
+    cc = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("bigint").alias("cd")
+    ).cache()
+    corpus = cc.groupBy("ch").agg(F.sum("cd").cast("bigint").alias("c"))
     corpus = with_fixed_log2_q8(corpus, "c", "lc_q8")
     tot = corpus.agg(F.sum("c").cast("bigint").alias("nt"))
     tot = with_fixed_log2_q8(tot, "nt", "lnt_q8")
-    cc = chars.groupBy("doc_id", "ch").agg(
-        F.count("*").cast("bigint").alias("cd")
-    )
     cc = cc.join(F.broadcast(corpus.select("ch", "lc_q8")), "ch")
     perdoc = cc.groupBy("doc_id").agg(
         F.sum("cd").cast("bigint").alias("n"),
