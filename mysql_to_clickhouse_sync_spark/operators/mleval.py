@@ -423,7 +423,10 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
-    feats = milli_features(docs, lang=F.col("lang"))
+    # Three consumers (class priors, training counts, scoring) — cache
+    # the feature frame so the regex-heavy extraction scan runs once
+    # (round 10, guide §1.3 shared subplans).
+    feats = milli_features(docs, lang=F.col("lang")).cache()
     stack_expr = ", ".join(
         f"'{f}', {_nb_bucket(f)}" for f in _NB_FEATS
     )
