@@ -402,8 +402,21 @@ def q_decontam_gate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.explode("shingles").alias("h"))
     )
+    # The benchmark shingle set has FOUR evaluations (semi-join
+    # broadcast, bloom sizing count, bitmap fold — bench_bloom rebuilt
+    # it from scratch — plus its own distinct shuffle each time);
+    # checkpoint it once and build the bitmap from the same frame
+    # (round 10, guide §1.3; a broader one-pass restructure of the two
+    # arms was measured SLOWER and rejected — see OPTIMIZATION_r10.md).
+    from mysql_to_clickhouse_sync_spark.operators.joins import (
+        _bj_build_bitmap,
+    )
+
     bench = (
-        sh.filter(F.col("source") == _BENCH_SOURCE).select("h").distinct()
+        sh.filter(F.col("source") == _BENCH_SOURCE)
+        .select("h")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     exact = (
         sh.filter(F.col("source") != _BENCH_SOURCE)
@@ -412,7 +425,8 @@ def q_decontam_gate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("exact_hit", F.lit(1))
     )
-    bitmap, m = bench_bloom(spark, docs)
+    m = max(64, DECONTAM_BITS_PER_KEY * bench.count())
+    bitmap = _bj_build_bitmap(spark, bench, "h", m)
     train = docs.filter(F.col("source") != _BENCH_SOURCE)
     bloom = (
         train.withColumn("words", F.split(F.col("text"), " "))
