@@ -349,7 +349,10 @@ def bench_bloom(spark: SparkSession, docs: DataFrame) -> tuple[DataFrame, int]:
         _bj_build_bitmap,
     )
 
-    bench = bench_shingles(docs)
+    # Checkpoint once: the sizing count and the bitmap fold are two
+    # evaluations, each otherwise re-running the benchmark shingle scan
+    # and its distinct shuffle (round 10, guide §1.3).
+    bench = bench_shingles(docs).localCheckpoint(eager=True)
     # plan-time sizing scalar (the reference's S:163 bounds pattern)
     m = max(64, DECONTAM_BITS_PER_KEY * bench.count())
     return _bj_build_bitmap(spark, bench, "h", m), m
