@@ -160,18 +160,36 @@ def _assign_joined(qv: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+_CENT_SCHEMA = "cid int, cvec array<double>"
+
+
+def _local_cents(spark: SparkSession, rows: list[tuple[int, list[float]]]):
+    """K-row (cid, cvec) centroid frame as a LocalRelation: plan shape is
+    identical every Lloyd iteration (only the literal rows differ), so
+    analysis/codegen work per iteration stays constant and no per-iteration
+    localCheckpoint job is needed to truncate lineage."""
+    return spark.createDataFrame(rows, _CENT_SCHEMA)
+
+
 def seed_centroids(qv: DataFrame, k: int) -> DataFrame:
     """Deterministic (cid, cvec) seeds: the k globally-smallest vec_ids.
-    One TakeOrdered(k) reduction — constant-size at any corpus scale.
+    One TakeOrdered(k) reduction — constant-size at any corpus scale; the
+    k rows come to the driver (bounded, corpus-independent — the ivf.py
+    precedent) instead of paying a window + eager checkpoint job.
     SHARED by kmeans_fit and s_kmeans_stream: the streaming query's
     stream==batch bitwise claim depends on both using identical seeds."""
-    return (
-        qv.orderBy("vec_id")
-        .limit(k)
-        .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
-        .select((F.col("rn") - 1).alias("cid"), F.col("qv").alias("cvec"))
-        .localCheckpoint(eager=True)  # k rows; truncates lineage
+    rows = sorted(
+        qv.orderBy("vec_id").limit(k).collect(), key=lambda r: r["vec_id"]
     )
+    return _local_cents(
+        qv.sparkSession, [(i, list(r["qv"])) for i, r in enumerate(rows)]
+    )
+
+
+# K bound for the driver-side mean fold: per iteration the driver holds
+# K*DIM (cid, dim, s, n) rows. Beyond this (corpus-proportional K at very
+# large scale) the distributed fold below keeps the driver out of the loop.
+DRIVER_FOLD_MAX_K = 1024
 
 
 def kmeans_fit(
@@ -187,8 +205,50 @@ def kmeans_fit(
     ``assign`` picks the assignment kernel: _assign (packed, map-only) for
     small K, _assign_joined (codegen'd, one extra combine) for large K —
     bitwise interchangeable. ``seeds`` overrides the (cid, cvec) seed
-    frame (min-id seeding by default; q_kmeans_pp passes k-means||)."""
+    frame (min-id seeding by default; q_kmeans_pp passes k-means||).
+
+    Round 11: for bounded K the per-iteration centroid update collects the
+    K*DIM exact (cid, dim, s, n) sums — corpus-independent — and folds the
+    means on the driver (guide §1.2 step 1: drops the second shuffle, the
+    centroid join, and the eager checkpoint job per iteration; the same
+    bounded-collect pattern as ivf.py / unigram.py). float(s)/float(n) in
+    Python is bit-for-bit the CAST-to-double division both engines run.
+    Beyond DRIVER_FOLD_MAX_K the original distributed fold runs —
+    bit-identical either way (pinned in tests/test_kmeans.py)."""
     cents = seeds if seeds is not None else seed_centroids(qv, k)
+    if k > DRIVER_FOLD_MAX_K:
+        return _kmeans_fit_dist(qv, iters, assign, cents)
+    spark = qv.sparkSession
+    prev = {int(r["cid"]): list(r["cvec"]) for r in cents.collect()}
+    for _ in range(iters):
+        cents = _local_cents(spark, sorted(prev.items()))
+        dim_sums = (
+            assign(qv, cents)
+            .select("cid", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(
+                F.sum(F.col("v").cast("bigint")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        acc: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in dim_sums:
+            acc.setdefault(r["cid"], {})[r["dim"]] = (r["s"], r["n"])
+        # An empty cluster keeps its previous centroid (COALESCE on both
+        # engines) rather than dying or resampling nondeterministically.
+        for cid, dims in acc.items():
+            prev[cid] = [
+                float(dims[d][0]) / float(dims[d][1]) for d in range(DIM)
+            ]
+    return _local_cents(spark, sorted(prev.items()))
+
+
+def _kmeans_fit_dist(
+    qv: DataFrame, iters: int, assign, cents: DataFrame
+) -> DataFrame:
+    """The fully-distributed Lloyd update (pre-round-11 body): keeps the
+    driver out of the loop when K itself scales with the corpus."""
     for _ in range(iters):
         assigned = assign(qv, cents)
         sums = (
@@ -207,8 +267,6 @@ def kmeans_fit(
                 ).alias("newvec"),
             )
         )
-        # An empty cluster keeps its previous centroid (COALESCE on both
-        # engines) rather than dying or resampling nondeterministically.
         cents = (
             cents.join(sums, "cid", "left")
             .select("cid", F.coalesce("newvec", "cvec").alias("cvec"))
@@ -320,11 +378,27 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 KPP_L = 16  # oversampling factor: l = 2k candidates per pass
 
 
+def _dist_sq_py(a: list[float], b: list[float]) -> float:
+    """Driver twin of dist_sq: the same sequential left fold. Every term
+    and partial sum is an exact integer-valued double on the quantized
+    grid (|x| <= QUANT, so the total is < 2^30), so the Python float fold
+    is bit-identical to both engines' folds."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc
+
+
 def seed_centroids_pp(qv: DataFrame, k: int = KMEANS_K, l: int = KPP_L) -> DataFrame:
     """Deterministic k-means|| seeds: md5-sample -> cost-weighted
     oversample -> farthest-first down to (cid, cvec), cid in selection
-    order. Every frame touched after the two corpus passes is <= 2l rows
-    and localCheckpointed, so plan depth stays constant in k."""
+    order. The two corpus passes (s1, s2) stay in Spark; the <= 2l
+    candidates then come to the driver and farthest-first runs in plain
+    Python (round 11 — bounded collect, corpus-independent: replaces k-1
+    rounds of tiny crossJoin/TakeOrdered/checkpoint jobs whose cost was
+    all plan analysis, the unigram.py precedent). Distances are exact
+    integers on the grid, so selection is bit-identical to the Spark loop
+    and the oracle's CTE chain."""
     base = qv.select(
         "vec_id", "qv", F.md5(F.col("vec_id").cast("string")).alias("m")
     )
@@ -343,38 +417,35 @@ def seed_centroids_pp(qv: DataFrame, k: int = KMEANS_K, l: int = KPP_L) -> DataF
         .orderBy(F.col("pri").desc(), "vec_id")
         .limit(l)
     )
-    cands = (
-        s1.select("vec_id", "qv", "m")
-        .unionByName(s2.select("vec_id", "qv", "m"))
-        .dropDuplicates(["vec_id"])
-        .localCheckpoint(eager=True)
+    cands = sorted(
+        (
+            (r["m"], r["vec_id"], list(r["qv"]))
+            for r in s1.select("vec_id", "qv", "m")
+            .unionByName(s2.select("vec_id", "qv", "m"))
+            .dropDuplicates(["vec_id"])
+            .collect()
+        ),
     )
-    chosen = (
-        cands.orderBy("m", "vec_id")
-        .limit(1)
-        .select(F.lit(0).alias("cid"), "vec_id", F.col("qv").alias("cvec"))
-        .localCheckpoint(eager=True)
-    )
+    if not cands:
+        return _local_cents(qv.sparkSession, [])
+    # farthest-first (Gonzalez 1985) over the bounded candidate list:
+    # start at min (m, vec_id); each round picks max min-distance to the
+    # chosen set, ties to the lowest vec_id — exactly the Spark/SQL order.
+    chosen = [(0, cands[0][2])]
+    chosen_ids = {cands[0][1]}
     for i in range(1, k):
-        packed_c = chosen.agg(F.collect_list("cvec").alias("cs"))
-        far = (
-            cands.join(chosen.select("vec_id"), "vec_id", "left_anti")
-            .crossJoin(F.broadcast(packed_c))
-            .select(
-                "vec_id",
-                "qv",
-                F.array_min(
-                    F.transform("cs", lambda c: dist_sq(F.col("qv"), c))
-                ).alias("mind"),
-            )
-            .orderBy(F.col("mind").desc(), "vec_id")
-            .limit(1)
-            .select(
-                F.lit(i).alias("cid"), "vec_id", F.col("qv").alias("cvec")
-            )
-        )
-        chosen = chosen.unionByName(far).localCheckpoint(eager=True)
-    return chosen.select("cid", "cvec")
+        best = None
+        for _m, vid, q in cands:
+            if vid in chosen_ids:
+                continue
+            d = min(_dist_sq_py(q, c) for _cid, c in chosen)
+            if best is None or (-d, vid) < best[0]:
+                best = ((-d, vid), q)
+        if best is None:
+            break
+        chosen.append((i, best[1]))
+        chosen_ids.add(best[0][1])
+    return _local_cents(qv.sparkSession, chosen)
 
 
 def _kpp_seed_sql(k: int = KMEANS_K, l: int = KPP_L) -> str:

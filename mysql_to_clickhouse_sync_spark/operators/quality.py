@@ -398,13 +398,6 @@ def q_decontam_gate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     In production you run the bloom arm always and THIS audit on a
     sampled slice — the audit's own cost is the exact arm's."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.withColumn("words", F.split(F.col("text"), " "))
-        .select(
-            "doc_id", "source", F.expr(_SHINGLES_EXPR).alias("shingles")
-        )
-        .select("doc_id", "source", F.explode("shingles").alias("h"))
-    )
     # The benchmark shingle set has FOUR evaluations (semi-join
     # broadcast, bloom sizing count, bitmap fold — bench_bloom rebuilt
     # it from scratch — plus its own distinct shuffle each time);
@@ -415,29 +408,33 @@ def q_decontam_gate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bj_build_bitmap,
     )
 
-    bench = (
-        sh.filter(F.col("source") == _BENCH_SOURCE)
-        .select("h")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    exact = (
-        sh.filter(F.col("source") != _BENCH_SOURCE)
-        .join(F.broadcast(bench), "h", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("exact_hit", F.lit(1))
-    )
+    bench = bench_shingles(docs).localCheckpoint(eager=True)
     m = max(64, DECONTAM_BITS_PER_KEY * bench.count())
     bitmap = _bj_build_bitmap(spark, bench, "h", m)
     train = docs.filter(F.col("source") != _BENCH_SOURCE)
-    bloom = (
+    # Round 11: the train corpus is shingled ONCE — the bloom probe pass.
+    # The exact arm no longer re-shingles and semi-joins the whole train
+    # side: the filter is one-sided (no false negatives — build and probe
+    # derive positions from the same BJ_SLICES constant, pinned by test),
+    # so every exact hit is necessarily a bloom hit and the exact
+    # semi-join's left side can be the bloom survivors (with their
+    # already-computed shingle arrays), a hits-only frame instead of the
+    # corpus (guide §3.2: Bloom-prefilter the big side before the join).
+    hits = (
         train.withColumn("words", F.split(F.col("text"), " "))
         .withColumn("shingles", F.expr(_SHINGLES_EXPR))
         .crossJoin(F.broadcast(bitmap))
         .filter(F.expr(decontam_probe_expr(m)))
+        .select("doc_id", "shingles")
+        .localCheckpoint(eager=True)
+    )
+    bloom = hits.select("doc_id").withColumn("bloom_hit", F.lit(1))
+    exact = (
+        hits.select("doc_id", F.explode("shingles").alias("h"))
+        .join(F.broadcast(bench), "h", "left_semi")
         .select("doc_id")
-        .withColumn("bloom_hit", F.lit(1))
+        .distinct()
+        .withColumn("exact_hit", F.lit(1))
     )
     return (
         train.join(exact, "doc_id", "left")
@@ -523,17 +520,30 @@ def q_decontam_gate_audit_sampled(
     the audit quantifies the gate, it does not replace it."""
     from pyspark.sql.window import Window
 
+    from mysql_to_clickhouse_sync_spark.operators.joins import (
+        _bj_build_bitmap,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != _BENCH_SOURCE)
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
+    # Round 11: the slice feeds three consumers (exact shingles, bloom
+    # probe, final per-lang rollup) — checkpoint the bounded
+    # (_AUDIT_SLICE x langs)-row frame once instead of re-running the
+    # ranked window per consumer; the bench set likewise fed two
+    # evaluations (un-checkpointed semi-join build + bench_bloom's own
+    # copy) and now feeds both arms from one checkpoint (guide §1.3).
     sl = (
         train.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _AUDIT_SLICE)
         .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=True)
     )
-    bench = bench_shingles(docs)
+    bench = bench_shingles(docs).localCheckpoint(eager=True)
+    m = max(64, DECONTAM_BITS_PER_KEY * bench.count())
+    bitmap = _bj_build_bitmap(spark, bench, "h", m)
     sl_sh = (
         sl.withColumn("words", F.split(F.col("text"), " "))
         .select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
@@ -545,7 +555,6 @@ def q_decontam_gate_audit_sampled(
         .distinct()
         .withColumn("exact_hit", F.lit(1))
     )
-    bitmap, m = bench_bloom(spark, docs)
     bloom = (
         sl.withColumn("words", F.split(F.col("text"), " "))
         .withColumn("shingles", F.expr(_SHINGLES_EXPR))

@@ -103,23 +103,40 @@ def s_binlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             version_cols=["ts", "event_id"],
         ).localCheckpoint(eager=True)
 
+    # Round 11: serialize ALL slices in ONE partitioned write job (guide
+    # §1.2 — the per-slice coalesce(1) writes scanned and enveloped the
+    # post-split events once PER SLICE, 3 jobs for one pass of work).
+    # repartition(N, slice) puts each slice wholly in one task, so every
+    # slice=i directory holds exactly one part file; files still move into
+    # the tailed directory one rotation at a time, preserving the
+    # micro-batch slicing (which the oracle is independent of anyway).
+    slices_dir = os.path.join(workdir, "slices")
+    tagged = post.withColumn(
+        "slice", (F.col("event_id") % N_SLICES).cast("int")
+    )
+    to_debezium_envelopes(
+        tagged,
+        COLS,
+        F.col("event_type") == "error",
+        extra_cols=("slice",),
+    ).repartition(N_SLICES, "slice").write.partitionBy("slice").mode(
+        "overwrite"
+    ).text(slices_dir)
+
     def emit_rotated_file(i: int) -> None:
-        # One envelope file per slice, named in rotation order — written by
-        # Spark (coalesce(1) text), then moved into the tailed directory
-        # under the binlog-style name the source's offsets refer to.
-        tmp = os.path.join(workdir, f"slice_{i}")
-        to_debezium_envelopes(
-            post.filter(F.col("event_id") % N_SLICES == i),
-            COLS,
-            F.col("event_type") == "error",
-        ).coalesce(1).write.mode("overwrite").text(tmp)
-        part = next(
-            f for f in os.listdir(tmp) if f.startswith("part-")
+        # Move slice i under the binlog-style name the offsets refer to.
+        d = os.path.join(slices_dir, f"slice={i}")
+        dest = os.path.join(in_dir, f"binlog.{i + 1:06d}.jsonl")
+        parts = (
+            [f for f in os.listdir(d) if f.startswith("part-")]
+            if os.path.isdir(d)
+            else []
         )
-        os.rename(
-            os.path.join(tmp, part),
-            os.path.join(in_dir, f"binlog.{i + 1:06d}.jsonl"),
-        )
+        if parts:
+            assert len(parts) == 1, parts
+            os.rename(os.path.join(d, parts[0]), dest)
+        else:  # empty slice: still rotate a file so the offset advances
+            open(dest, "w").close()
 
     query = None
     try:

@@ -107,11 +107,16 @@ class SubstrDedupSink:
         if lb is not None and batch_id <= lb:
             return  # the whole batch already published atomically
         b = F.lit(batch_id).cast("long")
-        # NOT checkpointed: shingling a micro-batch is a cheap map-only
-        # pass; the batch query's lesson (materialize the shared explode
-        # subtree) applies to a CORPUS-wide scan, not a micro-batch —
-        # here the checkpoint write costs more than a few recomputes
-        sh_b = shingle_positions(batch_df)
+        # Round 11: the batch shingle table has THREE consumers (store
+        # merge, batch counts, already-duplicated mark-back), the store
+        # read three (counts, crossed mark-back, span recompute) and the
+        # count aggregation two (state delta, duplicate set) — cache each
+        # once per batch instead of re-running the explode / parquet scan
+        # / count shuffle per consumer (guide §1.3). Everything below
+        # materializes INSIDE this apply() (merges + group flip), so the
+        # caches are released in the finally — no blocks outlive the
+        # batch (round-10's cache-lifetime note).
+        sh_b = shingle_positions(batch_df).cache()
         # 1. store the batch's positions (each position arrives exactly
         #    once — its document lives in exactly one batch; the member
         #    watermark makes a crashed attempt's re-merge a no-op)
@@ -123,8 +128,10 @@ class SubstrDedupSink:
         #    aggregation, no counts table to fold or to tear against:
         #    cnt_before = cnt_after - batch contribution, redelivery-
         #    safe because a skipped re-merge leaves the store identical
-        stored = self.store.read().select("doc_id", "pos", "h")
-        counts = stored.groupBy("h").agg(F.count("*").alias("cnt_after"))
+        stored = self.store.read().select("doc_id", "pos", "h").cache()
+        counts = (
+            stored.groupBy("h").agg(F.count("*").alias("cnt_after")).cache()
+        )
         cnt_b = sh_b.groupBy("h").agg(F.count("*").alias("c"))
         state = counts.join(cnt_b, "h").select(
             "h",
@@ -159,13 +166,17 @@ class SubstrDedupSink:
                 ).alias("spans")
             )
         )
-        self.spans.merge(
-            doc_spans.withColumn("b", b).withColumn("op", F.lit("upsert")),
-            batch_id=batch_id,
-        )
-        # 5. ONE atomic publish for the whole batch: a crash before this
-        #    flip leaves the previous vector serving both tables
-        self.group.commit(batch_id)
+        try:
+            self.spans.merge(
+                doc_spans.withColumn("b", b).withColumn("op", F.lit("upsert")),
+                batch_id=batch_id,
+            )
+            # 5. ONE atomic publish for the whole batch: a crash before
+            #    this flip leaves the previous vector serving both tables
+            self.group.commit(batch_id)
+        finally:
+            for f in (counts, stored, sh_b):
+                f.unpersist()
 
     def counts_view(self) -> DataFrame:
         """Committed per-shingle totals, derived from the group's store
