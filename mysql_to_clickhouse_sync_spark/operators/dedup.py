@@ -1107,7 +1107,10 @@ def q_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd_c = pair_docs.groupBy("lang").agg(
         F.count_distinct("d").alias("n_neardup_docs")
     )
-    return (
+    # Round 11 cache hygiene (guide §5): the ledger is one row per lang —
+    # force it eagerly, then release the corpus-sized simhash/pair caches
+    # so no blocks outlive the query.
+    out = (
         base.join(rep_c, "lang")
         .join(pair_c, "lang", "left")
         .join(pd_c, "lang", "left")
@@ -1119,7 +1122,11 @@ def q_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_neardup_pairs", F.lit(0)).alias("n_neardup_pairs"),
             F.coalesce("n_neardup_docs", F.lit(0)).alias("n_neardup_docs"),
         )
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    pairs.unpersist()
+    return out
 
 
 PASSAGE_TOKENS = 16  # non-overlapping passage width, in whitespace tokens
@@ -1593,14 +1600,20 @@ def containment_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
     )
-    return (
+    # Round 11 cache hygiene (guide §5): the pair table is bounded by
+    # df_cap * |pruned rows| while the pruned index is the full corpus
+    # shingle set — force the result eagerly and release the index.
+    out = (
         shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumn(
             "containment_bp", F.expr("n_shared * 10000 div size_a")
         )
         .filter(F.col("containment_bp") >= min_bp)
         .select("doc_a", "doc_b", "n_shared", "size_a", "containment_bp")
+        .localCheckpoint(eager=True)
     )
+    pruned.unpersist()
+    return out
 
 
 @declare("q_containment_dedup", oracle=_containment_oracle(), tier="P1")

@@ -164,11 +164,27 @@ _CENT_SCHEMA = "cid int, cvec array<double>"
 
 
 def _local_cents(spark: SparkSession, rows: list[tuple[int, list[float]]]):
-    """K-row (cid, cvec) centroid frame as a LocalRelation: plan shape is
-    identical every Lloyd iteration (only the literal rows differ), so
-    analysis/codegen work per iteration stays constant and no per-iteration
-    localCheckpoint job is needed to truncate lineage."""
-    return spark.createDataFrame(rows, _CENT_SCHEMA)
+    """K-row (cid, cvec) centroid frame as a JVM LocalRelation via a VALUES
+    inline table. NOT createDataFrame: PySpark parallelizes local data into
+    a pickled Python RDD, so every downstream evaluation of the frame (one
+    per assign, more in the IVF-PQ consumers) would pay a Python-worker
+    round trip (measured ~+1-2 s per kmeans query). VALUES literals are
+    folded to InternalRows at ANALYSIS time, so the relation is pure data —
+    downstream plan/codegen text is identical every Lloyd iteration and no
+    Python worker or checkpoint job is ever involved. Double literals use
+    repr(), the shortest round-tripping form, so the values are exact."""
+    if not rows:
+        return spark.createDataFrame([], _CENT_SCHEMA)
+    vals = ", ".join(
+        "({}, array({}))".format(
+            int(cid), ", ".join(f"{v!r}D" for v in vec)
+        )
+        for cid, vec in rows
+    )
+    return spark.sql(
+        f"SELECT CAST(cid AS INT) AS cid, cvec"
+        f" FROM VALUES {vals} AS t(cid, cvec)"
+    )
 
 
 def seed_centroids(qv: DataFrame, k: int) -> DataFrame:

@@ -296,7 +296,20 @@ def neardup_pipeline(
         "embedding", nz.agg(F.count("*").alias("n_in")), e_pairs, e_drop
     )
 
-    return exact.unionAll(minhash).unionAll(simhash).unionAll(embedding)
+    # Round 11 cache hygiene (guide §5): the ledger is 4 rows — force it
+    # eagerly, then release the corpus-sized cached frames (reps,
+    # signatures, simhash table, norm-filtered embeddings) so no blocks
+    # outlive the query. The work happens exactly once either way; only
+    # WHERE it happens moves (inside the call instead of at the sink).
+    out = (
+        exact.unionAll(minhash)
+        .unionAll(simhash)
+        .unionAll(embedding)
+        .localCheckpoint(eager=True)
+    )
+    for f in (reps, sigs, sh, nz):
+        f.unpersist()
+    return out
 
 
 @declare("q_neardup_pipeline", oracle=_pipeline_oracle(), tier="P1")

@@ -129,6 +129,10 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import os
 
+    from mysql_to_clickhouse_sync_spark.streaming.staging import (
+        stage_batch_files,
+    )
+
     os.makedirs(in_dir, exist_ok=True)
     stream = (
         spark.readStream.schema(schema)
@@ -139,8 +143,8 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query = None
     try:
-        for i, sl in enumerate(slices):
-            sl.coalesce(1).write.mode("append").parquet(in_dir)
+        for i, path in enumerate(stage_batch_files(slices, workdir)):
+            os.rename(path, os.path.join(in_dir, f"batch-{i}.parquet"))
             if query is None:
                 query = stream.start()
             query.processAllAvailable()
@@ -506,6 +510,10 @@ def s_kmeans_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import os
 
+    from mysql_to_clickhouse_sync_spark.streaming.staging import (
+        stage_batch_files,
+    )
+
     os.makedirs(in_dir, exist_ok=True)
     stream = (
         spark.readStream.schema(schema)
@@ -516,10 +524,11 @@ def s_kmeans_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query = None
     try:
-        for i in range(n_files):
-            qv.filter(F.col("vec_id") % n_files == i).coalesce(1).write.mode(
-                "append"
-            ).parquet(in_dir)
+        slices = [
+            qv.filter(F.col("vec_id") % n_files == i) for i in range(n_files)
+        ]
+        for i, path in enumerate(stage_batch_files(slices, workdir)):
+            os.rename(path, os.path.join(in_dir, f"batch-{i}.parquet"))
             if query is None:
                 query = stream.start()
             query.processAllAvailable()

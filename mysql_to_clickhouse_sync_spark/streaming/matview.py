@@ -454,6 +454,10 @@ def s_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     defining property that makes a continuously-maintained view cheaper
     than periodic full refresh, now with the reference's delete semantics
     (binlog DELETE, S:97-116) instead of append-only."""
+    from mysql_to_clickhouse_sync_spark.streaming.staging import (
+        stage_batch_files,
+    )
+
     batches = mv_stream_batches(spark, sf_dir)
     schema = batches[0].schema
 
@@ -465,6 +469,7 @@ def s_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     query = None
     try:
+        staged = stage_batch_files(batches, workdir)
         query = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
@@ -473,8 +478,8 @@ def s_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", ckpt)
             .start()
         )
-        for b in batches:
-            b.coalesce(1).write.mode("append").parquet(in_dir)
+        for i, path in enumerate(staged):
+            os.rename(path, os.path.join(in_dir, f"batch-{i}.parquet"))
             query.processAllAvailable()
         return sink.readout().localCheckpoint(eager=True)
     finally:

@@ -232,6 +232,10 @@ def s_substring_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cites the reference's continuous-replication north star
     (mysql_to_clickhouse_sync.py main loop): the curation pass runs
     WHILE data lands, rather than as a nightly full rescan."""
+    from mysql_to_clickhouse_sync_spark.streaming.staging import (
+        stage_batch_files,
+    )
+
     batches = substr_stream_batches(spark, sf_dir)
     schema = batches[0].schema
     workdir = tempfile.mkdtemp(prefix="substr_stream_")
@@ -241,6 +245,7 @@ def s_substring_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = SubstrDedupSink(spark, workdir)
     query = None
     try:
+        staged = stage_batch_files(batches, workdir)
         query = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
@@ -249,8 +254,8 @@ def s_substring_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", ckpt)
             .start()
         )
-        for b in batches:
-            b.coalesce(1).write.mode("append").parquet(in_dir)
+        for i, path in enumerate(staged):
+            os.rename(path, os.path.join(in_dir, f"batch-{i}.parquet"))
             query.processAllAvailable()
         return sink.readout().localCheckpoint(eager=True)
     finally:

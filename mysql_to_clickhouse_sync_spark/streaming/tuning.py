@@ -38,15 +38,25 @@ def stream_shuffle_partitions(
         spark.conf.set(key, prev)
 
 
-def tuned(fn):
+def tuned(fn=None, *, n: int = STREAM_SHUFFLE_PARTITIONS):
     """Decorator: run a declared streaming query under the streaming
     shuffle-partition setting (place BELOW @declare so the registered
-    callable is the tuned one)."""
+    callable is the tuned one).
+
+    ``@tuned(n=...)`` overrides the count PER STREAM (round 11): the right
+    number tracks that stream's stateful key cardinality and, for
+    applyInPandasWithState handlers, the Python-worker parallelism — one
+    global constant cannot fit both (the round-10 global 8->4 A/B was mixed
+    for exactly this reason). Production sizes it to state-size/executor
+    memory per the module docstring; these are fixture-cardinality values."""
     import functools
 
-    @functools.wraps(fn)
-    def wrapper(spark: SparkSession, sf_dir: str):
-        with stream_shuffle_partitions(spark):
-            return fn(spark, sf_dir)
+    def deco(f):
+        @functools.wraps(f)
+        def wrapper(spark: SparkSession, sf_dir: str):
+            with stream_shuffle_partitions(spark, n):
+                return f(spark, sf_dir)
 
-    return wrapper
+        return wrapper
+
+    return deco if fn is None else deco(fn)

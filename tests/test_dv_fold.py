@@ -5,6 +5,8 @@ vectors accumulate O(total deleted keys) forever)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mysql_to_clickhouse_sync_spark.sinks.merge import LakeTable
@@ -25,6 +27,7 @@ def _wave(spark, w, per_wave=10):
     )
 
 
+@pytest.mark.slow
 def test_armed_ratio_bounds_outstanding_vectors(spark, tmp_path):
     t = LakeTable(
         spark,

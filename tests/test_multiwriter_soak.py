@@ -17,6 +17,7 @@ rather than in a single-collision repro."""
 
 from __future__ import annotations
 
+import pytest
 import random
 import threading
 import time
@@ -50,6 +51,7 @@ def _batches(rng: random.Random) -> list[list[tuple]]:
     return out
 
 
+@pytest.mark.slow
 def test_n_writers_plus_compactor_serialize(spark, tmp_path):
     path = str(tmp_path / "state")
     rng = random.Random(0xC0FFEE)

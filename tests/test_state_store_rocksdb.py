@@ -16,7 +16,6 @@ ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvi
 _KEY = "spark.sql.streaming.stateStore.providerClass"
 
 
-@pytest.mark.slow
 def test_tumbling_stream_identical_under_rocksdb(spark):
     prev = spark.conf.get(_KEY, None)
     qs = queries()
@@ -36,7 +35,6 @@ def test_tumbling_stream_identical_under_rocksdb(spark):
     assert rocks == baseline
 
 
-@pytest.mark.slow
 def test_rocksdb_kill_and_resume_from_checkpoint(spark, tmp_path):
     """Crash-resume under the RocksDB provider (VERDICT r4 #4): a
     stateful stream (dropDuplicates dedup state + running agg state) is
