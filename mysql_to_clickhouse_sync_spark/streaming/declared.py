@@ -172,7 +172,7 @@ _TUMBLING_STREAM_ORACLE = """
 
 
 @declare("s_tumbling_stream", oracle=_TUMBLING_STREAM_ORACLE, tier="P3")
-@tuned
+@tuned(n=4)
 def s_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING twin of q_tumbling_count, with the same full oracle:
     events replayed as a 2-micro-batch file stream, windowed aggregation in
@@ -352,7 +352,7 @@ _WATERMARK_LATE_ORACLE = f"""
 
 
 @declare("s_watermark_late", oracle=_WATERMARK_LATE_ORACLE, tier="P3")
-@tuned
+@tuned(n=4)
 def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window counts in append mode: two deterministic
     micro-batches; output contains only windows closed by the final
@@ -569,7 +569,7 @@ _TOPK_STREAM_ORACLE = f"""
 
 
 @declare("s_topk_stream", oracle=_TOPK_STREAM_ORACLE, tier="P3")
-@tuned
+@tuned(n=4)
 def s_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming heavy hitters with a FULL oracle: the stream maintains
     exact per-(event_type, user_id) counts in complete mode (the hard,

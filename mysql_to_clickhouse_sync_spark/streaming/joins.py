@@ -50,7 +50,7 @@ _WATERMARK = "40 days"  # > fixture span: nothing evicted -> oracle-exact
     """,
     tier="P3",
 )
-@tuned
+@tuned(n=4)
 def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: each micro-batch of the events stream is
     joined against the broadcast customer dimension, then aggregated per
@@ -125,7 +125,7 @@ def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tier="P3",
 )
-@tuned
+@tuned(n=2)
 def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases attributed to any click by the
     same user within the preceding hour. Watermarks on both sides let the
@@ -214,7 +214,7 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tier="P3",
 )
-@tuned
+@tuned(n=4)
 def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup: the events feed is replayed WITH
     duplicates (every third event ships twice — the at-least-once delivery
