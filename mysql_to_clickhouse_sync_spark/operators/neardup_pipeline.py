@@ -296,20 +296,30 @@ def neardup_pipeline(
         "embedding", nz.agg(F.count("*").alias("n_in")), e_pairs, e_drop
     )
 
-    # Round 11 cache hygiene (guide §5): the ledger is 4 rows — force it
-    # eagerly, then release the corpus-sized cached frames (reps,
-    # signatures, simhash table, norm-filtered embeddings) so no blocks
-    # outlive the query. The work happens exactly once either way; only
-    # WHERE it happens moves (inside the call instead of at the sink).
-    out = (
-        exact.unionAll(minhash)
-        .unionAll(simhash)
-        .unionAll(embedding)
-        .localCheckpoint(eager=True)
-    )
+    # Round 11 cache hygiene (guide §5): the ledger is 4 rows — collect it
+    # (normal AQE execution; an eager localCheckpoint here materializes
+    # through the RDD path, which re-plans the banded self-joins without
+    # adaptive execution and measured 4-8x SLOWER), then release the
+    # corpus-sized cached frames (reps, signatures, simhash table,
+    # norm-filtered embeddings) so no blocks outlive the query.
+    out = exact.unionAll(minhash).unionAll(simhash).unionAll(embedding)
+    rows = out.collect()
     for f in (reps, sigs, sh, nz):
         f.unpersist()
-    return out
+    vals = ", ".join(
+        "('{}', {}L, {}L, {}L, {}L)".format(
+            r["stage"],
+            r["n_in"],
+            r["n_out"],
+            r["n_dropped_buckets"],
+            r["n_rows_dropped"],
+        )
+        for r in rows
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {vals} AS "
+        "t(stage, n_in, n_out, n_dropped_buckets, n_rows_dropped)"
+    )
 
 
 @declare("q_neardup_pipeline", oracle=_pipeline_oracle(), tier="P1")
