@@ -107,16 +107,14 @@ class SubstrDedupSink:
         if lb is not None and batch_id <= lb:
             return  # the whole batch already published atomically
         b = F.lit(batch_id).cast("long")
-        # Round 11: the batch shingle table has THREE consumers (store
-        # merge, batch counts, already-duplicated mark-back), the store
-        # read three (counts, crossed mark-back, span recompute) and the
-        # count aggregation two (state delta, duplicate set) — cache each
-        # once per batch instead of re-running the explode / parquet scan
-        # / count shuffle per consumer (guide §1.3). Everything below
-        # materializes INSIDE this apply() (merges + group flip), so the
-        # caches are released in the finally — no blocks outlive the
-        # batch (round-10's cache-lifetime note).
-        sh_b = shingle_positions(batch_df).cache()
+        # NOT cached/checkpointed, re-validated round 11 (VERDICT item 1):
+        # caching the batch shingles + store read + count agg measured
+        # +1.2 s/query at sf0.1 (block-store writes outweigh the 2-3
+        # micro-batch-sized recomputes; min-of-4 interleaved A/B), and
+        # round 10 measured the same for checkpointing. The r10 comment's
+        # rule stands: materializing shared subtrees pays on CORPUS-wide
+        # scans, not on micro-batches.
+        sh_b = shingle_positions(batch_df)
         # 1. store the batch's positions (each position arrives exactly
         #    once — its document lives in exactly one batch; the member
         #    watermark makes a crashed attempt's re-merge a no-op)
@@ -128,10 +126,8 @@ class SubstrDedupSink:
         #    aggregation, no counts table to fold or to tear against:
         #    cnt_before = cnt_after - batch contribution, redelivery-
         #    safe because a skipped re-merge leaves the store identical
-        stored = self.store.read().select("doc_id", "pos", "h").cache()
-        counts = (
-            stored.groupBy("h").agg(F.count("*").alias("cnt_after")).cache()
-        )
+        stored = self.store.read().select("doc_id", "pos", "h")
+        counts = stored.groupBy("h").agg(F.count("*").alias("cnt_after"))
         cnt_b = sh_b.groupBy("h").agg(F.count("*").alias("c"))
         state = counts.join(cnt_b, "h").select(
             "h",
@@ -166,17 +162,13 @@ class SubstrDedupSink:
                 ).alias("spans")
             )
         )
-        try:
-            self.spans.merge(
-                doc_spans.withColumn("b", b).withColumn("op", F.lit("upsert")),
-                batch_id=batch_id,
-            )
-            # 5. ONE atomic publish for the whole batch: a crash before
-            #    this flip leaves the previous vector serving both tables
-            self.group.commit(batch_id)
-        finally:
-            for f in (counts, stored, sh_b):
-                f.unpersist()
+        self.spans.merge(
+            doc_spans.withColumn("b", b).withColumn("op", F.lit("upsert")),
+            batch_id=batch_id,
+        )
+        # 5. ONE atomic publish for the whole batch: a crash before this
+        #    flip leaves the previous vector serving both tables
+        self.group.commit(batch_id)
 
     def counts_view(self) -> DataFrame:
         """Committed per-shingle totals, derived from the group's store
