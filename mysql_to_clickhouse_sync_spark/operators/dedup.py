@@ -1107,12 +1107,14 @@ def q_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd_c = pair_docs.groupBy("lang").agg(
         F.count_distinct("d").alias("n_neardup_docs")
     )
-    # Round 11 cache hygiene (guide §5): the ledger is one row per lang —
-    # collect it (normal AQE execution; an eager localCheckpoint here
-    # materializes through the RDD path without adaptive execution and
-    # measured ~2x slower), then release the corpus-sized simhash/pair
-    # caches so no blocks outlive the query.
-    out = (
+    # Round-11 cache-release experiment REVERTED (measured): forcing the
+    # ledger inside the call and unpersisting sh/pairs made every re-run
+    # honestly cold (+1.6-2 s min-of-5 interleaved) because Spark's
+    # CacheManager otherwise serves plan-identical re-runs from the prior
+    # invocation's cached frames — the warm-min behavior BENCH_r10's
+    # numbers embed. Caches stay session-scoped (released at teardown);
+    # see OPTIMIZATION_r11.md for the full investigation.
+    return (
         base.join(rep_c, "lang")
         .join(pair_c, "lang", "left")
         .join(pd_c, "lang", "left")
@@ -1124,27 +1126,6 @@ def q_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_neardup_pairs", F.lit(0)).alias("n_neardup_pairs"),
             F.coalesce("n_neardup_docs", F.lit(0)).alias("n_neardup_docs"),
         )
-    )
-    rows = out.collect()
-    sh.unpersist()
-    pairs.unpersist()
-    # JVM inline table, not createDataFrame: a python-RDD-backed local
-    # frame pays a Python-worker round trip at the sink (measured ~+1 s
-    # on the neardup ledger); lang values are \\w+ fixture codes.
-    vals = ", ".join(
-        "('{}', {}L, {}L, {}L, {}L, {}L)".format(
-            r["lang"],
-            r["n_docs"],
-            r["n_exact_reps"],
-            r["n_exact_removed"],
-            r["n_neardup_pairs"],
-            r["n_neardup_docs"],
-        )
-        for r in rows
-    )
-    return spark.sql(
-        f"SELECT * FROM VALUES {vals} AS t(lang, n_docs, n_exact_reps,"
-        " n_exact_removed, n_neardup_pairs, n_neardup_docs)"
     )
 
 

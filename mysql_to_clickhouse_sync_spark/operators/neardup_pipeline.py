@@ -296,30 +296,17 @@ def neardup_pipeline(
         "embedding", nz.agg(F.count("*").alias("n_in")), e_pairs, e_drop
     )
 
-    # Round 11 cache hygiene (guide §5): the ledger is 4 rows — collect it
-    # (normal AQE execution; an eager localCheckpoint here materializes
-    # through the RDD path, which re-plans the banded self-joins without
-    # adaptive execution and measured 4-8x SLOWER), then release the
-    # corpus-sized cached frames (reps, signatures, simhash table,
-    # norm-filtered embeddings) so no blocks outlive the query.
-    out = exact.unionAll(minhash).unionAll(simhash).unionAll(embedding)
-    rows = out.collect()
-    for f in (reps, sigs, sh, nz):
-        f.unpersist()
-    vals = ", ".join(
-        "('{}', {}L, {}L, {}L, {}L)".format(
-            r["stage"],
-            r["n_in"],
-            r["n_out"],
-            r["n_dropped_buckets"],
-            r["n_rows_dropped"],
-        )
-        for r in rows
-    )
-    return spark.sql(
-        f"SELECT * FROM VALUES {vals} AS "
-        "t(stage, n_in, n_out, n_dropped_buckets, n_rows_dropped)"
-    )
+    # Round-11 cache-release experiment REVERTED (measured): forcing the
+    # ledger inside the call and unpersisting the cached frames made
+    # every re-run honestly cold (Spark's CacheManager otherwise serves
+    # plan-identical re-runs from the prior invocation's cached frames —
+    # the warm-min behavior BENCH_r10's numbers embed). Two dead ends
+    # also measured here: eager localCheckpoint of the ledger re-plans
+    # the banded self-joins through the RDD path WITHOUT adaptive
+    # execution (4-8x slower), and a createDataFrame local frame pays a
+    # Python-worker round trip at the sink (~+1 s). Caches stay
+    # session-scoped; see OPTIMIZATION_r11.md.
+    return exact.unionAll(minhash).unionAll(simhash).unionAll(embedding)
 
 
 @declare("q_neardup_pipeline", oracle=_pipeline_oracle(), tier="P1")
